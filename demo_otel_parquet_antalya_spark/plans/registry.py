@@ -1,0 +1,756 @@
+"""Query registry: every implemented operator gets a (Spark plan, oracle SQL) pair.
+
+This is the engine's operator inventory in executable form (SURVEY.md §2.B/§2.C):
+each entry is a named query with
+
+- ``build(spark, sf_dir) -> DataFrame`` — the idiomatic-Spark plan (DataFrame
+  API or spark.sql; Catalyst optimizes either),
+- ``oracle`` — dialect-neutral ANSI SQL that DuckDB runs over the same parquet
+  tables; the driver hash-compares both results. ``oracle=None`` marks
+  genuinely non-SQL-expressible operators (rows-only check).
+
+Conventions that make the hash-compare deterministic:
+- every computed column is aliased identically on both sides;
+- LIMIT queries carry a total ORDER BY with unique tiebreakers;
+- floats are ROUNDed on both sides (Spark and DuckDB both round half away
+  from zero for doubles);
+- DuckDB ``SUM(int)`` returns HUGEINT → always ``CAST(... AS BIGINT)`` in the
+  oracle to match Spark's LongType.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.plans.tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+    tags: tuple = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline suite
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = "", tags: tuple = (), bench: bool = False):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=doc, tags=tags, bench=bench)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Scan / project / filter  (SURVEY §2.C rows 1-6; reference B1-B7)
+# ===========================================================================
+
+
+@register(
+    "scan_count",
+    "SELECT COUNT(*) AS n FROM lineitem",
+    doc="Full parquet scan + count-star (reference B1; README.md:84).",
+    bench=True,
+)
+def q_scan_count(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@register(
+    "filter_eq_count",
+    "SELECT COUNT(*) AS n FROM events WHERE event_type = 'click'",
+    doc="Equality predicate pushed to the parquet scan (reference B7: Grafana ad-hoc filters).",
+)
+def q_filter_eq_count(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "project_alias",
+    "SELECT l_orderkey AS k, l_linenumber AS n FROM lineitem ORDER BY k, n LIMIT 100",
+    doc="Projection with aliases + deterministic top-k (reference B2,B3).",
+)
+def q_project_alias(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("n"))
+        .orderBy("k", "n")
+        .limit(100)
+    )
+
+
+@register(
+    "filter_range_conj",
+    "SELECT COUNT(*) AS n FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderstatus = 'F'",
+    doc="Range + equality conjunction (reference B6,B7: Grafana $timeFilter + ad-hoc).",
+)
+def q_filter_range_conj(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")) & (F.col("o_orderstatus") == "F"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "filter_in_like",
+    "SELECT COUNT(*) AS n FROM part "
+    "WHERE p_brand IN ('Brand#12','Brand#23') OR p_type LIKE '%BRASS%'",
+    doc="IN-list and LIKE predicates (SURVEY §2.C).",
+)
+def q_filter_in_like(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23") | F.col("p_type").like("%BRASS%"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "filter_null_check",
+    "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal < 0",
+    doc="NULL-handling predicate (SURVEY §2.C IS NULL row).",
+)
+def q_filter_null_check(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") < 0))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ===========================================================================
+# Joins  (SURVEY §2.C join rows)
+# ===========================================================================
+
+
+@register(
+    "join_revenue_by_region",
+    "SELECT r_name, ROUND(SUM(o_totalprice), 2) AS revenue FROM orders "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name ORDER BY r_name",
+    doc=(
+        "Star-schema multi-join + agg. Dimension tables (customer/nation/region) are "
+        "broadcast — no shuffle of the orders fact side; at 100 TB the only shuffle "
+        "is the final tiny groupBy(r_name)."
+    ),
+    bench=True,
+)
+def q_join_revenue_by_region(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    "SELECT COUNT(*) AS n FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "WHERE o_orderkey IS NULL",
+    doc="Left-outer-join null filter, planned as a left ANTI join in Spark (no wide row materialization).",
+)
+def q_join_anti(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "join_semi_suppliers_with_lineitems",
+    "SELECT COUNT(*) AS n FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)",
+    doc="Semi join (EXISTS/IN) via left_semi — lineitem side never materializes columns.",
+)
+def q_join_semi(spark, sf_dir):
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    return (
+        supplier.join(lineitem, supplier.s_suppkey == lineitem.l_suppkey, "left_semi")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "join_outer_order_counts",
+    "SELECT CAST(c_custkey AS BIGINT) AS custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_custkey ORDER BY custkey LIMIT 100",
+    doc="Left outer join preserving unmatched build-side rows.",
+)
+def q_join_outer(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(F.col("c_custkey").alias("custkey"), "n_orders")
+        .orderBy("custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "join_theta_late_ship",
+    "SELECT COUNT(*) AS n FROM lineitem JOIN orders "
+    "ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate",
+    doc=(
+        "Equi-join with a residual theta predicate: Spark hashes on l_orderkey "
+        "and applies the range condition as a post-join filter — never a "
+        "nested-loop, so it scales like a plain equi-join."
+    ),
+    bench=True,
+)
+def q_join_theta(spark, sf_dir):
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        lineitem.join(
+            orders,
+            (lineitem.l_orderkey == orders.o_orderkey) & (lineitem.l_shipdate > orders.o_orderdate),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "join_asof_event_order",
+    "SELECT event_id, "
+    "(SELECT MAX(o.o_orderdate) FROM orders o WHERE o.o_orderdate <= e.ts) AS asof_date "
+    "FROM events e ORDER BY event_id LIMIT 50",
+    doc=(
+        "As-of join (nearest earlier order date per event). Implementation: the "
+        "distinct right-side keys are aggregated to a sorted array and broadcast; "
+        "each event probes it with array_max(filter(...)) — fully parallel, no "
+        "shuffle of the event side, no per-row subquery. Valid whenever the "
+        "as-of dimension's key set is broadcastable (here: distinct dates); the "
+        "large-large case is operators/asof.py's merge_asof."
+    ),
+)
+def q_join_asof(spark, sf_dir):
+    events = _t(spark, sf_dir, "events").select("event_id", "ts")
+    dates = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderdate")
+        .distinct()
+        .agg(F.sort_array(F.collect_list("o_orderdate")).alias("dates"))
+    )
+    return (
+        events.join(F.broadcast(dates))
+        .select(
+            "event_id",
+            F.array_max(F.filter(F.col("dates"), lambda d: d <= F.col("ts"))).alias("asof_date"),
+        )
+        .orderBy("event_id")
+        .limit(50)
+    )
+
+
+# ===========================================================================
+# Aggregation  (SURVEY §2.C agg rows; reference B9)
+# ===========================================================================
+
+
+@register(
+    "agg_multikey_counts",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders "
+    "GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority",
+    doc="Multi-key hash aggregate (reference B9: severity count by service, README.md:120-123).",
+)
+def q_agg_multikey(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "agg_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "ROUND(AVG(l_extendedprice), 2) AS avg_price, "
+    "MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    doc="TPC-H Q1-shaped pricing summary: partial (map-side) aggregation then one small shuffle.",
+    bench=True,
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+    doc="Exact distinct aggregate (two-phase partial-distinct under the hood).",
+)
+def q_agg_count_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(F.countDistinct("o_custkey").alias("n"))
+
+
+@register(
+    "agg_rollup",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders "
+    "GROUP BY ROLLUP(o_orderstatus, o_orderpriority) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    doc="ROLLUP grouping sets (SURVEY §2.C).",
+)
+def q_agg_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    doc="Explicit GROUPING SETS via SQL (Catalyst expands to a union of aggregates).",
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) "
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"
+    )
+
+
+@register(
+    "agg_cube",
+    "SELECT o_orderstatus, EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n FROM orders "
+    "GROUP BY CUBE(o_orderstatus, y) "
+    "ORDER BY o_orderstatus NULLS FIRST, y NULLS FIRST",
+    doc="CUBE over status × order-year.",
+)
+def q_agg_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("y", F.year("o_orderdate").cast("long"))
+        .cube("o_orderstatus", "y")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("y").asc_nulls_first())
+    )
+
+
+# ===========================================================================
+# Window functions  (SURVEY §2.C window rows)
+# ===========================================================================
+
+
+@register(
+    "window_first_order_per_customer",
+    "SELECT custkey, orderkey, rn FROM ("
+    "  SELECT o_custkey AS custkey, o_orderkey AS orderkey, "
+    "  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
+    "  FROM orders) t WHERE rn = 1 ORDER BY custkey LIMIT 100",
+    doc="Ranking window: first order per customer (top-1-per-group, single shuffle on the partition key).",
+)
+def q_window_rank(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("orderkey"), "rn")
+        .orderBy("custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "window_running_sum",
+    "SELECT event_id, ROUND(SUM(value) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running "
+    "FROM events ORDER BY event_id LIMIT 100",
+    doc="Analytic window with an explicit ROWS frame: per-user running sum.",
+)
+def q_window_running(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.round(F.sum("value").over(w), 4).alias("running"))
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+@register(
+    "window_lag_gap",
+    "SELECT event_id, gap_s FROM ("
+    "  SELECT event_id, CAST(FLOOR(EXTRACT(EPOCH FROM ts - LAG(ts) OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events) t "
+    "WHERE gap_s IS NOT NULL ORDER BY event_id LIMIT 100",
+    doc="LAG with time-delta arithmetic — the building block for sessionization.",
+)
+def q_window_lag(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.floor(F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")).cast("long").alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+# ===========================================================================
+# Time bucketing & sorting  (reference B8, B10-B12; Grafana panel queries)
+# ===========================================================================
+
+
+@register(
+    "time_bucket_minute",
+    "SELECT date_trunc('minute', ts) AS m, COUNT(*) AS n FROM events GROUP BY m ORDER BY m",
+    doc="Calendar-unit time bucketing (reference B8: Grafana $timeSeries).",
+)
+def q_time_bucket_minute(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("m")
+    )
+
+
+@register(
+    "time_bucket_30s_series",
+    "SELECT CAST(to_timestamp(CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 30) * 30 AS BIGINT)) AS TIMESTAMP) AS t, "
+    "event_type AS series, COUNT(*) AS n "
+    "FROM events GROUP BY t, series ORDER BY t, series",
+    doc=(
+        "The Grafana time-series panel shape (reference Q5, logs.json:123): 30 s "
+        "buckets × series, exactly the $timeSeries/interval=30s macro expansion."
+    ),
+    bench=True,
+)
+def q_time_bucket_30s(spark, sf_dir):
+    bucket = F.timestamp_seconds((F.floor(F.unix_timestamp("ts") / 30) * 30).cast("long"))
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(bucket.alias("t"), F.col("event_type").alias("series"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("t", "series")
+    )
+
+
+@register(
+    "sort_topk_orders",
+    "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    doc="Top-K sort: Spark plans TakeOrderedAndProject (per-partition heap + driver merge, no full sort).",
+)
+def q_sort_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey")
+    )
+
+
+@register(
+    "recent_events_tail",
+    "SELECT event_id, ts, event_type FROM events ORDER BY ts DESC, event_id LIMIT 10",
+    doc="'Recent logs' tail (reference Q2, README.md:114-118) over the events log-proxy.",
+)
+def q_recent_tail(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Set operations  (SURVEY §2.C)
+# ===========================================================================
+
+
+@register(
+    "set_intersect_nations",
+    "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk",
+    doc="INTERSECT (distinct semantics).",
+)
+def q_set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s).orderBy("nk")
+
+
+@register(
+    "set_except_nations",
+    "SELECT c_nationkey AS nk FROM customer "
+    "EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 5000 ORDER BY nk",
+    doc="EXCEPT (distinct semantics); right side filtered so the difference is non-degenerate at every sf.",
+)
+def q_set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    return c.subtract(s).orderBy("nk")  # EXCEPT = distinct set-difference
+
+
+@register(
+    "set_union_all_count",
+    "SELECT COUNT(*) AS n FROM (SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey FROM supplier) t",
+    doc="UNION ALL (no dedup, no shuffle — pure concatenation of partitions).",
+)
+def q_set_union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionAll(s).agg(F.count("*").alias("n"))
+
+
+# ===========================================================================
+# Scalar functions: string / date / math / conditional / array / JSON
+# ===========================================================================
+
+
+@register(
+    "string_functions",
+    "SELECT UPPER(SUBSTR(r_name, 1, 3)) AS pre, LENGTH(r_name) AS len, "
+    "CONCAT(r_name, '_', CAST(r_regionkey AS VARCHAR)) AS tagged "
+    "FROM region ORDER BY pre",
+    doc="Scalar string functions (upper/substr/length/concat).",
+)
+def q_string_functions(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "region")
+        .select(
+            F.upper(F.substring("r_name", 1, 3)).alias("pre"),
+            F.length("r_name").cast("long").alias("len"),
+            F.concat_ws("_", F.col("r_name"), F.col("r_regionkey").cast("string")).alias("tagged"),
+        )
+        .orderBy("pre")
+    )
+
+
+@register(
+    "date_extract_year",
+    "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, COUNT(*) AS n "
+    "FROM orders GROUP BY y ORDER BY y",
+    doc="Date-part extraction + group (reference B5/B8 family).",
+)
+def q_date_extract(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("y")
+    )
+
+
+@register(
+    "math_revenue_total",
+    "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem",
+    doc="Arithmetic expression aggregate (whole-stage-codegen'd, no Python).",
+)
+def q_math_revenue(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "case_when_flags",
+    "SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
+    "CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big "
+    "FROM orders",
+    doc="Conditional aggregation via CASE WHEN.",
+)
+def q_case_when(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big"),
+    )
+
+
+@register(
+    "array_element_access",
+    "SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1 FROM embeddings ORDER BY vec_id LIMIT 20",
+    doc="Array element access (1-indexed in both dialects).",
+)
+def q_array_element(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"))
+        .orderBy("vec_id")
+        .limit(20)
+    )
+
+
+@register(
+    "array_hof_norm",
+    "SELECT vec_id, ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 3) AS sq_norm "
+    "FROM embeddings ORDER BY vec_id LIMIT 50",
+    doc="Higher-order array function: squared L2 norm via transform+aggregate (the similarity-search kernel).",
+)
+def q_array_hof(spark, sf_dir):
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.round(sq, 3).alias("sq_norm"))
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@register(
+    "json_extract_filter",
+    "SELECT COUNT(*) AS n FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50",
+    doc="JSON attribute extraction in a predicate (reference B14: JSON attr columns, README.md:105-109).",
+)
+def q_json_extract(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.get_json_object("props", "$.k").cast("int") > 50)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "json_extract_group",
+    "SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS BIGINT) AS bucket, "
+    "COUNT(*) AS n FROM events GROUP BY bucket ORDER BY bucket",
+    doc="JSON value promoted to a grouping dimension.",
+)
+def q_json_group(spark, sf_dir):
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.floor(k / 10).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ===========================================================================
+# Subqueries & CTEs  (SURVEY §2.C)
+# ===========================================================================
+
+
+@register(
+    "scalar_subquery_above_avg",
+    "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)",
+    doc="Uncorrelated scalar subquery (Catalyst plans a reusable subquery broadcast).",
+)
+def q_scalar_subquery(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)"
+    )
+
+
+@register(
+    "exists_correlated",
+    "SELECT COUNT(*) AS n FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)",
+    doc="Correlated EXISTS — decorrelated by Catalyst into a semi join.",
+)
+def q_exists_correlated(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT COUNT(*) AS n FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"
+    )
+
+
+@register(
+    "cte_top_nation_revenue",
+    "WITH rev AS (SELECT c_nationkey, SUM(o_totalprice) AS total FROM orders "
+    "JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey) "
+    "SELECT n_name, ROUND(total, 2) AS total FROM rev JOIN nation ON c_nationkey = n_nationkey "
+    "ORDER BY total DESC, n_name LIMIT 10",
+    doc="CTE + join + agg composition.",
+)
+def q_cte(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        "WITH rev AS (SELECT c_nationkey, SUM(o_totalprice) AS total FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey) "
+        "SELECT n_name, ROUND(total, 2) AS total FROM rev JOIN nation ON c_nationkey = n_nationkey "
+        "ORDER BY total DESC, n_name LIMIT 10"
+    )
+
+
+# ===========================================================================
+# Approximate aggregates (bench-only: approximate by design, no exact oracle)
+# ===========================================================================
+
+
+@register(
+    "approx_count_distinct_custkey",
+    None,
+    doc="HyperLogLog++ approximate distinct (bench-only; t2-exempt per SURVEY §2.C).",
+    tags=("approx",),
+)
+def q_approx_count_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_n")
+    )

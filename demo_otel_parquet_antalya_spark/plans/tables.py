@@ -1,0 +1,46 @@
+"""Load the driver-generated parquet tables (TESTDATA.md) as DataFrames.
+
+Plain ``spark.read.parquet`` scans: Catalyst handles column pruning and
+predicate pushdown from whatever plan is built on top, so the loader adds
+nothing — no caching, no repartitioning — keeping every query's scan as
+close to the storage layer as possible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from demo_otel_parquet_antalya_spark.schema import TESTDATA_TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+        # rejects by default. Set the legacy conf at runtime (works on ANY
+        # session, including one the driver built) to read it as long nanos,
+        # then convert to Spark's native µs timestamp — the same ns→µs decode
+        # the reference applies to timeUnixNano (SURVEY.md §2.A5).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for spark.sql-based plans)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
