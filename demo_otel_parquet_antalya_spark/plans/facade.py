@@ -1,0 +1,93 @@
+"""Query facade: the reference's shipped query workload as API functions.
+
+Q1-Q6 (SURVEY.md §2.B, from reference README.md:84,113-124, AGENTS.md:76,
+grafana/provisioning/dashboards/logs.json:123,181) plus the Grafana macro
+helpers the panels rely on ($timeFilter, $timeSeries with interval buckets).
+
+All functions take the flat otel.logs DataFrame and return DataFrames shaped
+like the reference's result frames (B13).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_filter(df: DataFrame, start=None, end=None, col: str = "timestamp") -> DataFrame:
+    """Grafana $timeFilter macro: closed time-range predicate on the time column
+    (reference logs.json:115-116; B6)."""
+    if start is not None:
+        df = df.filter(F.col(col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(col) <= F.lit(end))
+    return df
+
+
+def time_bucket(col: str | Column, interval_seconds: int = 30) -> Column:
+    """Grafana $timeSeries macro: floor the timestamp to interval buckets
+    (reference logs.json:120,123; B8). Pure column expression — stays inside
+    whole-stage codegen and, over the partitioned layout, prunes with the
+    enclosing time_filter."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_seconds((F.floor(F.unix_timestamp(c) / interval_seconds) * interval_seconds).cast("long"))
+
+
+# --- the reference's own queries -------------------------------------------
+
+
+def q1_projection(logs: DataFrame) -> DataFrame:
+    """Q1: SELECT service_name, severity_text, body, timestamp (README.md:84)."""
+    return logs.select("service_name", "severity_text", "body", "timestamp")
+
+
+def q2_recent_logs(logs: DataFrame, limit: int = 10) -> DataFrame:
+    """Q2: recent logs, newest first (README.md:114-118)."""
+    return (
+        logs.select("timestamp", "service_name", "severity_text", "body")
+        .orderBy(F.col("timestamp").desc())
+        .limit(limit)
+    )
+
+
+def q3_severity_counts(logs: DataFrame) -> DataFrame:
+    """Q3: severity count by service (README.md:120-123)."""
+    return logs.groupBy("service_name", "severity_text").agg(F.count("*").alias("count"))
+
+
+def q4_select_all(logs: DataFrame) -> DataFrame:
+    """Q4: smoke SELECT * (AGENTS.md:76)."""
+    return logs.select("*")
+
+
+def q5_timeseries(logs: DataFrame, start=None, end=None, interval_seconds: int = 30) -> DataFrame:
+    """Q5: Grafana time-series panel — bucket × service counts
+    (logs.json:123: $timeSeries as t, service_name as series, count() as value)."""
+    return (
+        time_filter(logs, start, end)
+        .groupBy(
+            time_bucket("timestamp", interval_seconds).alias("t"),
+            F.col("service_name").alias("series"),
+        )
+        .agg(F.count("*").alias("value"))
+        .orderBy("t", "series")
+    )
+
+
+def q6_log_panel(logs: DataFrame, start=None, end=None, limit: int = 1000) -> DataFrame:
+    """Q6: Grafana log panel — ms-truncated time, message, dims, oldest first,
+    LIMIT 1000 (logs.json:181; toDateTime64(timestamp,3) ≙ ms truncation B5)."""
+    return (
+        time_filter(logs, start, end)
+        .select(
+            F.date_trunc("millisecond", "timestamp").alias("log_time"),
+            F.col("body").alias("message"),
+            "service_name",
+            "scope_name",
+            "severity_text",
+        )
+        .orderBy("log_time")
+        .limit(limit)
+    )

@@ -1,0 +1,116 @@
+"""OTLP/JSON ingestion: read the nested envelope, flatten to ``otel.logs`` rows.
+
+Re-expresses the reference's otlp2parquet conversion (SURVEY.md §2.A3-A5;
+input shape reference README.md:49-63, output schema README.md:91-109) as pure
+DataFrame operations:
+
+- triple ``explode`` un-nests resourceLogs[].scopeLogs[].logRecords[],
+  carrying resource/scope context down to each record;
+- attribute KV-lists become maps via ``map_from_entries``; the three
+  service.* attrs are promoted to columns, the residual map is serialized
+  to a JSON string (reference README.md:97-99,105-109);
+- ``timeUnixNano`` (string nanos) decodes to a µs timestamp; the raw
+  observed nanos stay as Int64 (reference README.md:95-96).
+
+Everything is JVM-side (explode + higher-order functions) — no Python UDFs —
+so ingest flattening whole-stage-codegens and scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.schema import (
+    OTEL_LOGS_SCHEMA,
+    OTLP_ENVELOPE_SCHEMA,
+    PROMOTED_RESOURCE_ATTRS,
+)
+
+
+def read_otlp_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read OTLP/JSON export payloads (one JSON object per file or per line).
+
+    Schema is enforced, never inferred — malformed records hit Spark's
+    PERMISSIVE null-row path rather than poisoning the schema.
+    """
+    return spark.read.schema(OTLP_ENVELOPE_SCHEMA).option("multiLine", "true").json(path)
+
+
+def _attr_value_str(value: Column) -> Column:
+    """OTLP AnyValue -> string, first-present-wins (string/int/double/bool)."""
+    return F.coalesce(
+        value.getField("stringValue"),
+        value.getField("intValue"),
+        value.getField("doubleValue").cast("string"),
+        value.getField("boolValue").cast("string"),
+    )
+
+
+def _attrs_to_map(attrs: Column) -> Column:
+    """KV list [{key, value:{...}}] -> map<string,string>."""
+    return F.map_from_entries(
+        F.transform(attrs, lambda kv: F.struct(kv.getField("key"), _attr_value_str(kv.getField("value"))))
+    )
+
+
+def _map_to_json(m: Column) -> Column:
+    """map -> JSON object text; empty/absent map -> NULL (reference emits
+    Nullable(String) JSON columns, README.md:105-109)."""
+    return F.when(F.size(F.map_keys(m)) > 0, F.to_json(m))
+
+
+def flatten_otlp(envelopes: DataFrame) -> DataFrame:
+    """Nested OTLP envelope -> flat 15-column ``otel.logs`` DataFrame."""
+    promoted = list(PROMOTED_RESOURCE_ATTRS.items())
+
+    rl = envelopes.select(F.explode("resourceLogs").alias("rl"))
+    sl = rl.select(
+        _attrs_to_map(F.col("rl.resource.attributes")).alias("res_attrs"),
+        F.explode("rl.scopeLogs").alias("sl"),
+    )
+    rec = sl.select(
+        "res_attrs",
+        F.col("sl.scope.name").alias("scope_name"),
+        F.col("sl.scope.version").alias("scope_version"),
+        _attrs_to_map(F.col("sl.scope.attributes")).alias("scope_attrs"),
+        F.explode("sl.logRecords").alias("r"),
+    )
+
+    time_ns = F.coalesce(
+        F.col("r.timeUnixNano").cast("long"),
+        F.col("r.observedTimeUnixNano").cast("long"),
+        F.lit(0).cast("long"),
+    )
+    residual_res = F.map_filter(
+        F.col("res_attrs"), lambda k, _: ~k.isin(*PROMOTED_RESOURCE_ATTRS.keys())
+    )
+
+    flat = rec.select(
+        F.timestamp_micros((time_ns / 1000).cast("long")).alias("timestamp"),
+        F.coalesce(F.col("r.observedTimeUnixNano").cast("long"), time_ns).alias("observed_timestamp"),
+        *[
+            F.coalesce(F.element_at("res_attrs", F.lit(attr)), F.lit("") if col == "service_name" else F.lit(None))
+            .alias(col)
+            for attr, col in promoted
+        ],
+        F.coalesce(F.col("r.severityText"), F.lit("")).alias("severity_text"),
+        F.coalesce(F.col("r.severityNumber"), F.lit(0)).alias("severity_number"),
+        F.col("r.body.stringValue").alias("body"),
+        F.col("r.traceId").alias("trace_id"),
+        F.col("r.spanId").alias("span_id"),
+        _map_to_json(residual_res).alias("resource_attributes"),
+        _map_to_json(_attrs_to_map(F.col("r.attributes"))).alias("log_attributes"),
+        F.col("scope_name"),
+        F.col("scope_version"),
+        _map_to_json(F.col("scope_attrs")).alias("scope_attributes"),
+    )
+    # lock column order/types to the canonical schema
+    return flat.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in OTEL_LOGS_SCHEMA.fields]
+    )
+
+
+def ingest_otlp_json(spark: SparkSession, path: str) -> DataFrame:
+    """One-shot batch ingest: OTLP JSON files -> flat otel.logs DataFrame."""
+    return flatten_otlp(read_otlp_json(spark, path))

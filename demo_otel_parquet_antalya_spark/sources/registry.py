@@ -1,0 +1,97 @@
+"""Incremental, idempotent table registration (the reference's log-sync loop).
+
+The reference registers Parquet files into an Iceberg table *by reference*
+on a 60 s cadence, keeping a state file of already-registered paths so reruns
+never double-count (SURVEY.md §2.A9-A12; scripts/sync-logs.sh:36,44-76).
+
+This engine keeps the same contract without requiring Iceberg jars:
+
+- warehouse dir of partitioned parquet = the data;
+- a ``_registered_files`` text state (one path per line, atomically swapped)
+  = the catalog's file list;
+- ``sync()`` lists the warehouse, diffs against the state, and registers the
+  delta — file discovery and diffing are METADATA-ONLY, no data is read or
+  rewritten (same "register, don't rewrite" semantics as ``ice insert -p``);
+- ``table()`` exposes the registered snapshot as a DataFrame/temp view, so
+  in-flight files that were written but not yet synced stay invisible —
+  mirroring the reference's freshness contract (record visible ≈ flush age +
+  sync interval, AGENTS.md:69).
+
+At 100 TB the state file becomes a parquet table and sync() a scheduled job;
+the listing diff stays O(new files). With Iceberg jars on the classpath the
+same loop maps onto ``CALL system.add_files`` (see ``iceberg_register``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _list_parquet_files(root: str) -> set[str]:
+    found = set()
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                found.add(os.path.join(dirpath, fn))
+    return found
+
+
+class LogTableRegistry:
+    """Incremental registration state for one logs table (A9-A12)."""
+
+    def __init__(self, spark: SparkSession, warehouse_root: str, state_path: str | None = None):
+        self.spark = spark
+        self.root = warehouse_root
+        self.state_path = state_path or os.path.join(warehouse_root, "_registered_files.txt")
+
+    def registered(self) -> set[str]:
+        if not os.path.exists(self.state_path):
+            return set()
+        with open(self.state_path) as f:
+            return {line.strip() for line in f if line.strip()}
+
+    def sync(self) -> list[str]:
+        """One sync cycle: list -> diff -> register. Returns newly-registered
+        paths. Idempotent: a second call with no new files is a no-op
+        (mirrors scripts/sync-logs.sh:44-57 early-exit)."""
+        current = _list_parquet_files(self.root)
+        known = self.registered()
+        new = sorted(current - known)
+        if not new:
+            return []
+        # atomic state swap so a crashed sync never half-registers
+        all_files = sorted(known | set(new))
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.state_path) or ".")
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(all_files) + "\n")
+        os.replace(tmp, self.state_path)
+        return new
+
+    def table(self) -> DataFrame:
+        """DataFrame over exactly the registered snapshot of files."""
+        files = sorted(self.registered())
+        if not files:
+            raise ValueError(f"no files registered yet under {self.root}; run sync()")
+        return self.spark.read.option("basePath", self.root).parquet(*files)
+
+    def register_view(self, name: str = "otel_logs") -> DataFrame:
+        """Mount the registered snapshot as a queryable view — the analogue of
+        the reference's ClickHouse `ice` database mount (docker-compose.yaml:150-159)."""
+        df = self.table()
+        df.createOrReplaceTempView(name)
+        return df
+
+
+def iceberg_register(spark: SparkSession, table: str, parquet_path: str) -> bool:
+    """Metadata-only Iceberg append via add_files — used when Iceberg's Spark
+    runtime is on the classpath (not in this image); returns False otherwise."""
+    try:
+        spark.sql(
+            f"CALL system.add_files(table => '{table}', source_table => '`parquet`.`{parquet_path}`')"
+        )
+        return True
+    except Exception:
+        return False

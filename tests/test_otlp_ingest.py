@@ -1,0 +1,201 @@
+"""OTLP ingest pipeline tests (SURVEY.md §5.2): flattener golden rows,
+NULL handling, attribute promotion/residuals, ns→µs decode, partitioned
+write + incremental registration idempotence, and the reference's Q1-Q6
+over the round-tripped table."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+
+from demo_otel_parquet_antalya_spark.plans import facade
+from demo_otel_parquet_antalya_spark.schema import OTEL_LOGS_SCHEMA
+from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json
+from demo_otel_parquet_antalya_spark.sources.parquet_sink import read_logs, write_logs
+from demo_otel_parquet_antalya_spark.sources.registry import LogTableRegistry
+
+# The reference's canonical manual-test payload shape (README.md:49-63):
+# one record, service.name=my-app, severity INFO, body "Test log message".
+CANONICAL_PAYLOAD = {
+    "resourceLogs": [
+        {
+            "resource": {
+                "attributes": [
+                    {"key": "service.name", "value": {"stringValue": "my-app"}},
+                    {"key": "team", "value": {"stringValue": "obs"}},
+                ]
+            },
+            "scopeLogs": [
+                {
+                    "scope": {"name": "manual-test", "version": "1.0.0", "attributes": []},
+                    "logRecords": [
+                        {
+                            "timeUnixNano": "1700000000123456789",
+                            "observedTimeUnixNano": "1700000000223456789",
+                            "severityText": "INFO",
+                            "severityNumber": 9,
+                            "body": {"stringValue": "Test log message"},
+                            "traceId": "0123456789abcdef0123456789abcdef",
+                            "spanId": "0123456789abcdef",
+                            "attributes": [
+                                {"key": "http.method", "value": {"stringValue": "GET"}}
+                            ],
+                        }
+                    ],
+                }
+            ],
+        }
+    ]
+}
+
+# Variant (c): optional fields absent -> NULLs / defaults
+SPARSE_PAYLOAD = {
+    "resourceLogs": [
+        {
+            "resource": {"attributes": []},
+            "scopeLogs": [
+                {
+                    "scope": {"name": None, "version": None, "attributes": []},
+                    "logRecords": [{"observedTimeUnixNano": "1700000001000000000"}],
+                }
+            ],
+        }
+    ]
+}
+
+
+def _write(tmp_path, name, payload):
+    p = os.path.join(tmp_path, name)
+    with open(p, "w") as f:
+        json.dump(payload, f)
+    return p
+
+
+def test_flatten_canonical_record(spark, tmp_path):
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(d, "canonical.json", CANONICAL_PAYLOAD)
+    rows = ingest_otlp_json(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # ns -> µs truncation (1700000000123456789 ns -> ...123456 µs)
+    assert r.timestamp == datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert r.observed_timestamp == 1700000000223456789
+    assert r.service_name == "my-app"
+    assert r.service_namespace is None
+    assert r.severity_text == "INFO"
+    assert r.severity_number == 9
+    assert r.body == "Test log message"
+    assert r.trace_id == "0123456789abcdef0123456789abcdef"
+    # promoted attr must NOT appear in residual JSON; non-promoted must
+    assert json.loads(r.resource_attributes) == {"team": "obs"}
+    assert json.loads(r.log_attributes) == {"http.method": "GET"}
+    assert r.scope_name == "manual-test"
+    assert r.scope_version == "1.0.0"
+    assert r.scope_attributes is None
+
+
+def test_flatten_sparse_record_nulls(spark, tmp_path):
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(d, "sparse.json", SPARSE_PAYLOAD)
+    r = ingest_otlp_json(spark, d).collect()[0]
+    # missing timeUnixNano falls back to observed
+    assert r.timestamp == datetime.datetime(2023, 11, 14, 22, 13, 21)
+    assert r.service_name == ""  # non-null default
+    assert r.severity_text == ""
+    assert r.severity_number == 0
+    assert r.body is None and r.trace_id is None and r.span_id is None
+    assert r.resource_attributes is None and r.log_attributes is None
+
+
+def test_flatten_schema_exact(spark, tmp_path):
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(d, "canonical.json", CANONICAL_PAYLOAD)
+    df = ingest_otlp_json(spark, d)
+    assert [f.name for f in df.schema.fields] == [f.name for f in OTEL_LOGS_SCHEMA.fields]
+    assert [f.dataType for f in df.schema.fields] == [f.dataType for f in OTEL_LOGS_SCHEMA.fields]
+
+
+def test_multi_nesting_explodes_to_all_records(spark, tmp_path):
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    generate_files(d, n_files=4, records_per_file=25, seed=7)
+    df = ingest_otlp_json(spark, d)
+    assert df.count() == 100
+    # resource context is carried down to every exploded record
+    assert df.filter(df.service_name == "").count() == 0
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    """End-to-end: generate -> ingest -> partitioned write -> registry sync."""
+    in_dir, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    generate_files(in_dir, n_files=6, records_per_file=200, seed=11)
+    logs = ingest_otlp_json(spark, in_dir)
+    write_logs(logs, wh)
+    reg = LogTableRegistry(spark, wh)
+    reg.sync()
+    return wh, reg
+
+
+def test_partitioned_layout_and_pruning(spark, warehouse):
+    wh, _reg = warehouse
+    # hive layout exists
+    services = [p for p in os.listdir(wh) if p.startswith("service_name=")]
+    assert services, "expected service_name= partitions"
+    df = read_logs(spark, wh)
+    assert df.count() == 1200
+    # partition filter must prune: scan only the one service directory
+    one = services[0].split("=", 1)[1]
+    plan = df.filter(df.service_name == one)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(service_name" in plan
+
+
+def test_registry_idempotent_no_double_count(spark, warehouse):
+    wh, reg = warehouse
+    n1 = reg.table().count()
+    assert reg.sync() == []  # second cycle: no new files
+    assert reg.table().count() == n1
+    # re-registering after new data arrives counts only the delta
+    extra = reg.table().limit(0)  # no-op write path exercised separately
+
+
+def test_registry_sees_only_registered_snapshot(spark, tmp_path):
+    in_dir, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    generate_files(in_dir, n_files=2, records_per_file=50, seed=3)
+    logs = ingest_otlp_json(spark, in_dir)
+    write_logs(logs, wh)
+    reg = LogTableRegistry(spark, wh)
+    reg.sync()
+    before = reg.table().count()
+    # new flush lands but is NOT yet synced -> invisible (freshness contract)
+    in2 = str(tmp_path / "in2")
+    generate_files(in2, n_files=1, records_per_file=50, seed=4)
+    write_logs(ingest_otlp_json(spark, in2), wh)
+    assert reg.table().count() == before
+    new = reg.sync()
+    assert new, "sync must pick up the new flush"
+    assert reg.table().count() == before + 50
+
+
+def test_reference_queries_q1_to_q6(spark, warehouse):
+    wh, reg = warehouse
+    logs = reg.table()
+    assert facade.q1_projection(logs).columns == ["service_name", "severity_text", "body", "timestamp"]
+    recent = facade.q2_recent_logs(logs).collect()
+    assert len(recent) == 10
+    assert recent[0].timestamp >= recent[-1].timestamp  # newest first
+    counts = facade.q3_severity_counts(logs)
+    assert counts.agg({"count": "sum"}).collect()[0][0] == 1200
+    assert facade.q4_select_all(logs).count() == 1200
+    series = facade.q5_timeseries(logs).collect()
+    assert len(series) >= 2 and all(row.value > 0 for row in series)
+    panel = facade.q6_log_panel(logs, limit=1000).collect()
+    assert len(panel) == 1000  # LIMIT actually truncates
+    assert panel[0].log_time <= panel[-1].log_time  # oldest first
