@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from demo_otel_parquet_antalya_spark.plans.registry import QUERIES
+from demo_otel_parquet_antalya_spark.plans import QUERIES
 
 SF0001 = "/root/testdata/sf0.001"
 

@@ -1,0 +1,290 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, increasing scale-friendliness:
+
+1. ``exact_dedup`` — content-hash groupBy; one shuffle on the hash key.
+2. ``ngram_jaccard_pairs`` — EXACT near-dup pairs via shingle inverted index
+   (explode -> self equi-join on shingle -> pair counts). Quadratic only
+   within shingle posting lists; ``max_shingle_freq`` drops stop-shingles so
+   hot postings can't blow up the join (the standard suffix-array-era trick).
+3. ``minhash_lsh`` — MinHash signatures + banded LSH bucketing. Cost is
+   linear in corpus size: one shuffle on (band, bucket-key); candidate
+   verification re-checks exact Jaccard only inside buckets. This is the
+   100 TB path (the others are oracles/baselines for it).
+4. ``simhash64`` — 64-bit SimHash fingerprints + hamming-distance candidate
+   pairing via rotated prefix blocks.
+
+All shingling/hashing is JVM-side (higher-order functions + xxhash64) — no
+Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.functions.text import fingerprint, word_shingles
+
+# Mersenne prime modulus for the MinHash universal-hash family. 2^31-1 keeps
+# a*x + b inside a signed 64-bit long (a, x < 2^31), avoiding ANSI overflow.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical row (min id) per exact content fingerprint.
+
+    groupBy on md5(normalized text): map-side partial agg then one shuffle on
+    the 128-bit key — no skew (hashes are uniform), no row comparisons.
+    """
+    fp = fingerprint(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index rows."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs >= threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+
+    Plan shape: shingle inverted index -> self equi-join on shingle (shuffle
+    on shingle) -> pair intersection counts -> join per-doc set sizes
+    (broadcast at any realistic doc count per partition) -> ratio filter.
+    ``max_shingle_freq`` caps posting-list length: a shingle shared by f docs
+    contributes f^2 candidate pairs, so dropping ubiquitous shingles bounds
+    the blow-up with negligible Jaccard error on near-dup pairs.
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_w = W.partitionBy("s")
+        sh = sh.withColumn("__f", F.count("*").over(freq_w)).filter(F.col("__f") <= max_shingle_freq).drop("__f")
+    sh = sh.cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures.
+
+    Shingles hash to 64-bit via xxhash64, each permutation is an affine map
+    mod a Mersenne prime, minimum taken per permutation with one aggregate —
+    array-valued ``min`` via aggregate over collected shingle hashes stays
+    JVM-side; per-row cost is num_hashes × shingles, no shuffle at all.
+    """
+    params = _minhash_params(num_hashes, seed)
+    hashes = F.transform(
+        word_shingles(F.col(text_col), n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
+    pair. One explode (bands per doc) + one shuffle on the bucket key —
+    linear scaling; bucket sizes stay tiny for uniform hashes."""
+    assert bands * rows_per_band <= 1024
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(*[F.col("sig")[bi * rows_per_band + ri] for ri in range(rows_per_band)]).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """The scale path: LSH candidates, then EXACT Jaccard verification only
+    on candidate pairs. Returns (id_a, id_b, jaccard >= threshold)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pair_sh = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("s", "sa"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("s", "sb"), "id_b")
+        .filter(F.col("sa") == F.col("sb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        pair_sh.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprints: per-token xxhash64, each bit votes ±1,
+    fingerprint bit = sign of the vote sum. Pure higher-order functions.
+
+    Returns (id, simhash: bigint)."""
+    from demo_otel_parquet_antalya_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    # bit positions are unrolled as Python ints (shift amounts must be
+    # literals); the per-token ±1 votes stay one JVM expression
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for i in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # bit 63's weight is long-min in two's complement
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(votes.getItem(i) > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into ``blocks`` chunks;
+    any pair within distance ``max_hamming < blocks`` agrees on >= 1 chunk, so
+    an equi-join per chunk finds all candidates — linear shuffle, no O(n^2).
+    Exact hamming verification via bit_count(xor).
+    """
+    assert max_hamming < blocks
+    bits_per = 64 // blocks
+    sigs = simhash64(df, id_col, text_col)
+    chunked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.blk", "c.chunk")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as opaque ``binary`` columns with
+typed metadata structs — the lakehouse-native layout (parquet stores binary
+natively, pruning works on the metadata columns). Decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages: each batch
+crosses the JVM→Python boundary once, the Python side would call the codec
+library, and the result is a typed feature column.
+
+The decode step itself is STUBBED (no image/audio libs in this container):
+``decode_stub=True`` computes deterministic fake features (length, rolling
+byte checksum) so the Spark-side plumbing — schema, batch shape, partition
+behavior — is fully real and tested; swapping in PIL/torchaudio is a
+one-function change inside the pandas iterator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Binary payloads -> typed feature rows via Arrow-batched mapInPandas.
+
+    Partition behavior: runs wherever the media rows already live — no
+    shuffle; at 100 TB the payload column never moves except through the
+    Arrow pipe to Python, batch by batch.
+
+    The worker function is a self-contained closure (no references to this
+    package), so cloudpickle ships it by value and executors never need the
+    engine installed — matters for spark-submit without --py-files.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real decode requires image/audio libs not present in this container; "
+            "plug the codec into the decode slot below"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd  # worker-side import
+
+        for pdf in batches:
+            # deterministic fake decode: a real codec (PIL/torchaudio/ffmpeg)
+            # would produce pixels/samples here
+            out = {"media_id": pdf["media_id"], "n_bytes": [], "checksum": [], "feature": []}
+            for payload in pdf["payload"]:
+                if payload is None:
+                    out["n_bytes"].append(None)
+                    out["checksum"].append(None)
+                    out["feature"].append(None)
+                    continue
+                b = bytes(payload)
+                checksum = 0
+                for byte in b:
+                    checksum = (checksum * 31 + byte) % (1 << 62)
+                out["n_bytes"].append(len(b))
+                out["checksum"].append(checksum)
+                # fake 8-dim feature: byte histogram over 8 buckets, normalized
+                hist = [0.0] * 8
+                for byte in b:
+                    hist[byte % 8] += 1.0
+                total = max(len(b), 1)
+                out["feature"].append([h / total for h in hist])
+            yield _pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter for tests/demos: treat document text bytes as opaque payloads
+    with synthesized metadata — exercises the exact binary/struct plumbing."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,292 @@
+"""North-star training-data-pipeline queries: dedup, similarity search,
+text analysis, multimodal plumbing — registered into the same QUERIES
+inventory as the relational surface (BASELINE.json north_star; SURVEY.md §2.C
+extensions).
+
+Oracle-matched wherever DuckDB can express the semantics exactly (including
+MinHash+LSH, whose banded parameters make recall at the verification
+threshold effectively 1, and whose output is exact-Jaccard-verified);
+rows-only where the computation is engine-hash-specific (SimHash) or
+approximate by design (LSH/IVF ANN), with pytest recall tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.operators import dedup, multimodal, similarity
+from demo_otel_parquet_antalya_spark.functions import text as tx
+from demo_otel_parquet_antalya_spark.plans.registry import register
+from demo_otel_parquet_antalya_spark.plans.tables import load_table
+
+# DuckDB-side md5 content fingerprint, identical to functions.text.fingerprint
+_FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+# DuckDB-side distinct word-3-gram shingle sets, identical to
+# operators.dedup.shingle_sets
+_SHINGLES_SQL = """
+words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id)
+"""
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@register(
+    "dedup_exact_stats",
+    f"SELECT COUNT(*) AS n_docs, COUNT(DISTINCT {_FP_SQL}) AS n_unique FROM documents",
+    doc="Exact dedup statistics via md5 content fingerprints (hash-groupBy tier).",
+)
+def q_dedup_exact_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(tx.fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+@register(
+    "dedup_exact_keep",
+    f"SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY {_FP_SQL} "
+    "ORDER BY doc_id LIMIT 100",
+    doc="Exact dedup canonical-row selection: min doc_id per content fingerprint.",
+)
+def q_dedup_exact_keep(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id").orderBy("doc_id").limit(100)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"WITH {_SHINGLES_SQL} SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.9 "
+    "ORDER BY id_a, id_b",
+    doc=(
+        "EXACT near-dup pairs at word-3-gram Jaccard >= 0.9 via shingle "
+        "inverted index (the correctness baseline for MinHash)."
+    ),
+    bench=True,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"WITH {_SHINGLES_SQL} SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.9 "
+    "ORDER BY id_a, id_b",
+    doc=(
+        "MinHash(64)+LSH(16 bands x 4 rows) candidates, exact-Jaccard-verified at "
+        ">= 0.9. Banded collision probability at j=0.9 is 1-(1-0.9^4)^16 ≈ 1-4e-8, "
+        "so the verified output equals the exact pair set — same oracle. "
+        "This is the linear-cost 100 TB path."
+    ),
+    bench=True,
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash_pairs",
+    None,
+    doc=(
+        "SimHash64 near-dup pairs (hamming <= 3) via pigeonhole block join. "
+        "Rows-only: fingerprints derive from engine xxhash64; recall is "
+        "pytest-verified against the exact Jaccard pairs."
+    ),
+)
+def q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+
+def _queries_subset(spark, sf_dir, n=10):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@register(
+    "similarity_cosine_topk",
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+    "           FROM embeddings WHERE vec_id < 10), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim "
+    "           FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
+    "ranked AS (SELECT query_id, neighbor_id, sim, "
+    "           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn "
+    "           FROM scored) "
+    "SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, sim FROM ranked WHERE rn <= 5 "
+    "ORDER BY query_id, rank",
+    doc=(
+        "Exact brute-force cosine top-5 for 10 query vectors: broadcast query "
+        "set, JVM-side double dot products, per-query window top-k. The ANN "
+        "correctness baseline."
+    ),
+    bench=True,
+)
+def q_similarity_cosine_topk(spark, sf_dir):
+    vectors, queries = _queries_subset(spark, sf_dir)
+    return similarity.cosine_topk(vectors, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_lsh_topk",
+    None,
+    doc=(
+        "Multi-table random-hyperplane LSH ANN top-5 (approximate by design — "
+        "rows-only; recall vs brute force is pytest-verified)."
+    ),
+)
+def q_similarity_lsh_topk(spark, sf_dir):
+    vectors, queries = _queries_subset(spark, sf_dir)
+    return similarity.lsh_topk(vectors, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_ivf_topk",
+    None,
+    doc="IVF coarse-quantization ANN top-5 (approximate — rows-only + pytest recall).",
+)
+def q_similarity_ivf_topk(spark, sf_dir):
+    vectors, queries = _queries_subset(spark, sf_dir)
+    return similarity.ivf_topk(vectors, queries, k=5, n_centroids=16, nprobe=4).orderBy("query_id", "rank")
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+@register(
+    "text_token_count",
+    "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+    "FROM documents ORDER BY doc_id LIMIT 200",
+    doc="Whitespace token counting (scan-stage, zero shuffle).",
+)
+def q_text_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.token_count("text").alias("n_tokens")).orderBy("doc_id").limit(200)
+
+
+@register(
+    "text_quality_metrics",
+    "SELECT doc_id, "
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+    "ROUND(length(regexp_replace(trim(text), '\\s', '', 'g')) * 1.0 "
+    "      / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_tok_len, "
+    "ROUND(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "      t -> t IN ('the','a','and','of','to','in'))) * 1.0 "
+    "      / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stop_ratio "
+    "FROM documents ORDER BY doc_id LIMIT 200",
+    doc="Quality-scoring metrics: token count, avg token length, stopword ratio.",
+)
+def q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = tx.token_count("text")
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.round(tx.avg_token_length("text"), 6).alias("avg_tok_len"),
+            F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+_LANG_SCORE_SQL = (
+    "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ({words})))"
+)
+
+
+def _lang_case_sql() -> str:
+    from demo_otel_parquet_antalya_spark.functions.text import LANG_MARKERS
+
+    scores = {
+        lang: _LANG_SCORE_SQL.format(words=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]))
+        for lang in sorted(LANG_MARKERS)
+    }
+    m = "GREATEST(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {m} AND {m} > 0 THEN '{lang}'" for lang in sorted(scores)
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@register(
+    "text_lang_id_counts",
+    f"SELECT {_lang_case_sql()} AS lang_guess, COUNT(*) AS n FROM documents "
+    "GROUP BY lang_guess ORDER BY lang_guess",
+    doc="Marker-stopword language-ID heuristic, grouped census over the corpus.",
+)
+def q_text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(tx.lang_id("text").alias("lang_guess"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, {_FP_SQL} AS fp FROM documents ORDER BY doc_id LIMIT 100",
+    doc="Content fingerprinting (md5 of normalized text) — the dedup key.",
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id").limit(100)
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+
+@register(
+    "multimodal_payload_bytes",
+    "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
+    "FROM documents ORDER BY media_id LIMIT 100",
+    doc="Binary payload column plumbing: text -> binary payload, byte length (JVM-side).",
+)
+def q_multimodal_bytes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return (
+        media.select("media_id", F.length("payload").cast("long").alias("n_bytes"))
+        .orderBy("media_id")
+        .limit(100)
+    )
+
+
+@register(
+    "multimodal_features",
+    None,
+    doc=(
+        "mapInPandas feature extraction over binary payloads (stubbed decode; "
+        "Arrow batch plumbing is real). Rows-only + pytest golden checks."
+    ),
+)
+def q_multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media).orderBy("media_id").limit(100)

@@ -1,0 +1,82 @@
+"""OTLP/HTTP log receiver: ``POST /v1/logs`` -> landing-directory JSON files.
+
+Re-expresses the reference's otel-collector OTLP receiver (SURVEY.md §2.A1;
+reference docker-compose.yaml:186-191) as the thinnest possible handoff into
+Structured Streaming: the receiver does NO parsing — it appends each request
+body verbatim as one file in the landing directory, and the streaming ingest
+query (``streaming.ingest``) does all flattening in Spark.
+
+Design notes (scale):
+- The receiver is deliberately dumb and stateless; at production scale you run
+  N of them behind a load balancer, all writing to the same object-store
+  landing prefix — Spark's file stream source handles discovery.
+- Files are written temp-then-rename so the stream source never reads a
+  half-written file (rename is atomic on POSIX and object stores emulate it
+  via PUT visibility).
+- At-least-once: a 200 response is returned only after the rename, so an
+  acked record is durably on disk — matching the reference collector's
+  delivery contract (SURVEY.md §2.A streaming notes).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def write_landing_file(landing_dir: str, payload: bytes) -> str:
+    """Atomically persist one OTLP JSON payload as a landing file."""
+    os.makedirs(landing_dir, exist_ok=True)
+    name = f"otlp-{uuid.uuid4().hex}.json"
+    fd, tmp = tempfile.mkstemp(dir=landing_dir, suffix=".tmp")
+    with os.fdopen(fd, "wb") as f:
+        f.write(payload)
+    final = os.path.join(landing_dir, name)
+    os.replace(tmp, final)
+    return final
+
+
+class _OTLPHandler(BaseHTTPRequestHandler):
+    landing_dir: str = "."
+
+    def do_POST(self):  # noqa: N802 (stdlib naming)
+        if self.path.rstrip("/") != "/v1/logs":
+            self.send_error(404, "only /v1/logs is served")
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        if not body:
+            self.send_error(400, "empty body")
+            return
+        write_landing_file(self.landing_dir, body)
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(b"{}")  # OTLP success response is an empty partial-success object
+
+    def log_message(self, *args):  # silence default stderr chatter
+        pass
+
+
+class OTLPReceiver:
+    """Threaded OTLP/HTTP ingest endpoint (reference port :4318)."""
+
+    def __init__(self, landing_dir: str, host: str = "127.0.0.1", port: int = 0):
+        handler = type("Handler", (_OTLPHandler,), {"landing_dir": landing_dir})
+        self.server = ThreadingHTTPServer((host, port), handler)
+        self.port = self.server.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "OTLPReceiver":
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from demo_otel_parquet_antalya_spark.plans.registry import QUERIES
+from demo_otel_parquet_antalya_spark.plans import QUERIES
 from tests.oracle import compare, duckdb_connection
 
 ORACLE_QUERIES = [name for name, spec in QUERIES.items() if spec.oracle is not None]

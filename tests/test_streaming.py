@@ -1,0 +1,126 @@
+"""Streaming ingest tests (SURVEY.md §5.2 streaming-batch equivalence;
+§2.A1-A2,A6-A7): HTTP receiver -> landing dir -> Structured Streaming ->
+partitioned warehouse, equivalence with one-shot batch ingest, incremental
+(exactly-once) restarts, and the continuous severity-counts extension."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json
+from demo_otel_parquet_antalya_spark.sources.parquet_sink import read_logs
+from demo_otel_parquet_antalya_spark.streaming.ingest import (
+    run_ingest_once,
+    streaming_severity_counts,
+)
+from demo_otel_parquet_antalya_spark.streaming.receiver import OTLPReceiver
+from tests.test_otlp_ingest import CANONICAL_PAYLOAD
+
+
+def _payload(i: int, service: str = "svc-a", sev: str = "INFO") -> bytes:
+    p = json.loads(json.dumps(CANONICAL_PAYLOAD))
+    rec = p["resourceLogs"][0]["scopeLogs"][0]["logRecords"][0]
+    rec["timeUnixNano"] = str(1700000000_000000000 + i * 1_000_000_000)
+    rec["observedTimeUnixNano"] = rec["timeUnixNano"]
+    rec["body"]["stringValue"] = f"msg {i}"
+    rec["severityText"] = sev
+    p["resourceLogs"][0]["resource"]["attributes"][0]["value"]["stringValue"] = service
+    return json.dumps(p).encode()
+
+
+def _post(port: int, body: bytes, path: str = "/v1/logs") -> int:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_receiver_writes_landing_files(tmp_path):
+    landing = str(tmp_path / "landing")
+    rx = OTLPReceiver(landing).start()
+    try:
+        assert _post(rx.port, _payload(0)) == 200
+        assert _post(rx.port, _payload(1)) == 200
+        assert _post(rx.port, b"", path="/v1/logs") == 400
+        assert _post(rx.port, _payload(2), path="/v1/metrics") == 404
+    finally:
+        rx.stop()
+    files = sorted((tmp_path / "landing").glob("otlp-*.json"))
+    assert len(files) == 2
+    # payloads persisted verbatim (no parsing in the receiver)
+    assert json.loads(files[0].read_bytes())["resourceLogs"]
+
+
+def test_stream_batch_equivalence_and_incremental_restart(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    rx = OTLPReceiver(landing).start()
+    try:
+        for i in range(10):
+            assert _post(rx.port, _payload(i, service=f"svc-{i % 2}")) == 200
+    finally:
+        rx.stop()
+
+    run_ingest_once(spark, landing, warehouse, ckpt)
+    streamed = read_logs(spark, warehouse)
+    assert streamed.count() == 10
+
+    # equivalence: streaming output == one-shot batch ingest of the same files
+    batch = ingest_otlp_json(spark, landing)
+    cols = batch.columns  # flat 15-col schema (warehouse adds partition cols)
+    assert sorted(streamed.select(*cols).collect()) == sorted(batch.collect())
+
+    # partition layout contract (A7)
+    parts = {p.name for p in (tmp_path / "warehouse").iterdir() if p.is_dir()}
+    assert {"service_name=svc-0", "service_name=svc-1"} <= parts
+
+    # incremental restart: only the delta is processed, reruns are no-ops
+    rx = OTLPReceiver(landing).start()
+    try:
+        assert _post(rx.port, _payload(100, service="svc-new")) == 200
+    finally:
+        rx.stop()
+    run_ingest_once(spark, landing, warehouse, ckpt)
+    assert read_logs(spark, warehouse).count() == 11
+    run_ingest_once(spark, landing, warehouse, ckpt)  # idempotent rerun
+    assert read_logs(spark, warehouse).count() == 11
+
+
+def test_streaming_severity_counts_matches_batch(spark, tmp_path):
+    """The continuous Grafana-panel aggregate equals the batch groupBy on the
+    same input (complete-mode memory sink)."""
+    landing = str(tmp_path / "landing")
+    for i in range(12):
+        from demo_otel_parquet_antalya_spark.streaming.receiver import write_landing_file
+
+        write_landing_file(landing, _payload(i, service=f"svc-{i % 3}", sev="INFO" if i % 2 else "WARN"))
+
+    from demo_otel_parquet_antalya_spark.streaming.ingest import read_otlp_stream
+    from demo_otel_parquet_antalya_spark.sources.otlp import flatten_otlp, read_otlp_json
+
+    stream = streaming_severity_counts(flatten_otlp(read_otlp_stream(spark, landing)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sev_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.table("sev_counts").collect())
+    want = sorted(
+        tuple(r)
+        for r in streaming_severity_counts(flatten_otlp(read_otlp_json(spark, landing))).collect()
+    )
+    # batch path has no watermark state; semantics must agree exactly
+    assert got == want and len(got) > 0
