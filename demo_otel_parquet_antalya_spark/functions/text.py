@@ -88,6 +88,21 @@ def lang_id(text: Column | str) -> Column:
     return result
 
 
+def rolling_hash(text: Column | str, prefix_len: int = 64, base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the first ``prefix_len`` characters:
+    h = (h*base + codepoint) mod m — the classic Rabin-Karp fingerprint,
+    computed as one JVM-side fold. Complements ``fingerprint`` (md5): the
+    rolling form extends to windowed/streamed fingerprinting where the
+    hash updates incrementally per character."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.split(F.substring(c, 1, prefix_len), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
 

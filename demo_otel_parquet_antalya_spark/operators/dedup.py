@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.functions.text import fingerprint, word_shingles
+from demo_otel_parquet_antalya_spark.util import ensure_parallelism
 
 # Mersenne prime modulus for the MinHash universal-hash family. 2^31-1 keeps
 # a*x + b inside a signed 64-bit long (a, x < 2^31), avoiding ANSI overflow.
@@ -49,7 +50,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs — the inverted-index rows."""
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
         .distinct()
     )
 
@@ -116,25 +118,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures.
 
-    Shingles hash to 64-bit via xxhash64, each permutation is an affine map
-    mod a Mersenne prime, minimum taken per permutation with one aggregate —
-    array-valued ``min`` via aggregate over collected shingle hashes stays
-    JVM-side; per-row cost is num_hashes × shingles, no shuffle at all.
+    Shingles hash to 64-bit via xxhash64 ONCE per (doc, shingle); each
+    permutation is an affine map mod a Mersenne prime evaluated as one of
+    num_hashes ``min`` aggregate columns over the exploded shingles. This
+    keeps every expression inside whole-stage codegen — higher-order-function
+    lambdas are interpreted per element and Catalyst does not CSE across
+    them, so the "compute the signature as an array fold per row" forms
+    measured 25-50x slower at sf0.1. Cost: one map-side-combined shuffle of
+    (id, 64 longs) partials — negligible next to the hash arithmetic it
+    parallelizes, and MinHash output feeds a banding shuffle anyway.
+
+    Docs with fewer than ``n`` words produce no shingles and drop out (they
+    can near-dup-match nothing; exact_dedup handles empty/degenerate docs).
     """
     params = _minhash_params(num_hashes, seed)
-    hashes = F.transform(
-        word_shingles(F.col(text_col), n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
-    sig = F.array(
+    # duplicate shingles can't change a min — no distinct needed
+    hashed = sh.select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h"))
+    # h, a < 2^31 so h*a + b stays inside a signed 64-bit long (no overflow)
+    mins = hashed.groupBy("id").agg(
         *[
-            F.array_min(
-                F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
-            ).alias(f"h{i}")
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -185,60 +196,106 @@ def minhash_dedup_pairs(
     seed: int = 7,
 ) -> DataFrame:
     """The scale path: LSH candidates, then EXACT Jaccard verification only
-    on candidate pairs. Returns (id_a, id_b, jaccard >= threshold)."""
+    on candidate pairs. Returns (id_a, id_b, jaccard >= threshold).
+
+    Verification re-shingles ONLY docs that appear in some candidate pair
+    (semi-join prune — at 100 TB that's the near-dup sliver of the corpus,
+    broadcast-sized) and intersects via the posting-list self-join, then
+    keeps LSH-candidate pairs. The join-each-pair-to-both-shingle-sets
+    alternative materializes |shingles_a| x |shingles_b| rows per pair and
+    measured >2x the whole pipeline's cost at sf0.1.
+    """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = shingle_sets(df, id_col, text_col, n).cache()
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionAll(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = shingle_sets(df, id_col, text_col, n).join(F.broadcast(cand_ids), "id", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    pair_sh = (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("s", "sa"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("s", "sb"), "id_b")
-        .filter(F.col("sa") == F.col("sb"))
-        .groupBy("id_a", "id_b")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("c"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        pair_sh.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
 
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a, id_b, cos) with cos >= threshold.
+
+    Exact all-pairs comparison — the correctness baseline. The self-join has
+    no equi key, so Spark plans a broadcast nested loop over the (projected:
+    id + vector only) right side; quadratic by definition. The linear-scaling
+    path at corpus scale is LSH bucketing first (``similarity.lsh_topk``'s
+    signature machinery) and exact re-scoring inside buckets, trading recall
+    for the removal of the O(n^2) term.
+    """
+    from demo_otel_parquet_antalya_spark.operators.similarity import cosine
+
+    a = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash fingerprints: per-token xxhash64, each bit votes ±1,
-    fingerprint bit = sign of the vote sum. Pure higher-order functions.
+    """64-bit SimHash fingerprints: per-token xxhash64 (computed once), each
+    bit votes ±1 via 64 codegen'd sum aggregates over the exploded tokens,
+    fingerprint bit = sign of the vote sum. Same explode+groupBy shape as
+    ``minhash_signatures`` and for the same reason: per-row array folds with
+    higher-order functions re-hash per bit and run interpreted.
+
+    Token-less docs drop out (cannot near-dup-match anything).
 
     Returns (id, simhash: bigint)."""
     from demo_otel_parquet_antalya_spark.functions.text import tokens
 
-    toks = tokens(F.col(text_col))
-    # bit positions are unrolled as Python ints (shift amounts must be
-    # literals); the per-token ±1 votes stay one JVM expression
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                    for i in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    ex = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    hashed = ex.select("id", F.xxhash64("t").alias("h"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
     # bit 63's weight is long-min in two's complement
     fp = F.lit(0).cast("long")
     for i in range(64):
         weight = (1 << i) if i < 63 else -(1 << 63)
         fp = fp.bitwiseOR(
-            F.when(votes.getItem(i) > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"v{i}") > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+    return votes.select("id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(

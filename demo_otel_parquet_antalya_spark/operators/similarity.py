@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from demo_otel_parquet_antalya_spark.util import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -65,7 +67,8 @@ def cosine_topk(
     """
     q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")))
     scored = (
-        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+        ensure_parallelism(vectors)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
         .join(q)  # broadcast nested-loop: |N| x |Q| score pass, no shuffle
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -138,7 +141,7 @@ def lsh_topk(
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
-    vec_sigs = vectors.select(
+    vec_sigs = ensure_parallelism(vectors).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v"),
         *[_signature(F.col(vec_col), tables[t]).alias(f"sig{t}") for t in range(n_tables)],
@@ -196,7 +199,8 @@ def ivf_topk(
     # one-pass assignment: argmin centroid per vector (broadcast centroids)
     assign_w = W.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid"))
     assigned = (
-        vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+        ensure_parallelism(vectors)
+        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
         .join(F.broadcast(centroids))
         .select("nid", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 9).alias("csim"))
         .withColumn("r", F.row_number().over(assign_w))

@@ -111,6 +111,23 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_embedding_cosine",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos "
+    "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+    "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 "
+    "ORDER BY id_a, id_b",
+    doc=(
+        "Embedding-cosine near-dup pairs (exact all-pairs baseline; the "
+        "LSH-bucketed variant is the linear-cost scale path)."
+    ),
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================
@@ -255,6 +272,61 @@ def q_text_lang_id(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id").limit(100)
+
+
+@register(
+    "text_token_count_bpe",
+    r"SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe "
+    "FROM documents ORDER BY doc_id LIMIT 200",
+    doc=(
+        "BPE-ish token counting: alphanumeric runs + isolated punctuation as "
+        "separate tokens (the pre-tokenization regex of GPT-style BPE)."
+    ),
+)
+def q_text_token_count_bpe(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).cast("long")
+    return docs.select("doc_id", n.alias("n_bpe")).orderBy("doc_id").limit(200)
+
+
+@register(
+    "text_rolling_hash",
+    "SELECT doc_id, CAST(list_reduce(list_prepend('0', regexp_split_to_array(substr(text, 1, 64), '')), "
+    "(acc, c) -> CAST((CAST(acc AS BIGINT) * 31 + ord(c)) % 2147483647 AS VARCHAR)) AS BIGINT) AS rh "
+    "FROM documents ORDER BY doc_id LIMIT 200",
+    doc=(
+        "Rabin-Karp polynomial rolling hash over the document prefix — the "
+        "incremental fingerprint primitive (functions.text.rolling_hash)."
+    ),
+)
+def q_text_rolling_hash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tx.rolling_hash("text").alias("rh"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+_QUALITY_SQL = (
+    "ROUND(LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 50.0, 1.0) * 0.6 "
+    "+ (1.0 - LEAST(ABS(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "t -> t IN ('the','a','and','of','to','in'))) * 1.0 "
+    "/ len(regexp_split_to_array(trim(text), '\\s+')) - 0.3) * 2, 1.0)) * 0.4, 6)"
+)
+
+
+@register(
+    "text_quality_filter",
+    f"SELECT COUNT(*) AS n_pass FROM documents WHERE {_QUALITY_SQL} >= 0.5",
+    doc=(
+        "C4/RefinedWeb-style quality gate: deterministic score from length "
+        "and stopword-ratio, filter at 0.5 — the scan-stage corpus filter."
+    ),
+)
+def q_text_quality_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(tx.quality_score("text") >= 0.5).agg(F.count("*").alias("n_pass"))
 
 
 # ===========================================================================

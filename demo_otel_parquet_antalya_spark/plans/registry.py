@@ -448,6 +448,99 @@ def q_window_lag(spark, sf_dir):
     )
 
 
+@register(
+    "window_sessionize",
+    "WITH g AS (SELECT user_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 21600 "
+    "THEN 1 ELSE 0 END AS s FROM events) "
+    "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(SUM(s) AS BIGINT) AS n_sessions "
+    "FROM g GROUP BY user_id ORDER BY user_id",
+    doc=(
+        "Sessionization: a 6 h inactivity gap starts a new session; sessions "
+        "counted per user. LAG + conditional sum — one shuffle on user_id, "
+        "the canonical batch sessionize (the reference has no stateful "
+        "streaming; SURVEY §2.A notes)."
+    ),
+)
+def q_window_sessionize(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    new_sess = F.when(gap.isNull() | (gap > 21600), 1).otherwise(0)
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id"), new_sess.alias("s"))
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"))
+        .select(F.col("user_id").cast("long").alias("user_id"), F.col("n_sessions").cast("long"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_percentiles",
+    "SELECT ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25, "
+    "ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50, "
+    "ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75 FROM orders",
+    doc=(
+        "Exact continuous percentiles (Spark `percentile` ≡ DuckDB "
+        "quantile_cont, both linear-interpolation). The approximate "
+        "scale path is percentile_approx (t2-exempt)."
+    ),
+)
+def q_agg_percentiles(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+    )
+
+
+@register(
+    "pivot_status_by_year",
+    "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, "
+    'COUNT(*) FILTER (WHERE o_orderstatus = \'F\') AS "F", '
+    'COUNT(*) FILTER (WHERE o_orderstatus = \'O\') AS "O", '
+    'COUNT(*) FILTER (WHERE o_orderstatus = \'P\') AS "P" '
+    "FROM orders GROUP BY y ORDER BY y",
+    doc=(
+        "Pivot (long->wide): order counts per status column by year. With "
+        "explicit pivot values Spark skips the extra distinct-values job and "
+        "plans a single conditional aggregate."
+    ),
+)
+def q_pivot_status_by_year(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("y", F.year("o_orderdate").cast("long"))
+        .groupBy("y")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("y")
+    )
+
+
+@register(
+    "array_posexplode",
+    "SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS idx, "
+    "ROUND(CAST(unnest(embedding) AS DOUBLE), 4) AS val "
+    "FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, idx",
+    doc="Positional array un-nesting (posexplode ≡ unnest WITH ORDINALITY).",
+)
+def q_array_posexplode(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("idx"),
+            F.round(F.col("v").cast("double"), 4).alias("val"),
+        )
+        .orderBy("vec_id", "idx")
+    )
+
+
 # ===========================================================================
 # Time bucketing & sorting  (reference B8, B10-B12; Grafana panel queries)
 # ===========================================================================
