@@ -23,6 +23,28 @@ from demo_otel_parquet_antalya_spark.plans import QUERIES  # noqa: E402
 from demo_otel_parquet_antalya_spark.session import get_spark  # noqa: E402
 
 
+def bench_ingest(spark, n_files: int = 50, records_per_file: int = 4000) -> float:
+    """OTLP ingest throughput (logs/s): landing JSON -> flatten -> partitioned
+    parquet via the streaming path (Trigger.AvailableNow). The reference
+    baseline is 10k logs/s sustained (BASELINE.md)."""
+    import shutil
+    import tempfile
+
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    work = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        landing = os.path.join(work, "landing")
+        generate_files(landing, n_files=n_files, records_per_file=records_per_file)
+        n_logs = n_files * records_per_file
+        t0 = time.perf_counter()
+        run_ingest_once(spark, landing, os.path.join(work, "warehouse"), os.path.join(work, "ckpt"))
+        return round(n_logs / (time.perf_counter() - t0), 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -40,6 +62,8 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    ingest_rate = bench_ingest(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -48,6 +72,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest_logs_per_sec": ingest_rate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -276,6 +276,42 @@ def q_join_asof(spark, sf_dir):
     )
 
 
+@register(
+    "join_asof_grouped",
+    "SELECT CAST(e.event_id AS BIGINT) AS event_id, "
+    "(SELECT MAX(o.o_orderdate) FROM orders o "
+    " WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_date "
+    "FROM events e ORDER BY event_id LIMIT 200",
+    doc=(
+        "Keyed as-of join (large-large path): nearest earlier order PER "
+        "CUSTOMER for each event. One shuffle co-locates both sides on the "
+        "key, then pandas merge_asof runs per group via applyInPandas "
+        "(operators/asof.py) — the broadcast-timeline variant covers the "
+        "keyless/dimension case (join_asof_event_order)."
+    ),
+)
+def q_join_asof_grouped(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators.asof import asof_join_grouped
+
+    events = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate")
+    )
+    joined = asof_join_grouped(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_value_cols=["o_orderdate"],
+    )
+    return (
+        joined.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("o_orderdate").alias("asof_date"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
 # ===========================================================================
 # Aggregation  (SURVEY §2.C agg rows; reference B9)
 # ===========================================================================

@@ -61,20 +61,38 @@ def _map_to_json(m: Column) -> Column:
 
 
 def flatten_otlp(envelopes: DataFrame) -> DataFrame:
-    """Nested OTLP envelope -> flat 15-column ``otel.logs`` DataFrame."""
+    """Nested OTLP envelope -> flat 15-column ``otel.logs`` DataFrame.
+
+    Each carried column is materialized in its OWN projection before the
+    next ``explode``. Putting extraction and explode in one select makes the
+    analyzer hoist the extraction above the Generate, whose output then
+    carries the whole parent struct per exploded row — with k records per
+    scope every output row lugs a full copy of all k siblings (O(k²) bytes),
+    which OOM'd the partitioned streaming sink (its pre-write sort copies
+    rows) at ~200k records. Split projections keep the Generate's carried
+    columns to small scalars/maps, so memory is linear in record count.
+    """
     promoted = list(PROMOTED_RESOURCE_ATTRS.items())
 
     rl = envelopes.select(F.explode("resourceLogs").alias("rl"))
-    sl = rl.select(
+    rl2 = rl.select(
         _attrs_to_map(F.col("rl.resource.attributes")).alias("res_attrs"),
-        F.explode("rl.scopeLogs").alias("sl"),
+        F.col("rl.scopeLogs").alias("sls"),
     )
-    rec = sl.select(
+    sl = rl2.select("res_attrs", F.explode("sls").alias("sl"))
+    sl2 = sl.select(
         "res_attrs",
         F.col("sl.scope.name").alias("scope_name"),
         F.col("sl.scope.version").alias("scope_version"),
         _attrs_to_map(F.col("sl.scope.attributes")).alias("scope_attrs"),
-        F.explode("sl.logRecords").alias("r"),
+        F.col("sl.logRecords").alias("recs"),
+    )
+    rec = sl2.select(
+        "res_attrs",
+        "scope_name",
+        "scope_version",
+        "scope_attrs",
+        F.explode("recs").alias("r"),
     )
 
     time_ns = F.coalesce(

@@ -1,0 +1,87 @@
+"""Physical-plan quality guards (SURVEY.md §4): the scale claims in operator
+docstrings — broadcasts, pushdown, pruning, top-k, no stray cartesian
+products — asserted against the actual Catalyst output so perf regressions
+fail CI, not just the bench."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from demo_otel_parquet_antalya_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].build(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_join_is_all_broadcast(spark):
+    """Dimensions broadcast: the orders fact side must never shuffle."""
+    plan = plan_of(spark, "join_revenue_by_region")
+    # one detail block per join node in the formatted explain
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_eq_count")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in plan
+
+
+def test_projection_prunes_columns(spark):
+    """2-column projection must not read the other lineitem columns."""
+    plan = plan_of(spark, "project_alias")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_linenumber" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_topk_plans_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition heaps),
+    not a global sort."""
+    plan = plan_of(spark, "sort_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_no_cartesian(spark):
+    for name in ("join_semi_suppliers_with_lineitems", "join_anti_customers_without_orders"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theta_join_stays_equi(spark):
+    """Equi key + residual range predicate: must hash on l_orderkey, never
+    nested-loop."""
+    plan = plan_of(spark, "join_theta_late_ship")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_no_cartesian(spark):
+    """The whole MinHash+LSH pipeline is equi-joins only — the quadratic
+    work happens inside buckets, never as a join strategy."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_has_partial_phase(spark):
+    """Map-side combine: two HashAggregate phases around the exchange."""
+    plan = plan_of(spark, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["agg_pricing_summary", "join_revenue_by_region"])
+def test_hot_paths_stay_jvm_side(spark, name):
+    """No Python evaluation (BatchEvalPython/ArrowEvalPython) in relational
+    hot paths, and the parquet scan stays vectorized (Batched: true)."""
+    plan = plan_of(spark, name)
+    assert "EvalPython" not in plan
+    assert "Batched: true" in plan
