@@ -100,6 +100,86 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True) -> DataFrame:
+    """Resize stage: binary payload -> binary payload at (width, height).
+
+    STUBBED decode/encode (no image libs in this container): the fake
+    'resize' deterministically truncates/tiles payload bytes to width*height
+    so output size is the real post-resize contract; a real codec slots into
+    the marked line. Runs in place (mapInPandas, no shuffle).
+    """
+    if not decode_stub:
+        raise NotImplementedError("real resize requires an image codec; plug it into the stub slot")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        target = width * height
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "payload": [], "width": [], "height": []}
+            for payload in pdf["payload"]:
+                if payload is None:
+                    out["payload"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    continue
+                b = bytes(payload)  # <- real decode+resample+encode goes here
+                resized = (b * (target // max(len(b), 1) + 1))[:target]
+                out["payload"].append(resized)
+                out["width"].append(width)
+                out["height"].append(height)
+            yield _pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8, decode_stub: bool = True) -> DataFrame:
+    """Frame sampling: one binary payload -> N frame rows (1:N un-nesting).
+
+    STUBBED: 'frames' are fixed-stride byte windows standing in for video
+    keyframes; the per-row fan-out, output schema and batch shape are the
+    real contract. Emits (media_id, frame_idx, frame) — downstream
+    feature-extraction runs on frames exactly like whole payloads.
+    """
+    if not decode_stub:
+        raise NotImplementedError("real frame sampling requires a video codec; plug it into the stub slot")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)  # <- real demux/decode goes here
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield _pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter for tests/demos: treat document text bytes as opaque payloads
     with synthesized metadata — exercises the exact binary/struct plumbing."""

@@ -351,6 +351,45 @@ def q_multimodal_bytes(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize",
+    "SELECT doc_id AS media_id, CAST(LEAST(64 * 64, 64 * 64) AS BIGINT) AS n_bytes "
+    "FROM documents WHERE length(trim(text)) > 0 ORDER BY media_id LIMIT 100",
+    doc=(
+        "Resize stage plumbing: every non-empty payload comes back exactly "
+        "width*height bytes (the stub tiles bytes; a codec slots in). The "
+        "oracle pins the post-resize size contract."
+    ),
+)
+def q_multimodal_resize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs.filter(F.length(F.trim("text")) > 0))
+    return (
+        multimodal.resize(media, 64, 64)
+        .select("media_id", F.length("payload").cast("long").alias("n_bytes"))
+        .orderBy("media_id")
+        .limit(100)
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    None,
+    doc=(
+        "Frame-sampling plumbing (1 payload -> N frame rows via mapInPandas; "
+        "stubbed demux). Rows-only + pytest golden checks."
+    ),
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return (
+        multimodal.sample_frames(media)
+        .orderBy("media_id", "frame_idx")
+        .limit(200)
+    )
+
+
+@register(
     "multimodal_features",
     None,
     doc=(

@@ -419,6 +419,21 @@ def q_agg_cube(spark, sf_dir):
     )
 
 
+@register(
+    "agg_stats_moments",
+    "SELECT ROUND(stddev_samp(l_quantity), 4) AS sd, ROUND(var_samp(l_quantity), 4) AS var, "
+    "ROUND(corr(l_quantity, l_extendedprice), 6) AS c "
+    "FROM lineitem",
+    doc="Statistical aggregates (stddev/variance/correlation) — one-pass moment computation.",
+)
+def q_agg_stats_moments(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("c"),
+    )
+
+
 # ===========================================================================
 # Window functions  (SURVEY §2.C window rows)
 # ===========================================================================
@@ -814,6 +829,62 @@ def q_json_group(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "date_arithmetic",
+    "SELECT CAST(l_orderkey AS BIGINT) AS k, CAST(l_linenumber AS BIGINT) AS n, "
+    "CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_days, "
+    "CAST(l_shipdate + INTERVAL 90 DAY AS TIMESTAMP) AS warranty_end "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "ORDER BY k, n LIMIT 100",
+    doc="Date arithmetic: datediff + interval addition (reference B5/B8 family).",
+)
+def q_date_arithmetic(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_orderkey").cast("long").alias("k"),
+            F.col("l_linenumber").cast("long").alias("n"),
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).cast("long").alias("ship_days"),
+            (F.col("l_shipdate") + F.expr("INTERVAL 90 DAYS")).alias("warranty_end"),
+        )
+        .orderBy("k", "n")
+        .limit(100)
+    )
+
+
+@register(
+    "string_regexp_transform",
+    "SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '_', 'g') AS consonants, "
+    "COALESCE(regexp_extract(p_type, '([A-Z]+)$', 1), '') AS last_word "
+    "FROM part ORDER BY p_partkey LIMIT 100",
+    doc="Regex scalar transforms: global replace + capture-group extract.",
+)
+def q_string_regexp(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("consonants"),
+            F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "set_union_distinct",
+    "SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk",
+    doc="UNION with distinct semantics (dedup across both inputs).",
+)
+def q_set_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct().orderBy("nk")
 
 
 # ===========================================================================

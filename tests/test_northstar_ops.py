@@ -136,3 +136,31 @@ def test_multimodal_real_decode_is_explicit_gap(spark, docs):
     media = multimodal.documents_as_media(docs)
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decode_stub=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize(media, decode_stub=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(media, decode_stub=False)
+
+
+def test_multimodal_resize_size_contract(spark, docs):
+    media = multimodal.documents_as_media(docs.filter(F.length(F.trim("text")) > 0))
+    out = multimodal.resize(media, width=32, height=16).limit(20).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.payload) == 32 * 16 and r.width == 32 and r.height == 16
+
+
+def test_multimodal_frame_sampling_fanout(spark, docs):
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
+    pdf = frames.filter(F.col("media_id") < 5).orderBy("media_id", "frame_idx").toPandas()
+    by_id = pdf.groupby("media_id").frame_idx.agg(["min", "max", "count"])
+    for _, row in by_id.iterrows():
+        assert row["min"] == 0 and row["count"] == row["max"] + 1  # dense 0..n
+        assert row["count"] <= 4
+    # frames re-extract features downstream exactly like whole payloads
+    feat_in = pdf.rename(columns={"frame": "payload"})[["media_id", "payload"]]
+    refeat = multimodal.extract_features(
+        spark.createDataFrame(feat_in.assign(media_id=range(len(feat_in))))
+    )
+    assert refeat.count() == len(feat_in)
