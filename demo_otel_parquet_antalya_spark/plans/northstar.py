@@ -329,6 +329,26 @@ def q_text_quality_filter(spark, sf_dir):
     return docs.filter(tx.quality_score("text") >= 0.5).agg(F.count("*").alias("n_pass"))
 
 
+@register(
+    "text_sentence_udtf",
+    "SELECT doc_id, pos, sentence, "
+    r"CAST(len(regexp_split_to_array(sentence, '\s+')) AS INTEGER) AS n_tokens FROM ("
+    "  SELECT doc_id, CAST(generate_subscripts(string_split(text, '.'), 1) - 1 AS INTEGER) AS pos, "
+    "         trim(unnest(string_split(text, '.'))) AS sentence FROM documents) t "
+    "WHERE length(sentence) > 0 ORDER BY doc_id, pos LIMIT 200",
+    doc=(
+        "Python UDTF + lateral join: sentence segmentation (the document-"
+        "chunking primitive). Demonstrates the table-valued-function surface; "
+        "oracle via unnest-with-ordinality."
+    ),
+)
+def q_text_sentence_udtf(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.functions.udtf_ops import sentences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sentences(docs).orderBy("doc_id", "pos").limit(200)
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================

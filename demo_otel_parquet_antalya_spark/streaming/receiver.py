@@ -65,6 +65,7 @@ class OTLPReceiver:
     """Threaded OTLP/HTTP ingest endpoint (reference port :4318)."""
 
     def __init__(self, landing_dir: str, host: str = "127.0.0.1", port: int = 0):
+        os.makedirs(landing_dir, exist_ok=True)  # stream source needs the dir to exist
         handler = type("Handler", (_OTLPHandler,), {"landing_dir": landing_dir})
         self.server = ThreadingHTTPServer((host, port), handler)
         self.port = self.server.server_address[1]

@@ -21,3 +21,35 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> "DataFrame":
+    """Skew-resistant equi-join: salt the (skewed) left side's key into
+    ``salt_buckets`` sub-keys and replicate the right side across buckets, so
+    one hot key spreads over ``salt_buckets`` tasks instead of one straggler.
+
+    AQE's skew-join split (enabled session-wide) handles most skew at
+    runtime by splitting oversized partitions; explicit salting remains the
+    tool when a single key exceeds what one task can hold even after
+    splitting (the power-law hot key at 100 TB), or when AQE is off.
+    Replication multiplies the right side by salt_buckets — use with a
+    dimension-sized right side.
+    """
+    from pyspark.sql import functions as F
+
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    salted_right = right.join(
+        F.broadcast(
+            left.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = salted_left.join(salted_right, [key, "__salt"], how)
+    return out.drop("__salt")

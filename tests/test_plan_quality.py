@@ -10,6 +10,7 @@ import io
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.plans import QUERIES
 
@@ -76,6 +77,34 @@ def test_agg_has_partial_phase(spark):
     """Map-side combine: two HashAggregate phases around the exchange."""
     plan = plan_of(spark, "agg_pricing_summary")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_warehouse_partition_pruning(spark, tmp_path):
+    """Service + time predicates must prune to matching hive partitions of
+    the warehouse layout (SURVEY §2.A7/§4) — the scan's PartitionFilters
+    carry the predicates and non-matching partitions are never listed."""
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json
+    from demo_otel_parquet_antalya_spark.sources.parquet_sink import read_logs, write_logs
+
+    generate_files(str(tmp_path / "otlp"), n_files=8, records_per_file=40)
+    flat = ingest_otlp_json(spark, str(tmp_path / "otlp"))
+    write_logs(flat, str(tmp_path / "wh"))
+
+    df = read_logs(spark, str(tmp_path / "wh")).filter(
+        (F.col("service_name") == "checkout") & (F.col("hour") == 22)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "service_name" in pf and "hour" in pf
+    # pruned scan agrees with an independent count over the pre-write rows
+    want = flat.filter(
+        (F.col("service_name") == "checkout") & (F.hour("timestamp") == 22)
+    ).count()
+    assert df.count() == want
 
 
 @pytest.mark.parametrize("name", ["agg_pricing_summary", "join_revenue_by_region"])

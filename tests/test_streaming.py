@@ -95,6 +95,45 @@ def test_stream_batch_equivalence_and_incremental_restart(spark, tmp_path):
     assert read_logs(spark, warehouse).count() == 11
 
 
+def test_freshness_contract(spark, tmp_path):
+    """Reference freshness: record visible ≈ flush age + sync interval,
+    ~70 s worst case with 30 s + 60 s cadences (BASELINE.md). Our continuous
+    pipeline at a 1 s trigger must make a posted record queryable well inside
+    that envelope — here we assert ≤ 30 s end-to-end including startup."""
+    import time
+
+    from demo_otel_parquet_antalya_spark.streaming.ingest import start_ingest_stream
+
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    rx = OTLPReceiver(landing).start()
+    q = start_ingest_stream(
+        spark, landing, warehouse, str(tmp_path / "ckpt"), trigger_seconds=1.0
+    )
+    try:
+        t0 = time.perf_counter()
+        assert _post(rx.port, _payload(7, service="svc-fresh")) == 200
+        deadline = t0 + 30
+        visible = None
+        while time.perf_counter() < deadline:
+            try:
+                n = (
+                    read_logs(spark, warehouse)
+                    .filter("service_name = 'svc-fresh'")
+                    .count()
+                )
+            except Exception:  # warehouse dir not created yet
+                n = 0
+            if n >= 1:
+                visible = time.perf_counter() - t0
+                break
+            time.sleep(0.5)
+        assert visible is not None, "record not queryable within 30 s"
+    finally:
+        q.stop()
+        rx.stop()
+
+
 def test_streaming_severity_counts_matches_batch(spark, tmp_path):
     """The continuous Grafana-panel aggregate equals the batch groupBy on the
     same input (complete-mode memory sink)."""
