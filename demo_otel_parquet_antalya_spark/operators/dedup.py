@@ -250,18 +250,22 @@ def embedding_cosine_pairs(
     signature machinery) and exact re-scoring inside buckets, trading recall
     for the removal of the O(n^2) term.
     """
-    from demo_otel_parquet_antalya_spark.operators.similarity import cosine
+    from demo_otel_parquet_antalya_spark.operators.similarity import _dot, _norm
 
+    # per-side norms precomputed before the pair join: the O(n^2) inner loop
+    # is one dot product per pair, not three interpreted array folds
     a = ensure_parallelism(vectors).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("na")
     )
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), _norm(F.col(vec_col)).alias("nb")
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos"),
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -65,16 +65,25 @@ def cosine_topk(
     similarity with neighbor-id tiebreak so results are stable across
     engines and float summation orders.
     """
-    q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")))
+    # norms are precomputed per row on each side BEFORE the pair join, so the
+    # |N| x |Q| inner loop does one dot product per pair instead of three
+    # array folds (HOF lambdas are interpreted; this measured ~3x)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+            _norm(F.col(query_vec_col)).alias("nq"),
+        )
+    )
     scored = (
         ensure_parallelism(vectors)
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nv"))
         .join(q)  # broadcast nested-loop: |N| x |Q| score pass, no shuffle
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("v"), F.col("qv")), round_digits).alias("sim"),
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")), round_digits).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -141,25 +150,39 @@ def lsh_topk(
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
-    vec_sigs = ensure_parallelism(vectors).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v"),
-        *[_signature(F.col(vec_col), tables[t]).alias(f"sig{t}") for t in range(n_tables)],
+    # signatures for ALL tables are computed in one projection, then the
+    # (table, signature) pairs explode to bucket rows and ONE equi-join
+    # probes every table — a union of n_tables separate joins re-evaluates
+    # the full signature projection per branch (n_tables^2 signature work;
+    # measured slower than brute force at 16 tables)
+    def bucketed(df, idc, vecc, out_id, out_vec, out_norm):
+        sigs = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), _signature(F.col(vecc), tables[t]).alias("sig"))
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vecc).alias(out_vec),
+            _norm(F.col(vecc)).alias(out_norm),
+            F.explode(sigs).alias("b"),
+        ).select(out_id, out_vec, out_norm, "b.tbl", "b.sig")
+
+    vec_b = bucketed(ensure_parallelism(vectors), id_col, vec_col, "neighbor_id", "v", "nv")
+    q_b = bucketed(queries, query_id_col, query_vec_col, "query_id", "qv", "nq").withColumnsRenamed(
+        {"tbl": "qtbl", "sig": "qsig"}
     )
-    q_sigs = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("qv"),
-        *[_signature(F.col(query_vec_col), tables[t]).alias(f"qsig{t}") for t in range(n_tables)],
+    cands = (
+        vec_b.join(F.broadcast(q_b), (F.col("tbl") == F.col("qtbl")) & (F.col("sig") == F.col("qsig")))
+        .select("query_id", "neighbor_id", "v", "nv", "qv", "nq")
+        .distinct()
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    probe = None
-    for t in range(n_tables):
-        m = vec_sigs.join(
-            F.broadcast(q_sigs), F.col(f"sig{t}") == F.col(f"qsig{t}")
-        ).select("query_id", "neighbor_id", "v", "qv")
-        probe = m if probe is None else probe.unionAll(m)
-    cands = probe.distinct().filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cands.select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim")
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")), 6).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -196,26 +219,38 @@ def ivf_topk(
         vectors.join(centroid_ids, on=vectors[id_col] == centroid_ids.vec_id, how="left_semi")
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     )
-    # one-pass assignment: argmin centroid per vector (broadcast centroids)
+    centroids = centroids.withColumn("ncv", _norm(F.col("cv")))
+    # one-pass assignment: argmin centroid per vector (broadcast centroids);
+    # per-side norms precomputed so each (vector, centroid) pair is one dot
     assign_w = W.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid"))
     assigned = (
         ensure_parallelism(vectors)
-        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nv"))
         .join(F.broadcast(centroids))
-        .select("nid", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 9).alias("csim"))
+        .select(
+            "nid", "v", "nv", "cid",
+            F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 9).alias("csim"),
+        )
         .withColumn("r", F.row_number().over(assign_w))
         .filter(F.col("r") == 1)
-        .select("nid", "v", "cid")
+        .select("nid", "v", "nv", "cid")
     )
     # queries probe nprobe nearest centroids
     probe_w = W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
     probes = (
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+            _norm(F.col(query_vec_col)).alias("nq"),
+        )
         .join(F.broadcast(centroids))
-        .select("query_id", "qv", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("csim"))
+        .select(
+            "query_id", "qv", "nq", "cid",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("ncv")), 9).alias("csim"),
+        )
         .withColumn("r", F.row_number().over(probe_w))
         .filter(F.col("r") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "nq", "cid")
     )
     scored = (
         probes.join(assigned, "cid")
@@ -223,7 +258,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")), 6).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

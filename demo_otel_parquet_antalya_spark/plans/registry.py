@@ -284,21 +284,23 @@ def q_join_asof(spark, sf_dir):
     "FROM events e ORDER BY event_id LIMIT 200",
     doc=(
         "Keyed as-of join (large-large path): nearest earlier order PER "
-        "CUSTOMER for each event. One shuffle co-locates both sides on the "
-        "key, then pandas merge_asof runs per group via applyInPandas "
-        "(operators/asof.py) — the broadcast-timeline variant covers the "
-        "keyless/dimension case (join_asof_event_order)."
+        "CUSTOMER for each event, via the JVM union+window formulation "
+        "(one shuffle, codegen; operators/asof.py:asof_join_windowed). The "
+        "applyInPandas merge_asof variant (asof_join_grouped) computes the "
+        "same thing (pytest-equivalence) as the custom-Python-operator "
+        "template; the broadcast-timeline variant covers the keyless case "
+        "(join_asof_event_order)."
     ),
 )
 def q_join_asof_grouped(spark, sf_dir):
-    from demo_otel_parquet_antalya_spark.operators.asof import asof_join_grouped
+    from demo_otel_parquet_antalya_spark.operators.asof import asof_join_windowed
 
     events = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     orders = (
         _t(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("user_id"), "o_orderdate")
     )
-    joined = asof_join_grouped(
+    joined = asof_join_windowed(
         events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
         right_value_cols=["o_orderdate"],
     )
