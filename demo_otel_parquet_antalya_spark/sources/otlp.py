@@ -104,9 +104,13 @@ def flatten_otlp(envelopes: DataFrame) -> DataFrame:
         F.col("res_attrs"), lambda k, _: ~k.isin(*PROMOTED_RESOURCE_ATTRS.keys())
     )
 
+    # ns→µs MUST be integer division: `/` is double division, and
+    # current-epoch nanos (~1.7e18) exceed double's 2^53 exact-integer range,
+    # so (ns / 1000).cast(long) can be off by ±1 µs (hypothesis-found)
+    rec = rec.withColumn("__tns", time_ns)
     flat = rec.select(
-        F.timestamp_micros((time_ns / 1000).cast("long")).alias("timestamp"),
-        F.coalesce(F.col("r.observedTimeUnixNano").cast("long"), time_ns).alias("observed_timestamp"),
+        F.timestamp_micros(F.expr("__tns div 1000")).alias("timestamp"),
+        F.coalesce(F.col("r.observedTimeUnixNano").cast("long"), F.col("__tns")).alias("observed_timestamp"),
         *[
             F.coalesce(F.element_at("res_attrs", F.lit(attr)), F.lit("") if col == "service_name" else F.lit(None))
             .alias(col)
