@@ -956,3 +956,52 @@ def q_approx_count_distinct(spark, sf_dir):
     return _t(spark, sf_dir, "orders").agg(
         F.approx_count_distinct("o_custkey").alias("approx_n")
     )
+
+
+@register(
+    "approx_percentiles",
+    None,
+    doc=(
+        "approx_percentile (t-digest-style sketch): the single-pass scale "
+        "path for agg_percentiles; exact twin is the oracle-matched query, "
+        "this one is t2-exempt (approximate by design)."
+    ),
+    tags=("approx",),
+)
+def q_approx_percentiles(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("approx_pcts")
+    )
+
+
+@register(
+    "join_salted_revenue",
+    "SELECT r_name, ROUND(SUM(o_totalprice), 2) AS revenue FROM orders "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name ORDER BY r_name",
+    doc=(
+        "The star-join revenue query computed through util.salted_join on "
+        "the orders->customer edge — same oracle as join_revenue_by_region, "
+        "proving the skew-salting rewrite is semantics-preserving (the tool "
+        "for power-law hot keys beyond AQE's skew splitting)."
+    ),
+)
+def q_join_salted_revenue(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.util import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"), "o_totalprice")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region")
+    return (
+        salted_join(orders, customer, "k", salt_buckets=8)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("r_name")
+    )
