@@ -314,6 +314,55 @@ def q_join_asof_grouped(spark, sf_dir):
     )
 
 
+@register(
+    "join_range_bucketed",
+    "SELECT d.o_orderdate AS d, CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped "
+    "FROM (SELECT DISTINCT o_orderdate FROM orders) d "
+    "LEFT JOIN lineitem l ON l.l_shipdate >= d.o_orderdate "
+    "AND l.l_shipdate <= d.o_orderdate + INTERVAL 2 DAY "
+    "GROUP BY d.o_orderdate ORDER BY d LIMIT 100",
+    doc=(
+        "Interval/range join via BUCKETING: pure range predicates otherwise "
+        "plan a nested loop, so both sides get a coarse time bucket (week; "
+        ">= window width) as an equi key — a <=2-day window spans at most 2 "
+        "adjacent buckets, so the probe side explodes to its bucket and the "
+        "next, the join hashes on the bucket, and the exact range filters "
+        "the residue. Scales like any equi-join at 100 TB; this is the "
+        "standard rewrite for large-large interval joins."
+    ),
+)
+def q_join_range_bucketed(spark, sf_dir):
+    # weekly buckets: epoch-day div 7 (integer-safe)
+    def bucket(col):
+        return F.floor(F.datediff(F.to_date(col), F.lit("1970-01-01")) / 7)
+
+    days = _t(spark, sf_dir, "orders").select("o_orderdate").distinct()
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", bucket("l_shipdate").alias("b")
+    )
+    probe = days.select(
+        "o_orderdate", F.explode(F.array(bucket("o_orderdate"), bucket("o_orderdate") + 1)).alias("b")
+    )
+    matched = (
+        probe.join(li, "b")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS"))
+        )
+        .groupBy("o_orderdate")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        days.join(matched, "o_orderdate", "left")
+        .select(
+            F.col("o_orderdate").alias("d"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shipped"),
+        )
+        .orderBy("d")
+        .limit(100)
+    )
+
+
 # ===========================================================================
 # Aggregation  (SURVEY §2.C agg rows; reference B9)
 # ===========================================================================
