@@ -94,6 +94,80 @@ def cosine_topk(
     )
 
 
+def cosine_topk_pandas(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k via a vectorized pandas/numpy kernel.
+
+    The Arrow-batched alternative to ``cosine_topk``: the query matrix is
+    collected once (it is small by contract — the probe batch), broadcast
+    into a mapInPandas closure, and every Arrow batch of vectors scores
+    against ALL queries with one numpy matmul. Per-element work is a fused
+    BLAS multiply instead of an interpreted JVM fold, so this wins when
+    dim × |Q| is large; the JVM variant wins when Python worker startup
+    dominates. Same per-query window top-k on the JVM side afterwards.
+
+    Self-contained closure (numpy imported in the worker): executors need
+    no package install.
+    """
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([list(map(float, r[1])) for r in q_rows])  # |Q| x dim
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    import pandas as pd  # noqa: F401  (type reference below)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = _np.asarray([list(map(float, x)) for x in pdf[vec_col]])  # B x dim
+            nv = _np.linalg.norm(v, axis=1)
+            sims = (v @ q_mat.T) / _np.outer(nv, q_norm)  # B x |Q|
+            n_ids = pdf[id_col].to_numpy()
+            yield _pd.DataFrame(
+                {
+                    "query_id": _np.repeat(q_ids, len(n_ids)),
+                    "neighbor_id": _np.tile(n_ids, len(q_ids)),
+                    "sim": _np.round(sims.T.reshape(-1), round_digits),
+                }
+            )
+
+    scored = (
+        ensure_parallelism(vectors)
+        .select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side constants, broadcast as
     literals — tiny: n_planes x dim doubles)."""
@@ -127,6 +201,38 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _signatures_batch(tables: list[list[list[float]]]):
+    """All tables' bit-signatures in ONE numpy matmul per Arrow batch.
+
+    The JVM expression form evaluates n_tables x n_planes independent
+    zip_with/aggregate folds per row (HOF lambdas are interpreted and share
+    no work); here the whole plane bank is a single (tables*planes) x dim
+    matrix and every batch scores with one BLAS gemm, then sign bits pack
+    into one long per table. Returns a pandas_udf producing array<long> of
+    length n_tables.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes = len(tables), len(tables[0])
+    bank = np.asarray([p for tbl in tables for p in tbl], dtype=np.float64)
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(vec):
+        import numpy as _np
+        import pandas as _pd
+
+        if vec.empty:
+            return _pd.Series([], dtype=object)
+        v = _np.asarray([_np.asarray(x, dtype=_np.float64) for x in vec])
+        bits = (v @ bank.T) > 0
+        packed = (bits.reshape(len(v), n_tables, n_planes) * weights).sum(axis=2)
+        return _pd.Series(list(packed))
+
+    return sigs
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -139,6 +245,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    sig_impl: str = "pandas",
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -146,6 +253,11 @@ def lsh_topk(
     signature; a query probes its bucket in every table, candidates are
     unioned and exactly re-ranked. Index pass is one projection over the
     vectors; the probe join shuffles only on (table, signature).
+
+    ``sig_impl`` picks the signature kernel: ``"pandas"`` (default) computes
+    every table's signature with one numpy matmul per Arrow batch;
+    ``"jvm"`` keeps the pure-expression zip_with/aggregate form (no Python
+    workers, but n_tables x n_planes interpreted folds per row).
     """
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
@@ -155,7 +267,16 @@ def lsh_topk(
     # probes every table — a union of n_tables separate joins re-evaluates
     # the full signature projection per branch (n_tables^2 signature work;
     # measured slower than brute force at 16 tables)
+    sig_udf = _signatures_batch(tables) if sig_impl == "pandas" else None
+
     def bucketed(df, idc, vecc, out_id, out_vec, out_norm):
+        if sig_udf is not None:
+            return df.select(
+                F.col(idc).alias(out_id),
+                F.col(vecc).alias(out_vec),
+                _norm(F.col(vecc)).alias(out_norm),
+                F.posexplode(sig_udf(F.col(vecc))).alias("tbl", "sig"),
+            )
         sigs = F.array(
             *[
                 F.struct(F.lit(t).alias("tbl"), _signature(F.col(vecc), tables[t]).alias("sig"))

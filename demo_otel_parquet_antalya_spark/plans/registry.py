@@ -579,6 +579,41 @@ def q_window_sessionize(spark, sf_dir):
 
 
 @register(
+    "window_session_native",
+    "WITH g AS ("
+    "  SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER "
+    "    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "    OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 21600 "
+    "    THEN 1 ELSE 0 END AS new FROM events), "
+    "s AS (SELECT user_id, ts, SUM(new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM g) "
+    "SELECT CAST(user_id AS BIGINT) AS user_id, MIN(ts) AS s, "
+    "MAX(ts) + INTERVAL 21600 SECOND AS e, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM s GROUP BY user_id, sid ORDER BY user_id, s LIMIT 200",
+    doc=(
+        "Spark's NATIVE session_window aggregate (6 h gap): dynamic-width "
+        "session per key with start = first event, end = last event + gap. "
+        "Same operator powers streaming session aggregation; the oracle "
+        "reproduces it with the manual lag/cumsum formulation, proving the "
+        "two sessionization paths agree."
+    ),
+)
+def q_window_session_native(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("w.start").alias("s"),
+            F.col("w.end").alias("e"),
+            F.col("n").cast("long"),
+        )
+        .orderBy("user_id", "s")
+        .limit(200)
+    )
+
+
+@register(
     "agg_percentiles",
     "SELECT ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25, "
     "ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50, "

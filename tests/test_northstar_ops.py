@@ -58,6 +58,16 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
 
 
+def test_pandas_cosine_matches_jvm(spark, emb):
+    """The numpy mapInPandas cosine kernel returns the same neighbor sets as
+    the JVM fold implementation (float sum order may differ at the last ulp,
+    so compare rank sets, not raw sims)."""
+    q = _queries(emb)
+    jvm = _topk_sets(similarity.cosine_topk(emb, q, k=5))
+    pdk = _topk_sets(similarity.cosine_topk_pandas(emb, q, k=5))
+    assert jvm == pdk
+
+
 def test_simhash_flags_true_near_dups(spark, docs):
     """Construct guaranteed near-identical docs: copies with one token changed.
     SimHash must put them within small hamming distance; unrelated docs far."""
