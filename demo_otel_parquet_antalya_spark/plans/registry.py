@@ -1089,3 +1089,301 @@ def q_join_salted_revenue(spark, sf_dir):
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
         .orderBy("r_name")
     )
+
+
+# ===========================================================================
+# Window frames, distribution functions, reshaping, series generation
+# (widening the delegated-SQL surface: SURVEY §2.C window/pivot rows)
+# ===========================================================================
+
+
+@register(
+    "window_frames",
+    "SELECT o_custkey, o_orderkey, "
+    "first_value(o_totalprice) OVER w AS first_price, "
+    "last_value(o_totalprice) OVER "
+    "  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price, "
+    "ROUND(AVG(o_totalprice) OVER "
+    "  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg3 "
+    "FROM orders WHERE o_custkey < 100 "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+    "ORDER BY o_custkey, o_orderkey LIMIT 300",
+    doc=(
+        "Explicit window frames: default growing frame (first_value), "
+        "unbounded both-ways frame (last_value), and a 3-row sliding mean. "
+        "Frame arithmetic runs in one pass per partition in the JVM window "
+        "operator; the unique o_orderkey tiebreak makes results engine-stable."
+    ),
+)
+def q_window_frames(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wslide = w.rowsBetween(-2, 0)
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(wall).alias("last_price"),
+            F.round(F.avg("o_totalprice").over(wslide), 2).alias("avg3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(300)
+    )
+
+
+@register(
+    "window_ntile_dist",
+    "SELECT o_orderkey, o_orderstatus, "
+    "CAST(ntile(4) OVER w AS INT) AS quartile, "
+    "ROUND(percent_rank() OVER w, 6) AS pr, "
+    "ROUND(cume_dist() OVER w, 6) AS cd "
+    "FROM orders WHERE o_custkey < 50 "
+    "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) "
+    "ORDER BY o_orderstatus, o_orderkey LIMIT 300",
+    doc=(
+        "Distribution window functions (ntile / percent_rank / cume_dist) — "
+        "the quantile-bucketing shape used for stratified sampling of "
+        "training corpora. Unique tiebreak keeps every function deterministic."
+    ),
+)
+def q_window_ntile_dist(spark, sf_dir):
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+        .limit(300)
+    )
+
+
+@register(
+    "window_range_frame",
+    "SELECT o_orderkey, o_orderstatus, "
+    "CAST(COUNT(*) OVER "
+    "  (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+    "   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_1k "
+    "FROM orders WHERE o_custkey < 50 "
+    "ORDER BY o_orderstatus, o_orderkey LIMIT 300",
+    doc=(
+        "Value-based RANGE frame: for each order, how many same-status "
+        "orders fall within $1000 below its price. The frame is defined by "
+        "the ORDER BY value, not row position, so ties need no tiebreak — "
+        "the count is identical for equal prices by construction."
+    ),
+)
+def q_window_range_frame(spark, sf_dir):
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice").rangeBetween(-1000, 0)
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.count("*").over(w).cast("long").alias("n_within_1k"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+        .limit(300)
+    )
+
+
+@register(
+    "unpivot_metrics",
+    "SELECT l_returnflag, 'sum_qty' AS metric, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS val "
+    "FROM lineitem GROUP BY l_returnflag "
+    "UNION ALL "
+    "SELECT l_returnflag, 'sum_price' AS metric, ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS val "
+    "FROM lineitem GROUP BY l_returnflag "
+    "UNION ALL "
+    "SELECT l_returnflag, 'avg_disc' AS metric, ROUND(AVG(l_discount), 6) AS val "
+    "FROM lineitem GROUP BY l_returnflag "
+    "ORDER BY l_returnflag, metric",
+    doc=(
+        "Wide-to-long reshaping with the native unpivot operator (Expand "
+        "node — one pass, no self-union rescan; the oracle's UNION ALL form "
+        "scans three times, which is exactly what unpivot avoids at scale)."
+    ),
+)
+def q_unpivot_metrics(spark, sf_dir):
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+    return wide.unpivot(
+        "l_returnflag", ["sum_qty", "sum_price", "avg_disc"], "metric", "val"
+    ).orderBy("l_returnflag", "metric")
+
+
+@register(
+    "pivot_dynamic",
+    "SELECT o_orderstatus, "
+    'CAST(COUNT(*) FILTER (WHERE o_orderpriority = \'1-URGENT\') AS BIGINT) AS "1-URGENT", '
+    'CAST(COUNT(*) FILTER (WHERE o_orderpriority = \'2-HIGH\') AS BIGINT) AS "2-HIGH", '
+    'CAST(COUNT(*) FILTER (WHERE o_orderpriority = \'3-MEDIUM\') AS BIGINT) AS "3-MEDIUM", '
+    'CAST(COUNT(*) FILTER (WHERE o_orderpriority = \'4-NOT SPECIFIED\') AS BIGINT) AS "4-NOT SPECIFIED", '
+    'CAST(COUNT(*) FILTER (WHERE o_orderpriority = \'5-LOW\') AS BIGINT) AS "5-LOW" '
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc=(
+        "Dynamic pivot: the column set is DISCOVERED at plan time (distinct "
+        "scan, collected — bounded by the pivot-width contract), then passed "
+        "as explicit pivot values so the main pass stays single-shuffle. "
+        "Passing values explicitly is also the 100 TB path: Spark otherwise "
+        "runs the distinct scan eagerly itself."
+    ),
+)
+def q_pivot_dynamic(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    values = sorted(
+        r[0] for r in orders.select("o_orderpriority").distinct().collect()
+    )
+    pv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", values)
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(v) for v in values],
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "date_series_gaps",
+    "WITH days AS ("
+    "  SELECT CAST(unnest(generate_series("
+    "    MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE)), "
+    "    INTERVAL 1 DAY)) AS DATE) AS day FROM orders), "
+    "per_day AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+    "            CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) "
+    "SELECT CAST(d.day AS TIMESTAMP) AS day, COALESCE(p.n, 0) AS n "
+    "FROM days d LEFT JOIN per_day p USING (day) "
+    "ORDER BY day LIMIT 400",
+    doc=(
+        "Dense calendar via sequence()+explode joined against per-day counts "
+        "— the gap-filling series shape every dashboard needs (reference Q5 "
+        "time series leaves gaps; this closes them). The generated side is "
+        "one row per day, broadcast-sized at any horizon."
+    ),
+)
+def q_date_series_gaps(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    days = (
+        orders.agg(
+            F.min(F.to_date("o_orderdate")).alias("d0"),
+            F.max(F.to_date("o_orderdate")).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    per_day = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        days.join(per_day, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+        .orderBy("day")
+        .limit(400)
+    )
+
+
+@register(
+    "map_priority_counts",
+    "SELECT o_orderstatus, "
+    "CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_priorities, "
+    "CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_n, "
+    "CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low_n "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc=(
+        "Map-typed columns JVM-side: per-status counts collect into a "
+        "map<priority, n> (map_from_entries over collect_list), then "
+        "size() and element_at() read it back out. The map stays inside "
+        "Tungsten rows end-to-end; output is flattened to hashable columns."
+    ),
+)
+def q_map_priority_counts(spark, sf_dir):
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    mapped = (
+        per.groupBy("o_orderstatus")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("o_orderpriority", "n")))
+            ).alias("m")
+        )
+    )
+    return mapped.select(
+        "o_orderstatus",
+        F.size(F.map_keys(F.col("m"))).alias("n_priorities"),
+        F.coalesce(F.element_at("m", F.lit("1-URGENT")), F.lit(0)).cast("long").alias("urgent_n"),
+        F.coalesce(F.element_at("m", F.lit("5-LOW")), F.lit(0)).cast("long").alias("low_n"),
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "agg_pandas_udaf_iqr",
+    "SELECT o_orderstatus, "
+    "ROUND(quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25), 2) AS iqr "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc=(
+        "Custom aggregate as a GROUPED_AGG pandas UDF (Arrow-batched "
+        "interquartile range — pandas' linear-interpolation quantile is "
+        "definitionally quantile_cont). The UDAF path complements the "
+        "row-at-a-time-free built-in surface: partial aggregation is NOT "
+        "available to UDAFs, so the plan shuffles raw group rows — which is "
+        "why built-ins are preferred whenever one exists."
+    ),
+)
+def q_agg_pandas_udaf_iqr(spark, sf_dir):
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # legacy two-arg form: the annotation-based form can't resolve string
+    # annotations here (module uses `from __future__ import annotations`)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def iqr(v):
+        return float(v.quantile(0.75) - v.quantile(0.25))
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.round(iqr("o_totalprice"), 2).alias("iqr"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "approx_hll_custkey",
+    None,
+    doc=(
+        "Datasketches HLL: hll_sketch_agg builds a mergeable binary sketch, "
+        "hll_sketch_estimate reads it — the re-aggregatable distinct-count "
+        "path (per-partition sketches union across days/files; approx_"
+        "count_distinct's HLL++ is single-shot). Approximate -> rows-only."
+    ),
+)
+def q_approx_hll_custkey(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("approx_customers"))
+    )
