@@ -414,3 +414,61 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every id in ``pairs``: cluster_id = min id in the
+    connected component. Turns near-dup PAIRS into dedup GROUPS (pick the
+    min-id member as canonical, drop the rest).
+
+    Iterative min-label propagation with pointer jumping: each round takes
+    the min over neighbours' labels AND the label's own current label
+    (path-halving), so convergence is O(log diameter) rounds, not
+    O(diameter) — chains of pairwise-similar docs (the classic boilerplate
+    case) stay cheap. Each round is one shuffle join; lineage is truncated
+    with localCheckpoint so plans don't grow exponentially. Iteration stops
+    at the first round with zero label changes.
+
+    Near-dup graphs are edge-sparse (the near-dup sliver), so every round's
+    join is small regardless of corpus size.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        hop = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            "id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+        )
+        # pointer jumping: comp <- label(comp)
+        lut = labels.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+        jumped = (
+            hop.join(lut, "comp", "left")
+            .select("id", F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("comp").alias("cluster_id"))

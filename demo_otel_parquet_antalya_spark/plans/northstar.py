@@ -42,6 +42,37 @@ jac AS (SELECT id_a, id_b, ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccar
 
 
 @register(
+    "dedup_clusters",
+    "WITH RECURSIVE "
+    + _SHINGLES_SQL.strip().rstrip()
+    + ", pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.9), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "          UNION SELECT id_b, id_a FROM pairs), "
+    "reach(src, dst) AS ("
+    "  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n "
+    "  UNION "
+    "  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) "
+    "SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY src ORDER BY doc_id",
+    doc=(
+        "Near-dup pairs -> dedup GROUPS: connected components of the "
+        "MinHash-verified pair graph via iterative min-label propagation "
+        "with pointer jumping (O(log diameter) joins, lineage truncated per "
+        "round). cluster_id = min doc_id in the component — the canonical "
+        "keeper. Oracle: DuckDB recursive-CTE transitive closure."
+    ),
+)
+def q_dedup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.9)
+    return (
+        dedup.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dedup_exact_stats",
     f"SELECT COUNT(*) AS n_docs, COUNT(DISTINCT {_FP_SQL}) AS n_unique FROM documents",
     doc="Exact dedup statistics via md5 content fingerprints (hash-groupBy tier).",

@@ -174,3 +174,17 @@ def test_multimodal_frame_sampling_fanout(spark, docs):
         spark.createDataFrame(feat_in.assign(media_id=range(len(feat_in))))
     )
     assert refeat.count() == len(feat_in)
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """A 4-node chain (worst-case diameter) and a triangle must each collapse
+    to one cluster labeled by the min id; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.cluster_id) for r in dedup.connected_components(pairs).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want
