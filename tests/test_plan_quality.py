@@ -114,3 +114,35 @@ def test_hot_paths_stay_jvm_side(spark, name):
     plan = plan_of(spark, name)
     assert "EvalPython" not in plan
     assert "Batched: true" in plan
+
+
+def test_unpivot_plans_expand_single_scan(spark):
+    """Native unpivot = one Expand over one aggregate scan, not the oracle's
+    3-scan UNION ALL."""
+    plan = plan_of(spark, "unpivot_metrics")
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_pivot_single_shuffle_pass(spark):
+    """With explicit values the pivot's main pass is a plain two-level agg —
+    no extra distinct-scan subquery in the final plan (the discovery scan ran
+    once at plan-build time)."""
+    plan = plan_of(spark, "pivot_dynamic")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_date_series_calendar_broadcasts(spark):
+    """The generated one-row-per-day side must broadcast into the per-day
+    counts join, never shuffle the fact side."""
+    plan = plan_of(spark, "date_series_gaps")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_range_frame_single_window_node(spark):
+    """RANGE frame compiles to one Window operator — no self-join rewrite."""
+    plan = plan_of(spark, "window_range_frame")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "Join" not in plan
