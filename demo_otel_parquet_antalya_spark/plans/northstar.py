@@ -12,6 +12,7 @@ approximate by design (LSH/IVF ANN), with pytest recall tests instead.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.operators import dedup, multimodal, similarity
@@ -452,3 +453,88 @@ def q_multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
     return multimodal.extract_features(media).orderBy("media_id").limit(100)
+
+
+# ===========================================================================
+# Embedding-column transforms + deterministic sampling (training-data prep)
+# ===========================================================================
+
+
+@register(
+    "embedding_normalize",
+    "SELECT vec_id, CAST(i AS INT) AS i, "
+    "ROUND(embedding[i] / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*y))), 6) AS v "
+    "FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t "
+    "WHERE vec_id < 50 AND i <= 4 ORDER BY vec_id, i",
+    doc=(
+        "L2-normalization of an embedding column — the prep step before any "
+        "cosine-based op (post-normalize, cosine = dot). Norm is one JVM "
+        "fold per row; output is exploded to (vec_id, i, v) rows (first 4 "
+        "dims) so the hash-compare needs no array equality."
+    ),
+)
+def q_embedding_normalize(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators.similarity import _norm
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("i0", "x"), _norm(F.col("embedding")).alias("nrm"))
+        .filter(F.col("i0") < 4)
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).cast("int").alias("i"),
+            F.round(F.col("x").cast("double") / F.col("nrm"), 6).alias("v"),
+        )
+        .orderBy("vec_id", "i")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    "SELECT vec_id, CAST(i AS INT) AS i, "
+    "CAST(ROUND(embedding[i] * 127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS INT) AS q "
+    "FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t "
+    "WHERE vec_id < 50 AND i <= 8 ORDER BY vec_id, i",
+    doc=(
+        "Symmetric int8 quantization (scale = 127/max|x| per vector) — the "
+        "4x storage cut for ANN indexes. Per-row max via array_max over one "
+        "transform; quantized dims exploded for comparison (first 8)."
+    ),
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    amax = F.array_max(F.transform(F.col("embedding"), lambda y: F.abs(y.cast("double"))))
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("i0", "x"), amax.alias("amax"))
+        .filter(F.col("i0") < 8)
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).cast("int").alias("i"),
+            F.round(F.col("x").cast("double") * 127.0 / F.col("amax"), 0).cast("int").alias("q"),
+        )
+        .orderBy("vec_id", "i")
+    )
+
+
+@register(
+    "sample_per_stratum",
+    "WITH strata AS (SELECT doc_id, lang, "
+    "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn "
+    "  FROM documents) "
+    "SELECT lang, doc_id FROM strata WHERE rn <= 5 ORDER BY lang, doc_id",
+    doc=(
+        "Deterministic stratified sampling: k docs per language, selected by "
+        "content-hash order (md5 — engine-portable, reshuffle-stable, no RNG "
+        "state). The pattern for balanced training mixes; one window pass, "
+        "one shuffle on the stratum key."
+    ),
+)
+def q_sample_per_stratum(spark, sf_dir):
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
