@@ -1387,3 +1387,59 @@ def q_approx_hll_custkey(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("approx_customers"))
     )
+
+
+@register(
+    "json_variant_typed",
+    "SELECT event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k, "
+    "CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS max_k "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    doc=(
+        "Semi-structured VARIANT path (Spark 4): parse_json ONCE into the "
+        "binary variant encoding, then typed variant_get extractions — at "
+        "scale this beats per-path get_json_object re-parsing (one parse "
+        "feeds N extractions) and is the open-table-format answer to the "
+        "reference's JSON attribute columns."
+    ),
+)
+def q_json_variant_typed(spark, sf_dir):
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "array_filter_exists",
+    "SELECT doc_id, "
+    "CAST(len(list_filter(string_split(trim(text), ' '), x -> len(x) > 8)) AS INT) AS n_long, "
+    "len(list_filter(string_split(trim(text), ' '), x -> regexp_matches(x, '[0-9]'))) > 0 AS has_num "
+    "FROM documents ORDER BY doc_id LIMIT 200",
+    doc=(
+        "Array higher-order predicates: filter(lambda) + exists(lambda) "
+        "over the token array — single projection, no explode/re-group "
+        "round trip (the naive relational form shuffles |tokens| rows)."
+    ),
+)
+def q_array_filter_exists(spark, sf_dir):
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: F.length(x) > 8)).alias("n_long"),
+            F.exists(toks, lambda x: x.rlike("[0-9]")).alias("has_num"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

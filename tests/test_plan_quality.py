@@ -146,3 +146,47 @@ def test_window_range_frame_single_window_node(spark):
     plan = plan_of(spark, "window_range_frame")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert "Join" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides bucketed by the join key with equal bucket counts ->
+    the equi-join plans with ZERO Exchange nodes (the co-located
+    fact-to-fact join layout for 100 TB; broadcast disabled to prove it)."""
+    from demo_otel_parquet_antalya_spark.sources.bucketing import (
+        bucketed_join_ready,
+        write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buck LOCATION '{tmp_path}/buck'")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        cust = spark.read.parquet(f"{SF}/customer.parquet")
+        write_bucketed(orders, "buck.orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
+        write_bucketed(cust, "buck.customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"])
+        assert bucketed_join_ready(spark, "buck.orders_b", "buck.customer_b")
+
+        with _no_broadcast(spark):
+            joined = spark.table("buck.orders_b").join(
+                spark.table("buck.customer_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        # sorted buckets: the SMJ's per-side Sort is satisfied by the layout
+        n = joined.count()
+        assert n == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buck CASCADE")
+
+
+@contextlib.contextmanager
+def _no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
