@@ -1,0 +1,86 @@
+"""foreachBatch incremental rollup: the maintained snapshot must equal the
+batch aggregation of all input, and replaying a batch must not double-count."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    incremental_rollup,
+    read_rollup,
+)
+
+SCHEMA = "user_id bigint, ts timestamp, event_type string"
+
+
+def _write(path, fname, rows):
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    with open(f"{path}/{fname}", "w") as f:
+        for uid, off, etype in rows:
+            f.write(
+                json.dumps({"user_id": uid, "ts": str(base + pd.Timedelta(seconds=off)), "event_type": etype}) + "\n"
+            )
+
+
+def test_rollup_matches_batch_agg_across_batches(spark, tmp_path):
+    b1 = [(1, 0, "click"), (2, 10, "click"), (3, 70, "view"), (4, 80, "click")]
+    b2 = [(5, 15, "click"), (6, 90, "view"), (7, 130, "view")]
+    src = str(tmp_path / "events")
+    _write(src, "b1.json", b1)
+    _write(src, "b2.json", b2)
+    target = str(tmp_path / "rollup")
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    q = incremental_rollup(stream, target, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (str(r.bucket), r.event_type, r.n) for r in read_rollup(spark, target).collect()
+    }
+    want = {
+        (str(r.bucket), r.event_type, r.n)
+        for r in spark.read.schema(SCHEMA)
+        .json(src)
+        .groupBy(F.window("ts", "1 minute").getField("start").alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_rollup_replay_is_idempotent(spark, tmp_path):
+    rows = [(1, 0, "click"), (2, 10, "view")]
+    src = str(tmp_path / "events")
+    _write(src, "b1.json", rows)
+    target = str(tmp_path / "rollup")
+
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = incremental_rollup(stream, target, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    first = {(str(r.bucket), r.event_type, r.n) for r in read_rollup(spark, target).collect()}
+
+    # simulate a crash-replay of the SAME micro-batch: same batch_id, same
+    # data -> the version dir is overwritten, counts unchanged
+    from demo_otel_parquet_antalya_spark.streaming import rollup as R
+
+    batch_df = spark.read.schema(SCHEMA).json(src)
+    vs = R._versions(spark, target)
+    inc = (
+        batch_df.groupBy(F.window("ts", "1 minute").getField("start").alias("bucket"),
+                         F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    prior_vs = [v for v in vs if v < vs[-1]]
+    assert not prior_vs  # single batch ran
+    inc.select("bucket", "event_type", F.col("n").cast("long")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{target}/v={vs[-1]}")
+
+    replayed = {(str(r.bucket), r.event_type, r.n) for r in read_rollup(spark, target).collect()}
+    assert replayed == first
