@@ -1443,3 +1443,91 @@ def q_array_filter_exists(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@register(
+    "histogram_totalprice",
+    "WITH b AS (SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS INT), 9) AS bin "
+    "FROM orders, (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders) "
+    ") SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin ORDER BY bin",
+    doc=(
+        "Equi-width histogram (10 bins over the observed range): two-pass — "
+        "a min/max aggregate broadcast as a scalar subquery, then one "
+        "scan binning every row. The dashboard distribution shape; at scale "
+        "the first pass is a cheap column-statistics read."
+    ),
+)
+def q_histogram_totalprice(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10.0)).cast("int"),
+                F.lit(9),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("bin")
+    )
+
+
+@register(
+    "profile_columns",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey, "
+    "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status, "
+    "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_priority, "
+    "ROUND(MIN(o_totalprice), 2) AS min_price, ROUND(MAX(o_totalprice), 2) AS max_price, "
+    "ROUND(AVG(length(o_orderstatus)), 4) AS avg_status_len "
+    "FROM orders",
+    doc=(
+        "One-pass data-quality profile (null counts, distinct counts, "
+        "ranges, string-length stats) — the pre-training corpus audit "
+        "shape. Single scan, all aggregates partial-agg combinable except "
+        "the exact distincts (Expand-based; swap for approx_count_distinct "
+        "at 100 TB)."
+    ),
+)
+def q_profile_columns(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).cast("long").alias("null_custkey"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.countDistinct("o_orderpriority").alias("nd_priority"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg(F.length("o_orderstatus")), 4).alias("avg_status_len"),
+    )
+
+
+@register(
+    "explode_outer_keep_empty",
+    "WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents), "
+    "pairs AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN NULL ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS s "
+    "  FROM words LEFT JOIN LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) t ON TRUE "
+    "  WHERE len(w) >= 3 OR i = 1) "
+    "SELECT doc_id, CAST(COUNT(s) AS BIGINT) AS n_shingles FROM pairs "
+    "GROUP BY doc_id ORDER BY doc_id LIMIT 200",
+    doc=(
+        "explode_outer: degenerate rows (docs too short to shingle) survive "
+        "the explode as NULL instead of vanishing — the auditability "
+        "guarantee that per-doc accounting never loses rows."
+    ),
+)
+def q_explode_outer_keep_empty(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.functions.text import word_shingles
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode_outer(word_shingles(F.col("text"), 3)).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.count("s").cast("long").alias("n_shingles"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
