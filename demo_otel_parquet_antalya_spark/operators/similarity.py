@@ -313,6 +313,45 @@ def lsh_topk(
     )
 
 
+def _ivf_centroids(
+    vectors: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic stratified centroid subset (every len/n-th vector by
+    id rank — a real deployment would k-means; the index contract is
+    identical): (cid, cv, ncv)."""
+    w_rank = W.orderBy("vec_id")
+    ids = vectors.select(F.col(id_col).alias("vec_id")).withColumn("rn", F.row_number().over(w_rank))
+    total = vectors.count()
+    stride = max(total // n_centroids, 1)
+    centroid_ids = ids.filter((F.col("rn") - 1) % stride == 0).limit(n_centroids).select("vec_id")
+    return (
+        vectors.join(centroid_ids, on=vectors[id_col] == centroid_ids.vec_id, how="left_semi")
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("ncv", _norm(F.col("cv")))
+    )
+
+
+def _ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """One-pass argmin-centroid assignment (broadcast centroids; per-side
+    norms precomputed so each (vector, centroid) pair is one dot):
+    (nid, v, nv, cid)."""
+    assign_w = W.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        ensure_parallelism(vectors)
+        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nv"))
+        .join(F.broadcast(centroids))
+        .select(
+            "nid", "v", "nv", "cid",
+            F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 9).alias("csim"),
+        )
+        .withColumn("r", F.row_number().over(assign_w))
+        .filter(F.col("r") == 1)
+        .select("nid", "v", "nv", "cid")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -326,36 +365,12 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style approximate top-k.
 
-    Centroids: deterministic stratified subset of the vectors (every
-    len/n-th by id — a real deployment would k-means; the index contract is
-    identical). Vectors get assigned to their nearest centroid once; queries
-    probe the ``nprobe`` nearest centroid cells and re-rank exactly.
+    Vectors get assigned to their nearest centroid once; queries probe the
+    ``nprobe`` nearest centroid cells and re-rank exactly. See
+    ``write_ivf_index`` for the materialized, partition-pruned form.
     """
-    w_rank = W.orderBy("vec_id")
-    ids = vectors.select(F.col(id_col).alias("vec_id")).withColumn("rn", F.row_number().over(w_rank))
-    total = vectors.count()
-    stride = max(total // n_centroids, 1)
-    centroid_ids = ids.filter((F.col("rn") - 1) % stride == 0).limit(n_centroids).select("vec_id")
-    centroids = (
-        vectors.join(centroid_ids, on=vectors[id_col] == centroid_ids.vec_id, how="left_semi")
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    )
-    centroids = centroids.withColumn("ncv", _norm(F.col("cv")))
-    # one-pass assignment: argmin centroid per vector (broadcast centroids);
-    # per-side norms precomputed so each (vector, centroid) pair is one dot
-    assign_w = W.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid"))
-    assigned = (
-        ensure_parallelism(vectors)
-        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nv"))
-        .join(F.broadcast(centroids))
-        .select(
-            "nid", "v", "nv", "cid",
-            F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 9).alias("csim"),
-        )
-        .withColumn("r", F.row_number().over(assign_w))
-        .filter(F.col("r") == 1)
-        .select("nid", "v", "nv", "cid")
-    )
+    centroids = _ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    assigned = _ivf_assign(vectors, centroids, id_col, vec_col)
     # queries probe nprobe nearest centroids
     probe_w = W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
     probes = (
@@ -375,6 +390,78 @@ def ivf_topk(
     )
     scored = (
         probes.join(assigned, "cid")
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: assignments land as parquet PARTITIONED BY
+    the centroid cell, centroids beside them.
+
+    This is the 100 TB deployment shape the in-memory ``ivf_topk`` plan
+    stands for: because cid is a partition column, a probe of ``nprobe``
+    cells is a partition-PRUNED scan — the query touches nprobe/n_centroids
+    of the index bytes and never shuffles the index (asserted in
+    tests/test_northstar_ops.py). Rebuild is one linear pass; cells append
+    independently, so incremental adds write only their own partitions.
+    """
+    centroids = _ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    assigned = _ivf_assign(vectors, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Query a materialized IVF index: probe cells resolve DRIVER-side from
+    the (tiny, broadcastable) centroid table, so the cell scan carries an
+    ``isin`` filter on the partition column — partition pruning does the
+    index lookup."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    probe_w = W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+            _norm(F.col(query_vec_col)).alias("nq"),
+        )
+        .join(F.broadcast(centroids))
+        .select(
+            "query_id", "qv", "nq", "cid",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("ncv")), 9).alias("csim"),
+        )
+        .withColumn("r", F.row_number().over(probe_w))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "qv", "nq", "cid")
+    )
+    cells = sorted({r.cid for r in probes.select("cid").distinct().collect()})
+    index = spark.read.parquet(f"{path}/cells").filter(F.col("cid").isin(cells))
+    scored = (
+        F.broadcast(probes).join(index, "cid")
         .filter(F.col("nid") != F.col("query_id"))
         .select(
             "query_id",

@@ -1531,3 +1531,36 @@ def q_explode_outer_keep_empty(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@register(
+    "map_filter_hot_priorities",
+    "SELECT o_orderstatus, o_orderpriority FROM orders "
+    "GROUP BY o_orderstatus, o_orderpriority HAVING COUNT(*) >= 100 "
+    "ORDER BY o_orderstatus, o_orderpriority",
+    doc=(
+        "Map higher-order functions: counts collect into map<priority,n> "
+        "per status, map_filter keeps hot entries, map_keys explodes back "
+        "to rows — the attribute-map pruning shape used on OTLP attr "
+        "columns (drop rare keys before promotion)."
+    ),
+)
+def q_map_filter_hot_priorities(spark, sf_dir):
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    mapped = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "n")))
+        ).alias("m")
+    )
+    hot = F.map_filter(F.col("m"), lambda k, v: v >= 100)
+    return (
+        mapped.select(
+            "o_orderstatus",
+            F.explode(F.sort_array(F.map_keys(hot))).alias("o_orderpriority"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

@@ -188,3 +188,25 @@ def test_connected_components_chain_and_triangle(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20)}
     assert got == want
+
+
+def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, emb, tmp_path):
+    """The materialized IVF index must (a) return the same results as the
+    in-memory ivf_topk at the same parameters, and (b) plan the cell scan
+    with partition filters on cid — the pruned-index read."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_centroids=16)
+    q = _queries(emb)
+    indexed = similarity.ivf_topk_indexed(spark, path, q, k=5, nprobe=4)
+    inmem = similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+    assert _topk_sets(indexed) == _topk_sets(inmem)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cid" in l for l in pf_lines), plan
