@@ -538,3 +538,34 @@ def q_sample_per_stratum(spark, sf_dir):
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "group_zscore_pandas",
+    "SELECT doc_id, ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang)) "
+    "/ stddev_samp(n_chars) OVER (PARTITION BY lang), 6) AS z "
+    "FROM documents ORDER BY doc_id LIMIT 300",
+    doc=(
+        "Per-group feature normalization (z-score of doc length within its "
+        "language) as a grouped applyInPandas kernel — the whole-group-in-"
+        "memory UDF shape for transforms SQL can't express. This one CAN be "
+        "(window aggregates), which is exactly what makes it oracle-"
+        "checkable; pandas ddof=1 std == stddev_samp."
+    ),
+)
+def q_group_zscore_pandas(spark, sf_dir):
+    def zscore(pdf):
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        out = pdf[["doc_id"]].copy()
+        out["z"] = ((pdf["n_chars"] - mu) / sd).round(6)
+        return out
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(zscore, "doc_id long, z double")
+        .orderBy("doc_id")
+        .limit(300)
+    )

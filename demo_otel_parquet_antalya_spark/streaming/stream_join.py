@@ -55,3 +55,41 @@ def interval_join_streams(
         & (F.col("l_ts") <= F.col("r_ts") + F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
     )
     return l.join(r, cond).drop("rk")
+
+
+def interval_join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay_seconds: int = 300,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """LEFT OUTER variant: every left row eventually emits — matched rows as
+    they join, unmatched rows with NULL right columns once the watermark
+    proves no match can still arrive (left_ts + max_delay < right-side
+    watermark). The audit shape: "every click, with its view if any" —
+    unmatched rows surface instead of silently disappearing, and state for
+    them is reclaimed at the same watermark that released them.
+    """
+    is_streaming = left.isStreaming
+    l = left.select(
+        F.col(key_col).alias("k"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key_col, left_ts)],
+    )
+    r = right.select(
+        F.col(key_col).alias("rk"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key_col, right_ts)],
+    )
+    if is_streaming:
+        l = l.withWatermark("l_ts", watermark_delay)
+        r = r.withWatermark("r_ts", watermark_delay)
+    cond = (
+        (F.col("k") == F.col("rk"))
+        & (F.col("l_ts") >= F.col("r_ts"))
+        & (F.col("l_ts") <= F.col("r_ts") + F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
+    )
+    return l.join(r, cond, "left_outer").drop("rk")

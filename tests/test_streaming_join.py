@@ -61,3 +61,38 @@ def test_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 3  # c1->v1, c2->v2, c2->v1
+
+
+def test_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer: unmatched clicks emit with NULL view columns once the
+    watermark passes their join window. A second batch carries far-future
+    events that push the watermark beyond every batch-1 window."""
+    views = [(1, 0, "v1")]
+    clicks_b1 = [(1, 50, "c1"), (2, 60, "c2")]        # c1 matches, c2 never can
+    pushers_b2 = [(9, 100000, "c9"), (8, 100000, "v8")]  # advance both watermarks
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    _write(vsrc, "v1.json", views)
+    _write(csrc, "c1.json", clicks_b1)
+    _write(vsrc, "v2.json", [pushers_b2[1]])
+    _write(csrc, "c2.json", [pushers_b2[0]])
+
+    from demo_otel_parquet_antalya_spark.streaming.stream_join import (
+        interval_join_streams_outer,
+    )
+
+    vstream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(vsrc)
+    cstream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(csrc)
+    q = (
+        interval_join_streams_outer(cstream, vstream, max_delay_seconds=300)
+        .writeStream.format("memory")
+        .queryName("sjo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("sjo").collect()
+    matched = {(r.k, r.l_action, r.r_action) for r in rows if r.r_action is not None}
+    unmatched = {(r.k, r.l_action) for r in rows if r.r_action is None}
+    assert (1, "c1", "v1") in matched
+    assert (2, "c2") in unmatched  # surfaced with NULLs, not dropped
