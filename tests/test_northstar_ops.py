@@ -210,3 +210,46 @@ def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, emb, tmp_path):
     plan = buf.getvalue()
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cid" in l for l in pf_lines), plan
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized cross-check: distributed label propagation must agree with
+    a pure-python union-find on arbitrary edge sets (bounded size — each
+    example runs real Spark jobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edges_strategy = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(edges_strategy)
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+        assert got == want
+
+    check()
