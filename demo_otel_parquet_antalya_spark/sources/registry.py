@@ -71,17 +71,27 @@ class LogTableRegistry:
         os.replace(tmp, self.state_path)
         return new
 
-    def table(self) -> DataFrame:
-        """DataFrame over exactly the registered snapshot of files."""
+    def table(self, merge_schema: bool = False) -> DataFrame:
+        """DataFrame over exactly the registered snapshot of files.
+
+        ``merge_schema=True`` unions schemas across files (parquet
+        ``mergeSchema``), so attribute drift — a newly promoted OTLP attr
+        column appearing in later files — reads as NULL for older files
+        instead of failing or vanishing. Off by default because the footer
+        union is a per-file metadata pass; schema-stable readers skip it.
+        """
         files = sorted(self.registered())
         if not files:
             raise ValueError(f"no files registered yet under {self.root}; run sync()")
-        return self.spark.read.option("basePath", self.root).parquet(*files)
+        reader = self.spark.read.option("basePath", self.root)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
-    def register_view(self, name: str = "otel_logs") -> DataFrame:
+    def register_view(self, name: str = "otel_logs", merge_schema: bool = False) -> DataFrame:
         """Mount the registered snapshot as a queryable view — the analogue of
         the reference's ClickHouse `ice` database mount (docker-compose.yaml:150-159)."""
-        df = self.table()
+        df = self.table(merge_schema=merge_schema)
         df.createOrReplaceTempView(name)
         return df
 

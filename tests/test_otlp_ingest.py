@@ -236,3 +236,25 @@ def test_compaction_preserves_rows_and_layout(spark, tmp_path):
     assert files_after < files_before
     # identical content, partition columns included
     assert sorted(map(tuple, before.collect())) == sorted(map(tuple, after.collect()))
+
+
+def test_schema_drift_merges_with_nulls(spark, tmp_path):
+    """A column appearing only in later files (promoted OTLP attr) must read
+    as NULL for earlier files under merge_schema — rows never drop, queries
+    never fail on drift."""
+    from demo_otel_parquet_antalya_spark.sources.registry import LogTableRegistry
+
+    root = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(1, "a")], "event_id long, body string"
+    ).write.parquet(f"{root}/day=1")
+    spark.createDataFrame(
+        [(2, "b", "checkout")], "event_id long, body string, service string"
+    ).write.parquet(f"{root}/day=2")
+
+    reg = LogTableRegistry(spark, root, state_path=str(tmp_path / "state.txt"))
+    reg.sync()
+    merged = reg.table(merge_schema=True)
+    assert set(merged.columns) >= {"event_id", "body", "service"}
+    rows = {r.event_id: r.service for r in merged.collect()}
+    assert rows[1] is None and rows[2] == "checkout"
