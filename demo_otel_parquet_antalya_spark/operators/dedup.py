@@ -278,7 +278,14 @@ def minhash_dedup_pairs(
         .unionAll(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = shingle_sets(df, id_col, text_col, n).join(F.broadcast(cand_ids), "id", "left_semi").cache()
+    # prune DOCS to candidates BEFORE shingling: the semi-join key exists
+    # pre-explode, but Catalyst won't push a join below the generate +
+    # distinct, so joining after shingle_sets explodes and dedups the WHOLE
+    # corpus (~200 shingle rows/doc) just to discard non-candidates
+    cand_docs = df.join(
+        F.broadcast(cand_ids.select(F.col("id").alias(id_col))), id_col, "left_semi"
+    )
+    sh = shingle_sets(cand_docs, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
