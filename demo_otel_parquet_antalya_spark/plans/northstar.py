@@ -569,3 +569,57 @@ def q_group_zscore_pandas(spark, sf_dir):
         .orderBy("doc_id")
         .limit(300)
     )
+
+
+_SHINGLES_FILTERED_SQL = _SHINGLES_SQL.replace(
+    "FROM documents", "FROM fdocs"
+)
+
+
+@register(
+    "pipeline_training_prep",
+    "WITH RECURSIVE "
+    f"fdocs AS (SELECT * FROM documents WHERE {_QUALITY_SQL} >= 0.5), "
+    + _SHINGLES_FILTERED_SQL.strip()
+    + ", pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.9), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "          UNION SELECT id_b, id_a FROM pairs), "
+    "reach(src, dst) AS ("
+    "  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n "
+    "  UNION "
+    "  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), "
+    "comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src), "
+    "kept AS (SELECT f.doc_id, f.lang, f.text FROM fdocs f LEFT JOIN comp c USING (doc_id) "
+    "         WHERE c.cluster_id IS NULL OR c.cluster_id = f.doc_id) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+    "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens "
+    "FROM kept GROUP BY lang ORDER BY lang",
+    doc=(
+        "END-TO-END training-data prep, one declarative plan: quality-gate "
+        "the corpus (C4-style score >= 0.5), near-dup it (MinHash+LSH, "
+        "exact-verified), collapse pairs to clusters (connected components), "
+        "keep each cluster's canonical min-id doc, report per-language "
+        "kept-doc and token budgets. Every stage is the registry operator "
+        "already proven in isolation; the oracle recomputes the WHOLE chain "
+        "in SQL (recursive-CTE closure included)."
+    ),
+)
+def q_pipeline_training_prep(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fdocs = docs.filter(tx.quality_score("text") >= 0.5)
+    pairs = dedup.minhash_dedup_pairs(fdocs, threshold=0.9)
+    comp = dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    kept = (
+        fdocs.join(comp, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum(tx.token_count("text")).cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
