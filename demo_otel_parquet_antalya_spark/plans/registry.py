@@ -1564,3 +1564,30 @@ def q_map_filter_hot_priorities(spark, sf_dir):
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+@register(
+    "scalar_try_functions",
+    "SELECT o_orderkey, "
+    "CASE WHEN (o_custkey % 7) = 0 THEN NULL ELSE ROUND(o_totalprice / (o_custkey % 7), 4) END AS per_unit, "
+    "TRY_CAST(o_orderpriority AS INTEGER) AS pri_num "
+    "FROM orders WHERE o_custkey < 200 ORDER BY o_orderkey LIMIT 300",
+    doc=(
+        "ANSI-safe scalar surface: try_divide yields NULL on zero divisors "
+        "and try_cast NULL on malformed strings — a malformed row degrades "
+        "to NULL instead of failing a 100 TB job ('1-URGENT' never parses "
+        "as int; both engines agree)."
+    ),
+)
+def q_scalar_try_functions(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            F.round(F.try_divide("o_totalprice", F.col("o_custkey") % 7), 4).alias("per_unit"),
+            F.try_to_number("o_orderpriority", F.lit("999")).cast("int").alias("pri_num"),
+        )
+        .orderBy("o_orderkey")
+        .limit(300)
+    )

@@ -253,3 +253,14 @@ def test_connected_components_random_graphs_match_union_find(spark):
         assert got == want
 
     check()
+
+
+def test_multimodal_arrow_kernel_matches_pandas(spark, docs):
+    """mapInArrow and mapInPandas feature kernels must produce identical
+    rows (same checksums, byte counts, histograms)."""
+    media = multimodal.documents_as_media(docs)
+    pd_rows = {r.media_id: (r.n_bytes, r.checksum, tuple(r.feature))
+               for r in multimodal.extract_features(media).collect()}
+    ar_rows = {r.media_id: (r.n_bytes, r.checksum, tuple(r.feature))
+               for r in multimodal.extract_features_arrow(media).collect()}
+    assert pd_rows == ar_rows
