@@ -1591,3 +1591,41 @@ def q_scalar_try_functions(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(300)
     )
+
+
+@register(
+    "array_agg_sorted",
+    "SELECT o_orderstatus, "
+    "array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc=(
+        "collect_set + sort_array: grouped array aggregation with a "
+        "deterministic join-to-string (set order is engine-specific, so the "
+        "canonical form sorts before comparing)."
+    ),
+)
+def q_array_agg_sorted(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "set_intersect_all_keys",
+    "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier "
+    "ORDER BY k LIMIT 200",
+    doc=(
+        "Bag-semantics INTERSECT ALL (duplicates preserved up to the "
+        "smaller multiplicity) — completes the set-op family next to "
+        "UNION/INTERSECT/EXCEPT."
+    ),
+)
+def q_set_intersect_all_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s).orderBy("k").limit(200)
