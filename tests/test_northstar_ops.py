@@ -264,3 +264,22 @@ def test_multimodal_arrow_kernel_matches_pandas(spark, docs):
     ar_rows = {r.media_id: (r.n_bytes, r.checksum, tuple(r.feature))
                for r in multimodal.extract_features_arrow(media).collect()}
     assert pd_rows == ar_rows
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Degenerate inputs must yield empty results, not errors — a 100 TB
+    job's per-partition slices routinely include empty key groups."""
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)])], "query_id long, query_vec array<float>"
+    )
+
+    assert dedup.ngram_jaccard_pairs(empty_docs).count() == 0
+    assert dedup.minhash_dedup_pairs(empty_docs).count() == 0
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.connected_components(empty_pairs).count() == 0
+    assert similarity.cosine_topk(empty_vecs, q).count() == 0
+    assert similarity.cosine_topk_pandas(empty_vecs, q).count() == 0
+    assert similarity.lsh_topk(empty_vecs, q).count() == 0
