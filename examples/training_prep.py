@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Training-data preparation walkthrough: the north-star operator chain
+on the synthetic documents/embeddings tables, stage by stage.
+
+    python examples/training_prep.py [sf_dir]      # default sf0.001
+
+1. profile the corpus (one-pass nulls/ranges audit)
+2. quality-gate it (C4-style deterministic score)
+3. find near-duplicates (MinHash+LSH, exact-verified)
+4. collapse pairs to clusters and keep each cluster's canonical doc
+5. draw a deterministic per-language sample (md5 order, no RNG state)
+6. build + query a partition-pruned IVF ANN index over the embeddings
+
+The same chain runs as ONE registered query (``pipeline_training_prep``)
+hash-checked against a full-SQL DuckDB oracle — this script is the
+narrated version.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.functions import text as tx
+from demo_otel_parquet_antalya_spark.operators import dedup, similarity
+from demo_otel_parquet_antalya_spark.plans.tables import load_table
+from demo_otel_parquet_antalya_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="training-prep-example")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    print("== 1. profile ==")
+    docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg(tx.token_count("text")), 1).alias("avg_tokens"),
+    ).show()
+
+    print("== 2. quality gate ==")
+    fdocs = docs.filter(tx.quality_score("text") >= 0.5)
+    print(f"kept {fdocs.count()} / {docs.count()} docs past the gate")
+
+    print("== 3. near-duplicate pairs (MinHash+LSH, exact-verified) ==")
+    pairs = dedup.minhash_dedup_pairs(fdocs, threshold=0.9)
+    pairs.show(5)
+
+    print("== 4. clusters -> canonical keep ==")
+    comp = dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    kept = fdocs.join(comp, "doc_id", "left").filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    print(f"{kept.count()} docs after dropping non-canonical near-dups")
+
+    print("== 5. deterministic per-language sample ==")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
+    sample = (
+        kept.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    sample.orderBy("lang", "doc_id").show(12)
+
+    print("== 6. IVF ANN index: build partitioned by cell, probe with pruning ==")
+    with tempfile.TemporaryDirectory() as tmp:
+        similarity.write_ivf_index(emb, f"{tmp}/ivf", n_centroids=16)
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        similarity.ivf_topk_indexed(spark, f"{tmp}/ivf", queries, k=3, nprobe=4).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
