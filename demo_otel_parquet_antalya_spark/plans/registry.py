@@ -1629,3 +1629,25 @@ def q_set_intersect_all_keys(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.intersectAll(s).orderBy("k").limit(200)
+
+
+@register(
+    "tz_local_hour_counts",
+    "SELECT CAST(EXTRACT(HOUR FROM ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS INT) AS local_hour, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events GROUP BY local_hour ORDER BY local_hour",
+    doc=(
+        "Timezone-aware bucketing: UTC event times re-expressed in a "
+        "dashboard-local zone (DST-correct via the IANA tz database on "
+        "both engines) — the 'traffic by local hour' panel shape."
+    ),
+)
+def q_tz_local_hour_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.hour(F.from_utc_timestamp("ts", "America/New_York")).alias("local_hour")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("local_hour")
+    )
