@@ -1104,11 +1104,12 @@ def q_join_salted_revenue(spark, sf_dir):
     "last_value(o_totalprice) OVER "
     "  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
     "   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price, "
-    "ROUND(AVG(o_totalprice) OVER "
-    "  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-    "   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg3 "
+    "FLOOR((2 * SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w3 "
+    "       + COUNT(*) OVER w3) / (2.0 * COUNT(*) OVER w3)) / 100.0 AS avg3 "
     "FROM orders WHERE o_custkey < 100 "
-    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), "
+    "w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
     "ORDER BY o_custkey, o_orderkey LIMIT 300",
     doc=(
         "Explicit window frames: default growing frame (first_value), "
@@ -1121,6 +1122,15 @@ def q_window_frames(spark, sf_dir):
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wall = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     wslide = w.rowsBetween(-2, 0)
+    # sliding mean in exact integer CENTS with integer half-up rounding
+    # (floor((2S+n)/2n)): averaging raw doubles leaves the pre-ROUND value
+    # 1 ulp apart between engines at half-way points, and even ROUND(double)
+    # itself is not decimal-exact in every engine (caught at sf0.1) — all-
+    # integer arithmetic up to one final /100.0 is bit-deterministic
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = F.sum(cents).over(wslide)
+    n = F.count(F.lit(1)).over(wslide)
+    avg_cents = F.floor((2 * s + n) / (2.0 * n))
     return (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") < 100)
@@ -1129,7 +1139,7 @@ def q_window_frames(spark, sf_dir):
             "o_orderkey",
             F.first("o_totalprice").over(w).alias("first_price"),
             F.last("o_totalprice").over(wall).alias("last_price"),
-            F.round(F.avg("o_totalprice").over(wslide), 2).alias("avg3"),
+            (avg_cents / 100.0).alias("avg3"),
         )
         .orderBy("o_custkey", "o_orderkey")
         .limit(300)
