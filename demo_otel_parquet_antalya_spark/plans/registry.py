@@ -1661,3 +1661,35 @@ def q_tz_local_hour_counts(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("local_hour")
     )
+
+
+@register(
+    "join_bloom_prefiltered",
+    "SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_custkey % 5 = 0 "
+    "GROUP BY nk ORDER BY nk",
+    doc=(
+        "Equi-join preceded by a bloom pre-filter built from the selective "
+        "side's keys: bloom-certain non-matches die at the fact scan before "
+        "the shuffle (the runtime-row-filter pattern for dimension key sets "
+        "too large to broadcast as rows). False positives are removed by "
+        "the real join, so the result — and the oracle — is the plain join."
+    ),
+)
+def q_join_bloom_prefiltered(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import bloom
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    pre = bloom.bloom_prefilter(orders, cust, "o_custkey", "c_custkey")
+    return (
+        pre.join(cust, pre.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("nk")
+    )
