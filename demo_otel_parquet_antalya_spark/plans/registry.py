@@ -1693,3 +1693,25 @@ def q_join_bloom_prefiltered(spark, sf_dir):
         )
         .orderBy("nk")
     )
+
+
+@register(
+    "approx_top_events",
+    "SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "GROUP BY event_type ORDER BY n DESC, item LIMIT 4",
+    doc=(
+        "approx_top_k sketch (single-pass, mergeable, fixed memory) for "
+        "batch heavy hitters — the offline twin of the streaming count-min "
+        "tracker. With distinct cardinality far below sketch capacity the "
+        "estimate is EXACT, so the oracle is the plain GROUP BY top-k; at "
+        "100 TB cardinalities it degrades gracefully to approximate."
+    ),
+)
+def q_approx_top_events(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .agg(F.expr("approx_top_k(event_type, 4)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "item")
+    )
