@@ -1715,3 +1715,60 @@ def q_approx_top_events(spark, sf_dir):
         .select(F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), "item")
     )
+
+
+@register(
+    "fuzzy_match_types",
+    "WITH t AS (SELECT DISTINCT p_type FROM part) "
+    "SELECT a.p_type AS type_a, b.p_type AS type_b, "
+    "CAST(levenshtein(a.p_type, b.p_type) AS INT) AS dist "
+    "FROM t a JOIN t b ON a.p_type < b.p_type "
+    "WHERE levenshtein(a.p_type, b.p_type) <= 6 "
+    "ORDER BY type_a, type_b LIMIT 300",
+    doc=(
+        "Fuzzy string matching (edit distance) over a DISTINCT-reduced "
+        "domain: dedupe the attribute values first (150 types, broadcast-"
+        "sized), then all-pairs levenshtein on the tiny set — the catalog-"
+        "harmonization shape (near-identical labels), never run on raw rows."
+    ),
+)
+def q_fuzzy_match_types(spark, sf_dir):
+    t = _t(spark, sf_dir, "part").select("p_type").distinct()
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.p_type"), F.col("b.p_type"))
+    return (
+        a.join(F.broadcast(b), F.col("a.p_type") < F.col("b.p_type"))
+        .filter(dist <= 6)
+        .select(
+            F.col("a.p_type").alias("type_a"),
+            F.col("b.p_type").alias("type_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("type_a", "type_b")
+        .limit(300)
+    )
+
+
+@register(
+    "latest_event_per_user",
+    "WITH r AS (SELECT user_id, event_id, ts, event_type, "
+    "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "  FROM events) "
+    "SELECT CAST(user_id AS BIGINT) AS user_id, event_id, ts, event_type "
+    "FROM r WHERE rn = 1 ORDER BY user_id LIMIT 300",
+    doc=(
+        "Latest-record-per-key materialization (the CDC/SCD 'current "
+        "state' view): one window pass, shuffle on the key only — the "
+        "standard compaction of an append-only event log into a snapshot."
+    ),
+)
+def q_latest_event_per_user(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").cast("long"), "event_id", "ts", "event_type")
+        .orderBy("user_id")
+        .limit(300)
+    )
