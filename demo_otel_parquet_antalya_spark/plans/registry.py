@@ -1772,3 +1772,248 @@ def q_latest_event_per_user(spark, sf_dir):
         .orderBy("user_id")
         .limit(300)
     )
+
+
+# ===========================================================================
+# Training-data prep, part 2: split / pack / contamination / scrub / vocab
+# (north-star extensions; corpus-management shapes every large training
+# pipeline needs beyond dedup+quality, which are covered above)
+# ===========================================================================
+
+
+@register(
+    "split_train_val_test",
+    "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM ("
+    "  SELECT n_chars, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' "
+    "         ELSE 'test' END AS split FROM ("
+    "    SELECT n_chars, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b"
+    "    FROM documents)) "
+    "GROUP BY split ORDER BY split",
+    doc=(
+        "Deterministic train/val/test split: bucket = md5(key) mod 100, so "
+        "membership is a pure function of the key — stable across runs, "
+        "cluster sizes, and partitionings (no rand(), no seed coordination "
+        "across 1000 executors). The md5 prefix is engine-portable, which is "
+        "what lets DuckDB verify the exact same assignment."
+    ),
+)
+def q_split_train_val_test(spark, sf_dir):
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "pack_sequences_contiguous",
+    "SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens FROM ("
+    "  SELECT CAST(FLOOR(COALESCE(SUM(n_tokens) OVER ("
+    "           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "         / 512.0) AS BIGINT) AS seq_id, n_tokens FROM ("
+    "    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+    "    FROM documents)) "
+    "GROUP BY seq_id ORDER BY seq_id",
+    doc=(
+        "Sequence packing: assign docs (in stable doc_id order) to fixed "
+        "512-token training sequences by bucketing the running token count — "
+        "one window pass, no driver loop. At 100 TB the single ORDER BY "
+        "window is the textbook case for range-partitioned windows: "
+        "repartitionByRange(doc_id) + per-range cumsum + broadcast range "
+        "offsets; here the dataset-per-shard form is what ships."
+    ),
+)
+def q_pack_sequences_contiguous(spark, sf_dir):
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    seq = F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 512.0)
+    return (
+        toks.select(seq.cast("long").alias("seq_id"), "n_tokens")
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+@register(
+    "quality_repetition_filter",
+    "SELECT doc_id, CAST(total_tokens AS BIGINT) AS total_tokens, "
+    "CAST(top_token_count AS BIGINT) AS top_token_count FROM ("
+    "  SELECT doc_id, SUM(n) AS total_tokens, MAX(n) AS top_token_count FROM ("
+    "    SELECT doc_id, COUNT(*) AS n FROM ("
+    "      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+    "    GROUP BY doc_id, tok) "
+    "  GROUP BY doc_id) "
+    "WHERE 10 * top_token_count >= total_tokens ORDER BY doc_id",
+    doc=(
+        "Gopher-style repetition quality gate: flag docs whose single most "
+        "frequent token is >=10% of the doc. Integer-only comparison "
+        "(10*top >= total) so the oracle hash never hits float rounding. "
+        "One explode + two-level partial agg; the explode is row-bounded by "
+        "token count, never materialized wider than the shuffle batch."
+    ),
+)
+def q_quality_repetition_filter(spark, sf_dir):
+    per_tok = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.max("n").cast("long").alias("top_token_count"),
+    )
+    return (
+        per_doc.filter(10 * F.col("top_token_count") >= F.col("total_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "contamination_ngram_check",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram "
+    "      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r), "
+    "corpus AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 20 != 0), "
+    "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0) "
+    "SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams "
+    "FROM corpus c JOIN bench b USING (gram) "
+    "GROUP BY c.doc_id ORDER BY c.doc_id",
+    doc=(
+        "Benchmark-contamination check: count word n-grams each corpus doc "
+        "shares with a held-out benchmark set (here every-20th doc; n=3 to "
+        "match the synthetic vocab density — production uses n=8..13). "
+        "Benchmark gram set is DISTINCT-reduced then broadcast, so the scan "
+        "over 100 TB of corpus grams never shuffles: map-side hash probe "
+        "plus a key-only groupBy on doc_id."
+    ),
+)
+def q_contamination_ngram_check(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 3,
+                F.expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    corpus = grams.filter(F.col("doc_id") % 20 != 0).distinct()
+    bench = grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "scrub_denylist_tokens",
+    "WITH h AS (SELECT doc_id, length(regexp_replace(text, '\\b(customer|order)\\b', "
+    "'[REDACTED]', 'g')) AS len_after FROM documents), "
+    "t AS (SELECT doc_id, COUNT(*) AS hits FROM ("
+    "        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+    "      WHERE tok IN ('customer', 'order') GROUP BY doc_id) "
+    "SELECT CAST(COUNT(t.doc_id) AS BIGINT) AS n_docs_affected, "
+    "CAST(SUM(COALESCE(t.hits, 0)) AS BIGINT) AS total_hits, "
+    "CAST(SUM(h.len_after) AS BIGINT) AS chars_after_redaction "
+    "FROM h LEFT JOIN t ON h.doc_id = t.doc_id",
+    doc=(
+        "Denylist scrubbing (the PII-redaction shape: emails/phones/names -> "
+        "a regexp_replace with word boundaries): rewrite the text column and "
+        "report docs touched / total replacements. regexp_replace runs "
+        "JVM-side inside codegen — no Python in the hot path; the audit "
+        "counts come from a token explode aggregated per doc then joined "
+        "back, all map-side until the final single-row agg."
+    ),
+)
+def q_scrub_denylist_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.length(
+            F.regexp_replace("text", r"\b(customer|order)\b", "[REDACTED]")
+        ).alias("len_after"),
+    )
+    t = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin("customer", "order"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return h.join(t, "doc_id", "left").agg(
+        F.count(t["hits"]).alias("n_docs_affected"),
+        F.sum(F.coalesce(t["hits"], F.lit(0))).cast("long").alias("total_hits"),
+        F.sum("len_after").cast("long").alias("chars_after_redaction"),
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    "SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+    "GROUP BY tok ORDER BY n DESC, tok LIMIT 100",
+    doc=(
+        "Corpus vocabulary build: token frequency table, top-100. The "
+        "explode+groupBy is fully map-side-combinable (partial agg on the "
+        "token key before the shuffle), so shuffle volume is |vocab| per "
+        "partition, not |tokens| — the only shape that survives a 100 TB "
+        "corpus with a multi-million-entry vocab."
+    ),
+)
+def q_vocab_top_tokens(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+    )
+
+
+@register(
+    "corpus_shuffle_deterministic",
+    "SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key "
+    "FROM documents ORDER BY shuffle_key, doc_id LIMIT 200",
+    doc=(
+        "Deterministic global corpus shuffle: order by md5(key) — "
+        "reproducible across runs and engines (vs rand(), which is neither). "
+        "At scale this is repartitionByRange(shuffle_key) + "
+        "sortWithinPartitions at write time: each output shard is a random "
+        "sample of the corpus, which is exactly what sequential training-"
+        "data loaders need."
+    ),
+)
+def q_corpus_shuffle_deterministic(spark, sf_dir):
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(200)
+    )
