@@ -2017,3 +2017,80 @@ def q_corpus_shuffle_deterministic(spark, sf_dir):
         .orderBy("shuffle_key", "doc_id")
         .limit(200)
     )
+
+
+@register(
+    "scd2_user_intervals",
+    "SELECT user_id, event_id, event_type, valid_from, valid_to, is_current FROM ("
+    "  SELECT CAST(user_id AS BIGINT) AS user_id, event_id, event_type, "
+    "         ts AS valid_from, "
+    "         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, "
+    "         CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "              IS NULL THEN 1 ELSE 0 END AS is_current "
+    "  FROM events) "
+    "ORDER BY user_id, valid_from, event_id LIMIT 300",
+    doc=(
+        "SCD Type-2 interval build: turn an append-only event log into "
+        "[valid_from, valid_to) history rows with an is_current flag — the "
+        "other half of the CDC pair with latest_event_per_user. One LEAD "
+        "window per key; shuffle is on user_id only, and the window state "
+        "per key is O(1), so the pass is safe at any log size."
+    ),
+)
+def q_scd2_user_intervals(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+        .limit(300)
+    )
+
+
+@register(
+    "mixture_weighted_sources",
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total, "
+    "CAST(SUM(CASE WHEN b < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM ("
+    "  SELECT source, "
+    "    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b, "
+    "    CASE WHEN source IN ('src0','src1','src2') THEN 80 "
+    "         WHEN source IN ('src3','src4') THEN 50 ELSE 20 END AS w "
+    "  FROM documents) "
+    "GROUP BY source ORDER BY source",
+    doc=(
+        "Training-mix construction: per-source sampling weights (here "
+        "80/50/20%) applied via the same md5-bucket trick as the split — "
+        "each doc's keep/drop decision is a pure function of its key, so "
+        "the mixture is reproducible run-to-run and engine-to-engine with "
+        "no rand() seed coordination. Pure map-side until the per-source "
+        "count agg."
+    ),
+)
+def q_mixture_weighted_sources(spark, sf_dir):
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 80)
+        .when(F.col("source").isin("src3", "src4"), 50)
+        .otherwise(20)
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source", (bucket < weight).cast("int").alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

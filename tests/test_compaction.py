@@ -1,0 +1,74 @@
+"""Small-file compaction: discovery finds only offending partitions, the
+rewrite hits the ideal file count, data survives byte-identical, and
+untouched partitions keep their files."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.sources.compaction import (
+    compact_partitions,
+    plan_compaction,
+)
+
+
+def _files(root: str, part: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(root, part, "*.parquet")))
+
+
+def _build_warehouse(spark, root: str) -> None:
+    # partition k=0: 12 tiny files; k=1: a single file
+    many = (
+        spark.range(0, 600)
+        .withColumn("k", F.lit(0))
+        .withColumn("v", F.col("id") * 2)
+        .repartition(12)
+    )
+    one = (
+        spark.range(1000, 1100)
+        .withColumn("k", F.lit(1))
+        .withColumn("v", F.col("id") * 2)
+        .coalesce(1)
+    )
+    many.write.partitionBy("k").mode("overwrite").parquet(root)
+    one.write.partitionBy("k").mode("append").parquet(root)
+
+
+def test_plan_targets_only_small_file_partitions(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    _build_warehouse(spark, root)
+    assert len(_files(root, "k=0")) == 12
+    assert len(_files(root, "k=1")) == 1
+
+    targets = plan_compaction(spark, root, ["k"], target_rows_per_file=10_000)
+    assert [t.values for t in targets] == [{"k": "0"}]
+    assert targets[0].n_files == 12 and targets[0].n_rows == 600
+    assert targets[0].ideal_files == 1
+
+
+def test_compact_rewrites_and_preserves_rows(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    _build_warehouse(spark, root)
+    before = sorted(spark.read.parquet(root).collect())
+    untouched_before = _files(root, "k=1")
+
+    targets = plan_compaction(spark, root, ["k"], target_rows_per_file=10_000)
+    assert compact_partitions(spark, root, targets) == 1
+
+    assert len(_files(root, "k=0")) == 1
+    assert _files(root, "k=1") == untouched_before  # other partition untouched
+    assert not glob.glob(os.path.join(root, "*", "*.compacting"))
+    after = sorted(spark.read.parquet(root).collect())
+    assert after == before
+
+
+def test_steady_state_is_noop(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    _build_warehouse(spark, root)
+    compact_targets = plan_compaction(spark, root, ["k"], target_rows_per_file=10_000)
+    compact_partitions(spark, root, compact_targets)
+    # second pass: nothing left to do
+    assert plan_compaction(spark, root, ["k"], target_rows_per_file=10_000) == []

@@ -190,3 +190,35 @@ def _no_broadcast(spark):
         yield
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_contamination_bench_side_broadcasts(spark):
+    """The DISTINCT-reduced benchmark gram set must broadcast into the
+    corpus probe — the corpus side (100 TB at scale) never shuffles for
+    the join itself."""
+    plan = plan_of(spark, "contamination_ngram_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_vocab_build_partial_agg_and_topk(spark):
+    """Token counting must map-side combine (shuffle volume = |vocab| per
+    partition, not |tokens|) and the top-100 must be per-partition heaps."""
+    plan = plan_of(spark, "vocab_top_tokens")
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_split_assignment_stays_jvm_side(spark):
+    """md5-bucket split assignment is pure codegen — no Python eval — and
+    the count agg has a partial phase."""
+    plan = plan_of(spark, "split_train_val_test")
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scd2_single_window_pass(spark):
+    """LEAD + is_current must fuse into ONE Window operator (both use the
+    same partition/order spec), not two passes."""
+    plan = plan_of(spark, "scd2_user_intervals")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
