@@ -2094,3 +2094,149 @@ def q_mixture_weighted_sources(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ===========================================================================
+# Observability / product analytics: anomaly detection, funnel, retention
+# ===========================================================================
+
+
+@register(
+    "anomaly_rolling_zscore",
+    "SELECT event_type, h, n, s, c FROM ("
+    "  SELECT event_type, h, n, "
+    "    CAST(COUNT(*) OVER w AS BIGINT) AS c, "
+    "    CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS s, "
+    "    CAST(COALESCE(SUM(n * n) OVER w, 0) AS BIGINT) AS ss "
+    "  FROM ("
+    "    SELECT event_type, date_trunc('hour', ts) AS h, "
+    "           CAST(COUNT(*) AS BIGINT) AS n "
+    "    FROM events GROUP BY event_type, date_trunc('hour', ts)) "
+    "  WINDOW w AS (PARTITION BY event_type ORDER BY h "
+    "               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+    "WHERE c >= 12 AND (c*n - s)*(c*n - s)*(c - 1) > 4*c*(c*ss - s*s) "
+    "ORDER BY event_type, h",
+    doc=(
+        "Rolling z-score anomaly detection on the per-hour event-rate "
+        "series (the observability alerting shape): flag hours where the "
+        "count deviates >2 sigma from the trailing 24h window. The z test "
+        "is algebraically rearranged to PURE INTEGER arithmetic — "
+        "(c*n-s)^2*(c-1) > 4c(c*ss-s^2) — so there is no float in the "
+        "comparison and the oracle hash can never hit a rounding boundary "
+        "(the lesson from the window_frames 1-ulp bug). Raw events collapse "
+        "to the hourly series first, so the window pass runs over "
+        "|types|*|hours| rows regardless of raw volume."
+    ),
+)
+def q_anomaly_rolling_zscore(spark, sf_dir):
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.count("*").over(w).cast("long").alias("c"),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("s"),
+        F.coalesce(F.sum(F.col("n") * F.col("n")).over(w), F.lit(0))
+        .cast("long")
+        .alias("ss"),
+    )
+    c, n, s, ss = F.col("c"), F.col("n"), F.col("s"), F.col("ss")
+    dev = c * n - s
+    return (
+        stats.filter((c >= 12) & (dev * dev * (c - 1) > 4 * c * (c * ss - s * s)))
+        .select("event_type", "h", "n", "s", "c")
+        .orderBy("event_type", "h")
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+    "           WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+    "      JOIN v ON e.user_id = v.user_id "
+    "      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+    "      JOIN c ON e.user_id = c.user_id "
+    "      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id) "
+    "SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view, "
+    "       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view, "
+    "       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click",
+    doc=(
+        "Ordered funnel analysis: users who viewed, then clicked AFTER "
+        "their first view, then purchased AFTER that click — strict event "
+        "ordering, not mere set membership. Each stage is a per-user MIN "
+        "aggregate (shuffle on user_id only) joined broadcast into the next "
+        "stage's filter: the per-user stage frames are |users| rows — tiny "
+        "next to the event log — so the 100 TB scan never re-shuffles."
+    ),
+)
+def q_funnel_view_click_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    "WITH first_seen AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week "
+    "                    FROM events GROUP BY user_id) "
+    "SELECT f.cohort_week, "
+    "  CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7 AS INT) AS week_offset, "
+    "  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active "
+    "FROM events e JOIN first_seen f ON e.user_id = f.user_id "
+    "GROUP BY f.cohort_week, week_offset ORDER BY f.cohort_week, week_offset",
+    doc=(
+        "Cohort retention: bucket users by first-activity week, count "
+        "distinct active users at each week offset. The first-seen frame "
+        "is one per-user MIN (|users| rows, broadcast back onto the log); "
+        "the retention agg shuffles on (cohort, offset) — a handful of "
+        "cells — with count-distinct on user_id as the only wide state. "
+        "Monday-start date_trunc('week') agrees between Spark and DuckDB."
+    ),
+)
+def q_cohort_weekly_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
