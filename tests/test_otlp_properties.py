@@ -93,9 +93,13 @@ def test_flatten_invariants(spark, tmp_path_factory, envelopes):
                 assert "service.name" not in m or col != "resource_attributes"
         # 4: ns→µs truncation — the µs timestamp equals the raw ns value
         # (observed falls back to timeUnixNano here) integer-divided by 1000
-        from datetime import timezone
+        from datetime import datetime, timezone
 
-        ts_us = int(r.timestamp.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        # integer µs from the datetime — float .timestamp()*1e6 loses 1 µs
+        # at large epochs (53-bit mantissa), which hypothesis found
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        delta = r.timestamp.replace(tzinfo=timezone.utc) - epoch
+        ts_us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
         assert ts_us == r.observed_timestamp // 1000
 
 

@@ -222,3 +222,25 @@ def test_scd2_single_window_pass(spark):
     same partition/order spec), not two passes."""
     plan = plan_of(spark, "scd2_user_intervals")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_funnel_stage_frames_broadcast(spark):
+    """Per-user stage frames (|users| rows) must broadcast into the event
+    scan — no SortMergeJoin re-shuffling the log."""
+    plan = plan_of(spark, "funnel_view_click_purchase")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cohort_first_seen_broadcasts(spark):
+    plan = plan_of(spark, "cohort_weekly_retention")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_series_collapses_before_window(spark):
+    """The window must run over the hourly aggregate, not raw events:
+    partial agg phases present and exactly one Window node."""
+    plan = plan_of(spark, "anomaly_rolling_zscore")
+    assert plan.count("HashAggregate") >= 2
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
