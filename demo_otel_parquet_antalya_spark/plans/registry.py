@@ -2240,3 +2240,70 @@ def q_cohort_weekly_retention(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "merge_upsert_orders",
+    "WITH changes AS ("
+    "  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice, "
+    "         o_orderdate, o_orderpriority "
+    "  FROM orders WHERE o_orderkey % 10 = 0), "
+    "merged AS ("
+    "  SELECT * FROM changes "
+    "  UNION ALL "
+    "  SELECT b.* FROM orders b WHERE NOT EXISTS ("
+    "    SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey)) "
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+    "       ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc=(
+        "MERGE INTO / upsert shape (operators/upsert.py): apply a keyed "
+        "change feed (every 10th order repriced) over the base snapshot — "
+        "changes UNION ALL (base ANTI JOIN changes). The change set "
+        "broadcasts, so the 100 TB base side never shuffles; output is a "
+        "new snapshot, never an in-place rewrite. Verified end-to-end via "
+        "the per-status aggregate."
+    ),
+)
+def q_merge_upsert_orders(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators.upsert import merge_upsert
+
+    base = _t(spark, sf_dir, "orders")
+    changes = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merged = merge_upsert(base, changes, keys=["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "skew_key_diagnostic",
+    "SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n, "
+    "       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS total_rows "
+    "FROM lineitem GROUP BY l_suppkey "
+    "ORDER BY n DESC, l_suppkey LIMIT 20",
+    doc=(
+        "Join-key skew diagnostic: the top-20 heaviest keys with the table "
+        "total alongside — the profiling pass that decides between a plain "
+        "shuffle join, AQE skew splitting, and util.salted_join. Partial "
+        "agg + TakeOrderedAndProject: the heavy-hitter scan itself never "
+        "sorts the full key domain. Integer-only output."
+    ),
+)
+def q_skew_key_diagnostic(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.agg(F.count("*").alias("total_rows"))
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .orderBy(F.col("n").desc(), "l_suppkey")
+        .limit(20)
+    )

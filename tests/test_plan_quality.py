@@ -244,3 +244,17 @@ def test_anomaly_series_collapses_before_window(spark):
     plan = plan_of(spark, "anomaly_rolling_zscore")
     assert plan.count("HashAggregate") >= 2
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_upsert_anti_join_broadcasts(spark):
+    """MERGE shape: the change-set anti join must broadcast — the base
+    snapshot (100 TB at scale) never shuffles for the merge."""
+    plan = plan_of(spark, "merge_upsert_orders")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_diagnostic_topk_heap(spark):
+    plan = plan_of(spark, "skew_key_diagnostic")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
