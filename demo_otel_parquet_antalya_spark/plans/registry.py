@@ -2307,3 +2307,35 @@ def q_skew_key_diagnostic(spark, sf_dir):
         .orderBy(F.col("n").desc(), "l_suppkey")
         .limit(20)
     )
+
+
+@register(
+    "histogram_equidepth",
+    "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, "
+    "MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM ("
+    "  SELECT o_totalprice, NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket "
+    "  FROM orders) GROUP BY bucket ORDER BY bucket",
+    doc=(
+        "Equi-DEPTH histogram (quantile binning): 10 buckets of equal row "
+        "count with their value ranges — the complement of the equi-width "
+        "histogram_totalprice. The o_orderkey tiebreak makes the NTILE "
+        "assignment a total order, hence engine-deterministic. The global "
+        "sort is the verifiable small-scale form; at 100 TB the same "
+        "buckets come from approx_percentile boundaries broadcast into a "
+        "map-side CASE — no global sort — at the cost of boundary "
+        "approximation."
+    ),
+)
+def q_histogram_equidepth(spark, sf_dir):
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -136,3 +136,43 @@ def flatten_otlp(envelopes: DataFrame) -> DataFrame:
 def ingest_otlp_json(spark: SparkSession, path: str) -> DataFrame:
     """One-shot batch ingest: OTLP JSON files -> flat otel.logs DataFrame."""
     return flatten_otlp(read_otlp_json(spark, path))
+
+
+def read_otlp_json_audited(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Corrupt-tolerant read: (parsed envelopes, corrupt raw payloads).
+
+    A poison payload in a 100 TB backfill must neither kill the job (FAILFAST)
+    nor vanish silently (plain PERMISSIVE with enforced schema): the corrupt
+    raw text is captured in a side column and split into an auditable frame
+    the pipeline can count, sample, and quarantine (the reference's converter
+    simply drops undecodable payloads — this is the upgrade).
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    audit_schema = StructType(OTLP_ENVELOPE_SCHEMA.fields[:]).add(
+        "_corrupt_record", StringType()
+    )
+    # Spark forbids projecting ONLY the corrupt column from raw JSON
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the documented
+    # contract is to materialize the parsed result first. cache() here serves
+    # that; a 100 TB backfill would instead write the parsed+audit frame to
+    # parquet in one pass and split from that materialization.
+    df = (
+        spark.read.schema(audit_schema)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad
+
+
+def ingest_otlp_json_audited(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """flatten(good envelopes), plus the corrupt-payload audit frame."""
+    good, bad = read_otlp_json_audited(spark, path)
+    return flatten_otlp(good), bad

@@ -258,3 +258,23 @@ def test_schema_drift_merges_with_nulls(spark, tmp_path):
     assert set(merged.columns) >= {"event_id", "body", "service"}
     rows = {r.event_id: r.service for r in merged.collect()}
     assert rows[1] is None and rows[2] == "checkout"
+
+
+def test_audited_ingest_quarantines_corrupt_payloads(spark, tmp_path):
+    """A garbage file must not kill the read (FAILFAST) nor vanish
+    (silent PERMISSIVE): good envelopes flatten normally, the poison
+    payload lands in the audit frame verbatim."""
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json_audited
+
+    src = str(tmp_path / "otlp")
+    generate_files(src, n_files=2, records_per_file=5)
+    poison = '{"resourceLogs": [{"scopeLogs": THIS IS NOT JSON'
+    with open(f"{src}/poison.json", "w") as f:
+        f.write(poison)
+
+    flat, bad = ingest_otlp_json_audited(spark, src)
+    assert flat.count() == 10  # both good files fully flattened
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["raw"] == poison
