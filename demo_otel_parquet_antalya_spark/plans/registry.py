@@ -2339,3 +2339,344 @@ def q_histogram_equidepth(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ===========================================================================
+# Statistical / regression aggregates (SURVEY §2.C agg-function surface)
+# ===========================================================================
+
+
+@register(
+    "agg_regression",
+    "SELECT l_returnflag, "
+    "ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope, "
+    "ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS icept, "
+    "ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2, "
+    "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    doc=(
+        "Linear-regression aggregates (slope/intercept/R²) per group — "
+        "single-pass moment computation, map-side combinable like any "
+        "algebraic aggregate; no second scan, no driver math."
+    ),
+)
+def q_agg_regression(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("icept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_conditional_bools",
+    "SELECT o_orderstatus, "
+    "CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big, "
+    "bool_and(o_totalprice > 900) AS all_above_floor, "
+    "bool_or(o_orderpriority = '1-URGENT') AS any_urgent "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc=(
+        "Conditional/boolean aggregates: count_if, bool_and, bool_or "
+        "(Spark every/any) — all algebraic, one shuffle."
+    ),
+)
+def q_agg_conditional_bools(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 900).alias("all_above_floor"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    "SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n FROM ("
+    "  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+    "  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY COUNT(*) DESC, o_orderpriority) AS rn "
+    "  FROM orders GROUP BY o_orderstatus, o_orderpriority) t "
+    "WHERE rn = 1 ORDER BY o_orderstatus",
+    doc=(
+        "Deterministic mode (most frequent value, ties broken by value "
+        "order): count-then-rank rather than the engine-native mode() whose "
+        "tie-break is unspecified and engine-dependent. Two-level shuffle, "
+        "both on small post-aggregate data."
+    ),
+)
+def q_agg_mode_deterministic(spark, sf_dir):
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_median_by_group",
+    "SELECT o_orderpriority, ROUND(median(o_totalprice), 2) AS med "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    doc=(
+        "Grouped exact median (Spark median ≡ percentile 0.5 ≡ DuckDB "
+        "quantile_cont interpolation). The 100 TB path is "
+        "approx_percentile — bounded-memory sketch — once exactness "
+        "stops mattering more than memory."
+    ),
+)
+def q_agg_median_by_group(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.median("o_totalprice"), 2).alias("med"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ===========================================================================
+# Classic TPC-H-shaped analytics (SURVEY §2.C join/agg surface, bench shapes)
+# ===========================================================================
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    "SELECT l_orderkey, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1995-03-15' "
+    "AND l_shipdate > TIMESTAMP '1995-03-15' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10",
+    doc=(
+        "TPC-H Q3 shape (shipping priority): selective dimension filter -> "
+        "fact join -> grouped revenue -> top-k. customer is the small side "
+        "(broadcast); lineitem never shuffles before its filter. The LIMIT "
+        "plans as TakeOrderedAndProject — no global sort at 100 TB."
+    ),
+    bench=True,
+)
+def q_tpch_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    "SELECT c_custkey, c_name, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "ROUND(c_acctbal, 2) AS acctbal "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_orderdate >= TIMESTAMP '1994-01-01' "
+    "AND o_orderdate < TIMESTAMP '1994-04-01' "
+    "AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, c_acctbal "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    doc=(
+        "TPC-H Q10 shape (returned-item reporting): quarter time-range on "
+        "orders + flag filter on lineitem, customer broadcast in last. "
+        "Both fact filters push to the parquet scans (min/max row-group "
+        "skipping on o_orderdate at scale)."
+    ),
+    bench=True,
+)
+def q_tpch_q10(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    "SELECT c_custkey, o_orderkey, o_orderdate, "
+    "ROUND(o_totalprice, 2) AS totalprice, ROUND(qty, 2) AS qty FROM ("
+    "  SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem "
+    "  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "ORDER BY totalprice DESC, o_orderkey LIMIT 20",
+    doc=(
+        "TPC-H Q18 shape (large-volume orders): pre-aggregate lineitem to "
+        "order grain FIRST (map-side-combinable sum shrinks the fact ~4x "
+        "before any join), HAVING-filter to the rare heavy orders, then "
+        "join the survivors. Aggregating before joining is the 100 TB "
+        "ordering; joining first would shuffle the full fact twice."
+    ),
+)
+def q_tpch_q18(spark, sf_dir):
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty", 2).alias("qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# String aggregation / conditional scalars / bitwise / nth_value
+# ===========================================================================
+
+
+@register(
+    "string_agg_nation_names",
+    "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    doc=(
+        "String aggregation (LISTAGG/string_agg): collect_list + sort_array "
+        "+ array_join. Sorting inside the aggregate (not a global sort) "
+        "keeps the result deterministic and the shuffle key-only."
+    ),
+)
+def q_string_agg_nation_names(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "scalar_conditional_fns",
+    "SELECT o_orderkey, "
+    "ROUND(GREATEST(o_totalprice, 100000.0), 2) AS hi, "
+    "ROUND(LEAST(o_totalprice, 100000.0), 2) AS lo, "
+    "NULLIF(o_orderstatus, 'F') AS open_status, "
+    "COALESCE(NULLIF(o_orderstatus, 'F'), 'closed') AS status_label "
+    "FROM orders ORDER BY o_orderkey LIMIT 100",
+    doc="Conditional scalar functions: GREATEST/LEAST/NULLIF/COALESCE — pure codegen, no shuffle.",
+)
+def q_scalar_conditional_fns(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.greatest("o_totalprice", F.lit(100000.0)), 2).alias("hi"),
+            F.round(F.least("o_totalprice", F.lit(100000.0)), 2).alias("lo"),
+            F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("open_status"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("closed")).alias("status_label"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "agg_bitwise",
+    "SELECT l_returnflag, "
+    "CAST(bit_and(l_linenumber) AS INT) AS b_and, "
+    "CAST(bit_or(l_linenumber) AS INT) AS b_or, "
+    "CAST(bit_xor(l_linenumber) AS INT) AS b_xor "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    doc=(
+        "Bitwise aggregates (bit_and/bit_or/bit_xor) — commutative+"
+        "associative, so fully map-side combinable; used for flag-mask "
+        "rollups over wide event tables."
+    ),
+)
+def q_agg_bitwise(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").alias("b_and"),
+            F.bit_or("l_linenumber").alias("b_or"),
+            F.bit_xor("l_linenumber").alias("b_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "window_nth_value",
+    "SELECT event_id, "
+    "ROUND(FIRST_VALUE(value) OVER w, 4) AS first_v, "
+    "ROUND(NTH_VALUE(value, 3) OVER w, 4) AS third_v "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "ORDER BY event_id LIMIT 100",
+    doc=(
+        "Positional window functions (FIRST_VALUE / NTH_VALUE) over a "
+        "running frame — one window pass, same shuffle as any per-user "
+        "ordered analytic."
+    ),
+)
+def q_window_nth_value(spark, sf_dir):
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.round(F.first("value").over(w), 4).alias("first_v"),
+            F.round(F.nth_value("value", 3).over(w), 4).alias("third_v"),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
