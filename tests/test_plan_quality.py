@@ -224,18 +224,43 @@ def test_scd2_single_window_pass(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
 
 
-def test_funnel_stage_frames_broadcast(spark):
-    """Per-user stage frames (|users| rows) must broadcast into the event
-    scan — no SortMergeJoin re-shuffling the log."""
-    plan = plan_of(spark, "funnel_view_click_purchase")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_funnel_stage_joins_are_equi_and_unhinted(spark):
+    """Per-user stage frames are |users| rows — unbounded at 100 TB — so the
+    plan must NOT carry a forced broadcast hint (VERDICT r1 #1): AQE picks
+    broadcast when the frame fits and degrades to a shuffle join when it
+    doesn't. We pin only what is size-independent: the stage joins stay
+    equi-joins (no cartesian product) and the intentional final 1×1×1
+    count combination is the only nested-loop in the plan (3 rows total)."""
+    from demo_otel_parquet_antalya_spark.plans import QUERIES
+
+    df = QUERIES["funnel_view_click_purchase"].build(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical  # no forced broadcast on user frames
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # only the deliberate scalar-count crossJoins may be nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
-def test_cohort_first_seen_broadcasts(spark):
-    plan = plan_of(spark, "cohort_weekly_retention")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_cohort_first_seen_join_is_equi_and_unhinted(spark):
+    from demo_otel_parquet_antalya_spark.plans import QUERIES
+
+    df = QUERIES["cohort_weekly_retention"].build(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_centroid_selection_has_no_global_window(spark):
+    """Centroid sampling must be TakeOrderedAndProject (per-partition top-K,
+    K-row driver merge) — never a no-partition row_number window, whose
+    Exchange SinglePartition funnels every id through one task (VERDICT r1
+    'What's wrong' #2)."""
+    plan = plan_of(spark, "similarity_ivf_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_anomaly_series_collapses_before_window(spark):
