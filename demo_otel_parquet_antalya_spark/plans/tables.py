@@ -34,16 +34,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in per_session:
         return per_session[key]
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-        # rejects by default. Set the legacy conf at runtime (works on ANY
-        # session, including one the driver built) to read it as long nanos,
-        # then convert to Spark's native µs timestamp — the same ns→µs decode
+        # events.ts arrives in whatever parquet flavor the data generator used:
+        # TIMESTAMP(NANOS) (rejected by Spark's reader unless nanosAsLong),
+        # TIMESTAMP_NTZ (isAdjustedToUTC=false), or a UTC timestamp. Normalize
+        # all three to Spark's native µs TimestampType (session tz is UTC, so
+        # the NTZ→TZ cast is wall-clock-preserving) — the same ns→µs decode
         # the reference applies to timeUnixNano (SURVEY.md §2.A5).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # legacy-conf long nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):  # TIMESTAMP_NTZ
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     per_session[key] = df

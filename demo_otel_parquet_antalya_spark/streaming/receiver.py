@@ -27,10 +27,10 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def write_landing_file(landing_dir: str, payload: bytes) -> str:
-    """Atomically persist one OTLP JSON payload as a landing file."""
+def write_landing_file(landing_dir: str, payload: bytes, suffix: str = ".json") -> str:
+    """Atomically persist one OTLP payload as a landing file."""
     os.makedirs(landing_dir, exist_ok=True)
-    name = f"otlp-{uuid.uuid4().hex}.json"
+    name = f"otlp-{uuid.uuid4().hex}{suffix}"
     fd, tmp = tempfile.mkstemp(dir=landing_dir, suffix=".tmp")
     with os.fdopen(fd, "wb") as f:
         f.write(payload)
@@ -51,6 +51,28 @@ class _OTLPHandler(BaseHTTPRequestHandler):
         if not body:
             self.send_error(400, "empty body")
             return
+        # Real OTLP SDKs default to protobuf on /v1/logs. Decode it at the
+        # door into the canonical JSON envelope so the landing directory —
+        # and everything downstream (streaming ingest, flattener, quarantine)
+        # — stays single-format. Bodies are collector-export-sized, so a
+        # per-request decode is cheap; bulk .pb backfills instead go through
+        # the distributed ``sources.otlp_proto.read_otlp_protobuf`` path.
+        # Malformed protobuf is rejected with 400 (the OTLP/HTTP contract);
+        # malformed JSON still lands verbatim and is quarantined downstream,
+        # preserving round-1 behavior.
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+        if ctype == "application/x-protobuf":
+            import json
+
+            from demo_otel_parquet_antalya_spark.sources.otlp_proto import (
+                decode_export_logs_request,
+            )
+
+            try:
+                body = json.dumps(decode_export_logs_request(body)).encode("utf-8")
+            except Exception:
+                self.send_error(400, "malformed OTLP protobuf payload")
+                return
         write_landing_file(self.landing_dir, body)
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
