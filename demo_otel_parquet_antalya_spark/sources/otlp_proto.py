@@ -310,13 +310,18 @@ def encode_export_logs_request(envelope: dict) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def read_otlp_protobuf(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed decode of OTLP protobuf landing files -> envelope frame.
+# binaryFile's fixed schema — needed explicitly for the STREAMING source
+# (file-stream sources require a declared schema; batch infers it)
+BINARY_FILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
 
-    binaryFile scan -> mapInPandas (Arrow-batched; one decode per file,
-    linear, shuffle-free) -> from_json against the enforced envelope schema.
-    Undecodable payloads surface as NULL-envelope rows with the path kept,
-    mirroring the JSON quarantine contract.
+
+def decode_envelope_frame(raw: DataFrame) -> DataFrame:
+    """binaryFile frame (batch OR streaming) -> (path, resourceLogs) envelopes.
+
+    mapInPandas (Arrow-batched; one decode per file, linear, shuffle-free) ->
+    from_json against the enforced envelope schema. Undecodable payloads
+    surface as NULL-envelope rows with the path kept, mirroring the JSON
+    quarantine contract.
     """
     import json
 
@@ -333,13 +338,31 @@ def read_otlp_protobuf(spark: SparkSession, path: str) -> DataFrame:
                 rows.append({"path": path_, "envelope_json": env})
             yield pd.DataFrame(rows, columns=["path", "envelope_json"])
 
-    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.pb").load(path)
     decoded = raw.select("path", "content").mapInPandas(
         decode_batches, "path string, envelope_json string"
     )
     return decoded.select(
         "path", F.from_json("envelope_json", OTLP_ENVELOPE_SCHEMA).alias("env")
     ).select("path", "env.resourceLogs")
+
+
+def read_otlp_protobuf(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed batch decode of OTLP protobuf landing files."""
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.pb").load(path)
+    return decode_envelope_frame(raw)
+
+
+def read_otlp_protobuf_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``read_otlp_protobuf``: file-source stream over a
+    ``.pb`` landing prefix, same per-file Arrow-batched decode, so protobuf
+    backfills get the file-source checkpoint's exactly-once contract."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.pb")
+        .load(path)
+    )
+    return decode_envelope_frame(raw)
 
 
 def ingest_otlp_protobuf(spark: SparkSession, path: str) -> DataFrame:

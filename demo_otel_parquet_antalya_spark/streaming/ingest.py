@@ -95,6 +95,37 @@ def run_ingest_once(
     q.awaitTermination()
 
 
+def run_ingest_protobuf_once(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+) -> None:
+    """Protobuf twin of ``run_ingest_once``: drain ``.pb`` landing files
+    through the streaming binaryFile source -> Arrow-batched wire decode ->
+    the SAME ``flatten_otlp`` -> partitioned parquet (Trigger.AvailableNow).
+
+    Gives raw-protobuf backfills the identical exactly-once checkpoint
+    contract as the JSON path; batch-streaming equivalence is pinned by
+    tests/test_otlp_proto.py.
+    """
+    from demo_otel_parquet_antalya_spark.sources.otlp_proto import (
+        read_otlp_protobuf_stream,
+    )
+
+    flat = flatten_otlp(read_otlp_protobuf_stream(spark, landing_dir).select("resourceLogs"))
+    q = (
+        with_partition_columns(flat)
+        .writeStream.format("parquet")
+        .partitionBy(*PARTITION_COLUMNS)
+        .option("path", warehouse_root)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_warehouse_stream(spark: SparkSession, warehouse_root: str) -> DataFrame:
     """Streaming scan of the warehouse (downstream consumers tail the table —
     the file-sink metadata log makes this read exactly the committed files)."""

@@ -61,7 +61,8 @@ class _OTLPHandler(BaseHTTPRequestHandler):
         # malformed JSON still lands verbatim and is quarantined downstream,
         # preserving round-1 behavior.
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
-        if ctype == "application/x-protobuf":
+        is_proto = ctype == "application/x-protobuf"
+        if is_proto:
             import json
 
             from demo_otel_parquet_antalya_spark.sources.otlp_proto import (
@@ -69,15 +70,30 @@ class _OTLPHandler(BaseHTTPRequestHandler):
             )
 
             try:
-                body = json.dumps(decode_export_logs_request(body)).encode("utf-8")
+                envelope = decode_export_logs_request(body)
             except Exception:
                 self.send_error(400, "malformed OTLP protobuf payload")
                 return
+            # Wire-valid bytes that decode to no resourceLogs (unknown-field-
+            # only garbage, or a zero-record export) would flatten to zero rows
+            # and vanish silently — reject so they stay observable instead of
+            # slipping past the quarantine path that verbatim JSON junk hits.
+            if not envelope.get("resourceLogs"):
+                self.send_error(400, "decoded OTLP envelope has no resourceLogs")
+                return
+            body = json.dumps(envelope).encode("utf-8")
         write_landing_file(self.landing_dir, body)
         self.send_response(200)
-        self.send_header("Content-Type", "application/json")
-        self.end_headers()
-        self.wfile.write(b"{}")  # OTLP success response is an empty partial-success object
+        if is_proto:
+            # OTLP/HTTP mirrors the request encoding in the success response;
+            # an empty ExportLogsServiceResponse encodes to zero protobuf bytes.
+            self.send_header("Content-Type", "application/x-protobuf")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        else:
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(b"{}")  # OTLP success response is an empty partial-success object
 
     def log_message(self, *args):  # silence default stderr chatter
         pass
