@@ -303,12 +303,18 @@ def minhash_dedup_pairs(
     )
 
 
+# embedding_cosine_pairs is quadratic BY DESIGN (correctness baseline/oracle);
+# refuse to run it on a corpus where n^2 detonates unless explicitly forced
+MAX_COSINE_PAIRS_ROWS = 100_000
+
+
 def embedding_cosine_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
     round_digits: int = 6,
+    force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cos) with cos >= threshold.
 
@@ -318,8 +324,24 @@ def embedding_cosine_pairs(
     path at corpus scale is LSH bucketing first (``similarity.lsh_topk``'s
     signature machinery) and exact re-scoring inside buckets, trading recall
     for the removal of the O(n^2) term.
+
+    Because the quadratic term is intentional, the operator guards itself:
+    above ``MAX_COSINE_PAIRS_ROWS`` input rows it raises unless ``force=True``
+    (the count is one columnar metadata-cheap scan, negligible next to the
+    pair join it gates). This keeps the one deliberately-nonscalable plan in
+    the registry from being pointed at a 100 TB corpus by accident
+    (VERDICT r2 item 7).
     """
     from demo_otel_parquet_antalya_spark.operators.similarity import _dot, _norm
+
+    if not force:
+        n = vectors.count()
+        if n > MAX_COSINE_PAIRS_ROWS:
+            raise ValueError(
+                f"embedding_cosine_pairs is O(n^2) and input has {n} rows "
+                f"(> {MAX_COSINE_PAIRS_ROWS}); use the LSH/IVF similarity path "
+                "at this scale, or pass force=True to run the baseline anyway"
+            )
 
     # per-side norms precomputed before the pair join: the O(n^2) inner loop
     # is one dot product per pair, not three interpreted array folds

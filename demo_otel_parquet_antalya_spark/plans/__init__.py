@@ -37,7 +37,10 @@ _DRIVER_WINDOW: tuple = (
     "agg_percentiles",
     "agg_pandas_udaf_iqr",  # PandasUDF GROUPED_AGG
     "group_zscore_pandas",  # applyInPandas
-    "approx_count_distinct_custkey",  # rows-only by contract
+    # the approx sketch is rows-only by contract (no oracle) — it lives in the
+    # second window so every driver-window row is oracle-checkable (VERDICT r2
+    # item 4); scalar_subquery_above_avg takes its slot (r1-driver-green)
+    "scalar_subquery_above_avg",
     # windows / sessions / time buckets (§2.C rows 18-20)
     "window_first_order_per_customer",
     "window_frames",
@@ -79,6 +82,7 @@ _DRIVER_WINDOW: tuple = (
 
 # next-most-important — first in line if the driver window ever widens
 _SECOND_WINDOW: tuple = (
+    "approx_count_distinct_custkey",  # rows-only by contract (t2-exempt sketch)
     "text_sentence_udtf",
     "unpivot_metrics",
     "similarity_ivf_topk",

@@ -48,8 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):  # legacy-conf long nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif not isinstance(ts_type, T.TimestampType):  # TIMESTAMP_NTZ
+        elif isinstance(ts_type, T.TimestampNTZType):  # wall-clock == UTC here
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif not isinstance(ts_type, T.TimestampType):
+            # anything else (string, double, ...) would cast to silent NULLs —
+            # surface the schema mismatch instead
+            raise TypeError(f"events.ts has unexpected parquet type {ts_type}")
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     per_session[key] = df

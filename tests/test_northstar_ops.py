@@ -283,3 +283,24 @@ def test_operators_handle_empty_inputs(spark):
     assert similarity.cosine_topk(empty_vecs, q).count() == 0
     assert similarity.cosine_topk_pandas(empty_vecs, q).count() == 0
     assert similarity.lsh_topk(empty_vecs, q).count() == 0
+
+
+def test_cosine_pairs_guard_refuses_large_input(spark, emb):
+    """The quadratic all-pairs baseline must refuse corpora past the guard
+    threshold unless explicitly forced (it exists as MinHash/LSH's oracle,
+    not as a scale path)."""
+    import demo_otel_parquet_antalya_spark.operators.dedup as D
+
+    orig = D.MAX_COSINE_PAIRS_ROWS
+    D.MAX_COSINE_PAIRS_ROWS = 5  # emb has more rows than this
+    try:
+        with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+            dedup.embedding_cosine_pairs(emb).count()
+        # force=True bypasses the guard and still computes correct pairs
+        forced = dedup.embedding_cosine_pairs(
+            emb.filter(F.col("vec_id") < 20), threshold=-1.0, force=True
+        )
+        n = emb.filter(F.col("vec_id") < 20).count()
+        assert forced.count() == n * (n - 1) // 2
+    finally:
+        D.MAX_COSINE_PAIRS_ROWS = orig

@@ -32,3 +32,21 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = spec.build(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_coverage_doc_counts():
+    """COVERAGE.md's headline counts must match the live registry — the doc
+    a reviewer trusts cannot silently go stale (VERDICT r2 item 6)."""
+    import os
+    import re
+
+    doc = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(doc) as f:
+        head = f.read(500)
+    m = re.search(r"(\d+) registered queries \((\d+) DuckDB-oracle-matched, (\d+) rows-only", head)
+    assert m, "COVERAGE.md headline count sentence missing"
+    total, with_oracle, rows_only = map(int, m.groups())
+    assert total == len(QUERIES)
+    assert with_oracle == sum(1 for s in QUERIES.values() if s.oracle is not None)
+    assert rows_only == sum(1 for s in QUERIES.values() if s.oracle is None)
+    assert total == with_oracle + rows_only
