@@ -501,3 +501,72 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select("id", F.col("comp").alias("cluster_id"))
+
+
+def semantic_dedup_drops(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_seeds: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-shaped: partition the corpus
+    into clusters, then compare pairs ONLY within a cluster and drop every
+    vector that has a lower-id semantic duplicate there (cosine >= threshold).
+
+    Clustering here is one deterministic assignment pass — each vector goes to
+    the seed (the ``n_seeds`` lowest-id vectors) it is most cosine-similar to,
+    ties to the lowest seed id — rather than trained k-means centroids, so the
+    oracle can reproduce the exact partition in SQL. The scale shape is the
+    point and is identical either way:
+
+    - assignment is a broadcast of k seed vectors + one map-side argmax per
+      row (aggregate of max(struct(cos, -seed_id)) over the exploded
+      seed x vector frame; partial aggregation collapses each vector's k
+      candidates before the shuffle);
+    - the pair join shuffles on cluster_id, so the quadratic term is
+      sum(|cluster|^2), not |corpus|^2 — with k ~ sqrt(N) clusters this is
+      ~N^1.5 total work spread across the cluster, the SemDeDup trade
+      (cross-cluster duplicates are invisible by design);
+    - a skewed cluster (one seed swallowing the corpus) re-concentrates the
+      quadratic term; at production scale seeds come from a k-means pass and
+      oversized cells get re-split, exactly like the IVF index path.
+
+    Returns dropped vectors: (vec_id, cluster_id, dup_of, n_dups) where
+    dup_of is the lowest-id in-cluster duplicate and n_dups the number of
+    lower-id in-cluster duplicates. Integer-only output — hash-stable.
+    """
+    from demo_otel_parquet_antalya_spark.operators.similarity import _dot, _norm
+
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = v.orderBy("vid").limit(n_seeds).select(
+        F.col("vid").alias("seed_id"), F.col("v").alias("sv")
+    )
+    scored = v.join(F.broadcast(seeds)).select(
+        "vid",
+        "v",
+        "seed_id",
+        (_dot(F.col("v"), F.col("sv")) / (_norm(F.col("v")) * _norm(F.col("sv")))).alias("cos"),
+    )
+    assign = scored.groupBy("vid").agg(
+        F.first("v").alias("v"),
+        (-F.max(F.struct(F.col("cos"), (-F.col("seed_id")).alias("neg_seed"))).getField(
+            "neg_seed"
+        )).alias("cluster_id"),
+    )
+    a = assign.select(
+        F.col("vid").alias("id_a"), F.col("cluster_id").alias("ca"), F.col("v").alias("va")
+    )
+    b = assign.select(
+        F.col("vid").alias("id_b"), F.col("cluster_id").alias("cb"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))).filter(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        >= threshold
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias("vec_id"), F.col("cb").alias("cluster_id"))
+        .agg(F.min("id_a").alias("dup_of"), F.count("*").alias("n_dups"))
+    )

@@ -623,3 +623,121 @@ def q_pipeline_training_prep(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_semantic_drops",
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "seeds AS (SELECT vec_id AS seed_id, v AS sv FROM v ORDER BY vec_id LIMIT 8), "
+    "scored AS (SELECT v.vec_id, v.v, s.seed_id, "
+    "ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+    "ORDER BY list_cosine_similarity(v.v, s.sv) DESC, s.seed_id) AS rn "
+    "FROM v CROSS JOIN seeds s), "
+    "assign AS (SELECT vec_id, v, seed_id AS cluster_id FROM scored WHERE rn = 1) "
+    "SELECT b.vec_id, b.cluster_id, MIN(a.vec_id) AS dup_of, COUNT(*) AS n_dups "
+    "FROM assign a JOIN assign b "
+    "ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.v, b.v) >= 0.4 "
+    "GROUP BY b.vec_id, b.cluster_id ORDER BY b.vec_id",
+    doc=(
+        "Semantic dedup, SemDeDup shape (cluster the embedding space, "
+        "pairwise-compare only within clusters, drop lower-similarity "
+        "twins): broadcast seed assignment + cluster_id-shuffled pair join "
+        "bounds the quadratic term to sum(|cluster|^2). Deterministic "
+        "lowest-id seeds keep the exact partition SQL-reproducible; "
+        "integer-only output keeps the hash compare float-free."
+    ),
+)
+def q_dedup_semantic_drops(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_drops(emb, n_seeds=8, threshold=0.4).orderBy("vec_id")
+
+
+@register(
+    "text_bm25_topk",
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+    "FROM documents), "
+    "dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl "
+    "FROM documents), "
+    "stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+    "WHERE tok IN ('spark', 'join', 'filter') GROUP BY doc_id, tok), "
+    "dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok), "
+    "scored AS (SELECT tf.doc_id, "
+    "ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 "
+    "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s "
+    "FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats) "
+    "SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM scored "
+    "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20",
+    doc=(
+        "BM25 (k1=1.2, b=0.75) top-20 for a fixed query term set — the "
+        "lexical-retrieval scorer of a training-data / RAG pipeline. Scale "
+        "shape: the explode is filtered to query terms BEFORE the tf "
+        "shuffle, so only matching tokens move; df and the (N, avgdl) "
+        "stats are tiny broadcast frames; the final top-k plans as "
+        "TakeOrderedAndProject, never a global sort."
+    ),
+)
+def q_text_bm25_topk(spark, sf_dir):
+    terms = ("spark", "join", "filter")
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok")).filter(
+        F.col("tok").isin(*terms)
+    )
+    dl = docs.select("doc_id", tx.token_count("text").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    s = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "text_chunk_windows",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+    "FROM documents), "
+    "c AS (SELECT doc_id, unnest(range(0, CAST(len(toks) AS BIGINT), 24)) AS chunk_start, toks "
+    "FROM t) "
+    "SELECT doc_id, chunk_start, "
+    "CAST(len(list_slice(toks, chunk_start + 1, chunk_start + 32)) AS INT) AS n_tokens, "
+    "array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 32), ' ') AS chunk_text "
+    "FROM c ORDER BY doc_id, chunk_start LIMIT 300",
+    doc=(
+        "Overlapping token-window chunking (size 32, stride 24) — the "
+        "context-window splitter of a training/RAG pipeline. sequence + "
+        "posexplode + slice stays entirely JVM-side in the scan stage: "
+        "zero shuffles, output rows ~ tokens/stride per doc, and the "
+        "slice bound means a chunk never crosses a document (so the op "
+        "parallelizes per-file at 100 TB with no ordering dependency)."
+    ),
+)
+def q_text_chunk_windows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens("text").alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(24))
+    return (
+        toks.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("chunk_start"),
+            F.size(F.slice("toks", F.col("start") + 1, 32)).alias("n_tokens"),
+            F.concat_ws(" ", F.slice("toks", F.col("start") + 1, 32)).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_start")
+        .limit(300)
+    )
