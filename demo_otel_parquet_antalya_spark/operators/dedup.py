@@ -570,3 +570,62 @@ def semantic_dedup_drops(
         pairs.groupBy(F.col("id_b").alias("vec_id"), F.col("cb").alias("cluster_id"))
         .agg(F.min("id_a").alias("dup_of"), F.count("*").alias("n_dups"))
     )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram SPANS — the distributed approximation of
+    exact-substring dedup (suffix-array dedup a la 'Deduplicating Training
+    Data Makes Language Models Better'): find every maximal token span whose
+    n-grams all also occur in at least ``min_docs - 1`` OTHER documents.
+
+    Plan shape, linear end to end:
+    1. posexplode positional word n-grams (scan-stage, ~tokens-per-doc rows);
+    2. one groupBy(gram) to find grams spanning >= min_docs distinct docs —
+       the same posting-list shuffle as MinHash banding;
+    3. LEFT SEMI the positional grams against that (small: only genuinely
+       duplicated content survives) set;
+    4. gaps-and-islands per document (window on (doc, pos): new island when
+       the gap exceeds n) merges overlapping/adjacent hits into maximal
+       spans — the window shuffle is doc-partitioned, embarrassing at scale.
+
+    Suffix arrays find arbitrary-length repeats; fixed-n posting lists find
+    any repeat of length >= n tokens (shorter ones are invisible) at a tiny
+    fraction of the cost and with no global ordered structure to build —
+    the standard large-corpus trade.
+
+    Returns (doc_id, span_start, span_end, n_grams): token offsets, end
+    exclusive, integer-only (hash-stable).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+    dup_grams = (
+        sh.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = sh.join(dup_grams, "gram", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n), 1
+    ).otherwise(0)
+    islands = hits.withColumn(
+        "island", F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("island")
+    )

@@ -20,7 +20,6 @@ _DRIVER_WINDOW: tuple = (
     "scan_count",
     "filter_eq_count",  # predicate pushdown on the events table
     "filter_range_conj",
-    "filter_in_like",
     "project_alias",
     # joins (§2.C rows 7-12)
     "join_revenue_by_region",  # broadcast star
@@ -72,6 +71,7 @@ _DRIVER_WINDOW: tuple = (
     "dedup_exact_stats",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_semantic_drops",  # SemDeDup shape: cluster-bounded pair join
     "similarity_cosine_topk",
     "text_quality_metrics",
     "text_lang_id_counts",
@@ -82,6 +82,13 @@ _DRIVER_WINDOW: tuple = (
 
 # next-most-important — first in line if the driver window ever widens
 _SECOND_WINDOW: tuple = (
+    "filter_in_like",  # third filter-family variant, swapped out for semantic dedup
+    "dedup_repeated_ngram_spans",
+    "text_bm25_topk",
+    "text_chunk_windows",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q21_suppliers_kept_waiting",
     "approx_count_distinct_custkey",  # rows-only by contract (t2-exempt sketch)
     "text_sentence_udtf",
     "unpivot_metrics",

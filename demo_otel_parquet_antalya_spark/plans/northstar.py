@@ -741,3 +741,36 @@ def q_text_chunk_windows(spark, sf_dir):
         .orderBy("doc_id", "chunk_start")
         .limit(300)
     )
+
+
+@register(
+    "dedup_repeated_ngram_spans",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+    "FROM documents), "
+    "g AS (SELECT doc_id, unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos, toks "
+    "FROM t), "
+    "sh AS (SELECT doc_id, pos, "
+    "array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS gram FROM g), "
+    "dup AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (gram)), "
+    "isl AS (SELECT doc_id, pos, "
+    "SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY doc_id ORDER BY pos) AS island "
+    "FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev "
+    "FROM hits) lagged) "
+    "SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end, "
+    "COUNT(*) AS n_grams FROM isl GROUP BY doc_id, island "
+    "ORDER BY doc_id, span_start",
+    doc=(
+        "Cross-document repeated 8-gram spans — the distributed stand-in "
+        "for exact-substring (suffix-array) dedup: positional n-gram "
+        "posting lists find content shared by >= 2 docs, gaps-and-islands "
+        "merges hits into maximal spans. Linear (one gram shuffle + one "
+        "doc-partitioned window); integer-only output."
+    ),
+)
+def q_dedup_repeated_ngram_spans(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_ngram_spans(docs, n=8, min_docs=2).orderBy(
+        "doc_id", "span_start"
+    )
