@@ -477,3 +477,83 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the corpus: q_i =
+    round(x_i * 127 / max|x|), stored as array<tinyint> — the 4x (vs float32;
+    8x vs the double Spark would otherwise widen to) memory/IO cut that makes
+    a brute-force scan bandwidth-bound instead of capacity-bound at corpus
+    scale. Emits the quantized-domain L2 norm alongside so scoring never
+    re-folds the array. Map-side only; zero shuffle."""
+    x = F.col(vec_col)
+    amax = F.array_max(F.transform(x, lambda y: F.abs(y.cast("double"))))
+    qv = F.transform(
+        x, lambda y: F.round(y.cast("double") * 127.0 / amax, 0).cast("tinyint")
+    )
+    return vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        qv.alias("qvec"),
+        F.sqrt(
+            F.aggregate(
+                qv,
+                F.lit(0.0),
+                lambda acc, y: acc + y.cast("double") * y.cast("double"),
+            )
+        ).alias("qnorm"),
+    )
+
+
+def cosine_topk_int8(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k over the int8-quantized corpus with float
+    queries (asymmetric scalar quantization, the SQ8 scan of IVF/brute ANN).
+
+    The per-vector scale cancels out of cosine — sim = dot(q, qvec) /
+    (|q| * |qvec|) in the QUANTIZED domain — so scoring needs neither the
+    scale column nor dequantization; the only approximation error is the
+    rounding of each component to 8 bits. Same broadcast-probe shape as
+    ``cosine_topk``: |corpus| x |Q| dot products, no shuffle, and the
+    corpus side streams 1/8th the bytes of the double-domain scan.
+    Recall vs the exact scan is pytest-asserted; exactness of the
+    quantized-domain arithmetic itself is DuckDB-oracle-matched.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+            _norm(F.col(query_vec_col)).alias("nq"),
+        )
+    )
+    corpus = quantize_int8(vectors, id_col=id_col, vec_col=vec_col)
+    dot_iq = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qvec"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    scored = (
+        ensure_parallelism(corpus)
+        .join(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_iq / (F.col("nq") * F.col("qnorm")), round_digits).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

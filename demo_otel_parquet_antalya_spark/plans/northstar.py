@@ -774,3 +774,34 @@ def q_dedup_repeated_ngram_spans(spark, sf_dir):
     return dedup.repeated_ngram_spans(docs, n=8, min_docs=2).orderBy(
         "doc_id", "span_start"
     )
+
+
+@register(
+    "similarity_int8_topk",
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id < 10), "
+    "pre AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v, "
+    "list_max(list_transform(embedding, z -> abs(CAST(z AS DOUBLE)))) AS amax "
+    "FROM embeddings), "
+    "c AS (SELECT neighbor_id, "
+    "list_transform(v, y -> ROUND(y * 127.0 / amax)) AS qvec FROM pre), "
+    "scored AS (SELECT q.query_id, c.neighbor_id, "
+    "ROUND(list_inner_product(q.qv, c.qvec) "
+    "/ (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.qvec, c.qvec))), 6) AS sim "
+    "FROM c, q WHERE c.neighbor_id <> q.query_id), "
+    "ranked AS (SELECT query_id, neighbor_id, sim, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn "
+    "FROM scored) "
+    "SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, sim FROM ranked "
+    "WHERE rn <= 5 ORDER BY query_id, rank",
+    doc=(
+        "Cosine top-5 over the int8-quantized corpus (asymmetric SQ8 scan): "
+        "per-vector scale cancels out of cosine, so scoring is one int8 dot "
+        "per pair and the corpus side streams ~1/8th the bytes of the "
+        "double-domain scan. The quantized arithmetic itself is exact and "
+        "oracle-matched; recall vs the float scan is pytest-asserted."
+    ),
+)
+def q_similarity_int8_topk(spark, sf_dir):
+    vectors, queries = _queries_subset(spark, sf_dir)
+    return similarity.cosine_topk_int8(vectors, queries, k=5).orderBy("query_id", "rank")

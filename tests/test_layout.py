@@ -1,0 +1,88 @@
+"""Z-order layout: files must own small hyper-rectangles of the clustered
+space, so a selective range predicate on EITHER clustered column overlaps few
+files' parquet min/max stats — the file-skipping property itself, measured
+from the written parquet footers (engine-agnostic), not from a Spark plan.
+"""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.sources import layout
+
+
+def _xy(spark):
+    # two independent uniform dims — the case hive partitioning can't serve
+    return spark.range(20_000).select(
+        F.col("id"),
+        F.floor(F.rand(seed=1) * 1000).alias("x"),
+        F.floor(F.rand(seed=2) * 1000).alias("y"),
+    )
+
+
+def _overlapping_files(path, col, lo, hi):
+    """Count files whose footer min/max for col overlaps [lo, hi] — exactly
+    the files any stats-based reader must open for that predicate."""
+    total, overlap = 0, 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        fmin = min(
+            md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)
+        )
+        fmax = max(
+            md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)
+        )
+        total += 1
+        if fmax >= lo and fmin <= hi:
+            overlap += 1
+    return total, overlap
+
+
+def test_zorder_skips_on_both_dims(spark, tmp_path):
+    zdir = str(tmp_path / "z")
+    xy = _xy(spark)
+    layout.write_zordered(xy, zdir, ["x", "y"], n_files=16)
+
+    # content is layout-invariant
+    back = spark.read.parquet(zdir)
+    assert back.count() == xy.count()
+    assert (
+        back.agg(F.sum("x"), F.sum("y")).collect()
+        == xy.agg(F.sum("x"), F.sum("y")).collect()
+    )
+
+    # a 1/16-wide slice on EITHER dim overlaps only the files owning that
+    # stripe of the z-grid (4x4 blocks at 16 files -> ~4), never all 16
+    for col in ("x", "y"):
+        total, overlap = _overlapping_files(zdir, col, 0, 62)
+        assert total == 16
+        assert overlap <= 6, f"{col}: {overlap}/{total} files overlap"
+
+
+def test_single_sort_fails_second_dim(spark, tmp_path):
+    """The negative control: sorting by x alone leaves y unclustered, so the
+    same y-slice overlaps (nearly) every file — the gap z-ordering closes."""
+    xdir = str(tmp_path / "xsorted")
+    xy = _xy(spark)
+    (
+        xy.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xdir)
+    )
+    _, x_overlap = _overlapping_files(xdir, "x", 0, 62)
+    total, y_overlap = _overlapping_files(xdir, "y", 0, 62)
+    assert x_overlap <= 3  # x-sort serves x, as expected
+    assert y_overlap >= total - 2  # ...and abandons y
+
+
+def test_zorder_guards(spark):
+    xy = _xy(spark)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        layout.zorder_column(xy, ["x"])
+    with pytest.raises(ValueError, match="overflows"):
+        layout.zorder_column(xy, ["x", "y", "id"], bits=21)

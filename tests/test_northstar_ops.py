@@ -304,3 +304,14 @@ def test_cosine_pairs_guard_refuses_large_input(spark, emb):
         assert forced.count() == n * (n - 1) // 2
     finally:
         D.MAX_COSINE_PAIRS_ROWS = orig
+
+
+def test_int8_recall_vs_bruteforce(spark, emb):
+    """SQ8 quantization should barely move 64-dim cosine ranks: recall@5
+    well above the LSH/IVF floors, since the only error is 8-bit rounding."""
+    q = _queries(emb)
+    exact = _topk_sets(similarity.cosine_topk(emb, q, k=5))
+    approx = _topk_sets(similarity.cosine_topk_int8(emb, q, k=5))
+    hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.9, f"int8 recall {recall:.2f} below floor"
