@@ -84,6 +84,7 @@ _DRIVER_WINDOW: tuple = (
 _SECOND_WINDOW: tuple = (
     "filter_in_like",  # third filter-family variant, swapped out for semantic dedup
     "dedup_repeated_ngram_spans",
+    "dedup_span_doc_stats",
     "similarity_int8_topk",
     "text_bm25_topk",
     "text_chunk_windows",

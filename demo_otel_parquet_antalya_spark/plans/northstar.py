@@ -805,3 +805,58 @@ def q_dedup_repeated_ngram_spans(spark, sf_dir):
 def q_similarity_int8_topk(spark, sf_dir):
     vectors, queries = _queries_subset(spark, sf_dir)
     return similarity.cosine_topk_int8(vectors, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "dedup_span_doc_stats",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+    "FROM documents), "
+    "g AS (SELECT doc_id, unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos, toks "
+    "FROM t), "
+    "sh AS (SELECT doc_id, pos, "
+    "array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS gram FROM g), "
+    "dup AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (gram)), "
+    "isl AS (SELECT doc_id, pos, "
+    "SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY doc_id ORDER BY pos) AS island "
+    "FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev "
+    "FROM hits) lagged), "
+    "spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e "
+    "FROM isl GROUP BY doc_id, island), "
+    "per_doc AS (SELECT doc_id, SUM(e - s) AS dup_tokens FROM spans GROUP BY doc_id), "
+    "dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+    "AS n_tokens FROM documents) "
+    "SELECT doc_id, dup_tokens, n_tokens, "
+    "ROUND(CAST(dup_tokens AS DOUBLE) / n_tokens, 4) AS dup_frac "
+    "FROM per_doc JOIN dl USING (doc_id) "
+    "WHERE CAST(dup_tokens AS DOUBLE) / n_tokens >= 0.2 "
+    "ORDER BY dup_frac DESC, doc_id",
+    doc=(
+        "The dedup ACTION on top of the span detector: per-document "
+        "duplicated-token fraction (non-overlapping maximal spans summed "
+        "over the doc), flagging documents that are >= 20% cross-document "
+        "duplicated content — the doc-level filter exact-substring dedup "
+        "pipelines apply. One extra doc-keyed aggregate over the span "
+        "frame; all shuffles shared with the detector."
+    ),
+)
+def q_dedup_span_doc_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.repeated_ngram_spans(docs, n=8, min_docs=2)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens")
+    )
+    dl = docs.select("doc_id", tx.token_count("text").alias("n_tokens"))
+    frac = F.col("dup_tokens") / F.col("n_tokens")
+    return (
+        per_doc.join(dl, "doc_id")
+        .filter(frac >= 0.2)
+        .select(
+            "doc_id",
+            "dup_tokens",
+            "n_tokens",
+            F.round(frac, 4).alias("dup_frac"),
+        )
+        .orderBy(F.col("dup_frac").desc(), "doc_id")
+    )
