@@ -39,11 +39,24 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
     transform(sequence(...)) keeps this JVM-side; for a doc of w words it
     yields w-n+1 shingles.
+
+    The tokenization is BOUND once per row before the shingle lambda runs:
+    higher-order-function lambdas are interpreted per element and Catalyst
+    does not CSE into them, so referencing the raw ``split(...)`` expression
+    from inside the lambda re-tokenizes the document once per element_at —
+    measured ~70x slower at sf0.1. Wrapping the token array in a
+    single-element ``transform`` turns it into a bound lambda variable that
+    the inner lambda reads for free, and ``slice`` replaces n element_at
+    calls with one window copy.
     """
-    toks = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    return F.flatten(
+        F.transform(
+            F.array(tokens(text)),
+            lambda toks: F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        )
     )
 
 

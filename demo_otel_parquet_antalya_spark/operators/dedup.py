@@ -538,7 +538,7 @@ def semantic_dedup_drops(
     """
     from demo_otel_parquet_antalya_spark.operators.similarity import _dot, _norm
 
-    v = vectors.select(
+    v = ensure_parallelism(vectors).select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     seeds = v.orderBy("vid").limit(n_seeds).select(
@@ -602,7 +602,7 @@ def repeated_ngram_spans(
     Returns (doc_id, span_start, span_end, n_grams): token offsets, end
     exclusive, integer-only (hash-stable).
     """
-    sh = docs.select(
+    sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")

@@ -628,7 +628,7 @@ def q_pipeline_training_prep(spark, sf_dir):
 @register(
     "dedup_semantic_drops",
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-    "seeds AS (SELECT vec_id AS seed_id, v AS sv FROM v ORDER BY vec_id LIMIT 8), "
+    "seeds AS (SELECT vec_id AS seed_id, v AS sv FROM v ORDER BY vec_id LIMIT 32), "
     "scored AS (SELECT v.vec_id, v.v, s.seed_id, "
     "ROW_NUMBER() OVER (PARTITION BY v.vec_id "
     "ORDER BY list_cosine_similarity(v.v, s.sv) DESC, s.seed_id) AS rn "
@@ -649,8 +649,10 @@ def q_pipeline_training_prep(spark, sf_dir):
     ),
 )
 def q_dedup_semantic_drops(spark, sf_dir):
+    # 32 seeds keeps per-cluster population (and so the quadratic term) low
+    # at every test SF; at production scale the knob tracks ~sqrt(N)
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.semantic_dedup_drops(emb, n_seeds=8, threshold=0.4).orderBy("vec_id")
+    return dedup.semantic_dedup_drops(emb, n_seeds=32, threshold=0.4).orderBy("vec_id")
 
 
 @register(
@@ -677,6 +679,7 @@ def q_dedup_semantic_drops(spark, sf_dir):
         "stats are tiny broadcast frames; the final top-k plans as "
         "TakeOrderedAndProject, never a global sort."
     ),
+    bench=True,
 )
 def q_text_bm25_topk(spark, sf_dir):
     terms = ("spark", "join", "filter")
@@ -768,6 +771,7 @@ def q_text_chunk_windows(spark, sf_dir):
         "merges hits into maximal spans. Linear (one gram shuffle + one "
         "doc-partitioned window); integer-only output."
     ),
+    bench=True,
 )
 def q_dedup_repeated_ngram_spans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -283,3 +283,54 @@ def test_skew_diagnostic_topk_heap(spark):
     plan = plan_of(spark, "skew_key_diagnostic")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_semi_anti_ride_the_equi_key(spark):
+    """Q4's EXISTS and Q21's EXISTS/NOT EXISTS must plan as semi/anti hash
+    joins keyed on the order key (non-equi terms as residual conditions) —
+    never as a cartesian or nested loop."""
+    for name in ("tpch_q4_order_priority", "tpch_q21_suppliers_kept_waiting"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, name
+        assert re.search(r"Join.*LeftSemi", plan), name
+    assert re.search(r"Join.*LeftAnti", plan_of(spark, "tpch_q21_suppliers_kept_waiting"))
+
+
+def test_tpch_q19_pushes_single_table_implications(spark):
+    """The cross-table OR can only run post-join, but Catalyst must derive
+    and push the per-table implications into both scans."""
+    plan = plan_of(spark, "tpch_q19_discounted_revenue")
+    assert re.search(r"PushedFilters:.*p_brand", plan)
+    assert re.search(r"PushedFilters:.*l_quantity", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pair_join_is_equi_on_cluster(spark):
+    """SemDeDup's whole point: the pair join must key on cluster_id (bounding
+    the quadratic term per cluster), not fall back to an all-pairs loop. The
+    only nested-loop nodes allowed are the two k-row seed broadcasts."""
+    plan = plan_of(spark, "dedup_semantic_drops")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Left keys \[1\]: \[ca#", plan)
+    assert re.search(r"Right keys \[1\]: \[cb#", plan)
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 4  # 2 nodes x (tree+detail)
+
+
+def test_repeated_span_gram_join_is_equi(spark):
+    """The positional-gram semi join must key on the gram; the island window
+    must be the only other exchange family (doc-partitioned)."""
+    plan = plan_of(spark, "dedup_repeated_ngram_spans")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Join.*LeftSemi", plan)
+
+
+def test_bm25_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_int8_scan_stays_jvm_side(spark):
+    """The quantized scan is a broadcast probe pass: no shuffle of the corpus
+    beyond the ranking window, and zero Python in the scoring path."""
+    plan = plan_of(spark, "similarity_int8_topk")
+    assert "EvalPython" not in plan
