@@ -204,16 +204,14 @@ def minhash_signatures_pandas(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = 16,
-    rows_per_band: int = 4,
+def banded_buckets(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
-    pair. One explode (bands per doc) + one shuffle on the bucket key —
-    linear scaling; bucket sizes stay tiny for uniform hashes."""
+    """(id, band, bucket) banding of MinHash signatures — the LSH join key
+    frame, shared by the batch pair search, the persisted index writer and
+    the incremental (new-batch-vs-index) path."""
     assert bands * rows_per_band <= 1024
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -227,6 +225,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
+    pair. One explode (bands per doc) + one shuffle on the bucket key —
+    linear scaling; bucket sizes stay tiny for uniform hashes."""
+    banded = banded_buckets(signatures, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -628,4 +637,109 @@ def repeated_ngram_spans(
             F.count("*").alias("n_grams"),
         )
         .drop("island")
+    )
+
+
+def minhash_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    sig_impl: str = "pandas",
+) -> None:
+    """Persist the corpus's banded LSH index as parquet partitioned by band:
+    (bucket, id) under band=N directories.
+
+    This is what makes dedup INCREMENTAL at ingestion time: the corpus's
+    signature pass is paid once, and every new batch probes the stored
+    buckets instead of re-signing 100 TB. Partitioning by band means a probe
+    batch's band-keyed join prunes to the partitions it actually collides
+    with, and index maintenance (append a new batch's own bands after it is
+    admitted) is a partition-local append."""
+    rows_per_band = num_hashes // bands
+    sig_fn = minhash_signatures_pandas if sig_impl == "pandas" else minhash_signatures
+    sigs = sig_fn(docs, id_col, text_col, n, num_hashes, seed)
+    (
+        banded_buckets(sigs, bands, rows_per_band)
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    sig_impl: str = "pandas",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus: returns
+    (id_new, id_old, jaccard >= threshold) without recomputing anything
+    corpus-wide.
+
+    Cost at 100 TB is proportional to the BATCH, not the corpus:
+    - signature pass over the new batch only;
+    - band-keyed equi-join of the batch's (band, bucket) rows against the
+      stored index (shuffle sized by the batch; the index side is a
+      partition-pruned scan);
+    - exact-Jaccard verification re-shingles only docs appearing in some
+      candidate pair — the batch's near-dup sliver plus the corpus rows it
+      collided with (semi-join pruned out of ``corpus_docs``).
+
+    Same signature parameters MUST be used as at index-write time (banding
+    is parameter-dependent); new/old id domains are assumed disjoint.
+    """
+    spark = new_docs.sparkSession
+    rows_per_band = num_hashes // bands
+    sig_fn = minhash_signatures_pandas if sig_impl == "pandas" else minhash_signatures
+    new_banded = banded_buckets(
+        sig_fn(new_docs, id_col, text_col, n, num_hashes, seed), bands, rows_per_band
+    ).select(F.col("id").alias("id_new"), "band", "bucket")
+    idx = spark.read.parquet(index_path).select(
+        F.col("id").alias("id_old"), "band", "bucket"
+    )
+    cands = (
+        new_banded.join(idx, ["band", "bucket"])
+        .select("id_new", "id_old")
+        .distinct()
+        .cache()
+    )
+    new_cand = new_docs.join(
+        F.broadcast(cands.select(F.col("id_new").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
+    old_cand = corpus_docs.join(
+        F.broadcast(cands.select(F.col("id_old").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
+    sh_new = shingle_sets(new_cand, id_col, text_col, n)
+    sh_old = shingle_sets(old_cand, id_col, text_col, n)
+    sizes_new = sh_new.groupBy("id").agg(F.count("*").alias("n_new"))
+    sizes_old = sh_old.groupBy("id").agg(F.count("*").alias("n_old"))
+    inter = (
+        sh_new.select(F.col("id").alias("id_new"), "s")
+        .join(sh_old.select(F.col("id").alias("id_old"), "s"), "s")
+        .groupBy("id_new", "id_old")
+        .agg(F.count("*").alias("c"))
+        .join(cands, ["id_new", "id_old"], "left_semi")
+    )
+    jac = F.col("c") / (F.col("n_new") + F.col("n_old") - F.col("c"))
+    return (
+        inter.join(sizes_new.select(F.col("id").alias("id_new"), "n_new"), "id_new")
+        .join(sizes_old.select(F.col("id").alias("id_old"), "n_old"), "id_old")
+        .select("id_new", "id_old", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
