@@ -86,6 +86,7 @@ _SECOND_WINDOW: tuple = (
     "dedup_repeated_ngram_spans",
     "dedup_span_doc_stats",
     "similarity_int8_topk",
+    "cte_recursive_order_chain",
     "text_bm25_topk",
     "text_chunk_windows",
     "tpch_q5_local_supplier_volume",

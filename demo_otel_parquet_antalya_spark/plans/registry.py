@@ -3270,3 +3270,40 @@ def q_tpch_q22(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE
+ordered AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM {orders}
+),
+edges AS (
+  SELECT a.o_custkey, a.o_orderkey AS okey, b.o_orderkey AS next_key
+  FROM ordered a JOIN ordered b ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+),
+chain(custkey, okey, pos) AS (
+  SELECT o_custkey, o_orderkey, 1 FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT c.custkey, e.next_key, c.pos + 1 FROM chain c JOIN edges e ON c.okey = e.okey
+)
+SELECT pos, COUNT(*) AS n FROM chain GROUP BY pos ORDER BY pos
+"""
+
+
+@register(
+    "cte_recursive_order_chain",
+    _RECURSIVE_CHAIN_SQL.replace("{orders}", "orders"),
+    doc=(
+        "Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL form): walk each "
+        "customer's time-ordered order chain from its first order and "
+        "histogram the walk depth. The recursion is a DAG walk (successor "
+        "edges from a window pass), so UNION ALL terminates at the longest "
+        "chain; each iteration is one equi-join on the order key. The SQL "
+        "text is identical on both engines — the dialect-portability "
+        "demonstration for migrating recursive workloads."
+    ),
+)
+def q_cte_recursive_order_chain(spark, sf_dir):
+    return spark.sql(_RECURSIVE_CHAIN_SQL, orders=_t(spark, sf_dir, "orders"))
