@@ -88,6 +88,9 @@ _SECOND_WINDOW: tuple = (
     "similarity_int8_topk",
     "cte_recursive_order_chain",
     "text_bm25_topk",
+    "text_unigram_logprob",
+    "events_transition_matrix",
+    "time_bucket_latency_percentiles",
     "text_chunk_windows",
     "tpch_q5_local_supplier_volume",
     "tpch_q8_market_share",

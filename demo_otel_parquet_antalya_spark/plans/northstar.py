@@ -864,3 +864,45 @@ def q_dedup_span_doc_stats(spark, sf_dir):
         )
         .orderBy(F.col("dup_frac").desc(), "doc_id")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+    "FROM documents), "
+    "freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok), "
+    "total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total, "
+    "CAST(COUNT(*) AS BIGINT) AS n_vocab FROM freq), "
+    "scored AS (SELECT t.doc_id, "
+    "-ln((f.tf + 1.0) / (n_total + n_vocab)) AS nll "
+    "FROM toks t JOIN freq f USING (tok) CROSS JOIN total) "
+    "SELECT doc_id, ROUND(AVG(nll), 4) AS avg_nll "
+    "FROM scored GROUP BY doc_id ORDER BY avg_nll DESC, doc_id LIMIT 25",
+    doc=(
+        "Unigram language-model quality score (the CCNet/RefinedWeb-style "
+        "perplexity filter, with the corpus itself as the LM): mean "
+        "add-one-smoothed negative log-probability per document; highest "
+        "surprise = least corpus-typical docs surface first. Scale shape: "
+        "the token frequency table is a map-side-combinable aggregate, its "
+        "join back onto tokens is broadcast-sized (vocab, not corpus), and "
+        "the per-doc mean is one grouped pass — a trained external LM would "
+        "slot in as a pandas_udf scorer with the same plan."
+    ),
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freq.agg(
+        F.sum("tf").alias("n_total"), F.count("*").alias("n_vocab")
+    )
+    nll = -F.log((F.col("tf") + 1.0) / (F.col("n_total") + F.col("n_vocab")))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .join(F.broadcast(total))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 4).alias("avg_nll"))
+        .orderBy(F.col("avg_nll").desc(), "doc_id")
+        .limit(25)
+    )

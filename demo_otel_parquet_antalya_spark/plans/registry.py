@@ -3307,3 +3307,61 @@ SELECT pos, COUNT(*) AS n FROM chain GROUP BY pos ORDER BY pos
 )
 def q_cte_recursive_order_chain(spark, sf_dir):
     return spark.sql(_RECURSIVE_CHAIN_SQL, orders=_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_transition_matrix",
+    "WITH seq AS (SELECT user_id, event_type, "
+    "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type "
+    "FROM events) "
+    "SELECT event_type, next_type, COUNT(*) AS n "
+    "FROM seq WHERE next_type IS NOT NULL "
+    "GROUP BY event_type, next_type ORDER BY event_type, next_type",
+    doc=(
+        "Click-path transition matrix (Markov first-order): per-user LEAD "
+        "over the time-ordered event stream, then a tiny "
+        "|types|x|types| count. One user-keyed window shuffle — the same "
+        "exchange every per-user analytic shares — and the aggregate is "
+        "map-side-combinable."
+    ),
+)
+def q_events_transition_matrix(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@register(
+    "time_bucket_latency_percentiles",
+    "SELECT date_trunc('hour', ts) AS bucket, "
+    "ROUND(quantile_cont(value, 0.5), 4) AS p50, "
+    "ROUND(quantile_cont(value, 0.95), 4) AS p95, "
+    "ROUND(quantile_cont(value, 0.99), 4) AS p99, "
+    "COUNT(*) AS n FROM events GROUP BY bucket ORDER BY bucket",
+    doc=(
+        "THE observability dashboard shape: per-hour latency percentile "
+        "bands (p50/p95/p99) over the metric column. Exact interpolated "
+        "percentiles (Spark percentile == DuckDB quantile_cont) — one "
+        "shuffle on the bucket; at 100 TB the drop-in is "
+        "approx_percentile, a mergeable sketch with the same plan."
+    ),
+)
+def q_time_bucket_latency_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("bucket")
+    )
