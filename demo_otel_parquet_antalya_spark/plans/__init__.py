@@ -89,6 +89,8 @@ _SECOND_WINDOW: tuple = (
     "cte_recursive_order_chain",
     "text_bm25_topk",
     "text_unigram_logprob",
+    "text_tfidf_keywords",
+    "sample_weighted_es",
     "events_transition_matrix",
     "time_bucket_latency_percentiles",
     "text_chunk_windows",

@@ -906,3 +906,75 @@ def q_text_unigram_logprob(spark, sf_dir):
         .orderBy(F.col("avg_nll").desc(), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "sample_weighted_es",
+    "SELECT doc_id, n_chars, ROUND(k, 9) AS key FROM ("
+    "SELECT doc_id, n_chars, "
+    "ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) "
+    "/ 4294967296.0) / n_chars AS k "
+    "FROM documents) keys "
+    "ORDER BY key DESC, doc_id LIMIT 25",
+    doc=(
+        "Weighted sampling without replacement, Efraimidis-Spirakis form "
+        "(key = ln(u)/w, top-k by key): u derives from md5(doc_id), so the "
+        "sample is a pure function of the keys — reproducible across runs, "
+        "partitionings and engines, with NO distributed RNG coordination. "
+        "Here w = n_chars (longer docs more likely). Plans as "
+        "TakeOrderedAndProject: per-partition top-k, k-row driver merge — "
+        "the distributed weighted reservoir."
+    ),
+)
+def q_sample_weighted_es(spark, sf_dir):
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    k = F.log(u) / F.col("n_chars")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", k.alias("k"))
+        .select("doc_id", "n_chars", F.round("k", 9).alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+@register(
+    "text_tfidf_keywords",
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok), "
+    "dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok), "
+    "nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks), "
+    "scored AS (SELECT doc_id, tok, ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf "
+    "FROM tf JOIN dfreq USING (tok) CROSS JOIN nd), "
+    "ranked AS (SELECT doc_id, tok, tfidf, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn FROM scored) "
+    "SELECT doc_id, tok AS term, CAST(rn AS INT) AS rank, tfidf "
+    "FROM ranked WHERE rn <= 3 AND doc_id < 50 ORDER BY doc_id, rank",
+    doc=(
+        "Per-document TF-IDF keyword extraction (top-3 terms): the "
+        "document-tagger of retrieval/labeling pipelines. df and N are "
+        "broadcast-sized; ranking is one doc-partitioned window on the "
+        "(rounded) score so cross-engine libm ulp noise cannot flip ranks."
+    ),
+)
+def q_text_tfidf_keywords(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    score = F.round(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6)
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(nd))
+        .select("doc_id", "tok", score.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", F.col("tok").alias("term"), "rank", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
