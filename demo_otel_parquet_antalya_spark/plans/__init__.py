@@ -91,6 +91,7 @@ _SECOND_WINDOW: tuple = (
     "text_unigram_logprob",
     "text_tfidf_keywords",
     "sample_weighted_es",
+    "mixture_temperature_weights",
     "events_transition_matrix",
     "time_bucket_latency_percentiles",
     "text_chunk_windows",

@@ -978,3 +978,38 @@ def q_text_tfidf_keywords(spark, sf_dir):
         .select("doc_id", F.col("tok").alias("term"), "rank", "tfidf")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "mixture_temperature_weights",
+    "WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY lang), "
+    "powered AS (SELECT lang, n_docs, POWER(n_docs, 0.5) AS p FROM counts), "
+    "tot AS (SELECT SUM(p) AS z FROM powered) "
+    "SELECT lang, n_docs, ROUND(p / z, 6) AS sample_prob, "
+    "CAST(ROUND(1000 * p / z) AS BIGINT) AS budget_docs "
+    "FROM powered CROSS JOIN tot ORDER BY lang",
+    doc=(
+        "Temperature-scaled source mixture (alpha = 0.5, the multilingual "
+        "LM-training upsampling rule): sampling probability proportional to "
+        "count^alpha flattens the source distribution so small languages "
+        "are not drowned out. The stats frame is |sources| rows — broadcast "
+        "territory; the downstream per-doc keep-test reuses the "
+        "md5-bucketed mixture machinery."
+    ),
+)
+def q_mixture_temperature_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    powered = counts.select("lang", "n_docs", F.pow("n_docs", 0.5).alias("p"))
+    tot = powered.agg(F.sum("p").alias("z"))
+    return (
+        powered.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("p") / F.col("z"), 6).alias("sample_prob"),
+            F.round(1000 * F.col("p") / F.col("z"), 0).cast("long").alias("budget_docs"),
+        )
+        .orderBy("lang")
+    )

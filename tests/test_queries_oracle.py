@@ -50,3 +50,13 @@ def test_coverage_doc_counts():
     assert with_oracle == sum(1 for s in QUERIES.values() if s.oracle is not None)
     assert rows_only == sum(1 for s in QUERIES.values() if s.oracle is None)
     assert total == with_oracle + rows_only
+
+
+def test_driver_window_is_fully_oracle_bearing():
+    """The first 50 registered queries are what the correctness driver
+    checks; every one must carry an oracle so the window can go 50/50
+    green (VERDICT r2 item 4) — a regression here silently wastes a slot."""
+    names = list(QUERIES)
+    assert len(names) >= 50
+    oracleless = [n for n in names[:50] if QUERIES[n].oracle is None]
+    assert oracleless == []
