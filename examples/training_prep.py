@@ -8,8 +8,11 @@ on the synthetic documents/embeddings tables, stage by stage.
 2. quality-gate it (C4-style deterministic score)
 3. find near-duplicates (MinHash+LSH, exact-verified)
 4. collapse pairs to clusters and keep each cluster's canonical doc
-5. draw a deterministic per-language sample (md5 order, no RNG state)
-6. build + query a partition-pruned IVF ANN index over the embeddings
+5. flag cross-document repeated n-gram spans (substring-dedup tier)
+6. semantic dedup over the embeddings (SemDeDup shape)
+7. draw a deterministic per-language sample (md5 order, no RNG state)
+8. build + query a partition-pruned IVF ANN index over the embeddings
+9. incremental dedup: probe a NEW batch against the persisted LSH index
 
 The same chain runs as ONE registered query (``pipeline_training_prep``)
 hash-checked against a full-SQL DuckDB oracle — this script is the
@@ -62,7 +65,15 @@ def main() -> None:
     )
     print(f"{kept.count()} docs after dropping non-canonical near-dups")
 
-    print("== 5. deterministic per-language sample ==")
+    print("== 5. repeated n-gram spans (cross-doc duplicated content) ==")
+    dedup.repeated_ngram_spans(kept, n=8).orderBy(
+        F.col("n_grams").desc(), "doc_id"
+    ).show(5)
+
+    print("== 6. semantic dedup (cluster-bounded cosine pruning) ==")
+    dedup.semantic_dedup_drops(emb, n_seeds=32, threshold=0.4).show(5)
+
+    print("== 7. deterministic per-language sample ==")
     w = W.partitionBy("lang").orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
     sample = (
         kept.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
@@ -71,13 +82,22 @@ def main() -> None:
     )
     sample.orderBy("lang", "doc_id").show(12)
 
-    print("== 6. IVF ANN index: build partitioned by cell, probe with pruning ==")
+    print("== 8. IVF ANN index: build partitioned by cell, probe with pruning ==")
     with tempfile.TemporaryDirectory() as tmp:
         similarity.write_ivf_index(emb, f"{tmp}/ivf", n_centroids=16)
         queries = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
         similarity.ivf_topk_indexed(spark, f"{tmp}/ivf", queries, k=3, nprobe=4).show()
+
+    print("== 9. incremental dedup against the persisted LSH band index ==")
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        dedup.minhash_index_write(corpus, f"{tmp}/lsh")
+        dedup.minhash_dedup_incremental(
+            batch, corpus, f"{tmp}/lsh", threshold=0.9
+        ).show(5)
 
     spark.stop()
 
