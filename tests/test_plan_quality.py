@@ -334,3 +334,19 @@ def test_int8_scan_stays_jvm_side(spark):
     beyond the ranking window, and zero Python in the scoring path."""
     plan = plan_of(spark, "similarity_int8_topk")
     assert "EvalPython" not in plan
+
+
+def test_weighted_sample_avoids_global_sort(spark):
+    """E-S weighted sampling must plan as per-partition top-k (the
+    distributed reservoir), never a full sort of the corpus."""
+    plan = plan_of(spark, "sample_weighted_es")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_score_joins_broadcast_the_vocab(spark):
+    """Unigram-LM scoring joins tokens to the frequency table: that table is
+    vocab-sized and must broadcast — a sort-merge join would shuffle the
+    full exploded token stream twice."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "SortMergeJoin" not in plan
+    assert re.findall(r"BroadcastHashJoin", plan)
