@@ -553,17 +553,25 @@ def semantic_dedup_drops(
     seeds = v.orderBy("vid").limit(n_seeds).select(
         F.col("vid").alias("seed_id"), F.col("v").alias("sv")
     )
-    scored = v.join(F.broadcast(seeds)).select(
-        "vid",
-        "v",
-        "seed_id",
-        (_dot(F.col("v"), F.col("sv")) / (_norm(F.col("v")) * _norm(F.col("sv")))).alias("cos"),
-    )
-    assign = scored.groupBy("vid").agg(
-        F.first("v").alias("v"),
-        (-F.max(F.struct(F.col("cos"), (-F.col("seed_id")).alias("neg_seed"))).getField(
-            "neg_seed"
-        )).alias("cluster_id"),
+    # the seed set is k rows by contract — collect it and compile the
+    # assignment into ONE map-side expression (k dot products + a greatest()
+    # argmax per row). The explode-join-groupBy alternative shuffles k copies
+    # of every vector through the aggregate; this form shuffles nothing.
+    import math
+
+    seed_rows = seeds.collect()
+    vnorm = _norm(F.col("v"))
+    cands = []
+    for r in seed_rows:
+        sv, sid = list(r.sv), int(r.seed_id)
+        cos = _dot(F.col("v"), F.array(*[F.lit(x) for x in sv])) / (
+            vnorm * F.lit(math.sqrt(sum(x * x for x in sv)))
+        )
+        # argmax by (cos desc, seed_id asc): max struct picks highest cos,
+        # then highest -seed_id = lowest seed
+        cands.append(F.struct(cos.alias("cos"), F.lit(-sid).alias("neg_seed")))
+    assign = v.select(
+        "vid", "v", (-F.greatest(*cands).getField("neg_seed")).alias("cluster_id")
     )
     a = assign.select(
         F.col("vid").alias("id_a"), F.col("cluster_id").alias("ca"), F.col("v").alias("va")
