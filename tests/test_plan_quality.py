@@ -350,3 +350,18 @@ def test_lm_score_joins_broadcast_the_vocab(spark):
     plan = plan_of(spark, "text_unigram_logprob")
     assert "SortMergeJoin" not in plan
     assert re.findall(r"BroadcastHashJoin", plan)
+
+
+def test_plan_audit_counters_match_known_shapes(spark):
+    """plan_audit (the library form of these guards) must report the known
+    shape of the canonical star join: 3 broadcasts, no SMJ/cartesian, all
+    scans vectorized with pushdown."""
+    from demo_otel_parquet_antalya_spark.plans.audit import plan_audit
+
+    a = plan_audit(QUERIES["join_revenue_by_region"].build(spark, SF))
+    assert a["broadcast_hash_joins"] == 3
+    assert a["sort_merge_joins"] == 0 and a["cartesian_products"] == 0
+    assert a["python_eval_nodes"] == 0
+    assert a["scans"] == 4 and a["scans_vectorized"] >= 4
+    b = plan_audit(QUERIES["sort_topk_orders"].build(spark, SF))
+    assert b["take_ordered_topk"] == 1
