@@ -3127,8 +3127,11 @@ def q_tpch_q17(spark, sf_dir):
     thresholds = li.groupBy("l_partkey").agg(
         (0.5 * F.avg("l_quantity")).alias("qty_threshold")
     )
+    # thresholds is an AGGREGATE frame (one row per part of the brand) —
+    # linear in |part|, so no forced broadcast hint; AQE broadcasts it while
+    # it fits and falls back to a shuffle join when the brand outgrows it
     return (
-        li.join(F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+        li.join(thresholds.withColumnRenamed("l_partkey", "t_partkey"),
                 F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
