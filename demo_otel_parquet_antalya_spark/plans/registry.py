@@ -2931,8 +2931,8 @@ def q_tpch_q8(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
@@ -3033,8 +3033,9 @@ def q_tpch_q13(spark, sf_dir):
     doc=(
         "TPC-H Q14 (promotion effect): month-sliced fact joined to part, "
         "conditional-share aggregate. The month filter cuts lineitem ~1/84 "
-        "at the scan; part is the broadcast side (full table, but it is "
-        "the 1:N dim of the fact). One pass, one broadcast, 1-row result."
+        "at the scan; part joins hint-free (it grows with the corpus, so "
+        "AQE broadcasts while it fits, shuffle-joins beyond). One pass, "
+        "1-row result."
     ),
 )
 def q_tpch_q14(spark, sf_dir):
@@ -3045,7 +3046,7 @@ def q_tpch_q14(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
