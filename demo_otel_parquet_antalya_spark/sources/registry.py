@@ -228,6 +228,47 @@ class LogTableRegistry:
         return df
 
 
+    # -- snapshot diff / incremental consumption ---------------------------
+
+    def diff_snapshots(self, from_id: int, to_id: int | None = None) -> dict:
+        """Metadata-only diff between two commits (Iceberg's snapshot
+        summary): which files appeared/disappeared and how many rows they
+        carry. Row counts come from parquet FOOTERS (no data scan), so the
+        diff costs O(changed files) metadata reads even on a 100 TB table.
+        """
+        import pyarrow.parquet as pq
+
+        old = set(self._read_snapshot(from_id)["files"])
+        to_id = to_id if to_id is not None else self.current_snapshot_id()
+        new = set(self._read_snapshot(to_id)["files"])
+        added, removed = sorted(new - old), sorted(old - new)
+        n_rows = lambda fs: sum(pq.ParquetFile(f).metadata.num_rows for f in fs)
+        return {
+            "from": from_id,
+            "to": to_id,
+            "added_files": added,
+            "removed_files": removed,
+            "added_rows": n_rows(added),
+            "removed_rows": n_rows(removed),
+        }
+
+    def read_increment(self, since_snapshot_id: int) -> DataFrame:
+        """DataFrame over ONLY the files added after ``since_snapshot_id`` —
+        the incremental-consumption primitive: a downstream batch job
+        checkpoints the snapshot id it last processed and reads just the
+        delta next run (the append-only counterpart of CDC; the registry's
+        files are immutable once registered, so added-files IS the change
+        set). Raises if nothing new — callers distinguish 'no new data'
+        from 'empty result' without a scan."""
+        diff = self.diff_snapshots(since_snapshot_id)
+        if not diff["added_files"]:
+            raise ValueError(
+                f"no files added since snapshot {since_snapshot_id} "
+                f"(HEAD is {diff['to']})"
+            )
+        return self.spark.read.option("basePath", self.root).parquet(*diff["added_files"])
+
+
 def compact_warehouse(
     spark: SparkSession,
     warehouse_root: str,
@@ -293,3 +334,4 @@ def iceberg_register(spark: SparkSession, table: str, parquet_path: str, run_sql
     """
     run = run_sql if run_sql is not None else spark.sql
     return run(iceberg_add_files_sql(table, parquet_path))
+

@@ -278,3 +278,37 @@ def test_audited_ingest_quarantines_corrupt_payloads(spark, tmp_path):
     bad_rows = bad.collect()
     assert len(bad_rows) == 1
     assert bad_rows[0]["raw"] == poison
+
+
+def test_snapshot_diff_and_incremental_read(spark, tmp_path):
+    """diff_snapshots reports exactly the committed delta (footer-metadata
+    rows, no scan) and read_increment serves ONLY the added files — the
+    checkpoint-and-consume-the-delta contract of incremental downstreams."""
+    in_dir, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    generate_files(in_dir, n_files=2, records_per_file=50, seed=11)
+    write_logs(ingest_otlp_json(spark, in_dir), wh)
+    reg = LogTableRegistry(spark, wh)
+    reg.sync()
+    snap1 = reg.current_snapshot_id()
+    n1 = reg.table().count()
+
+    in2 = str(tmp_path / "in2")
+    generate_files(in2, n_files=1, records_per_file=50, seed=12)
+    write_logs(ingest_otlp_json(spark, in2), wh)
+    reg.sync()
+
+    diff = reg.diff_snapshots(snap1)
+    assert diff["from"] == snap1 and diff["to"] == reg.current_snapshot_id()
+    assert diff["removed_files"] == [] and diff["removed_rows"] == 0
+    assert diff["added_rows"] == 50
+    assert len(diff["added_files"]) >= 1
+
+    inc = reg.read_increment(snap1)
+    assert inc.count() == 50
+    assert reg.table().count() == n1 + 50
+
+    # nothing new since HEAD -> explicit signal, not an empty frame
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no files added"):
+        reg.read_increment(reg.current_snapshot_id())
