@@ -94,6 +94,8 @@ _SECOND_WINDOW: tuple = (
     "mixture_temperature_weights",
     "events_transition_matrix",
     "time_bucket_latency_percentiles",
+    "dq_expectations_split",
+    "privacy_pseudonymize_users",
     "text_chunk_windows",
     "tpch_q5_local_supplier_volume",
     "tpch_q8_market_share",

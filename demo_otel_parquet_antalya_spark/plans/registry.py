@@ -3369,3 +3369,71 @@ def q_time_bucket_latency_percentiles(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dq_expectations_split",
+    "SELECT rule, COUNT(*) AS n_violations FROM ("
+    "SELECT CASE "
+    "WHEN value IS NULL OR value < 0 OR value > 100 THEN 'value_range_0_100' "
+    "WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error') "
+    "THEN 'event_type_domain' "
+    "WHEN user_id IS NULL OR user_id < 0 THEN 'user_id_valid' "
+    "END AS rule FROM events) v "
+    "WHERE rule IS NOT NULL GROUP BY rule ORDER BY rule",
+    doc=(
+        "Data-contract expectations in ONE scan (the Great-Expectations "
+        "shape, engine-native): each row is checked against the ordered "
+        "rule list and lands in its first violated rule's bucket; clean "
+        "rows cost one predicate chain and no shuffle. The same CASE "
+        "column splits a pipeline into (clean, quarantine) frames — the "
+        "row-level generalization of the ingest path's payload quarantine."
+    ),
+)
+def q_dq_expectations_split(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    rule = (
+        F.when(
+            F.col("value").isNull() | (F.col("value") < 0) | (F.col("value") > 100),
+            "value_range_0_100",
+        )
+        .when(
+            ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+            "event_type_domain",
+        )
+        .when(F.col("user_id").isNull() | (F.col("user_id") < 0), "user_id_valid")
+    )
+    return (
+        ev.select(rule.alias("rule"))
+        .filter(F.col("rule").isNotNull())
+        .groupBy("rule")
+        .agg(F.count("*").alias("n_violations"))
+        .orderBy("rule")
+    )
+
+
+@register(
+    "privacy_pseudonymize_users",
+    "SELECT substr(sha256(concat('pepper-v1:', CAST(user_id AS VARCHAR))), 1, 16) "
+    "AS pseudo_id, COUNT(*) AS n_events "
+    "FROM events GROUP BY pseudo_id ORDER BY n_events DESC, pseudo_id LIMIT 20",
+    doc=(
+        "Salted-hash pseudonymization (the privacy pass of a training-data "
+        "pipeline): user ids map through sha256(pepper || id) so "
+        "cross-table joins on the pseudonym still work while raw ids never "
+        "leave the scan stage. Identical digests on both engines make the "
+        "mapping itself oracle-checkable; rotating the pepper re-keys the "
+        "corpus in one scan."
+    ),
+)
+def q_privacy_pseudonymize_users(spark, sf_dir):
+    pseudo = F.substring(
+        F.sha2(F.concat(F.lit("pepper-v1:"), F.col("user_id").cast("string")), 256), 1, 16
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(pseudo.alias("pseudo_id"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "pseudo_id")
+        .limit(20)
+    )
