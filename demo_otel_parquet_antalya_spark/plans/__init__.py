@@ -96,6 +96,8 @@ _SECOND_WINDOW: tuple = (
     "time_bucket_latency_percentiles",
     "dq_expectations_split",
     "privacy_pseudonymize_users",
+    "privacy_forget_users",
+    "agg_winsorized_means",
     "text_chunk_windows",
     "tpch_q5_local_supplier_volume",
     "tpch_q8_market_share",

@@ -3437,3 +3437,73 @@ def q_privacy_pseudonymize_users(spark, sf_dir):
         .orderBy(F.col("n_events").desc(), "pseudo_id")
         .limit(20)
     )
+
+
+@register(
+    "agg_winsorized_means",
+    "WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, "
+    "quantile_cont(value, 0.95) AS hi FROM events GROUP BY event_type) "
+    "SELECT e.event_type, "
+    "ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 4) AS winsorized_mean, "
+    "ROUND(AVG(value), 4) AS raw_mean, COUNT(*) AS n "
+    "FROM events e JOIN b ON e.event_type = b.event_type "
+    "GROUP BY e.event_type ORDER BY e.event_type",
+    doc=(
+        "Winsorized (p5/p95-clamped) per-group means — the outlier-robust "
+        "aggregate of metric pipelines. Two passes sharing one shuffle key: "
+        "the bounds frame is |groups| rows (broadcast), the clamp is a "
+        "scan-stage LEAST/GREATEST; at 100 TB the exact quantile_cont "
+        "bounds swap for approx_percentile with the identical plan."
+    ),
+)
+def q_agg_winsorized_means(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy(F.col("event_type").alias("bt")).agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), ev.event_type == F.col("bt"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "privacy_forget_users",
+    "WITH deny AS (SELECT user_id FROM events GROUP BY user_id "
+    "ORDER BY COUNT(*) DESC, user_id LIMIT 5) "
+    "SELECT event_type, COUNT(*) AS n_retained FROM events "
+    "WHERE user_id NOT IN (SELECT user_id FROM deny) "
+    "GROUP BY event_type ORDER BY event_type",
+    doc=(
+        "Right-to-be-forgotten scrub: a deletion list anti-joins the event "
+        "log and only the survivors flow on (here the deny set is derived "
+        "deterministically — the 5 heaviest users — so the oracle can "
+        "reproduce it). The anti side is a distinct-key frame, broadcast "
+        "at any real deletion-request volume; the full rewrite pairs this "
+        "with the registry's snapshot commit so the purge is atomic and "
+        "auditable."
+    ),
+)
+def q_privacy_forget_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    deny = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(5)
+        .select("user_id")
+    )
+    return (
+        ev.join(F.broadcast(deny), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_retained"))
+        .orderBy("event_type")
+    )
