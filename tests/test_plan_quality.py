@@ -365,3 +365,19 @@ def test_plan_audit_counters_match_known_shapes(spark):
     assert a["scans"] == 4 and a["scans_vectorized"] >= 4
     b = plan_audit(QUERIES["sort_topk_orders"].build(spark, SF))
     assert b["take_ordered_topk"] == 1
+
+
+def test_hint_free_joins_survive_broadcast_disabled(spark):
+    """The de-hinted TPC-H joins (Q8/Q14/Q17 — sides that grow with the
+    corpus) must produce identical results when broadcast joins are
+    impossible: the plan AQE falls back to at 100 TB is the same answer,
+    just a different exchange."""
+    names = [
+        "tpch_q8_market_share",
+        "tpch_q14_promo_revenue",
+        "tpch_q17_small_quantity_revenue",
+    ]
+    baseline = {n: QUERIES[n].build(spark, SF).collect() for n in names}
+    with _no_broadcast(spark):
+        for n in names:
+            assert QUERIES[n].build(spark, SF).collect() == baseline[n], n
