@@ -3507,3 +3507,28 @@ def q_privacy_forget_users(spark, sf_dir):
         .agg(F.count("*").alias("n_retained"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "approx_hll_rollup_merge",
+    None,
+    doc=(
+        "The sketch ROLLUP pattern that makes 100 TB distinct counts "
+        "re-aggregatable: hourly hll_sketch_agg sketches (what a "
+        "materialized rollup would persist), then hll_union_agg merges "
+        "them to daily uniques WITHOUT rescanning raw events — merging "
+        "k sketches costs O(k * sketch_size) regardless of event volume. "
+        "Approximate -> rows-only; accuracy vs the exact per-day distinct "
+        "is pytest-bounded at 5%."
+    ),
+)
+def q_approx_hll_rollup_merge(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return (
+        hourly.groupBy("day")
+        .agg(F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias("approx_users"))
+        .orderBy("day")
+    )

@@ -353,3 +353,26 @@ def test_parse_image_headers_real_decode(spark):
     assert got[2] == ("image/jpeg", 1024, 768)
     assert got[3] == (None, None, None)
     assert got[4] == (None, None, None)
+
+
+def test_hll_rollup_merge_accuracy(spark):
+    """Merging hourly HLL sketches to daily uniques must track the exact
+    per-day distinct count within sketch tolerance — the re-aggregation
+    path cannot silently drift."""
+    from demo_otel_parquet_antalya_spark.plans import QUERIES
+    from demo_otel_parquet_antalya_spark.plans.tables import load_table
+
+    approx = {
+        r.day: r.approx_users
+        for r in QUERIES["approx_hll_rollup_merge"].build(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r.day: r.n
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) / n < 0.05, (day, approx[day], n)
