@@ -269,6 +269,32 @@ class LogTableRegistry:
         return self.spark.read.option("basePath", self.root).parquet(*diff["added_files"])
 
 
+    def vacuum_orphans(self, dry_run: bool = True) -> list[str]:
+        """Orphan-file GC (Iceberg ``remove_orphan_files``): parquet files
+        under the root that NO retained snapshot references — crash leftovers
+        from writers that died between flush and sync, or files rolled back
+        past. Listing is one directory walk; referenced-set union is
+        O(snapshots x files) metadata. ``dry_run=True`` (default) only
+        reports, so operators review before space is reclaimed; the delete
+        path ignores already-gone files (concurrent vacuums are safe).
+
+        Only files strictly OUTSIDE every retained snapshot are candidates —
+        run ``expire_snapshots`` first to shrink the retained set."""
+        referenced: set[str] = set()
+        for snap in self.snapshots():
+            referenced |= set(snap["files"])
+        # HEAD is always part of snapshots(); be defensive anyway
+        referenced |= self.registered()
+        orphans = sorted(_list_parquet_files(self.root) - referenced)
+        if not dry_run:
+            for f in orphans:
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    pass
+        return orphans
+
+
 def compact_warehouse(
     spark: SparkSession,
     warehouse_root: str,

@@ -312,3 +312,30 @@ def test_snapshot_diff_and_incremental_read(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no files added"):
         reg.read_increment(reg.current_snapshot_id())
+
+
+def test_vacuum_orphans_finds_and_removes_only_unreferenced(spark, tmp_path):
+    """Files no snapshot references (crash leftovers) are reported by the
+    dry run and deleted by the real run; every registered file survives."""
+    import os
+
+    in_dir, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    generate_files(in_dir, n_files=2, records_per_file=50, seed=21)
+    write_logs(ingest_otlp_json(spark, in_dir), wh)
+    reg = LogTableRegistry(spark, wh)
+    reg.sync()
+    n = reg.table().count()
+
+    # a writer dies after flush, before sync: orphan parquet appears
+    orphan = os.path.join(wh, "service_name=ghost", "crash-leftover.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    spark.range(3).toPandas().to_parquet(orphan)
+
+    found = reg.vacuum_orphans(dry_run=True)
+    assert found == [orphan]
+    assert os.path.exists(orphan)  # dry run never deletes
+
+    removed = reg.vacuum_orphans(dry_run=False)
+    assert removed == [orphan] and not os.path.exists(orphan)
+    assert reg.table().count() == n  # registered data untouched
+    assert reg.vacuum_orphans(dry_run=True) == []
