@@ -1013,3 +1013,29 @@ def q_mixture_temperature_weights(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "bpe_tokenize_corpus",
+    None,
+    doc=(
+        "BPE tokenizer training + encoding on the corpus (operators/bpe.py): "
+        "the distributed half is the word-frequency aggregate (one map-side-"
+        "combinable shuffle over 100 TB); the merge loop runs on the compact "
+        "word-TYPE table (vocabulary-sized by contract, guarded), and the "
+        "learned merges broadcast back into an Arrow-batched encoder. "
+        "Rows-only: the merge loop is not SQL-expressible; the merge list "
+        "itself is hand-verified + determinism-tested in tests/test_bpe.py."
+    ),
+)
+def q_bpe_tokenize_corpus(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_merges(docs, n_merges=10)
+    return (
+        bpe.apply_bpe(docs, merges)
+        .select("doc_id", "n_bpe_tokens")
+        .orderBy("doc_id")
+        .limit(100)
+    )
