@@ -13,6 +13,7 @@ on the synthetic documents/embeddings tables, stage by stage.
 7. draw a deterministic per-language sample (md5 order, no RNG state)
 8. build + query a partition-pruned IVF ANN index over the embeddings
 9. incremental dedup: probe a NEW batch against the persisted LSH index
+10. train a BPE tokenizer on the corpus and encode it
 
 The same chain runs as ONE registered query (``pipeline_training_prep``)
 hash-checked against a full-SQL DuckDB oracle — this script is the
@@ -98,6 +99,13 @@ def main() -> None:
         dedup.minhash_dedup_incremental(
             batch, corpus, f"{tmp}/lsh", threshold=0.9
         ).show(5)
+
+    print("== 10. BPE tokenizer: train merges, encode the corpus ==")
+    from demo_otel_parquet_antalya_spark.operators import bpe
+
+    merges = bpe.train_bpe_merges(docs, n_merges=8)
+    print(f"first merges: {merges[:4]}")
+    bpe.apply_bpe(docs, merges).select("doc_id", "n_bpe_tokens").show(5)
 
     spark.stop()
 
