@@ -123,3 +123,28 @@ def fingerprint(text: Column | str) -> Column:
     content-hash dedup at scale."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def hashed_token_weight(
+    tok: Column, n_buckets: int = 4096, mix: int = 2654435761, scale: int = 8192
+) -> Column:
+    """Hashing-trick feature weight for one token, in [-0.5, 0.5).
+
+    bucket = int(md5(token)[:6]) mod n_buckets (the fastText/vowpal 'hashing
+    trick' — no vocabulary broadcast, collisions are the regularizer), then a
+    deterministic Knuth-multiplicative weight per bucket stands in for a
+    trained coefficient vector: a real model would broadcast a (tiny)
+    n_buckets-long weight array and index it the same way. md5-prefix
+    bucketing is engine-portable, so DuckDB verifies the exact assignment.
+    All integer math stays < 2^44 — no ANSI overflow."""
+    bucket = F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long") % n_buckets
+    return ((bucket * F.lit(mix)) % scale) / F.lit(float(scale)) - 0.5
+
+
+def hashed_linear_logit(text: Column | str, n_buckets: int = 4096) -> Column:
+    """fastText-style linear text classifier logit: mean hashed-bucket weight
+    over the token bag. One transform + one aggregate fold per document —
+    scan-stage scoring, zero shuffles, zero Python: classifier inference over
+    100 TB costs exactly one pass."""
+    ws = F.transform(tokens(text), lambda t: hashed_token_weight(t, n_buckets))
+    return F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x) / F.size(ws)

@@ -751,3 +751,136 @@ def minhash_dedup_incremental(
         .select("id_new", "id_old", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (RefinedWeb / MassiveText style)
+# ---------------------------------------------------------------------------
+
+
+def line_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 12,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """Segment documents into 'lines' -> (id, line_no, line).
+
+    ``delimiter`` given (e.g. ``"\\n"``): physical-line split, the
+    RefinedWeb/MassiveText definition (empty lines dropped, whitespace
+    trimmed). ``delimiter=None``: deterministic fixed-width fallback —
+    non-overlapping ``line_tokens``-token windows — for corpora whose
+    newline structure was lost upstream (the synthetic testdata corpus is
+    single-line, so the registered query uses this path; both paths share
+    every downstream operator).
+
+    Map-side only: tokenize + slice inside whole-stage codegen, one
+    posexplode. No shuffle.
+    """
+    if delimiter is not None:
+        lines = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delimiter)).alias("line_no", "line"),
+        )
+        return lines.select(
+            id_col, "line_no", F.trim(F.col("line")).alias("line")
+        ).filter(F.length("line") > 0)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_lines = F.greatest(F.ceil(F.size("toks") / line_tokens).cast("int"), F.lit(1))
+    return df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i * line_tokens + 1, line_tokens)),
+            )
+        ).alias("line_no", "line"),
+    )
+
+
+def duplicated_line_hashes(
+    lines: DataFrame, id_col: str = "doc_id", min_docs: int = 2
+) -> DataFrame:
+    """Hashes of lines appearing in >= ``min_docs`` DISTINCT documents.
+
+    The corpus-wide shuffle carries 8-byte xxhash64 keys, never line text —
+    at 100 TB the line-frequency pass moves ~16 bytes/line instead of the
+    raw strings (the same trick as the MinHash signature pass). countDistinct
+    is map-side partially aggregated on (hash, id) first.
+    """
+    return (
+        lines.select(F.xxhash64("line").alias("line_hash"), F.col(id_col))
+        .groupBy("line_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_hash")
+    )
+
+
+def line_level_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 12,
+    min_docs: int = 2,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """Per-document duplicated-line exposure: (id, n_lines, n_dup_lines,
+    dup_line_frac), ordered by exposure. The detection half of line dedup —
+    'which documents are assembled from boilerplate lines seen elsewhere'.
+    """
+    lines = line_windows(df, id_col, text_col, line_tokens, delimiter)
+    hashed = lines.withColumn("line_hash", F.xxhash64("line"))
+    dup = duplicated_line_hashes(lines, id_col, min_docs)
+    tot = hashed.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    hits = (
+        hashed.join(dup, "line_hash")  # dup side is tiny vs corpus; AQE picks BHJ
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_lines"))
+    )
+    frac = F.col("n_dup_lines") / F.col("n_lines")
+    return (
+        tot.join(hits, id_col)
+        .select(
+            id_col,
+            "n_lines",
+            "n_dup_lines",
+            F.round(frac, 4).alias("dup_line_frac"),
+        )
+        .orderBy(F.col("dup_line_frac").desc(), id_col)
+    )
+
+
+def line_level_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 12,
+    min_docs: int = 2,
+    delimiter: str | None = None,
+    joiner: str = " ",
+) -> DataFrame:
+    """The dedup ACTION: drop every occurrence of a cross-document duplicated
+    line and reassemble the survivors in original order -> (id, n_kept_lines,
+    clean_text), for documents that lost >= 1 line and kept >= 1.
+
+    Reassembly is a per-document collect_list + array_sort — bounded by a
+    single document's size by definition, never by corpus size.
+    """
+    lines = line_windows(df, id_col, text_col, line_tokens, delimiter)
+    hashed = lines.withColumn("line_hash", F.xxhash64("line"))
+    dup = duplicated_line_hashes(lines, id_col, min_docs)
+    affected = hashed.join(dup, "line_hash", "left_semi").select(id_col).distinct()
+    kept = hashed.join(dup, "line_hash", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept_lines"),
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("clean_text"),
+    )
+    return rebuilt.join(affected, id_col, "left_semi").orderBy(id_col)

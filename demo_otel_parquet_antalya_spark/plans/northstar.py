@@ -1039,3 +1039,151 @@ def q_bpe_tokenize_corpus(spark, sf_dir):
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# ===========================================================================
+# Line-level dedup + model-scoring additions (round 3, late)
+# ===========================================================================
+
+# DuckDB-side 'line' segmentation identical to operators.dedup.line_windows
+# (fixed 12-token windows — the testdata corpus is single-line, see the
+# operator docstring; the '\n' physical-line path is pytest-covered).
+_LINES_SQL = (
+    "t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+    "FROM documents), "
+    "ln AS (SELECT doc_id, i AS line_no, "
+    "array_to_string(list_slice(toks, i*12+1, i*12+12), ' ') AS line "
+    "FROM t, LATERAL (SELECT unnest(range(0, "
+    "GREATEST(CAST(ceil(len(toks)/12.0) AS BIGINT), 1))) AS i) g), "
+    "dup AS (SELECT line FROM ln GROUP BY line "
+    "HAVING COUNT(DISTINCT doc_id) >= 2)"
+)
+
+
+@register(
+    "dedup_line_level",
+    "WITH " + _LINES_SQL + ", "
+    "hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_lines "
+    "FROM ln JOIN dup USING (line) GROUP BY doc_id), "
+    "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines "
+    "FROM ln GROUP BY doc_id) "
+    "SELECT doc_id, n_lines, n_dup_lines, "
+    "ROUND(n_dup_lines * 1.0 / n_lines, 4) AS dup_line_frac "
+    "FROM tot JOIN hits USING (doc_id) "
+    "ORDER BY dup_line_frac DESC, doc_id",
+    doc=(
+        "Line-level dedup DETECTION (RefinedWeb/MassiveText style): lines "
+        "appearing in >= 2 distinct documents, rolled up to a per-document "
+        "duplicated-line fraction. The corpus-wide line-frequency shuffle "
+        "carries 8-byte xxhash64 keys, never line text; countDistinct is "
+        "map-side combined. Linear in corpus size."
+    ),
+)
+def q_dedup_line_level(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.line_level_stats(docs, line_tokens=12, min_docs=2)
+
+
+@register(
+    "scrub_duplicated_lines",
+    "WITH " + _LINES_SQL + ", "
+    "kept AS (SELECT doc_id, line_no, line FROM ln "
+    "WHERE line NOT IN (SELECT line FROM dup)), "
+    "reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_lines, "
+    "string_agg(line, ' ' ORDER BY line_no) AS clean_text "
+    "FROM kept GROUP BY doc_id), "
+    "aff AS (SELECT DISTINCT doc_id FROM ln JOIN dup USING (line)) "
+    "SELECT doc_id, n_kept_lines, clean_text FROM reb JOIN aff USING (doc_id) "
+    "ORDER BY doc_id",
+    doc=(
+        "Line-level dedup ACTION: drop every occurrence of a cross-document "
+        "duplicated line, reassemble survivors in original order (per-doc "
+        "collect_list + array_sort — bounded by one document, never by the "
+        "corpus). Returns the cleaned text for affected documents; the "
+        "oracle string-compares the reassembled documents exactly."
+    ),
+)
+def q_scrub_duplicated_lines(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.line_level_scrub(docs, line_tokens=12, min_docs=2)
+
+
+@register(
+    "quality_classifier_score",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+    "FROM documents), "
+    "w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "list_transform(toks, tok -> "
+    "(((CAST(concat('0x', substr(md5(tok), 1, 6)) AS BIGINT) % 4096) "
+    "* 2654435761) % 8192) / 8192.0 - 0.5) AS ws FROM t), "
+    "s AS (SELECT doc_id, n_tokens, list_sum(ws) / n_tokens AS logit FROM w) "
+    "SELECT doc_id, n_tokens, ROUND(logit, 6) AS logit, "
+    "ROUND(1.0 / (1.0 + exp(-logit)), 4) AS prob, "
+    "CASE WHEN logit >= 0 THEN 'keep' ELSE 'drop' END AS label "
+    "FROM s ORDER BY doc_id LIMIT 200",
+    doc=(
+        "fastText-shaped quality-classifier inference at corpus scale: "
+        "hashing-trick featurization (md5-prefix bucket, no vocabulary "
+        "broadcast) + linear scorer + sigmoid + keep/drop gate, entirely "
+        "inside whole-stage codegen — model scoring over 100 TB is one "
+        "scan-stage pass with zero shuffles and zero Python. Deterministic "
+        "Knuth-multiplicative bucket weights stand in for trained "
+        "coefficients (a trained model broadcasts a tiny weight array and "
+        "indexes it identically); the oracle verifies the exact bucket "
+        "assignment, fold, sigmoid, and gate."
+    ),
+)
+def q_quality_classifier_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    logit = tx.hashed_linear_logit(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            tx.token_count("text").alias("n_tokens"),
+            F.round(logit, 6).alias("logit"),
+            F.round(1.0 / (1.0 + F.exp(-logit)), 4).alias("prob"),
+            F.when(logit >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@register(
+    "similarity_eval_contamination",
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id < 10), "
+    "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings WHERE vec_id >= 10), "
+    "scored AS (SELECT query_id, neighbor_id, "
+    "ROUND(list_cosine_similarity(v, qv), 6) AS sim FROM q, c), "
+    "ranked AS (SELECT query_id, neighbor_id, sim, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) "
+    "AS rn FROM scored) "
+    "SELECT query_id, neighbor_id, sim, "
+    "CASE WHEN sim >= 0.45 THEN 'contaminated' ELSE 'clean' END AS verdict "
+    "FROM ranked WHERE rn = 1 ORDER BY query_id",
+    doc=(
+        "Embedding-space eval-set contamination audit (the decontamination "
+        "twin of contamination_ngram_check): for each held-out eval vector, "
+        "the nearest TRAIN vector by cosine plus a contaminated/clean "
+        "verdict at threshold 0.45. Broadcast eval set x train corpus — "
+        "linear in train size, no shuffle in the score pass (same kernel as "
+        "similarity_cosine_topk, disjoint-split discipline on top)."
+    ),
+)
+def q_similarity_eval_contamination(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 10)
+    evalq = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top1 = similarity.cosine_topk(train, evalq, k=1)
+    return top1.select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        F.when(F.col("sim") >= 0.45, F.lit("contaminated"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+    ).orderBy("query_id")

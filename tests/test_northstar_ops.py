@@ -376,3 +376,93 @@ def test_hll_rollup_merge_accuracy(spark):
     assert approx.keys() == exact.keys()
     for day, n in exact.items():
         assert abs(approx[day] - n) / n < 0.05, (day, approx[day], n)
+
+
+def test_line_level_scrub_newline_path(spark):
+    """The RefinedWeb physical-line path ('\\n' delimiter): every occurrence
+    of a cross-doc duplicated line is dropped, survivors keep original order,
+    and docs that lost nothing (or kept nothing) are absent."""
+    from demo_otel_parquet_antalya_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta\nSHARED LINE ONE\ngamma delta"),
+        (2, "SHARED LINE ONE\nepsilon zeta\nSHARED LINE ONE"),
+        (3, "unique only\nnothing shared here"),
+        (4, "SHARED LINE ONE"),  # loses its only line -> kept 0 -> absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_kept_lines, r.clean_text)
+        for r in dedup.line_level_scrub(docs, delimiter="\n").collect()
+    }
+    assert got == {
+        1: (2, "alpha beta gamma delta"),
+        2: (1, "epsilon zeta"),
+    }
+    stats = {
+        r.doc_id: (r.n_lines, r.n_dup_lines)
+        for r in dedup.line_level_stats(docs, delimiter="\n").collect()
+    }
+    assert stats == {1: (3, 1), 2: (3, 2), 4: (1, 1)}
+
+
+def test_line_windows_fixed_width_covers_all_tokens(spark):
+    """Fixed-width segmentation partitions the token sequence exactly:
+    concatenating the lines reproduces the normalized document."""
+    from demo_otel_parquet_antalya_spark.operators import dedup
+    from demo_otel_parquet_antalya_spark.plans.tables import load_table
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    lines = dedup.line_windows(docs, line_tokens=12)
+    rebuilt = lines.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("re")
+    )
+    orig = docs.select("doc_id", F.regexp_replace(F.trim("text"), r"\s+", " ").alias("t"))
+    bad = rebuilt.join(orig, "doc_id").filter(F.col("re") != F.col("t")).count()
+    assert bad == 0
+
+
+def test_hashed_classifier_properties(spark):
+    """Hashing-trick classifier: weights land in [-0.5, 0.5), scoring is
+    deterministic across runs, and the logit equals the plain-Python
+    re-computation of the same hash math."""
+    import hashlib
+
+    from demo_otel_parquet_antalya_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = docs.select("doc_id", tx.hashed_linear_logit(F.col("text")).alias("logit"))
+    got = {r.doc_id: r.logit for r in out.collect()}
+    again = {r.doc_id: r.logit for r in out.collect()}
+    assert got == again
+
+    def w(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % 4096
+        return ((b * 2654435761) % 8192) / 8192.0 - 0.5
+
+    for doc_id, text in [(1, "the quick brown fox"), (2, "jumps over the lazy dog")]:
+        toks = text.split()
+        expect = sum(w(t) for t in toks) / len(toks)
+        assert abs(got[doc_id] - expect) < 1e-12
+        assert all(-0.5 <= w(t) < 0.5 for t in toks)
+
+
+def test_eval_contamination_disjoint_and_flagged(spark):
+    """The contamination audit only reports train-side neighbors, one per
+    eval vector, and flags exactly the pairs at/above the threshold."""
+    from demo_otel_parquet_antalya_spark.plans import QUERIES
+
+    rows = QUERIES["similarity_eval_contamination"].build(spark, SF).collect()
+    assert len(rows) == len({r.query_id for r in rows})  # one per eval id
+    for r in rows:
+        assert r.query_id < 10 and r.neighbor_id >= 10
+        assert r.verdict == ("contaminated" if r.sim >= 0.45 else "clean")

@@ -381,3 +381,24 @@ def test_hint_free_joins_survive_broadcast_disabled(spark):
     with _no_broadcast(spark):
         for n in names:
             assert QUERIES[n].build(spark, SF).collect() == baseline[n], n
+
+
+def test_classifier_scoring_is_one_scan_pass(spark):
+    """quality_classifier_score claims 'model inference over 100 TB = one
+    scan-stage pass': the executed plan must contain ZERO Exchange nodes and
+    zero Python evaluation — featurize + fold + sigmoid + gate all inside
+    whole-stage codegen, top-200 via TakeOrderedAndProject."""
+    plan = plan_of(spark, "quality_classifier_score")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark):
+    """dedup_line_level's corpus-wide frequency shuffle must key on the
+    8-byte xxhash64 of the line, never the line text itself (at 100 TB the
+    difference is moving ~16 bytes/line vs the raw strings)."""
+    plan = plan_of(spark, "dedup_line_level")
+    assert "hashpartitioning(line_hash" in plan, plan
+    assert "hashpartitioning(line#" not in plan, plan
+    assert "EvalPython" not in plan, plan
