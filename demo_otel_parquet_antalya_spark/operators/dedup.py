@@ -884,3 +884,36 @@ def line_level_scrub(
         ).alias("clean_text"),
     )
     return rebuilt.join(affected, id_col, "left_semi").orderBy(id_col)
+
+
+def cluster_density(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Per-connected-component graph diagnostic over a verified near-dup
+    pair set: (cluster_id, n_nodes, n_edges, density, shape) where shape is
+    'clique' (all-mutual duplicates — safe to keep one canonical) vs
+    'partial' (a transitive chain — min-label merging may over-group).
+
+    One label join + two broadcast-sized aggregates on top of
+    ``connected_components``; the pair graph is the near-dup sliver, so
+    every frame here is tiny relative to the corpus.
+    """
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    edges_per = (
+        pairs.join(labels.withColumnRenamed("id", id_a), id_a)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    nodes_per = labels.groupBy("cluster_id").agg(F.count("*").alias("n_nodes"))
+    possible = F.col("n_nodes") * (F.col("n_nodes") - 1)
+    return (
+        nodes_per.join(edges_per, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_nodes",
+            "n_edges",
+            F.round(2.0 * F.col("n_edges") / possible, 4).alias("density"),
+            F.when(2 * F.col("n_edges") == possible, F.lit("clique"))
+            .otherwise(F.lit("partial"))
+            .alias("shape"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1078,6 +1078,7 @@ _LINES_SQL = (
         "carries 8-byte xxhash64 keys, never line text; countDistinct is "
         "map-side combined. Linear in corpus size."
     ),
+    bench=True,
 )
 def q_dedup_line_level(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -1132,6 +1133,7 @@ def q_scrub_duplicated_lines(spark, sf_dir):
         "indexes it identically); the oracle verifies the exact bucket "
         "assignment, fold, sigmoid, and gate."
     ),
+    bench=True,
 )
 def q_quality_classifier_score(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -1187,3 +1189,42 @@ def q_similarity_eval_contamination(spark, sf_dir):
         .otherwise(F.lit("clean"))
         .alias("verdict"),
     ).orderBy("query_id")
+
+
+@register(
+    "dedup_cluster_density",
+    "WITH RECURSIVE "
+    + _SHINGLES_SQL.strip().rstrip()
+    + ", pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.9), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "          UNION SELECT id_b, id_a FROM pairs), "
+    "reach(src, dst) AS ("
+    "  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n "
+    "  UNION "
+    "  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) "
+    ", lab AS (SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY src), "
+    "ne AS (SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges "
+    "FROM pairs p JOIN lab l ON p.id_a = l.doc_id GROUP BY 1), "
+    "nn AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+    "FROM lab GROUP BY 1) "
+    "SELECT cluster_id, n_nodes, n_edges, "
+    "ROUND(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 4) AS density, "
+    "CASE WHEN 2 * n_edges = n_nodes * (n_nodes - 1) THEN 'clique' "
+    "ELSE 'partial' END AS shape "
+    "FROM nn JOIN ne USING (cluster_id) ORDER BY cluster_id",
+    doc=(
+        "Dedup-cluster QUALITY diagnostic (graph analytics on the verified "
+        "near-dup graph): per connected component, node/edge counts, edge "
+        "density, and a clique/partial verdict. A clique is a set of true "
+        "mutual duplicates; a sparse 'partial' component is a transitive "
+        "chain where connected-components merging may over-group — the "
+        "thing a dedup operator reviews before dropping non-canonical "
+        "members. Costs one extra broadcast-sized join over the label "
+        "frame; the pair graph is already the near-dup sliver."
+    ),
+)
+def q_dedup_cluster_density(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.9)
+    return dedup.cluster_density(pairs)

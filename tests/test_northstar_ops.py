@@ -466,3 +466,22 @@ def test_eval_contamination_disjoint_and_flagged(spark):
     for r in rows:
         assert r.query_id < 10 and r.neighbor_id >= 10
         assert r.verdict == ("contaminated" if r.sim >= 0.45 else "clean")
+
+
+def test_cluster_density_clique_vs_chain(spark):
+    """A triangle must report density 1.0 / 'clique'; a 4-node path must
+    report 3 edges over 6 possible = 0.5 / 'partial'."""
+    from demo_otel_parquet_antalya_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.cluster_id: (r.n_nodes, r.n_edges, r.density, r.shape)
+        for r in dedup.cluster_density(pairs).collect()
+    }
+    assert got == {
+        1: (3, 3, 1.0, "clique"),
+        10: (4, 3, 0.5, "partial"),
+    }
