@@ -3532,3 +3532,43 @@ def q_approx_hll_rollup_merge(spark, sf_dir):
         .agg(F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias("approx_users"))
         .orderBy("day")
     )
+
+
+_LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey <= 50
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@register(
+    "join_lateral_topn",
+    "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
+    "FROM customer c, "
+    "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t "
+    "WHERE c.c_custkey <= 50 "
+    "ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey",
+    doc=(
+        "Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2 "
+        "orders per customer) — the SQL-standard lateral-join surface. "
+        "Catalyst decorrelates it into a windowed rank over one equi-join "
+        "(DecorrelateInnerQuery), so the executed plan is the same "
+        "shuffle-once top-k-per-key shape as the DataFrame window form, "
+        "never a per-row nested loop."
+    ),
+)
+def q_join_lateral_topn(spark, sf_dir):
+    return spark.sql(
+        _LATERAL_TOPN_SQL,
+        customer=_t(spark, sf_dir, "customer"),
+        orders=_t(spark, sf_dir, "orders"),
+    )

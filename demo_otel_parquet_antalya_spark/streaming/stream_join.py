@@ -93,3 +93,22 @@ def interval_join_streams_outer(
         & (F.col("l_ts") <= F.col("r_ts") + F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
     )
     return l.join(r, cond, "left_outer").drop("rk")
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a live stream to a bounded
+    dimension table (the lookup-table pattern — user -> account tier,
+    service -> team, host -> rack).
+
+    The static side is broadcast once per micro-batch executor-side — no
+    stream state, no shuffle of the stream; at 1000 executors the dimension
+    ships as one broadcast, and updating it is re-reading the static frame
+    (Spark re-plans the static side every micro-batch for file sources).
+    Works identically on a batch frame, which the equivalence test uses.
+    """
+    return stream.join(F.broadcast(dim), key_col, how)

@@ -402,3 +402,12 @@ def test_line_dedup_shuffles_hashes_not_text(spark):
     assert "hashpartitioning(line_hash" in plan, plan
     assert "hashpartitioning(line#" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_lateral_topn_decorrelates(spark):
+    """The correlated LATERAL subquery must decorrelate into a windowed
+    rank over one equi-join — never a per-outer-row nested loop."""
+    plan = plan_of(spark, "join_lateral_topn")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan

@@ -96,3 +96,37 @@ def test_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
     unmatched = {(r.k, r.l_action) for r in rows if r.r_action is None}
     assert (1, "c1", "v1") in matched
     assert (2, "c2") in unmatched  # surfaced with NULLs, not dropped
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static dimension enrichment: streaming output equals the same
+    broadcast join in batch; unmatched keys survive a left join with NULL
+    dimension columns (lookup misses stay observable, not dropped)."""
+    from demo_otel_parquet_antalya_spark.streaming.stream_join import enrich_with_dimension
+
+    events = [(1, 0, "view"), (2, 5, "click"), (9, 7, "view")]  # 9 has no dim row
+    src = str(tmp_path / "events")
+    _write(src, "e.json", events)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "bronze"), (3, "silver")], "user_id bigint, tier string"
+    )
+
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = (
+        enrich_with_dimension(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.action, r.tier) for r in spark.table("enrich").collect()}
+
+    batch = spark.read.schema(SCHEMA).json(src)
+    want = {
+        (r.user_id, r.action, r.tier)
+        for r in enrich_with_dimension(batch, dim, "user_id").collect()
+    }
+    assert got == want
+    assert (9, "view", None) in got
