@@ -3572,3 +3572,39 @@ def q_join_lateral_topn(spark, sf_dir):
         customer=_t(spark, sf_dir, "customer"),
         orders=_t(spark, sf_dir, "orders"),
     )
+
+
+@register(
+    "sample_rate_cap_per_key",
+    "WITH ranked AS (SELECT user_id, event_id, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts) "
+    "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn "
+    "FROM events), "
+    "kept AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_kept "
+    "FROM ranked WHERE rn <= 3 GROUP BY user_id), "
+    "tot AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY user_id) "
+    "SELECT user_id, n_events, n_kept FROM tot JOIN kept USING (user_id) "
+    "ORDER BY user_id",
+    doc=(
+        "Per-key rate-cap sampling (ingest throttling for hot keys): keep at "
+        "most 3 events per (user, hour), chosen by md5(event_id) order so "
+        "the cap is a deterministic uniform sample WITHIN the hour, not a "
+        "head-of-hour bias. One keyed window shuffle; the md5 sort key "
+        "makes the kept set a pure function of the data — stable across "
+        "runs, partitionings, and executor counts."
+    ),
+)
+def q_sample_rate_cap_per_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    kept = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    tot = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return tot.join(kept, "user_id").select("user_id", "n_events", "n_kept").orderBy("user_id")

@@ -1,0 +1,79 @@
+"""Continuously-maintained deterministic uniform sample of a stream.
+
+A uniform size-k sample of everything seen so far = the k rows with the
+smallest md5(key) — a pure function of the data (the same Efraimidis-
+Spirakis-by-hash trick as the batch ``sample_weighted_es``), so it can be
+maintained incrementally with NO randomness coordination: each micro-batch
+contributes its own top-k candidates, and merging two candidate sets is
+just re-taking the k smallest. Associative + commutative + idempotent ⇒
+replayed batches cannot corrupt the sample.
+
+State discipline mirrors ``streaming/rollup.py``: the merged sample lands
+as a versioned snapshot dir ``v=<batch_id>``; a replayed batch merges the
+snapshot strictly BEFORE its id and overwrites its own version — exactly-
+once output on plain parquet. Snapshot size is k rows by construction, so
+the merge is trivially broadcast-sized at any traffic volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
+
+
+def _sample_schema(key_col: str, payload_cols: list[str]) -> str:
+    cols = ", ".join([f"{key_col} long"] + [f"{c} string" for c in payload_cols])
+    return f"{cols}, __sk string"
+
+
+def batch_sample(df: DataFrame, k: int, key_col: str, payload_cols: list[str]) -> DataFrame:
+    """The batch twin: k smallest md5(key) rows — TakeOrderedAndProject,
+    per-partition heaps, k-row driver merge."""
+    return (
+        df.select(
+            F.col(key_col).cast("long").alias(key_col),
+            *[F.col(c).cast("string").alias(c) for c in payload_cols],
+            F.md5(F.col(key_col).cast("string")).alias("__sk"),
+        )
+        .orderBy("__sk", key_col)
+        .limit(k)
+    )
+
+
+def read_sample(spark: SparkSession, target_dir: str, key_col: str, payload_cols: list[str]) -> DataFrame:
+    vs = _versions(spark, target_dir)
+    schema = _sample_schema(key_col, payload_cols)
+    if not vs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(f"{target_dir}/v={vs[-1]}")
+
+
+def incremental_sample(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    k: int = 100,
+    key_col: str = "event_id",
+    payload_cols: list[str] | None = None,
+):
+    """Start the sample-maintenance stream; returns the StreamingQuery."""
+    payload = payload_cols or []
+    schema = _sample_schema(key_col, payload)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cand = batch_sample(batch_df, k, key_col, payload)
+        prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
+        if prior_vs:
+            prior = spark.read.schema(schema).parquet(f"{target_dir}/v={prior_vs[-1]}")
+            cand = prior.unionByName(cand).orderBy("__sk", key_col).limit(k)
+        cand.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

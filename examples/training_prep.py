@@ -14,6 +14,9 @@ on the synthetic documents/embeddings tables, stage by stage.
 8. build + query a partition-pruned IVF ANN index over the embeddings
 9. incremental dedup: probe a NEW batch against the persisted LSH index
 10. train a BPE tokenizer on the corpus and encode it
+11. line-level dedup (RefinedWeb tier): flag + scrub cross-doc boilerplate
+12. quality-classifier inference (fastText shape, zero-shuffle scan pass)
+13. cluster-density review: clique vs chain before dropping non-canonicals
 
 The same chain runs as ONE registered query (``pipeline_training_prep``)
 hash-checked against a full-SQL DuckDB oracle — this script is the
@@ -106,6 +109,25 @@ def main() -> None:
     merges = bpe.train_bpe_merges(docs, n_merges=8)
     print(f"first merges: {merges[:4]}")
     bpe.apply_bpe(docs, merges).select("doc_id", "n_bpe_tokens").show(5)
+
+    print("== 11. line-level dedup: boilerplate lines shared across docs ==")
+    dedup.line_level_stats(docs, line_tokens=12).show(5)
+    dedup.line_level_scrub(docs, line_tokens=12).select(
+        "doc_id", "n_kept_lines"
+    ).show(5)
+
+    print("== 12. quality-classifier inference (one scan-stage pass) ==")
+    logit = tx.hashed_linear_logit(F.col("text"))
+    docs.select(
+        "doc_id",
+        F.round(logit, 4).alias("logit"),
+        F.when(logit >= 0, "keep").otherwise("drop").alias("label"),
+    ).groupBy("label").count().show()
+
+    print("== 13. dedup-cluster density: clique (safe) vs partial (review) ==")
+    dedup.cluster_density(pairs).groupBy("shape").agg(
+        F.count("*").alias("n_clusters"), F.sum("n_nodes").alias("n_docs")
+    ).show()
 
     spark.stop()
 
