@@ -18,6 +18,15 @@ Covered constructs, each cited to its use in the reference:
 - ``$timeSeries`` (+interval)       -> floor-to-bucket epoch    (logs.json:120-123)
 - ``FORMAT Pretty`` suffix          -> stripped (.show() shapes output) (AGENTS.md:76)
 
+Beyond the shipped queries, the reference hands users FULL ClickHouse SQL
+for ad-hoc work (reference README.md:80-87) — so the shim also rewrites the
+common ad-hoc idioms a ClickHouse user would paste (scope listed in
+``_ADHOC_REWRITES``; each is value-tested against native Spark SQL in
+tests/test_clickhouse_compat.py). Rewrites are deliberately conservative:
+patterns match only simple (non-nested) argument lists and leave anything
+else untouched, so a construct outside the scope fails loudly in Catalyst's
+parser instead of being silently half-translated.
+
 String-level rewriting is deliberate: these are macro expansions (Grafana
 does the same client-side), not semantics — Catalyst still parses, analyzes
 and optimizes the result as first-class Spark SQL.
@@ -30,6 +39,52 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _TRUNC_UNIT = {0: "second", 3: "millisecond", 6: "microsecond"}
+
+# one "simple" argument: no nested parens, no commas
+_A = r"([^,()]+)"
+
+# (pattern, replacement) — ClickHouse ad-hoc construct -> Spark SQL
+_ADHOC_REWRITES: list[tuple[str, str]] = [
+    # time bucketing
+    (rf"\btoStartOfMinute\({_A}\)", r"date_trunc('minute', \1)"),
+    (rf"\btoStartOfHour\({_A}\)", r"date_trunc('hour', \1)"),
+    (rf"\btoStartOfDay\({_A}\)", r"date_trunc('day', \1)"),
+    (
+        rf"\btoStartOfInterval\({_A},\s*INTERVAL\s+(\d+)\s+second\s*\)",
+        r"timestamp_seconds(CAST(floor(unix_timestamp(\1) / \2) * \2 AS BIGINT))",
+    ),
+    (
+        rf"\btoStartOfInterval\({_A},\s*INTERVAL\s+(\d+)\s+minute\s*\)",
+        r"timestamp_seconds(CAST(floor(unix_timestamp(\1) / (\2 * 60)) * (\2 * 60) AS BIGINT))",
+    ),
+    # type conversions
+    (rf"\btoDate\({_A}\)", r"to_date(\1)"),
+    (rf"\btoDateTime\({_A}\)", r"CAST(\1 AS TIMESTAMP)"),
+    (rf"\btoU?Int(?:8|16|32|64)\({_A}\)", r"CAST(\1 AS BIGINT)"),
+    (rf"\btoFloat(?:32|64)\({_A}\)", r"CAST(\1 AS DOUBLE)"),
+    (rf"\btoString\({_A}\)", r"CAST(\1 AS STRING)"),
+    # conditional aggregates (the -If combinators)
+    (rf"\bcountIf\(", r"count_if("),
+    (rf"\bsumIf\({_A},\s*{_A}\)", r"SUM(IF(\2, \1, NULL))"),
+    (rf"\bavgIf\({_A},\s*{_A}\)", r"AVG(IF(\2, \1, NULL))"),
+    # distinct-count family
+    (rf"\buniqExact\({_A}\)", r"COUNT(DISTINCT \1)"),
+    (rf"\buniq(?:Combined|HLL12)?\({_A}\)", r"approx_count_distinct(\1)"),
+    # quantile combinators: quantile(p)(x) — x may carry one paren level
+    # (it is often itself a rewritten cast)
+    (r"\bquantileExact\(([\d.]+)\)\(((?:[^()]|\([^()]*\))+)\)", r"percentile(\2, \1)"),
+    (r"\bquantile\(([\d.]+)\)\(((?:[^()]|\([^()]*\))+)\)", r"percentile_approx(\2, \1)"),
+    # arrays / strings
+    (rf"\bhas\({_A},\s*{_A}\)", r"array_contains(\1, \2)"),
+    (rf"\barrayJoin\({_A}\)", r"explode(\1)"),
+    (rf"\bposition\({_A},\s*{_A}\)", r"instr(\1, \2)"),  # CH arg order == instr
+    (rf"\bnotEmpty\({_A}\)", r"(length(\1) > 0)"),
+    (rf"\bempty\({_A}\)", r"(length(\1) = 0)"),
+    (rf"\bintDiv\({_A},\s*{_A}\)", r"(\1 DIV \2)"),
+    (r"\btoday\(\)", r"current_date()"),
+    (rf"\bstartsWith\({_A},\s*{_A}\)", r"startswith(\1, \2)"),
+    (rf"\bendsWith\({_A},\s*{_A}\)", r"endswith(\1, \2)"),
+]
 
 
 def translate(
@@ -73,6 +128,16 @@ def translate(
     else:
         tf = "1=1"
     q = q.replace("$timeFilter", tf)
+
+    # ad-hoc ClickHouse idioms (module docstring; conservative simple-arg
+    # patterns, repeated so rewrite outputs containing further constructs —
+    # e.g. toDate inside toStartOfDay — converge)
+    for _ in range(3):
+        prev = q
+        for pat, repl in _ADHOC_REWRITES:
+            q = re.sub(pat, repl, q)
+        if q == prev:
+            break
 
     return q
 

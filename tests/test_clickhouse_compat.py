@@ -82,3 +82,62 @@ def test_translate_is_string_level():
     out = translate(Q5, interval_seconds=30)
     assert "$" not in out and "count()" not in out
     assert "otel_logs" in out and "timestamp_seconds" in out
+
+
+# ---------------------------------------------------------------------------
+# Ad-hoc dialect widening: each rewritten construct must VALUE-match the
+# native Spark SQL a user would otherwise have to write by hand.
+# ---------------------------------------------------------------------------
+
+ADHOC_CASES = [
+    # (ClickHouse form, native Spark form)
+    (
+        "SELECT toStartOfMinute(timestamp) AS m, count() AS n FROM $table GROUP BY m",
+        "SELECT date_trunc('minute', timestamp) AS m, COUNT(*) AS n FROM otel_logs GROUP BY m",
+    ),
+    (
+        "SELECT toStartOfInterval(timestamp, INTERVAL 30 second) AS b, count() AS n FROM $table GROUP BY b",
+        "SELECT timestamp_seconds(CAST(floor(unix_timestamp(timestamp) / 30) * 30 AS BIGINT)) AS b, "
+        "COUNT(*) AS n FROM otel_logs GROUP BY b",
+    ),
+    (
+        "SELECT countIf(severity_text = 'ERROR') AS e, sumIf(1, severity_text = 'INFO') AS i FROM $table",
+        "SELECT count_if(severity_text = 'ERROR') AS e, SUM(IF(severity_text = 'INFO', 1, NULL)) AS i FROM otel_logs",
+    ),
+    (
+        "SELECT uniqExact(service_name) AS u, toDate(timestamp) AS d FROM $table GROUP BY d",
+        "SELECT COUNT(DISTINCT service_name) AS u, to_date(timestamp) AS d FROM otel_logs GROUP BY d",
+    ),
+    (
+        "SELECT quantileExact(0.5)(toInt64(severity_number)) AS p50 FROM $table",
+        "SELECT percentile(CAST(severity_number AS BIGINT), 0.5) AS p50 FROM otel_logs",
+    ),
+    (
+        "SELECT service_name FROM $table WHERE startsWith(severity_text, 'ERR') "
+        "AND position(body, 'a') > 0 AND notEmpty(body) ORDER BY timestamp LIMIT 5",
+        "SELECT service_name FROM otel_logs WHERE startswith(severity_text, 'ERR') "
+        "AND instr(body, 'a') > 0 AND (length(body) > 0) ORDER BY timestamp LIMIT 5",
+    ),
+    (
+        "SELECT intDiv(severity_number, 4) AS bucket, count() AS n FROM $table GROUP BY bucket",
+        "SELECT (severity_number DIV 4) AS bucket, COUNT(*) AS n FROM otel_logs GROUP BY bucket",
+    ),
+]
+
+
+@pytest.mark.parametrize("ch, native", ADHOC_CASES)
+def test_adhoc_dialect_value_matches_native(spark, logs_view, ch, native):
+    got = sorted(tuple(r) for r in sql(spark, ch).collect())
+    want = sorted(tuple(r) for r in spark.sql(native).collect())
+    assert got == want and len(got) > 0
+
+
+def test_unknown_constructs_fail_loudly(spark, logs_view):
+    """Anything outside the declared scope must reach Catalyst untouched and
+    fail to parse/resolve — never be silently half-translated."""
+    with pytest.raises(Exception):
+        sql(spark, "SELECT windowFunnel(3600)(timestamp, 1, 2) FROM $table").collect()
+
+
+def test_uniq_maps_to_sketch(spark, logs_view):
+    assert "approx_count_distinct" in translate("SELECT uniq(service_name) FROM $table")
