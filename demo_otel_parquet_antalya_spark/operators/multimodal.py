@@ -324,3 +324,76 @@ def parse_image_headers(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, IMAGE_HEADER_SCHEMA)
+
+
+AUDIO_HEADER_SCHEMA = (
+    "media_id long, mime_detected string, sample_rate int, channels int, "
+    "bits_per_sample int, duration_ms int"
+)
+
+
+def parse_audio_headers(media: DataFrame) -> DataFrame:
+    """REAL audio container-header decode, the WAV sibling of
+    ``parse_image_headers``: sample rate / channels / bit depth / duration
+    parsed from the RIFF ``fmt `` and ``data`` chunks — pure byte walking,
+    no audio library, so the stage runs for real in any container while
+    sample decode stays the declared stub slot.
+
+    Arrow-batched mapInPandas, zero shuffle; malformed/truncated payloads
+    degrade to NULLs (quarantine-friendly) instead of failing the job.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def sniff(payload):
+            none = (None, None, None, None, None)
+            if payload is None:
+                return none
+            b = bytes(payload)
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return none
+            i = 12
+            rate = ch = bits = None
+            data_len = None
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 24 <= len(b):
+                    ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                    rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                    bits = int.from_bytes(b[i + 22 : i + 24], "little")
+                elif cid == b"data":
+                    data_len = clen
+                # chunks are word-aligned: odd sizes carry a pad byte
+                i += 8 + clen + (clen & 1)
+            if rate is None:
+                return none
+            dur = None
+            if data_len is not None and rate and ch and bits:
+                bytes_per_s = rate * ch * (bits // 8)
+                if bytes_per_s:
+                    dur = int(data_len * 1000 / bytes_per_s)
+            return "audio/wav", rate, ch, bits, dur
+
+        for pdf in batches:
+            cols = {k: [] for k in ("mime", "rate", "ch", "bits", "dur")}
+            for payload in pdf["payload"]:
+                m, r, c, bi, d = sniff(payload)
+                cols["mime"].append(m)
+                cols["rate"].append(r)
+                cols["ch"].append(c)
+                cols["bits"].append(bi)
+                cols["dur"].append(d)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_detected": _pd.Series(cols["mime"], dtype="object"),
+                    "sample_rate": _pd.array(cols["rate"], dtype="Int32"),
+                    "channels": _pd.array(cols["ch"], dtype="Int32"),
+                    "bits_per_sample": _pd.array(cols["bits"], dtype="Int32"),
+                    "duration_ms": _pd.array(cols["dur"], dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_HEADER_SCHEMA)

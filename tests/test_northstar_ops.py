@@ -485,3 +485,34 @@ def test_cluster_density_clique_vs_chain(spark):
         1: (3, 3, 1.0, "clique"),
         10: (4, 3, 0.5, "partial"),
     }
+
+
+def test_parse_audio_headers_real_decode(spark):
+    """Hand-built canonical WAV bytes decode to the right rate/channels/
+    depth/duration; garbage and NULLs degrade to NULL rows."""
+    import struct
+
+    from demo_otel_parquet_antalya_spark.operators import multimodal
+
+    def wav(rate, ch, bits, n_frames):
+        data_len = n_frames * ch * (bits // 8)
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [
+        (1, wav(16000, 1, 16, 16000)),   # exactly 1 s mono
+        (2, wav(44100, 2, 16, 22050)),   # 0.5 s stereo
+        (3, b"ID3\x03not a wav"),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.mime_detected, r.sample_rate, r.channels, r.bits_per_sample, r.duration_ms)
+        for r in multimodal.parse_audio_headers(media).collect()
+    }
+    assert got[1] == ("audio/wav", 16000, 1, 16, 1000)
+    assert got[2] == ("audio/wav", 44100, 2, 16, 500)
+    assert got[3] == (None, None, None, None, None)
+    assert got[4] == (None, None, None, None, None)

@@ -84,3 +84,34 @@ def test_rollup_replay_is_idempotent(spark, tmp_path):
 
     replayed = {(str(r.bucket), r.event_type, r.n) for r in read_rollup(spark, target).collect()}
     assert replayed == first
+
+
+def test_q5_routed_through_rollup_matches_raw_scan(spark, tmp_path):
+    """The dashboard time-series served from the maintained rollup must
+    equal the raw-scan facade Q5 over the same ingested logs — the
+    materialized-view routing contract."""
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json
+    from demo_otel_parquet_antalya_spark.streaming.rollup import incremental_rollup
+
+    d = tmp_path / "otlp"
+    generate_files(str(d), n_files=4, records_per_file=60)
+    logs = ingest_otlp_json(spark, str(d))
+    land = str(tmp_path / "land")
+    logs.write.parquet(land)
+
+    stream = spark.readStream.schema(logs.schema).parquet(land)
+    target, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    q = incremental_rollup(
+        stream, target, ckpt,
+        bucket="30 seconds", ts_col="timestamp", dim_col="service_name",
+    )
+    q.awaitTermination()
+
+    routed = facade.q5_timeseries_from_rollup(spark, target)
+    raw = facade.q5_timeseries(logs, interval_seconds=30)
+    assert sorted(tuple(r) for r in routed.collect()) == sorted(
+        tuple(r) for r in raw.collect()
+    )
+    assert routed.count() > 0
