@@ -364,14 +364,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k.
 
     Vectors get assigned to their nearest centroid once; queries probe the
     ``nprobe`` nearest centroid cells and re-rank exactly. See
     ``write_ivf_index`` for the materialized, partition-pruned form.
+    Pass ``centroids`` (cid, cv, ncv — e.g. from
+    ``kmeans_refine_centroids``) to override the default hash-sampled set.
     """
-    centroids = _ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    if centroids is None:
+        centroids = _ivf_centroids(vectors, n_centroids, id_col, vec_col)
     assigned = _ivf_assign(vectors, centroids, id_col, vec_col)
     # queries probe nprobe nearest centroids
     probe_w = W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
@@ -557,3 +561,61 @@ def cosine_topk_int8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def kmeans_refine_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means (Lloyd) refinement of the hash-sampled IVF
+    centroids -> (centroids_df, objective_history).
+
+    The 100 TB shape per iteration: ONE broadcast-join scan assigns every
+    vector to its max-cosine centroid (same kernel as ``_ivf_assign``), one
+    map-side-combinable groupBy recomputes each centroid as the mean of its
+    members' UNIT vectors (k x dim numbers total — broadcast-sized), and the
+    only driver-side data ever collected is the k-row centroid frame and a
+    1-row objective. Vectors are normalized once up front, so assignment by
+    cosine == assignment by dot and the classic spherical-k-means proof
+    applies: the mean objective (avg cosine to assigned centroid) is
+    non-decreasing every iteration — pytest-asserted.
+
+    Clusters that lose all members drop out (k may shrink); ties break on
+    centroid id via the rounded similarity, keeping runs deterministic.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    unit = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x / _norm(F.col(vec_col))).alias("v"),
+    ).localCheckpoint()
+
+    cents = (
+        unit.select(F.col("nid").alias("cid"), F.col("v").alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+        .limit(n_centroids)
+        .select("cid", "cv", _norm(F.col("cv")).alias("ncv"))
+    )
+
+    history: list[float] = []
+    for _ in range(n_iters):
+        w = W.partitionBy("nid").orderBy(F.col("csim").desc(), F.col("cid"))
+        best = (
+            unit.join(F.broadcast(cents))
+            .select(
+                "nid", "v", "cid",
+                F.round(_dot(F.col("v"), F.col("cv")) / F.col("ncv"), 9).alias("csim"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+        )
+        history.append(best.agg(F.avg("csim")).first()[0])
+        means = best.groupBy("cid").agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
+        )
+        cents = means.select(
+            "cid", F.array(*[f"c{i}" for i in range(dim)]).alias("cv")
+        ).select("cid", "cv", _norm(F.col("cv")).alias("ncv")).localCheckpoint()
+    return cents, history

@@ -516,3 +516,29 @@ def test_parse_audio_headers_real_decode(spark):
     assert got[2] == ("audio/wav", 44100, 2, 16, 500)
     assert got[3] == (None, None, None, None, None)
     assert got[4] == (None, None, None, None, None)
+
+
+def test_kmeans_refine_monotone_and_improves_recall(spark, emb):
+    """Spherical k-means refinement: the mean-cosine objective must be
+    non-decreasing every Lloyd iteration, and IVF probing with refined
+    centroids must not lose recall vs the hash-sampled initialization."""
+    cents, hist = similarity.kmeans_refine_centroids(emb, n_centroids=16, n_iters=4)
+    for a, b in zip(hist, hist[1:]):
+        assert b >= a - 1e-9, hist
+    assert hist[-1] > hist[0]  # it actually moved
+    assert cents.count() <= 16
+
+    q = _queries(emb)
+    exact = _topk_sets(similarity.cosine_topk(emb, q, k=5))
+
+    def recall(approx):
+        hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    base = recall(_topk_sets(similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)))
+    refined = recall(
+        _topk_sets(
+            similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4, centroids=cents)
+        )
+    )
+    assert refined >= base - 1e-9, (base, refined)
