@@ -98,6 +98,19 @@ def translate(
     """Reference-dialect SQL -> Spark SQL (see module docstring for scope)."""
     q = query
 
+    # String literals are masked up front and restored at the end: a
+    # construct-shaped substring INSIDE a literal (WHERE body LIKE
+    # '%count()%') is data, not dialect, and must pass through
+    # byte-identical — macros included (stricter than Grafana, which
+    # substitutes even inside literals).
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    q = re.sub(r"'(?:[^']|'')*'", _mask, q)
+
     # FORMAT <name> suffix (ClickHouse output formatting, AGENTS.md:76)
     q = re.sub(r"\s+FORMAT\s+\w+\s*$", "", q, flags=re.IGNORECASE)
 
@@ -138,6 +151,7 @@ def translate(
             q = re.sub(pat, repl, q)
         if q == prev:
             break
+    q = re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], q)
 
     return q
 

@@ -141,3 +141,16 @@ def test_unknown_constructs_fail_loudly(spark, logs_view):
 
 def test_uniq_maps_to_sketch(spark, logs_view):
     assert "approx_count_distinct" in translate("SELECT uniq(service_name) FROM $table")
+
+
+def test_string_literals_pass_through_untouched(spark, logs_view):
+    """Construct-shaped substrings inside string literals are data, not
+    dialect — they must survive translation byte-identical."""
+    t = translate(
+        "SELECT count() AS n FROM $table "
+        "WHERE body LIKE '%count()%' OR body = 'toDate(now()) uniq(x) $timeFilter'"
+    )
+    assert "'%count()%'" in t
+    assert "'toDate(now()) uniq(x) $timeFilter'" in t
+    assert t.count("COUNT(*)") == 1  # only the real aggregate rewritten
+    assert sql(spark, "SELECT count() AS n FROM $table WHERE body LIKE '%count()%'").first().n == 0
