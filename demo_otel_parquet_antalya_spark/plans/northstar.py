@@ -1228,3 +1228,78 @@ def q_dedup_cluster_density(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(docs, threshold=0.9)
     return dedup.cluster_density(pairs)
+
+
+@register(
+    "quality_gopher_rules",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+    "FROM documents), "
+    "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+    "ROUND(list_sum(list_transform(toks, tok -> CAST(len(tok) AS DOUBLE))) "
+    "/ len(toks), 4) AS mean_word_len, "
+    "ROUND(len(list_filter(toks, tok -> regexp_matches(tok, '[A-Za-z]'))) "
+    "* 1.0 / len(toks), 4) AS alpha_frac, "
+    "CAST(len(list_intersect(toks, "
+    "['the', 'a', 'and', 'of', 'to', 'in'])) AS BIGINT) AS stop_hits "
+    "FROM t) "
+    "SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits, "
+    "CASE WHEN n_words BETWEEN 50 AND 100000 "
+    "AND mean_word_len BETWEEN 3 AND 10 "
+    "AND alpha_frac >= 0.8 AND stop_hits >= 2 "
+    "THEN 'keep' ELSE 'drop' END AS verdict "
+    "FROM m ORDER BY doc_id LIMIT 300",
+    doc=(
+        "The Gopher/MassiveText quality-rule bundle as one scan-stage pass: "
+        "word-count bounds, mean-word-length bounds, alphabetic-token "
+        "fraction, and required-stopword hits, folded into a keep/drop "
+        "verdict — every rule a JVM higher-order-function expression, so "
+        "the whole heuristic battery over 100 TB is a single scan with "
+        "zero shuffles and zero Python. Complements the statistical "
+        "filters (quality_repetition_filter, text_unigram_logprob, "
+        "quality_classifier_score): these are the hard structural gates "
+        "applied first."
+    ),
+)
+def q_quality_gopher_rules(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks"))
+    n_words = F.size("toks").cast("long")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("toks"),
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("[A-Za-z]")))
+        / F.size("toks"),
+        4,
+    )
+    stop_hits = F.size(
+        F.array_intersect(F.col("toks"), F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to", "in")]))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return (
+        m.select(
+            "doc_id", "n_words", "mean_word_len", "alpha_frac", "stop_hits",
+            F.when(keep, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )

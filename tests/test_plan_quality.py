@@ -411,3 +411,12 @@ def test_lateral_topn_decorrelates(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_gopher_rules_are_one_scan_pass(spark):
+    """The whole Gopher rule battery must run inside the scan stage: zero
+    Exchange, zero Python, top-300 via TakeOrderedAndProject."""
+    plan = plan_of(spark, "quality_gopher_rules")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
