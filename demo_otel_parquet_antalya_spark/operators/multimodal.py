@@ -397,3 +397,87 @@ def parse_audio_headers(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, AUDIO_HEADER_SCHEMA)
+
+
+VIDEO_HEADER_SCHEMA = (
+    "media_id long, mime_detected string, duration_ms int, timescale int, n_tracks int"
+)
+
+
+def parse_video_headers(media: DataFrame) -> DataFrame:
+    """REAL video container-header decode, completing the image/audio/video
+    triad: MP4/ISO-BMFF box walk — ``ftyp`` sniffs the type, ``moov/mvhd``
+    yields timescale + duration, ``trak`` boxes are counted. Pure byte
+    walking (big-endian box sizes), no codec library; frame decode stays
+    the declared stub slot.
+
+    Arrow-batched mapInPandas, zero shuffle; malformed/truncated payloads
+    degrade to NULLs (quarantine-friendly).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def walk(b, start, end, depth=0):
+            """Yield (type, body_start, body_end) for boxes in [start, end)."""
+            i = start
+            while i + 8 <= end and depth < 8:
+                size = int.from_bytes(b[i : i + 4], "big")
+                btype = b[i + 4 : i + 8]
+                hdr = 8
+                if size == 1 and i + 16 <= end:  # 64-bit largesize
+                    size = int.from_bytes(b[i + 8 : i + 16], "big")
+                    hdr = 16
+                elif size == 0:  # box extends to EOF
+                    size = end - i
+                if size < hdr or i + size > end:
+                    return
+                yield btype, i + hdr, i + size
+                i += size
+
+        def sniff(payload):
+            none = (None, None, None, None)
+            if payload is None:
+                return none
+            b = bytes(payload)
+            if len(b) < 12 or b[4:8] != b"ftyp":
+                return none
+            dur_ms = scale = None
+            n_tracks = 0
+            for btype, s, e in walk(b, 0, len(b)):
+                if btype != b"moov":
+                    continue
+                for ityp, is_, ie_ in walk(b, s, e, depth=1):
+                    if ityp == b"trak":
+                        n_tracks += 1
+                    elif ityp == b"mvhd" and ie_ - is_ >= 20:
+                        ver = b[is_]
+                        if ver == 1 and ie_ - is_ >= 28:
+                            scale = int.from_bytes(b[is_ + 20 : is_ + 24], "big")
+                            dur = int.from_bytes(b[is_ + 24 : is_ + 32], "big")
+                        else:
+                            scale = int.from_bytes(b[is_ + 12 : is_ + 16], "big")
+                            dur = int.from_bytes(b[is_ + 16 : is_ + 20], "big")
+                        if scale:
+                            dur_ms = int(dur * 1000 / scale)
+            return "video/mp4", dur_ms, scale, n_tracks
+
+        for pdf in batches:
+            mimes, durs, scales, tracks = [], [], [], []
+            for payload in pdf["payload"]:
+                m, d, sc, t = sniff(payload)
+                mimes.append(m)
+                durs.append(d)
+                scales.append(sc)
+                tracks.append(t if m else None)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_detected": _pd.Series(mimes, dtype="object"),
+                    "duration_ms": _pd.array(durs, dtype="Int32"),
+                    "timescale": _pd.array(scales, dtype="Int32"),
+                    "n_tracks": _pd.array(tracks, dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, VIDEO_HEADER_SCHEMA)

@@ -542,3 +542,38 @@ def test_kmeans_refine_monotone_and_improves_recall(spark, emb):
         )
     )
     assert refined >= base - 1e-9, (base, refined)
+
+
+def test_parse_video_headers_real_decode(spark):
+    """Hand-built minimal MP4 boxes decode to the right duration/timescale/
+    track count (v0 and v1 mvhd variants); garbage and NULLs degrade."""
+    import struct
+
+    from demo_otel_parquet_antalya_spark.operators import multimodal
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def mp4(timescale, duration, n_tracks, v=0):
+        if v == 0:
+            mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+        else:
+            mvhd = box(b"mvhd", b"\x01" + b"\x00" * 19 + struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+        traks = b"".join(box(b"trak", b"\x00" * 8) for _ in range(n_tracks))
+        return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", mvhd + traks)
+
+    rows = [
+        (1, mp4(1000, 2500, 2)),        # 2.5 s, 2 tracks, v0
+        (2, mp4(90000, 90000 * 3, 1, v=1)),  # 3 s, 1 track, v1 64-bit
+        (3, b"RIFF not an mp4 \x00\x00"),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.mime_detected, r.duration_ms, r.timescale, r.n_tracks)
+        for r in multimodal.parse_video_headers(media).collect()
+    }
+    assert got[1] == ("video/mp4", 2500, 1000, 2)
+    assert got[2] == ("video/mp4", 3000, 90000, 1)
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (None, None, None, None)
