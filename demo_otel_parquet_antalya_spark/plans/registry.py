@@ -2462,7 +2462,7 @@ def q_agg_median_by_group(spark, sf_dir):
 @register(
     "tpch_q3_shipping_priority",
     "SELECT l_orderkey, "
-    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue, "
     "o_orderdate, o_orderpriority "
     "FROM customer "
     "JOIN orders ON c_custkey = o_custkey "
@@ -2476,7 +2476,10 @@ def q_agg_median_by_group(spark, sf_dir):
         "TPC-H Q3 shape (shipping priority): selective dimension filter -> "
         "fact join -> grouped revenue -> top-k. customer is the small side "
         "(broadcast); lineitem never shuffles before its filter. The LIMIT "
-        "plans as TakeOrderedAndProject — no global sort at 100 TB."
+        "plans as TakeOrderedAndProject — no global sort at 100 TB. "
+        "Revenue is summed in DECIMAL(18,4): money totals must round "
+        "identically on every engine, and double-sum order makes "
+        "ROUND(sum,2) land on half-cent boundaries nondeterministically."
     ),
     bench=True,
 )
@@ -2489,7 +2492,13 @@ def q_tpch_q3(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        ).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -2499,19 +2508,21 @@ def q_tpch_q3(spark, sf_dir):
 @register(
     "tpch_q10_returned_items",
     "SELECT c_custkey, c_name, "
-    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue, "
     "ROUND(c_acctbal, 2) AS acctbal "
     "FROM customer "
     "JOIN orders ON c_custkey = o_custkey "
     "JOIN lineitem ON l_orderkey = o_orderkey "
-    "WHERE o_orderdate >= TIMESTAMP '1994-01-01' "
-    "AND o_orderdate < TIMESTAMP '1994-04-01' "
+    "WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+    "AND o_orderdate < TIMESTAMP '1995-04-01' "
     "AND l_returnflag = 'R' "
     "GROUP BY c_custkey, c_name, c_acctbal "
     "ORDER BY revenue DESC, c_custkey LIMIT 20",
     doc=(
         "TPC-H Q10 shape (returned-item reporting): quarter time-range on "
-        "orders + flag filter on lineitem, customer broadcast in last. "
+        "orders (1995 Q1 — the generator's first populated quarter, so "
+        "the oracle hash covers real rows, not a trivially-equal empty "
+        "set) + flag filter on lineitem; customer broadcast last. "
         "Both fact filters push to the parquet scans (min/max row-group "
         "skipping on o_orderdate at scale)."
     ),
@@ -2519,8 +2530,8 @@ def q_tpch_q3(spark, sf_dir):
 )
 def q_tpch_q10(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     cust = _t(spark, sf_dir, "customer")
@@ -2528,7 +2539,13 @@ def q_tpch_q10(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        ).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("acctbal"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
