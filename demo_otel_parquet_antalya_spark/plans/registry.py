@@ -766,14 +766,14 @@ def q_set_intersect(spark, sf_dir):
 @register(
     "set_except_nations",
     "SELECT c_nationkey AS nk FROM customer "
-    "EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 5000 ORDER BY nk",
-    doc="EXCEPT (distinct semantics); right side filtered so the difference is non-degenerate at every sf.",
+    "EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9900 ORDER BY nk",
+    doc="EXCEPT (distinct semantics); right side filtered at acctbal > 9900 so the difference stays non-empty at sf0.001/0.01/0.1 (5000 went degenerate at sf0.1: every nation gains a qualifying supplier).",
 )
 def q_set_except(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = (
         _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 5000)
+        .filter(F.col("s_acctbal") > 9900)
         .select(F.col("s_nationkey").alias("nk"))
     )
     return c.subtract(s).orderBy("nk")  # EXCEPT = distinct set-difference
