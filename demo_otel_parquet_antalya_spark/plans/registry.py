@@ -3625,3 +3625,40 @@ def q_sample_rate_cap_per_key(spark, sf_dir):
     )
     tot = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
     return tot.join(kept, "user_id").select("user_id", "n_events", "n_kept").orderBy("user_id")
+
+
+@register(
+    "agg_grouping_id_labels",
+    "SELECT COALESCE(o_orderpriority, '(all)') AS priority, "
+    "COALESCE(CAST(year(o_orderdate) AS VARCHAR), '(all)') AS yr, "
+    "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority, "
+    "CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders "
+    "GROUP BY ROLLUP(o_orderpriority, year(o_orderdate)) "
+    "ORDER BY g_priority, g_year, priority, yr",
+    doc=(
+        "GROUPING() subtotal disambiguation on a ROLLUP: distinguishes a "
+        "real NULL group key from the subtotal row the rollup synthesized — "
+        "the part of the grouping-sets surface that labels WHICH level each "
+        "output row belongs to (dashboards key on it). Same single-shuffle "
+        "expand plan as agg_rollup."
+    ),
+)
+def q_agg_grouping_id_labels(spark, sf_dir):
+    # Spark SQL form: grouping() must reference the grouping EXPRESSION
+    # verbatim, which the SQL path resolves directly (the DataFrame path
+    # cannot reference an aliased grouping expression inside grouping()).
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+               COALESCE(CAST(year(o_orderdate) AS STRING), '(all)') AS yr,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_year,
+               COUNT(*) AS n
+        FROM {orders}
+        GROUP BY ROLLUP(o_orderpriority, year(o_orderdate))
+        ORDER BY g_priority, g_year, priority, yr
+        """,
+        orders=_t(spark, sf_dir, "orders"),
+    )
