@@ -3662,3 +3662,91 @@ def q_agg_grouping_id_labels(spark, sf_dir):
         """,
         orders=_t(spark, sf_dir, "orders"),
     )
+
+
+@register(
+    "time_series_interpolate",
+    "WITH src AS (SELECT event_type, date_trunc('minute', ts) AS m, "
+    "ROUND(AVG(value), 4) AS v FROM events "
+    "WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL 1 DAY "
+    "GROUP BY 1, 2), "
+    "cal AS (SELECT event_type, CAST(unnest(generate_series(mn, mx, "
+    "INTERVAL 1 MINUTE)) AS TIMESTAMP) AS m "
+    "FROM (SELECT event_type, MIN(m) AS mn, MAX(m) AS mx FROM src GROUP BY 1) b), "
+    "j AS (SELECT c.event_type, c.m, s.v FROM cal c "
+    "LEFT JOIN src s ON s.event_type = c.event_type AND s.m = c.m), "
+    "w AS (SELECT event_type, m, v, "
+    "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY m "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, "
+    "last_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) "
+    "OVER (PARTITION BY event_type ORDER BY m "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm, "
+    "first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY m "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, "
+    "first_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) "
+    "OVER (PARTITION BY event_type ORDER BY m "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm "
+    "FROM j) "
+    "SELECT event_type, m, "
+    "CASE WHEN v IS NOT NULL THEN v "
+    "ELSE pv + (nv - pv) * ((epoch(m) - epoch(pm)) / (epoch(nm) - epoch(pm))) "
+    "END AS v_filled, "
+    "CASE WHEN v IS NOT NULL THEN 'actual' ELSE 'interp' END AS src "
+    "FROM w ORDER BY event_type, m",
+    doc=(
+        "Dense per-type minute series with LINEAR INTERPOLATION across "
+        "gaps (the dashboard gap-fill upgrade over zero-fill "
+        "date_series_gaps): per-type calendar from sequence()+explode, "
+        "then carry-forward/carry-back windows (last/first IGNORE NULLS) "
+        "give both bracketing actuals and their timestamps in ONE "
+        "type-partitioned window pass each way — no self-join, no "
+        "per-gap loop. Interpolation arithmetic runs on the already-"
+        "rounded endpoints, so both engines lerp identical doubles."
+    ),
+)
+def q_time_series_interpolate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    lo = ev.agg(F.min("ts").alias("t0"))
+    src = (
+        ev.join(F.broadcast(lo))
+        .filter(F.col("ts") < F.col("t0") + F.expr("INTERVAL 1 DAY"))
+        .groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("m")
+        )
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    cal = (
+        src.groupBy("event_type")
+        .agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 MINUTE"))).alias("m"),
+        )
+    )
+    j = cal.join(src, ["event_type", "m"], "left")
+    back = W.partitionBy("event_type").orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.partitionBy("event_type").orderBy("m").rowsBetween(0, W.unboundedFollowing)
+    marked = F.when(F.col("v").isNotNull(), F.col("m"))
+    w = j.select(
+        "event_type", "m", "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(marked, ignorenulls=True).over(back).alias("pm"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(marked, ignorenulls=True).over(fwd).alias("nm"),
+    )
+    frac = (F.unix_timestamp("m") - F.unix_timestamp("pm")) / (
+        F.unix_timestamp("nm") - F.unix_timestamp("pm")
+    )
+    return w.select(
+        "event_type",
+        "m",
+        # interpolated values stay UNROUNDED: lerp midpoints land exactly on
+        # round-half boundaries (frac=1/2 of 4-decimal endpoints), where the
+        # engines' ROUND semantics diverge (Spark rounds the exact binary
+        # expansion, DuckDB the scaled float); the raw IEEE lerp of identical
+        # inputs in identical op order is bit-equal instead
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("v_filled"),
+        F.when(F.col("v").isNotNull(), F.lit("actual")).otherwise(F.lit("interp")).alias("src"),
+    ).orderBy("event_type", "m")
