@@ -1303,3 +1303,23 @@ def q_quality_gopher_rules(spark, sf_dir):
         .orderBy("doc_id")
         .limit(300)
     )
+
+
+@register(
+    "similarity_ivf_refined_topk",
+    None,
+    doc=(
+        "IVF ANN top-5 probing spherical-k-means-REFINED centroids "
+        "(operators/similarity.py::kmeans_refine_centroids — 3 Lloyd "
+        "iterations, each one broadcast-assign scan + one map-side mean). "
+        "Approximate by design -> rows-only; the objective-monotone and "
+        "recall-no-loss contracts are pytest-asserted in "
+        "tests/test_northstar_ops.py."
+    ),
+)
+def q_similarity_ivf_refined_topk(spark, sf_dir):
+    vectors, queries = _queries_subset(spark, sf_dir)
+    cents, _ = similarity.kmeans_refine_centroids(vectors, n_centroids=16, n_iters=3)
+    return similarity.ivf_topk(
+        vectors, queries, k=5, n_centroids=16, nprobe=4, centroids=cents
+    ).orderBy("query_id", "rank")
