@@ -1,5 +1,5 @@
-"""Interchange-format source/sink matrix: JSONL, CSV, ORC (+ Avro when the
-spark-avro connector is on the classpath).
+"""Interchange-format source/sink matrix: JSONL, CSV, ORC, XML (+ Avro
+when the spark-avro connector is on the classpath).
 
 The reference's lake is parquet-only (otlp2parquet -> S3,
 /root/reference/docker-compose.yaml:77-91), but a real deployment ingests
@@ -112,3 +112,18 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
         )
     return spark.read.format("avro").load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XML export (Spark 4 built-in source — legacy feed interchange)."""
+    df.write.mode(mode).option("rootTag", "rows").option("rowTag", row_tag).xml(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: str | T.StructType, row_tag: str = "row") -> DataFrame:
+    _require_schema(schema)
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "FAILFAST")
+        .xml(path)
+    )

@@ -108,3 +108,16 @@ def test_avro_gated_honestly(spark, tmp_path):
     else:
         with pytest.raises(RuntimeError, match="spark-avro connector"):
             formats.write_avro(src, str(tmp_path / "avro"))
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """Spark 4 built-in XML source: explicit-schema round trip preserves
+    values and types; inference is refused like every other reader."""
+    src = _orders(spark)
+    path = str(tmp_path / "xml")
+    formats.write_xml(src, path)
+    back = formats.read_xml(spark, path, ORDERS_DDL)
+    assert back.schema == src.schema
+    assert _sorted_rows(back) == _sorted_rows(src)
+    with pytest.raises(ValueError, match="explicit schema required"):
+        formats.read_xml(spark, path, None)
