@@ -3750,3 +3750,43 @@ def q_time_series_interpolate(spark, sf_dir):
         .alias("v_filled"),
         F.when(F.col("v").isNotNull(), F.lit("actual")).otherwise(F.lit("interp")).alias("src"),
     ).orderBy("event_type", "m")
+
+
+@register(
+    "time_bucket_hopping",
+    "WITH b AS (SELECT event_type, "
+    "CAST(to_timestamp(floor(epoch(ts) / 60) * 60) AS TIMESTAMP) AS b0 "
+    "FROM events WHERE ts < TIMESTAMP '2024-01-01 02:00:00'), "
+    "e AS (SELECT event_type, unnest([b0 - INTERVAL 1 MINUTE, b0]) AS w_start "
+    "FROM b) "
+    "SELECT w_start, w_start + INTERVAL 2 MINUTE AS w_end, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM e GROUP BY w_start, event_type "
+    "ORDER BY w_start, event_type",
+    doc=(
+        "HOPPING (sliding) window aggregate — window 2 min, slide 1 min: "
+        "every event lands in exactly window/slide = 2 overlapping buckets. "
+        "Spark's window() generates the bucket memberships map-side before "
+        "the single keyed shuffle (same plan shape as tumbling, x2 rows); "
+        "the oracle reconstructs membership by exploding both window starts "
+        "per event. The streaming form is the same expression under a "
+        "watermark."
+    ),
+)
+def q_time_bucket_hopping(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-01 02:00:00").cast("timestamp")
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "2 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+        )
+        .orderBy("w_start", "event_type")
+    )
