@@ -163,3 +163,48 @@ def test_streaming_severity_counts_matches_batch(spark, tmp_path):
     )
     # batch path has no watermark state; semantics must agree exactly
     assert got == want and len(got) > 0
+
+
+def test_streaming_hopping_window_matches_batch(spark, tmp_path):
+    """Hopping-window counts computed by the stream must equal the same
+    window() expression over the batch read of the identical files — the
+    'same expression under a watermark' contract of time_bucket_hopping."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "events")
+    os.makedirs(src, exist_ok=True)
+    base = 1700000000
+    rows = [(i % 3, base + i * 37, ("view", "click")[i % 2]) for i in range(60)]
+    with open(f"{src}/e.json", "w") as f:
+        for uid, sec, action in rows:
+            f.write(_json.dumps({"user_id": uid, "sec": sec, "action": action}) + "\n")
+
+    schema = "user_id bigint, sec bigint, action string"
+
+    def hopping(df):
+        return (
+            df.select(F.timestamp_seconds("sec").alias("ts"), "action")
+            .groupBy(F.window("ts", "2 minutes", "1 minute").alias("w"), "action")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "action", "n")
+        )
+
+    stream = spark.readStream.schema(schema).json(src)
+    run = (
+        hopping(stream)
+        .writeStream.format("memory")
+        .queryName("hop")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run.awaitTermination()
+    got = {(str(r.w_start), r.action): r.n for r in spark.table("hop").collect()}
+    want = {
+        (str(r.w_start), r.action): r.n
+        for r in hopping(spark.read.schema(schema).json(src)).collect()
+    }
+    assert got == want and len(want) > 4
