@@ -1323,3 +1323,79 @@ def q_similarity_ivf_refined_topk(spark, sf_dir):
     return similarity.ivf_topk(
         vectors, queries, k=5, n_centroids=16, nprobe=4, centroids=cents
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "text_hashing_embedding",
+    "WITH "
+    + _SHINGLES_SQL.split(",\nsizes")[0].strip()
+    + ", "
+    "f AS (SELECT id AS doc_id, "
+    "CAST(concat('0x', substr(md5(s), 1, 4)) AS BIGINT) % 16 AS b, "
+    "CASE WHEN CAST(concat('0x', substr(md5(s), 5, 1)) AS BIGINT) % 2 = 0 "
+    "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn FROM sh), "
+    "g AS (SELECT doc_id, b, SUM(sgn) AS net FROM f GROUP BY 1, 2), "
+    "grid AS (SELECT d.doc_id, t.i AS b FROM (SELECT DISTINCT doc_id FROM f) d, "
+    "LATERAL (SELECT unnest(range(0, 16)) AS i) t), "
+    "vecs AS (SELECT grid.doc_id, "
+    "list(COALESCE(g.net, CAST(0 AS DOUBLE)) ORDER BY grid.b) AS vec "
+    "FROM grid LEFT JOIN g ON g.doc_id = grid.doc_id AND g.b = grid.b "
+    "GROUP BY grid.doc_id), "
+    "n AS (SELECT doc_id, vec, "
+    "sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM vecs), "
+    "sel AS (SELECT doc_id, CASE WHEN nrm = 0 THEN vec "
+    "ELSE list_transform(vec, x -> ROUND(x / nrm, 6)) END AS embedding "
+    "FROM n ORDER BY doc_id LIMIT 100) "
+    "SELECT doc_id, CAST(i - 1 AS INT) AS i, embedding[i] AS v "
+    "FROM sel, LATERAL (SELECT unnest(generate_series(1, 16)) AS i) t "
+    "ORDER BY doc_id, i",
+    doc=(
+        "Hashing-vectorizer embeddings straight from text — the model-free "
+        "featurizer (feature hashing a la HashingTF/VowpalWabbit): distinct "
+        "word-3-gram shingles hash to one of 16 signed buckets (md5-prefix "
+        "bucket + md5-bit sign, engine-portable), accumulate, L2-normalize. "
+        "Entirely JVM fold expressions, zero shuffles, zero Python — the "
+        "bridge that lets a corpus with NO model-generated embeddings flow "
+        "into the cosine/LSH/IVF similarity tier (a trained encoder slots "
+        "into the same column as a pandas_udf)."
+    ),
+)
+def q_text_hashing_embedding(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(tx.word_shingles("text", n=3))
+
+    def bucket(s):
+        return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long") % 16
+
+    def sign(s):
+        return F.when(
+            F.conv(F.substring(F.md5(s), 5, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    d = docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.aggregate(
+            F.col("sh"),
+            F.lit(0.0),
+            lambda acc, s: acc + F.when(bucket(s) == i.cast("long"), sign(s)).otherwise(0.0),
+        ),
+    )
+    withv = d.select("doc_id", vec.alias("vec"))
+    nrm = F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x))
+    sel = (
+        withv.select(
+            "doc_id",
+            F.when(nrm == 0, F.col("vec"))
+            .otherwise(F.transform(F.col("vec"), lambda x: F.round(x / nrm, 6)))
+            .alias("embedding"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+    # arrays are compared exploded (the registry convention for vector
+    # outputs — the driver's value hash is scalar-typed)
+    return sel.select(
+        "doc_id", F.posexplode("embedding").alias("i", "v")
+    ).orderBy("doc_id", "i")

