@@ -46,3 +46,31 @@ def read_logs(spark: SparkSession, root: str) -> DataFrame:
     """Scan the partitioned warehouse; partition columns come back typed
     (basePath keeps them even for single-partition reads)."""
     return spark.read.option("basePath", root).parquet(root)
+
+
+def backfill_logs(logs: DataFrame, root: str) -> None:
+    """Idempotent partition-scoped backfill: overwrite ONLY the partitions
+    the incoming frame touches, leave every other partition's files
+    physically untouched (``partitionOverwriteMode=dynamic``, scoped to
+    this write — the session default stays static so an accidental
+    un-partitioned overwrite cannot silently become a table wipe).
+
+    This is the reprocessing primitive at 100 TB: re-deriving one bad hour
+    costs one hour's write, not a table rewrite, and re-running the same
+    backfill converges (overwrite of the same partitions with the same
+    rows). Pair with the registry's snapshot commit for an auditable swap.
+    """
+    spark = logs.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            with_partition_columns(logs)
+            .sortWithinPartitions("timestamp")
+            .write.mode("overwrite")
+            .partitionBy(*PARTITION_COLUMNS)
+            .parquet(root)
+        )
+    finally:
+        spark.conf.set(key, prev)

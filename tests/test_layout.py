@@ -91,3 +91,57 @@ def test_zorder_guards(spark):
         layout.zorder_column(xy, ["x"])
     with pytest.raises(ValueError, match="overflows"):
         layout.zorder_column(xy, ["x", "y", "id"], bits=21)
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic-partition backfill: the reprocessed hour's rows are replaced,
+    every other partition's files are physically untouched (same paths +
+    mtimes), and re-running the same backfill converges."""
+    import os
+
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json
+    from demo_otel_parquet_antalya_spark.sources.parquet_sink import (
+        backfill_logs,
+        read_logs,
+        write_logs,
+    )
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "otlp"
+    generate_files(str(d), n_files=4, records_per_file=50)
+    logs = ingest_otlp_json(spark, str(d))
+    root = str(tmp_path / "wh")
+    write_logs(logs, root)
+
+    def file_state(skip_hour):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            if f"hour={skip_hour}" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    hours = [r.h for r in logs.select(F.hour("timestamp").alias("h")).distinct().collect()]
+    target = hours[0]
+    before_others = file_state(target)
+
+    # "reprocess" the target hour: same rows, amended body
+    fixed = logs.filter(F.hour("timestamp") == target).withColumn(
+        "body", F.concat(F.col("body"), F.lit(" [backfilled]"))
+    )
+    backfill_logs(fixed, root)
+
+    assert file_state(target) == before_others  # untouched partitions intact
+    got = read_logs(spark, root)
+    assert got.count() == logs.count()
+    in_hour = got.filter(F.col("hour") == target)
+    assert in_hour.filter(~F.col("body").endswith("[backfilled]")).count() == 0
+    assert in_hour.count() == fixed.count()
+
+    backfill_logs(fixed, root)  # idempotent re-run
+    assert read_logs(spark, root).count() == logs.count()
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static") == "static"
