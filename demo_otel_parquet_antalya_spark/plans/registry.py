@@ -3790,3 +3790,50 @@ def q_time_bucket_hopping(spark, sf_dir):
         )
         .orderBy("w_start", "event_type")
     )
+
+
+@register(
+    "dq_referential_orphans",
+    "SELECT 'lineitem.l_orderkey->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans "
+    "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) "
+    "UNION ALL "
+    "SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT) "
+    "FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) "
+    "UNION ALL "
+    "SELECT 'customer.c_nationkey->nation', CAST(COUNT(*) AS BIGINT) "
+    "FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) "
+    "UNION ALL "
+    "SELECT 'supplier.s_nationkey->nation', CAST(COUNT(*) AS BIGINT) "
+    "FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey) "
+    "UNION ALL "
+    "SELECT 'nation.n_regionkey->region', CAST(COUNT(*) AS BIGINT) "
+    "FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey) "
+    "ORDER BY fk",
+    doc=(
+        "Referential-integrity audit across every FK edge of the star "
+        "schema in one result: anti-join orphan counts per edge. Each "
+        "anti-join broadcasts its parent key set when the parent is a "
+        "dimension; the fact-to-fact edge (lineitem->orders) is the one "
+        "real shuffle. The whole-lake DQ gate a 100 TB ingest runs before "
+        "promoting a snapshot."
+    ),
+)
+def q_dq_referential_orphans(spark, sf_dir):
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for fk, child, ck, parent, pk in edges:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(pk)
+        n = (
+            c.join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count("*").alias("orphans"))
+            .select(F.lit(fk).alias("fk"), "orphans")
+        )
+        out = n if out is None else out.unionByName(n)
+    return out.orderBy("fk")
