@@ -3837,3 +3837,53 @@ def q_dq_referential_orphans(spark, sf_dir):
         )
         out = n if out is None else out.unionByName(n)
     return out.orderBy("fk")
+
+
+@register(
+    "drift_psi_event_mix",
+    "WITH ref AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n FROM events "
+    "WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1), "
+    "cur AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1), "
+    "tot AS (SELECT (SELECT SUM(n) FROM ref) AS rn, (SELECT SUM(n) FROM cur) AS cn), "
+    "j AS (SELECT ref.event_type, ref.n / tot.rn AS p, cur.n / tot.cn AS q "
+    "FROM ref JOIN cur USING (event_type), tot) "
+    "SELECT event_type, ROUND(p, 6) AS p_ref, ROUND(q, 6) AS q_cur, "
+    "ROUND((q - p) * ln(q / p), 6) AS psi_term "
+    "FROM j ORDER BY event_type",
+    doc=(
+        "Population-stability-index drift gate on the event-type mix: "
+        "category shares in a reference window vs the current window, "
+        "per-category (q-p)*ln(q/p) contributions (sum >= 0.2 = the "
+        "classic 'significant drift' alarm). Two map-side-combined counts "
+        "+ a broadcast-sized share join — the distribution-drift monitor "
+        "an ML ingest runs per batch at any scale."
+    ),
+)
+def q_drift_psi_event_mix(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).groupBy("event_type").agg(
+        F.count("*").cast("double").alias("rn")
+    )
+    cur = ev.filter(F.col("ts") >= cut).groupBy("event_type").agg(
+        F.count("*").cast("double").alias("cn")
+    )
+    rt = ref.agg(F.sum("rn").alias("rt"))
+    ct = cur.agg(F.sum("cn").alias("ct"))
+    j = (
+        ref.join(cur, "event_type")
+        .join(F.broadcast(rt))
+        .join(F.broadcast(ct))
+        .select(
+            "event_type",
+            (F.col("rn") / F.col("rt")).alias("p"),
+            (F.col("cn") / F.col("ct")).alias("q"),
+        )
+    )
+    return j.select(
+        "event_type",
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("q_cur"),
+        F.round((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")), 6).alias("psi_term"),
+    ).orderBy("event_type")
