@@ -3887,3 +3887,43 @@ def q_drift_psi_event_mix(spark, sf_dir):
         F.round("q", 6).alias("q_cur"),
         F.round((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")), 6).alias("psi_term"),
     ).orderBy("event_type")
+
+
+@register(
+    "dq_primary_key_uniqueness",
+    "SELECT 'customer.c_custkey' AS pk, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys FROM customer "
+    "UNION ALL SELECT 'orders.o_orderkey', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders "
+    "UNION ALL SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events "
+    "UNION ALL SELECT 'documents.doc_id', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'embeddings.vec_id', CAST(COUNT(*) AS BIGINT), "
+    "CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings "
+    "ORDER BY pk",
+    doc=(
+        "Primary-key uniqueness audit across the lake in one result — "
+        "rows vs distinct keys per declared PK (equal = clean). Completes "
+        "the DQ gate trio with dq_expectations_split (row contracts) and "
+        "dq_referential_orphans (FK edges); each leg is one map-side-"
+        "combined aggregate."
+    ),
+)
+def q_dq_primary_key_uniqueness(spark, sf_dir):
+    pks = [
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("events.event_id", "events", "event_id"),
+        ("documents.doc_id", "documents", "doc_id"),
+        ("embeddings.vec_id", "embeddings", "vec_id"),
+    ]
+    out = None
+    for label, table, key in pks:
+        t = _t(spark, sf_dir, table)
+        leg = t.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+        ).select(F.lit(label).alias("pk"), "n_rows", "n_keys")
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("pk")
