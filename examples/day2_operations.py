@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Day-2 operations walkthrough: everything that keeps the lake healthy
+AFTER ingest works — the maintenance lifecycle the reference leaves to its
+operators, run end to end on synthetic traffic.
+
+    python examples/day2_operations.py
+
+1. land traffic -> partitioned warehouse + registry snapshot
+2. continuous rollup maintenance + the dashboard read ROUTED through it
+3. small-file report -> compaction
+4. inject a torn parquet file -> resilient scan + distributed footer audit
+5. reprocess one hour with partition-scoped dynamic backfill
+6. registry snapshot diff, retention (expire), orphan vacuum
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.plans import facade
+from demo_otel_parquet_antalya_spark.session import get_spark
+from demo_otel_parquet_antalya_spark.sources import quarantine
+from demo_otel_parquet_antalya_spark.sources.compaction import compact, small_file_report
+from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json
+from demo_otel_parquet_antalya_spark.sources.parquet_sink import (
+    backfill_logs,
+    read_logs,
+    write_logs,
+)
+from demo_otel_parquet_antalya_spark.sources.registry import LogTableRegistry
+from demo_otel_parquet_antalya_spark.streaming.rollup import incremental_rollup
+
+
+def main() -> None:
+    spark = get_spark(app_name="day2-operations")
+    work = tempfile.mkdtemp(prefix="day2_")
+    otlp, wh = f"{work}/otlp", f"{work}/warehouse"
+
+    print("== 1. land traffic ==")
+    generate_files(otlp, n_files=6, records_per_file=80)
+    logs = ingest_otlp_json(spark, otlp)
+    write_logs(logs, wh)
+    reg = LogTableRegistry(spark, wh)
+    print(f"synced {len(reg.sync())} files; snapshot {reg.current_snapshot_id()}")
+
+    print("\n== 2. rollup maintenance + routed dashboard read ==")
+    land = f"{work}/flat"
+    logs.write.parquet(land)
+    stream = spark.readStream.schema(logs.schema).parquet(land)
+    incremental_rollup(
+        stream, f"{work}/rollup", f"{work}/ckpt",
+        bucket="30 seconds", ts_col="timestamp", dim_col="service_name",
+    ).awaitTermination()
+    routed = facade.q5_timeseries_from_rollup(spark, f"{work}/rollup")
+    raw = facade.q5_timeseries(read_logs(spark, wh), interval_seconds=30)
+    assert sorted(map(tuple, routed.collect())) == sorted(map(tuple, raw.collect()))
+    print(f"routed read == raw scan ({routed.count()} buckets), no raw rescan")
+
+    print("\n== 3. small files -> compaction ==")
+    part_cols = ["service_name", "year", "month", "day", "hour"]
+    n_parts = small_file_report(spark, wh, part_cols, target_rows_per_file=200).count()
+    n = compact(spark, wh, part_cols, target_rows_per_file=200, min_excess_files=1)
+    spark.catalog.refreshByPath(wh)  # drop cached file listings of rewritten partitions
+    print(f"{n_parts} partitions reported, {n} rewritten")
+
+    print("\n== 4. corruption quarantine ==")
+    svc_dir = next(
+        os.path.join(r, d) for r, ds, _ in os.walk(wh) for d in ds if d.startswith("hour=")
+    )
+    with open(os.path.join(svc_dir, "torn-upload.parquet"), "wb") as f:
+        f.write(b"PAR1" + b"\x00" * 64)
+    healthy = quarantine.read_parquet_resilient(
+        spark, wh, read_logs(spark, wh.rstrip("/")).schema
+    )
+    bad = quarantine.quarantined_files(spark, f"{wh}/*/*/*/*/*")
+    print(f"resilient scan still sees {healthy.count()} rows; "
+          f"audit flagged {bad.count()} file(s):")
+    bad.select("path", "error").show(truncate=60)
+
+    print("== 5. backfill one hour (dynamic partition overwrite) ==")
+    target_hour = logs.select(F.hour("timestamp").alias("h")).first().h
+    fixed = logs.filter(F.hour("timestamp") == target_hour).withColumn(
+        "body", F.concat(F.col("body"), F.lit(" [reprocessed]"))
+    )
+    backfill_logs(fixed, wh)
+    got = read_logs(spark, wh).filter(F.col("hour") == target_hour)
+    print(f"hour={target_hour}: {got.count()} rows reprocessed, other partitions untouched")
+
+    print("\n== 6. registry snapshot lifecycle ==")
+    reg.sync()  # registers compaction/backfill outputs as a new snapshot
+    snaps = reg.snapshots()
+    d = reg.diff_snapshots(snaps[0]["snapshot_id"])
+    print(f"{len(snaps)} snapshots; diff vs first: "
+          f"+{len(d['added_files'])} files / +{d['added_rows']} rows, "
+          f"-{len(d['removed_files'])} files")
+    expired = reg.expire_snapshots(keep_last=1)
+    orphans = reg.vacuum_orphans(dry_run=True)
+    print(f"expired {len(expired)} old snapshots; vacuum would remove {len(orphans)} orphans")
+
+    spark.stop()
+    print("\ndone")
+
+
+if __name__ == "__main__":
+    main()
