@@ -3927,3 +3927,42 @@ def q_dq_primary_key_uniqueness(spark, sf_dir):
         ).select(F.lit(label).alias("pk"), "n_rows", "n_keys")
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("pk")
+
+
+@register(
+    "drift_ks_value",
+    "WITH pooled AS (SELECT value, "
+    "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref "
+    "FROM events), "
+    "tot AS (SELECT CAST(SUM(is_ref) AS DOUBLE) AS n1, "
+    "CAST(SUM(1 - is_ref) AS DOUBLE) AS n2 FROM pooled), "
+    "c AS (SELECT value, "
+    "SUM(is_ref) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS c1, "
+    "SUM(1 - is_ref) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS c2 FROM pooled), "
+    "m AS (SELECT value, MAX(c1) AS c1, MAX(c2) AS c2 FROM c GROUP BY value) "
+    "SELECT ROUND(MAX(ABS(c1 / tot.n1 - c2 / tot.n2)), 6) AS ks_d, "
+    "CAST(tot.n1 AS BIGINT) AS n_ref, CAST(tot.n2 AS BIGINT) AS n_cur "
+    "FROM m, tot GROUP BY tot.n1, tot.n2",
+    doc=(
+        "Exact two-sample Kolmogorov-Smirnov statistic on the numeric "
+        "value column between the reference and current windows — the "
+        "numeric complement of the PSI gate: D = max |F_ref - F_cur| over "
+        "pooled order statistics via one global-sort window + per-value "
+        "max (ties collapse to the step's right limit on both sides "
+        "identically). One range-partitioned sort at scale; output is one "
+        "row. NB the global window is over DISTINCT VALUES' cumulative "
+        "counts, bounded by the column's cardinality after the per-value "
+        "collapse."
+    ),
+)
+def q_drift_ks_value(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    pooled = ev.select(
+        "value", F.when(F.col("ts") < cut, 1).otherwise(0).alias("is_ref")
+    )
+    return stats.ks_two_sample(pooled, "value", "is_ref")

@@ -615,3 +615,42 @@ def test_hashing_embeddings_feed_the_similarity_tier(spark):
     topk = similarity.cosine_topk(emb, queries, k=3)
     assert topk.count() == 9  # 3 queries x top-3, straight through the kernel
     assert topk.filter(F.col("sim") > 1.0001).count() == 0
+
+
+def test_distributed_prefix_sums_match_driver_side(spark):
+    """The two-pass parallel prefix sum must equal a plain driver-side
+    cumulative over the same ordered rows, across many partitions."""
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    rows = [(float(v), (v * 7) % 5, (v * 3) % 4) for v in range(500)]
+    df = spark.createDataFrame(rows, "k double, a long, b long").repartition(16)
+    got = {
+        r.k: (r.cum_a, r.cum_b)
+        for r in stats.prefix_sums(df, "k", ["a", "b"], num_partitions=8).collect()
+    }
+    ca = cb = 0
+    for v, a, b in rows:  # already in k order
+        ca += a
+        cb += b
+        assert got[v] == (ca, cb), v
+
+
+def test_ks_statistic_matches_reference_implementation(spark):
+    """ks_two_sample equals the straightforward single-machine computation
+    on a frame with heavy value ties."""
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    rows = [(float(i % 13), 1 if i % 2 == 0 else 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "value double, is_ref long")
+    got = stats.ks_two_sample(df, "value", "is_ref").first()
+
+    ref = sorted(v for v, f in rows if f == 1)
+    cur = sorted(v for v, f in rows if f == 0)
+    pooled = sorted(set(ref) | set(cur))
+    import bisect
+    d = max(
+        abs(bisect.bisect_right(ref, x) / len(ref) - bisect.bisect_right(cur, x) / len(cur))
+        for x in pooled
+    )
+    assert got.n_ref == len(ref) and got.n_cur == len(cur)
+    assert abs(got.ks_d - round(d, 6)) < 1e-9
