@@ -3966,3 +3966,48 @@ def q_drift_ks_value(spark, sf_dir):
         "value", F.when(F.col("ts") < cut, 1).otherwise(0).alias("is_ref")
     )
     return stats.ks_two_sample(pooled, "value", "is_ref")
+
+
+@register(
+    "approx_theta_set_ops",
+    "WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-01 12:00:00'), "
+    "v AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'), "
+    "c AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase') "
+    "SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS viewers, "
+    "CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS purchasers, "
+    "CAST((SELECT COUNT(*) FROM v JOIN c USING (user_id)) AS BIGINT) AS both_vc, "
+    "CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v UNION SELECT user_id FROM c) u) "
+    "AS BIGINT) AS either_vc, "
+    "CAST((SELECT COUNT(*) FROM v WHERE user_id NOT IN (SELECT user_id FROM c)) "
+    "AS BIGINT) AS view_only",
+    doc=(
+        "Theta-sketch SET ALGEBRA (datasketches): distinct-user sketches "
+        "per event type, then intersection / union / difference of the "
+        "SKETCHES answer 'how many users did BOTH / EITHER / ONLY one action' "
+        "without ever re-scanning or joining raw events — the audience-"
+        "overlap primitive HLL cannot express (HLL unions only). Sketches "
+        "are tiny and mergeable, so at 100 TB each per-segment sketch is "
+        "maintained incrementally and overlap queries are O(sketch). At "
+        "this cardinality the sketches are exact, so the oracle is the "
+        "exact set algebra; accuracy at scale is the published "
+        "datasketches bound."
+    ),
+)
+def q_approx_theta_set_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-01 12:00:00").cast("timestamp")
+    )
+    sk = ev.groupBy("event_type").agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    sk.createOrReplaceTempView("__theta_sk")
+    return spark.sql(
+        """
+        SELECT
+          CAST(theta_sketch_estimate(v.sk) AS BIGINT) AS viewers,
+          CAST(theta_sketch_estimate(c.sk) AS BIGINT) AS purchasers,
+          CAST(theta_sketch_estimate(theta_intersection(v.sk, c.sk)) AS BIGINT) AS both_vc,
+          CAST(theta_sketch_estimate(theta_union(v.sk, c.sk)) AS BIGINT) AS either_vc,
+          CAST(theta_sketch_estimate(theta_difference(v.sk, c.sk)) AS BIGINT) AS view_only
+        FROM (SELECT sk FROM __theta_sk WHERE event_type = 'view') v,
+             (SELECT sk FROM __theta_sk WHERE event_type = 'purchase') c
+        """
+    )
