@@ -4011,3 +4011,31 @@ def q_approx_theta_set_ops(spark, sf_dir):
              (SELECT sk FROM __theta_sk WHERE event_type = 'purchase') c
         """
     )
+
+
+@register(
+    "approx_top_rollup_merge",
+    "SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "GROUP BY event_type ORDER BY n DESC, item",
+    doc=(
+        "Mergeable top-k ROLLUP (datasketches frequent-items): hourly "
+        "approx_top_k_accumulate states combined to the global top items "
+        "WITHOUT re-scanning raw events — the heavy-hitters analogue of "
+        "the HLL rollup-merge (merging k states costs O(k * sketch), "
+        "independent of event volume). Capacity exceeds the type "
+        "cardinality here, so the sketch is exact and the oracle is the "
+        "exact global count; at real cardinality the published "
+        "frequent-items error bound applies."
+    ),
+)
+def q_approx_top_rollup_merge(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 16)").alias("st")
+    )
+    return (
+        hourly.agg(F.expr("approx_top_k_combine(st)").alias("c"))
+        .select(F.explode(F.expr("approx_top_k_estimate(c, 16)")).alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
+        .orderBy(F.col("n").desc(), "item")
+    )
