@@ -106,6 +106,35 @@ def test_text_state_stays_in_lockstep_for_compat(spark, reg):
     assert os.path.exists(reg.state_path)
 
 
+def test_merge_schema_reads_across_attribute_drift(spark, reg):
+    """Attribute drift — a newly promoted OTLP attr column appearing only in
+    later files (the reference's otlp2parquet promotes attrs per-batch) —
+    must read as NULL for pre-drift files under ``merge_schema=True``, and
+    time travel to a pre-drift snapshot must not resurrect the column."""
+    from pyspark.sql import functions as F
+
+    pre_drift = reg.current_snapshot_id()
+    (
+        spark.range(10, 25).toDF("id")
+        .withColumn("attr_region", F.concat(F.lit("r"), (F.col("id") % 3).cast("string")))
+        .coalesce(1)
+        .write.parquet(f"{reg.root}/batch=1")
+    )
+    reg.sync()
+
+    merged = reg.table(merge_schema=True)
+    assert "attr_region" in merged.columns
+    # old files surface the drifted column as NULL; new files carry values
+    assert merged.filter(F.col("attr_region").isNull()).count() == 10
+    assert merged.filter(F.col("attr_region").isNotNull()).count() == 15
+    # schema-stable default read still resolves and sees every row
+    assert reg.table().count() == 25
+    # pre-drift snapshot never had the column, even with schema merging on
+    old = reg.table(merge_schema=True, snapshot_id=pre_drift)
+    assert "attr_region" not in old.columns
+    assert old.count() == 10
+
+
 def test_expire_snapshots_keeps_head_and_recent(spark, reg):
     for n, (lo, hi) in enumerate([(10, 25), (25, 30), (30, 40)], start=1):
         _add_batch(spark, reg, n, lo, hi)
