@@ -23,26 +23,29 @@ from pyspark.sql import functions as F
 
 def prefix_sums(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     sum_cols: list[str],
     num_partitions: int = 32,
 ) -> DataFrame:
     """Global running sums of ``sum_cols`` in ``order_col`` order, scalably.
 
-    Rows must be unique in ``order_col`` (collapse ties first — that also
-    bounds the frame by the column's cardinality, not the table's rows).
+    ``order_col`` may be a single column or a list forming a composite sort
+    key. Rows must be unique in the order key (collapse ties first, or add a
+    unique tie-break column — that also bounds the frame by the key's
+    cardinality, not the table's rows).
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     # localCheckpoint is CORRECTNESS-critical, not an optimization: the
     # local-cumulate pass and the totals pass both read this frame, and
     # RangePartitioner re-samples boundaries per execution — two separate
     # evaluations can disagree on which partition a row lands in, silently
     # misaligning the offsets. Materializing once pins one partitioning.
     rp = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    w = W.partitionBy("__pid").orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    w = W.partitionBy("__pid").orderBy(*order_cols).rowsBetween(W.unboundedPreceding, 0)
     local = rp.select(
         "*", *[F.sum(c).over(w).alias(f"__l_{c}") for c in sum_cols]
     )
@@ -100,4 +103,35 @@ def ks_two_sample(
             F.first(F.col("n1").cast("long")).alias("n_ref"),
             F.first(F.col("n2").cast("long")).alias("n_cur"),
         )
+    )
+
+
+def select_by_budget(
+    df: DataFrame,
+    rank_cols: list,
+    cost_col: str,
+    budget_df: DataFrame,
+    budget_col: str = "budget",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Greedy best-first selection under a global additive budget.
+
+    Orders rows by ``rank_cols`` (best first; pass pre-negated columns for
+    descending) and keeps the maximal prefix whose running ``cost_col`` sum
+    stays within the scalar in ``budget_df.budget_col`` (a one-row frame,
+    broadcast to every task) — the data-selection primitive for "take the
+    highest-quality documents until the token budget is spent"
+    (quality-filtered corpus construction a la Gopher/DoReMi data curation).
+
+    The naive form is ``SUM(cost) OVER (ORDER BY rank)`` — an unpartitioned
+    window that funnels 100 TB through one task. This uses the two-pass
+    parallel prefix sum instead: range-partition on the rank key, cumulate
+    locally, P-row driver offset merge — both passes linear, no single-task
+    stage. The rank key (``rank_cols`` tuple) must be row-unique.
+    """
+    cum = prefix_sums(df, rank_cols, [cost_col], num_partitions=num_partitions)
+    return (
+        cum.join(F.broadcast(budget_df))
+        .filter(F.col(f"cum_{cost_col}") <= F.col(budget_col))
+        .drop(budget_col)
     )

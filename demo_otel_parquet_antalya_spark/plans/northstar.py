@@ -1399,3 +1399,42 @@ def q_text_hashing_embedding(spark, sf_dir):
     return sel.select(
         "doc_id", F.posexplode("embedding").alias("i", "v")
     ).orderBy("doc_id", "i")
+
+
+@register(
+    "select_token_budget",
+    "WITH scored AS (SELECT doc_id, "
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+    "ROUND(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "t -> t IN ('the','a','and','of','to','in'))) * 1.0 "
+    "/ len(regexp_split_to_array(trim(text), '\\s+')), 6) AS score FROM documents), "
+    "b AS (SELECT 0.5 * SUM(n_tokens) AS budget FROM scored), "
+    "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+    "(ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS cum_n_tokens FROM scored) "
+    "SELECT doc_id, n_tokens, cum_n_tokens FROM c, b WHERE cum_n_tokens <= budget",
+    doc=(
+        "Token-budget corpus selection: rank every document by quality "
+        "(stopword-ratio heuristic, doc_id tie-break) and keep the maximal "
+        "best-first prefix whose cumulative token count fits a global "
+        "budget (here 50% of corpus tokens) — the 'spend the training-token "
+        "budget on the best data' curation step. The oracle's "
+        "SUM() OVER (ORDER BY ...) is an unpartitioned window = one-task "
+        "funnel at 100 TB; the implementation is the two-pass parallel "
+        "prefix sum (operators/stats.py): range-partition on the rank key, "
+        "local cumulate, P-row driver offset merge — every stage linear."
+    ),
+)
+def q_select_token_budget(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        (-F.round(tx.stopword_ratio("text"), 6)).alias("__neg_score"),
+    )
+    budget = scored.agg((F.lit(0.5) * F.sum("n_tokens")).alias("budget"))
+    return stats.select_by_budget(
+        scored, ["__neg_score", "doc_id"], "n_tokens", budget
+    ).drop("__neg_score")

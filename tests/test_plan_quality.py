@@ -420,3 +420,13 @@ def test_gopher_rules_are_one_scan_pass(spark):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_token_budget_selection_has_no_global_window(spark):
+    """select_token_budget's cumulative pass must be the range-partitioned
+    parallel prefix sum — the oracle's SUM() OVER (ORDER BY ...) shape as a
+    no-partition window would funnel the whole corpus through one task."""
+    plan = plan_of(spark, "select_token_budget")
+    assert "Window" in plan  # the local per-partition cumulate is a window
+    assert "No Partition Defined" not in plan
+    assert "Exchange SinglePartition" not in plan
