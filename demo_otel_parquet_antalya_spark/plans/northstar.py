@@ -1438,3 +1438,52 @@ def q_select_token_budget(spark, sf_dir):
     return stats.select_by_budget(
         scored, ["__neg_score", "doc_id"], "n_tokens", budget
     ).drop("__neg_score")
+
+
+@register(
+    "shard_token_balanced",
+    "WITH t AS (SELECT doc_id, "
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "b AS (SELECT SUM(n_tokens) AS total FROM t), "
+    "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+    "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+    "FROM t) "
+    "SELECT CAST(LEAST(7, FLOOR((cum - n_tokens) * 8.0 / total)) AS BIGINT) AS shard_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens "
+    "FROM c, b GROUP BY 1",
+    doc=(
+        "Token-balanced contiguous sharding: split the corpus into 8 "
+        "shards of near-equal TOKEN counts (not doc counts) while "
+        "preserving document order — the writer-side step that keeps "
+        "training workers load-balanced when doc lengths are skewed. A "
+        "doc's shard is its token START offset's bucket, so shards stay "
+        "contiguous and every doc lands in exactly one. The global "
+        "running offset comes from the range-partitioned parallel prefix "
+        "sum (operators/stats.py), never a one-task window."
+    ),
+)
+def q_shard_token_balanced(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.token_count("text").alias("n_tokens"))
+    total = t.agg(F.sum("n_tokens").alias("total"))
+    cum = stats.prefix_sums(t, "doc_id", ["n_tokens"])
+    return (
+        cum.join(F.broadcast(total))
+        .select(
+            F.least(
+                F.lit(7).cast("long"),
+                F.floor(
+                    (F.col("cum_n_tokens") - F.col("n_tokens")) * 8.0 / F.col("total")
+                ),
+            ).alias("shard_id"),
+            "n_tokens",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
