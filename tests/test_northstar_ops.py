@@ -654,3 +654,47 @@ def test_ks_statistic_matches_reference_implementation(spark):
     )
     assert got.n_ref == len(ref) and got.n_cur == len(cur)
     assert abs(got.ks_d - round(d, 6)) < 1e-9
+
+
+def test_prefix_sums_composite_key_with_first_key_ties(spark):
+    """The multi-column order key must cumulate in exact (k1, k2) order even
+    when k1 ties straddle range-partition boundaries — the tie-broken rank
+    shape select_token_budget depends on."""
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    # only 4 distinct k1 values over 400 rows -> every partition boundary
+    # lands inside a k1 tie run; k2 makes the composite key unique
+    rows = [(i % 4, i, 1 + (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k1 long, k2 long, c long").repartition(16)
+    got = {
+        (r.k1, r.k2): r.cum_c
+        for r in stats.prefix_sums(df, ["k1", "k2"], ["c"], num_partitions=8).collect()
+    }
+    acc = 0
+    for k1, k2, c in sorted(rows):
+        acc += c
+        assert got[(k1, k2)] == acc, (k1, k2)
+
+
+def test_select_by_budget_boundary_is_exclusive_of_straddler(spark):
+    """An item whose cost would cross the budget is dropped even when
+    better-ranked items left budget headroom (greedy prefix, no knapsack
+    backfill), and a first item larger than the whole budget selects
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    rows = [(1, 10, 4), (2, 20, 3), (3, 30, 2), (4, 5, 1)]  # rank asc = best first
+    df = spark.createDataFrame(rows, "id long, cost long, rank long")
+
+    budget = spark.createDataFrame([(32,)], "budget long")
+    picked = sorted(
+        r.id for r in stats.select_by_budget(df, ["rank", "id"], "cost", budget).collect()
+    )
+    # rank order is id 4 (5), 3 (30), 2 (20), 1 (10): 5+30=35 > 32, so the
+    # straddling id=3 and everything after it is out — greedy prefix only
+    assert picked == [4]
+
+    tiny = spark.createDataFrame([(4,)], "budget long")
+    assert stats.select_by_budget(df, ["rank", "id"], "cost", tiny).count() == 0
