@@ -17,6 +17,8 @@ on the synthetic documents/embeddings tables, stage by stage.
 11. line-level dedup (RefinedWeb tier): flag + scrub cross-doc boilerplate
 12. quality-classifier inference (fastText shape, zero-shuffle scan pass)
 13. cluster-density review: clique vs chain before dropping non-canonicals
+14. spend the token budget on the best docs (greedy prefix, parallel prefix sum)
+15. write token-balanced contiguous shards for the training workers
 
 The same chain runs as ONE registered query (``pipeline_training_prep``)
 hash-checked against a full-SQL DuckDB oracle — this script is the
@@ -128,6 +130,35 @@ def main() -> None:
     dedup.cluster_density(pairs).groupBy("shape").agg(
         F.count("*").alias("n_clusters"), F.sum("n_nodes").alias("n_docs")
     ).show()
+
+    print("== 14. token-budget selection: best docs first until 50% of tokens ==")
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    scored = kept.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        (-F.round(tx.stopword_ratio("text"), 6)).alias("neg_score"),
+    )
+    budget = scored.agg((F.lit(0.5) * F.sum("n_tokens")).alias("budget"))
+    selected = stats.select_by_budget(scored, ["neg_score", "doc_id"], "n_tokens", budget)
+    selected.agg(
+        F.count("*").alias("n_selected"), F.sum("n_tokens").alias("tokens_spent")
+    ).show()
+
+    print("== 15. token-balanced contiguous shards for the workers ==")
+    offs = stats.prefix_sums(selected.select("doc_id", "n_tokens"), "doc_id", ["n_tokens"])
+    tot = selected.agg(F.sum("n_tokens").alias("total"))
+    shards = offs.join(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.least(
+            F.lit(3).cast("long"),
+            F.floor((F.col("cum_n_tokens") - F.col("n_tokens")) * 4.0 / F.col("total")),
+        ).alias("shard_id"),
+    )
+    shards.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens")
+    ).orderBy("shard_id").show()
 
     spark.stop()
 
