@@ -698,3 +698,39 @@ def test_select_by_budget_boundary_is_exclusive_of_straddler(spark):
 
     tiny = spark.createDataFrame([(4,)], "budget long")
     assert stats.select_by_budget(df, ["rank", "id"], "cost", tiny).count() == 0
+
+
+def test_prefix_sums_property_random_keys_and_costs(spark):
+    """Property check over adversarial key distributions: heavy first-key
+    skew, negative costs, and partition counts that don't divide the data
+    evenly — the global cumulate must always equal the driver-side fold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),  # skewed first key
+                st.integers(min_value=-50, max_value=50),  # costs may be negative
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        parts=st.integers(min_value=1, max_value=7),
+    )
+    def check(rows, parts):
+        uniq = [(k1, i, c) for i, (k1, c) in enumerate(rows)]  # i = unique tie-break
+        df = spark.createDataFrame(uniq, "k1 long, k2 long, c long")
+        got = {
+            (r.k1, r.k2): r.cum_c
+            for r in stats.prefix_sums(df, ["k1", "k2"], ["c"], num_partitions=parts).collect()
+        }
+        acc = 0
+        for k1, k2, c in sorted(uniq):
+            acc += c
+            assert got[(k1, k2)] == acc
+
+    check()
