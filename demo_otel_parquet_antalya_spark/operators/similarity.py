@@ -619,3 +619,244 @@ def kmeans_refine_centroids(
             "cid", F.array(*[f"c{i}" for i in range(dim)]).alias("cv")
         ).select("cid", "cv", _norm(F.col("cv")).alias("ncv")).localCheckpoint()
     return cents, history
+
+
+# ===========================================================================
+# Product quantization (Jegou, Douze, Schmid — TPAMI 2011): the memory-
+# compression tier of the ANN stack. M sub-spaces x K-entry codebooks turn a
+# dim-D float vector into M small integer codes (here 8 bytes for dim 64 —
+# a 32x compression), and queries scan codes with Asymmetric Distance
+# Computation: one (M x K) lookup table per query, score = sum of M table
+# lookups per vector. At 100 TB this is what makes the corpus-resident scan
+# feasible: the code table is ~3% the size of the raw vectors, the scan
+# stays linear and embarrassingly parallel, and IVF partition pruning
+# composes in front of it unchanged (probe cells, then ADC inside).
+# ===========================================================================
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+):
+    """Train per-subspace codebooks with driver-side Lloyd iterations on a
+    deterministic hash sample — the published practice (FAISS trains PQ on
+    a bounded training sample, not the full corpus), so the driver pull is
+    bounded by contract at ``sample_size`` x dim floats regardless of corpus
+    size; the sample itself is TakeOrderedAndProject (per-partition top-K by
+    xxhash64, K-row driver merge — no global sort, no single-task stage).
+
+    Returns a numpy array of shape (m, n_codes, dim // m). Deterministic:
+    hash-ordered init, float64 Lloyd, empty clusters keep their centroid.
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([list(map(float, r.v)) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cent = xs[:n_codes].copy()  # hash-ordered sample => pseudo-random init
+        for _ in range(n_iters):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(n_codes):
+                mask = a == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — one linear Arrow-batched pass; vectors are
+    L2-normalized before encoding so ADC inner product approximates cosine."""
+    from pyspark.sql import types as T
+
+    books = codebooks  # (m, K, sub) float64, broadcast via closure
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        mm, _k, sub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = _np.asarray([list(map(float, x)) for x in pdf[vec_col]], dtype=_np.float64)
+            v /= _np.maximum(_np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            codes = _np.empty((len(v), mm), dtype=_np.int32)
+            for j in range(mm):
+                xs = v[:, j * sub : (j + 1) * sub]
+                d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield _pd.DataFrame({"id": pdf[id_col].to_numpy(), "codes": list(codes)})
+
+    return (
+        ensure_parallelism(vectors)
+        .select(id_col, vec_col)
+        .mapInPandas(encode, out_schema)
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    codebooks=None,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via ADC.
+
+    The query batch is collected once (bounded by contract — the probe
+    batch, same as ``cosine_topk``); each query precomputes an (m x K)
+    inner-product table against the codebooks, and every Arrow batch of
+    codes scores with m table lookups per vector — no floats from the
+    corpus are touched after encoding. Per-query window top-k on the JVM
+    side, identical to the other ANN paths.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    encoded = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([list(map(float, r[1])) for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    mm, kk, sub = codebooks.shape
+    # tables[q, j, c] = <q_sub_j, codebook[j][c]>
+    tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_ids), mm, sub), codebooks)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_sim", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        cols = _np.arange(mm)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = _np.asarray(list(pdf["codes"]), dtype=_np.int64)  # B x m
+            n_ids = pdf["id"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(q_ids):
+                s = tables[qi][cols[None, :], codes].sum(axis=1)  # B
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            "query_id": _np.full(len(n_ids), qid, dtype=_np.int64),
+                            "neighbor_id": n_ids,
+                            "adc_sim": _np.round(s, 6),
+                        }
+                    )
+                )
+            yield _pd.concat(frames, ignore_index=True)
+
+    scored = encoded.mapInPandas(scan, out_schema).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_sim")
+    )
+
+
+def pq_topk_refined(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 64,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank (the IVFADC+R production shape).
+
+    The compressed scan produces a per-query shortlist (default 10k ids);
+    only shortlist members' raw floats are then fetched — via a BROADCAST
+    of the (|Q| x shortlist)-row candidate set against the corpus, so the
+    refinement reads a vanishing fraction of the raw vectors — and re-ranked
+    with exact cosine. Costs: one linear pass over 8-byte codes + exact
+    math on |Q| x shortlist rows; recall is set by the shortlist depth, not
+    by quantization error at rank k.
+    """
+    sl = shortlist if shortlist is not None else 10 * k
+    cand = pq_topk(
+        vectors,
+        queries,
+        k=sl,
+        m=m,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select("query_id", "neighbor_id")
+    vecs = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv_vec")
+    )
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    scored = (
+        vecs.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv_vec")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

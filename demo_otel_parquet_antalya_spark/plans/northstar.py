@@ -1487,3 +1487,221 @@ def q_shard_token_balanced(spark, sf_dir):
             F.sum("n_tokens").alias("shard_tokens"),
         )
     )
+
+
+# DuckDB-side winnowed fingerprint sets, identical to
+# operators.fingerprint.winnow_fingerprints (k=4 word grams, window=5):
+# md5 per gram, min per sliding window of 5 gram hashes, distinct per doc.
+_WINNOW_SQL = (
+    "words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+    "FROM documents), "
+    "grams AS (SELECT doc_id, i, md5(array_to_string(w[i:i+3], ' ')) AS h "
+    "FROM words, LATERAL (SELECT unnest(generate_series(1, "
+    "GREATEST(len(w)-3, 1))) AS i) t), "
+    "wmin AS (SELECT doc_id, i, MIN(h) OVER (PARTITION BY doc_id ORDER BY i "
+    "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp, "
+    "COUNT(*) OVER (PARTITION BY doc_id) AS n_g FROM grams), "
+    "fps AS (SELECT DISTINCT doc_id, fp FROM wmin "
+    "WHERE i <= GREATEST(n_g - 4, 1))"
+)
+
+
+@register(
+    "fingerprint_winnow_stats",
+    "WITH " + _WINNOW_SQL + " "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps FROM fps "
+    "GROUP BY doc_id ORDER BY doc_id",
+    doc=(
+        "Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS "
+        "algorithm): md5 every word 4-gram, keep the minimum hash in each "
+        "sliding window of 5, distinct per doc. Guarantees any shared run "
+        "of >= 8 words contributes a common fingerprint while selecting "
+        "only ~2/(w+1)=1/3 of grams. The whole selection is one per-row "
+        "JVM HOF expression — zero shuffles, zero Python; the oracle's "
+        "per-doc window function is the same math in SQL form. "
+        "operators/fingerprint.py."
+    ),
+    tags=("northstar", "fingerprint"),
+)
+def q_fingerprint_winnow_stats(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import fingerprint as fpr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fpr.winnow_fingerprints(docs, k=4, window=5)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_fps"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fingerprint_overlap_pairs",
+    "WITH " + _WINNOW_SQL + ", "
+    "rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 200), "
+    "posting AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(COUNT(*) AS BIGINT) AS shared_fps "
+    "FROM posting a JOIN posting b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+    "SELECT id_a, id_b, shared_fps FROM pairs ORDER BY id_a, id_b",
+    doc=(
+        "Plagiarism-style overlap detection on the winnowed subset: join "
+        "documents on shared selected fingerprints (not on every shingle "
+        "— the posting stream is a ~1/3 density sample with a coverage "
+        "guarantee), count shared fingerprints per pair, keep pairs "
+        "sharing >= 2. Same max-posting-frequency cap as the Jaccard "
+        "path so a boilerplate fingerprint cannot go quadratic. "
+        "operators/fingerprint.py::fingerprint_overlap_pairs."
+    ),
+    tags=("northstar", "fingerprint"),
+)
+def q_fingerprint_overlap_pairs(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import fingerprint as fpr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fpr.fingerprint_overlap_pairs(
+            docs, k=4, window=5, min_shared=2, max_fp_freq=200
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SPLIT_CASE = (
+    "CASE WHEN CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 < 90 THEN 'train' ELSE 'eval' END"
+)
+
+
+@register(
+    "contamination_cross_split_neardup",
+    "WITH " + _SHINGLES_SQL + ", "
+    "s AS (SELECT id_a, id_b, jaccard, "
+    + _SPLIT_CASE.format(id="id_a") + " AS sa, "
+    + _SPLIT_CASE.format(id="id_b") + " AS sb "
+    "FROM jac WHERE jaccard >= 0.8) "
+    "SELECT CASE WHEN sa = 'train' THEN id_a ELSE id_b END AS id_train, "
+    "CASE WHEN sa = 'train' THEN id_b ELSE id_a END AS id_eval, jaccard "
+    "FROM s WHERE sa <> sb ORDER BY id_train, id_eval",
+    doc=(
+        "Cross-split near-dup leakage audit: a held-out eval document with "
+        "a near-duplicate (word-3-gram Jaccard >= 0.8) in train is "
+        "contamination the n-gram exact-match check misses (paraphrases, "
+        "re-crawls). Split membership is recomputed per pair endpoint from "
+        "the md5 bucket — a pure function of the id, so NO join against an "
+        "assignment table is needed (at 100 TB the assignment join would "
+        "be a second corpus-wide shuffle). Pair discovery reuses the "
+        "posting-list Jaccard join; the LSH tier slots in for scale "
+        "unchanged. operators/dedup.py::ngram_jaccard_pairs."
+    ),
+    tags=("northstar", "contamination"),
+)
+def q_contamination_cross_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+
+    def split_of(c):
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100
+        )
+        return F.when(bucket < 90, "train").otherwise("eval")
+
+    leak = (
+        pairs.withColumn("sa", split_of("id_a"))
+        .withColumn("sb", split_of("id_b"))
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    return leak.select(
+        F.when(F.col("sa") == "train", F.col("id_a")).otherwise(F.col("id_b")).alias("id_train"),
+        F.when(F.col("sa") == "train", F.col("id_b")).otherwise(F.col("id_a")).alias("id_eval"),
+        "jaccard",
+    ).orderBy("id_train", "id_eval")
+
+
+@register(
+    "dsir_importance_topk",
+    "WITH words AS (SELECT doc_id, source, "
+    "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents), "
+    "raw AS (SELECT w, COUNT(*) AS rc FROM words GROUP BY w), "
+    "tgt AS (SELECT w, COUNT(*) AS tc FROM words WHERE source = 'src0' "
+    "GROUP BY w), "
+    "tot AS (SELECT (SELECT SUM(rc) FROM raw) AS tr, "
+    "(SELECT SUM(tc) FROM tgt) AS tt, (SELECT COUNT(*) FROM raw) AS v), "
+    "scored AS (SELECT doc_id, "
+    "ROUND(AVG(LN((COALESCE(tc, 0) + 1.0) / (tt + v)) "
+    "- LN((rc + 1.0) / (tr + v))), 6) AS dsir_score, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens "
+    "FROM words JOIN raw USING (w) LEFT JOIN tgt USING (w), tot "
+    "GROUP BY doc_id) "
+    "SELECT doc_id, dsir_score, n_tokens FROM scored "
+    "ORDER BY dsir_score DESC, doc_id LIMIT 50",
+    doc=(
+        "DSIR-shaped data selection (Xie et al. 2023, 'Data Selection for "
+        "Language Models via Importance Resampling'): score every document "
+        "by its mean per-token log importance ratio ln(p_target/p_raw) "
+        "under add-1-smoothed unigram LMs, where the target LM is fitted "
+        "on the src0 slice and the raw LM on the whole corpus; keep the "
+        "top-k. Deterministic top-k selection (rank on the ROUNDED score "
+        "with doc_id tie-break so libm ulp noise cannot flip engines); "
+        "the paper's Gumbel resampling drops in by adding an md5-derived "
+        "uniform, as sample_weighted_es does. Plan: two map-side-combined "
+        "vocab aggregates, one word-keyed join back to the token stream "
+        "(the DSIR shape — no broadcast of an unbounded vocab), "
+        "TakeOrderedAndProject top-k."
+    ),
+    tags=("northstar", "selection"),
+)
+def q_dsir_importance_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source", F.explode(tx.tokens("text")).alias("w")
+    )
+    raw = words.groupBy("w").agg(F.count("*").alias("rc"))
+    tgt = (
+        words.filter(F.col("source") == "src0")
+        .groupBy("w")
+        .agg(F.count("*").alias("tc"))
+    )
+    tot = (
+        raw.agg(
+            F.sum("rc").alias("tr"), F.count("*").alias("v")
+        )
+        .crossJoin(tgt.agg(F.sum("tc").alias("tt")))
+    )
+    ratio = F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tt") + F.col("v"))) - F.log(
+        (F.col("rc") + 1.0) / (F.col("tr") + F.col("v"))
+    )
+    scored = (
+        words.join(raw, "w")
+        .join(tgt, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(ratio), 6).alias("dsir_score"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(50)
+
+
+@register(
+    "similarity_pq_topk",
+    None,
+    doc=(
+        "Product-quantization ANN top-5 (Jegou et al. TPAMI'11): per-"
+        "subspace codebooks trained on a bounded deterministic hash sample, "
+        "corpus encoded to m=8 one-byte codes (32x compression at dim 64), "
+        "queries scan codes via ADC lookup tables, then the top-50 ADC "
+        "shortlist is exactly re-ranked (IVFADC+R shape). Approximate by "
+        "design -> rows-only; recall and determinism are pytest-asserted "
+        "in tests/test_northstar_ops.py. "
+        "operators/similarity.py::pq_topk_refined."
+    ),
+)
+def q_similarity_pq_topk(spark, sf_dir):
+    vectors, queries = _queries_subset(spark, sf_dir)
+    return similarity.pq_topk_refined(
+        vectors, queries, k=5, m=8, n_codes=64
+    ).orderBy("query_id", "rank")

@@ -734,3 +734,30 @@ def test_prefix_sums_property_random_keys_and_costs(spark):
             assert got[(k1, k2)] == acc
 
     check()
+
+
+def test_pq_recall_and_determinism(spark, emb):
+    """PQ-ADC with exact re-rank: shortlist depth (not quantization error)
+    sets recall; two runs are bit-identical (hash-ordered training sample,
+    float64 Lloyd, deterministic argmin)."""
+    q = _queries(emb)
+    exact = _topk_sets(similarity.cosine_topk(emb, q, k=5))
+    run1 = similarity.pq_topk_refined(emb, q, k=5, m=8, n_codes=64)
+    approx = _topk_sets(run1)
+    hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.7, f"PQ+rerank recall {recall:.2f} below floor"
+    a = sorted(map(tuple, run1.collect()))
+    b = sorted(map(tuple, similarity.pq_topk_refined(emb, q, k=5, m=8, n_codes=64).collect()))
+    assert a == b
+
+
+def test_pq_codes_shape_and_compression(spark, emb):
+    books = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)  # dim 64 / m 8
+    enc = similarity.pq_encode(emb, books)
+    row = enc.first()
+    assert len(row.codes) == 8
+    assert all(0 <= c < 16 for c in row.codes)
+    # every corpus vector is encoded exactly once
+    assert enc.count() == emb.count()
