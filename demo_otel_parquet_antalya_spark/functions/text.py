@@ -148,3 +148,45 @@ def hashed_linear_logit(text: Column | str, n_buckets: int = 4096) -> Column:
     100 TB costs exactly one pass."""
     ws = F.transform(tokens(text), lambda t: hashed_token_weight(t, n_buckets))
     return F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x) / F.size(ws)
+
+
+# Masking rules for log-template mining, ordered most-specific first:
+# each is (pattern, replacement). UUIDs before hex (a UUID contains hex
+# runs); IPs before plain numbers (an IP contains digit runs); the number
+# rule last sweeps up everything numeric that remains. Patterns stick to
+# the regex subset Java (Spark) and RE2 (DuckDB) share, so the exact same
+# masking is oracle-verifiable.
+TEMPLATE_MASKS: tuple[tuple[str, str], ...] = (
+    (
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<UUID>",
+    ),
+    (r"\b0x[0-9a-fA-F]+\b", "<HEX>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"-?\d+(\.\d+)?", "<NUM>"),
+)
+
+
+def log_template(message: Column | str) -> Column:
+    """Collapse a log message to its template by masking variable tokens
+    (UUIDs, hex ids, IPs, numbers) — the core of Drain-style log-template
+    mining, expressed as a chain of JVM regexp_replace calls: template
+    extraction over 100 TB of logs is one scan-stage pass, zero shuffles,
+    zero Python. grouping the masked column then yields the template
+    catalog (pattern count, examples, first/last seen)."""
+    c = F.col(message) if isinstance(message, str) else message
+    for pat, repl in TEMPLATE_MASKS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def template_masks_sql(expr: str) -> str:
+    """The identical masking chain in portable SQL (DuckDB's regexp_replace
+    needs the 'g' flag for global replacement; Spark's is global by
+    default) — used by the oracle side of the template-mining queries."""
+    for pat, repl in TEMPLATE_MASKS:
+        # DuckDB standard strings pass backslashes through literally, so the
+        # Java-compatible pattern embeds unchanged (both engines accept \b \d)
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr

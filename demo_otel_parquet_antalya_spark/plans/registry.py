@@ -4039,3 +4039,78 @@ def q_approx_top_rollup_merge(spark, sf_dir):
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
         .orderBy(F.col("n").desc(), "item")
     )
+
+
+# ===========================================================================
+# Log-template mining (Drain-style) — the observability-native text op:
+# collapse raw log messages to templates by masking variable tokens, then
+# group to the template catalog. SURVEY §2 north-star extension; the
+# reference's Grafana log panel shows raw bodies only.
+# ===========================================================================
+
+
+def _event_message_sql() -> str:
+    """Synthesized log line per event (the testdata has no free-text log
+    body; real OTLP bodies plug straight into the same masking chain).
+    value is rendered through ROUND()::BIGINT — any digit run masks to
+    <NUM>, so engine float-formatting differences cannot leak into the
+    template."""
+    return (
+        "'evt=' || event_type || ' user=' || CAST(user_id AS VARCHAR) || "
+        "' value=' || CAST(CAST(ROUND(value) AS BIGINT) AS VARCHAR) || 'ms'"
+    )
+
+
+@register(
+    "log_template_mining",
+    "SELECT {tpl} AS template, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM (SELECT user_id, {msg} AS message FROM events) "
+    "GROUP BY template ORDER BY n_events DESC, template",
+    doc=(
+        "Drain-style log-template mining: mask variable tokens (UUID, hex, "
+        "IP, number — functions/text.py::TEMPLATE_MASKS) with chained JVM "
+        "regexp_replace, then group by the masked template. Template "
+        "extraction is a zero-shuffle scan-stage pass; the only shuffle is "
+        "the final (tiny) template-cardinality aggregate, map-side "
+        "combined. The oracle applies the identical masking chain via "
+        "text.template_masks_sql."
+    ),
+    tags=("northstar", "logmine"),
+)
+def q_log_template_mining(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.functions import text as _tx
+
+    ev = _t(spark, sf_dir, "events")
+    msg = F.concat(
+        F.lit("evt="),
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" value="),
+        F.round(F.col("value")).cast("long").cast("string"),
+        F.lit("ms"),
+    )
+    return (
+        ev.select(_tx.log_template(msg).alias("template"), F.col("user_id"))
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_events").desc(), "template")
+    )
+
+
+# fill in the oracle now that template_masks_sql is importable without a
+# circular import at module load
+def _finalize_log_template_oracle():
+    from demo_otel_parquet_antalya_spark.functions.text import template_masks_sql
+
+    spec = QUERIES["log_template_mining"]
+    spec.oracle = spec.oracle.format(
+        tpl=template_masks_sql("message"), msg=_event_message_sql()
+    )
+
+
+_finalize_log_template_oracle()
