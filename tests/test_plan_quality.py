@@ -430,3 +430,39 @@ def test_token_budget_selection_has_no_global_window(spark):
     assert "Window" in plan  # the local per-partition cumulate is a window
     assert "No Partition Defined" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_log_template_mining_zero_shuffle_extraction(spark):
+    """Template masking is scan-stage JVM regexp (no Python eval); the only
+    exchange is the final template-cardinality aggregate, map-side combined."""
+    plan = plan_of(spark, "log_template_mining")
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_winnow_fingerprints_stay_jvm_side(spark):
+    """The whole winnowing selection (grams -> md5 -> window min -> distinct)
+    is one per-row HOF expression: no Python eval, no join/exchange before
+    the aggregate."""
+    plan = plan_of(spark, "fingerprint_winnow_stats")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fingerprint_overlap_no_cartesian(spark):
+    plan = plan_of(spark, "fingerprint_overlap_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_vocab_join_not_broadcast_hinted(spark):
+    """The word-keyed LM joins must stay plain equi-joins (the vocab is
+    unbounded at 100 TB — only the 1-row totals frame is broadcast)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = QUERIES["dsir_importance_topk"].build(spark, SF)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert lp.count("ResolvedHint") <= 1  # the totals crossJoin only
+    plan = plan_of(spark, "dsir_importance_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
