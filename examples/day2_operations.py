@@ -104,6 +104,23 @@ def main() -> None:
     orphans = reg.vacuum_orphans(dry_run=True)
     print(f"expired {len(expired)} old snapshots; vacuum would remove {len(orphans)} orphans")
 
+    print("\n== 7. continuous log-template catalog ==")
+    from demo_otel_parquet_antalya_spark.streaming.templates import (
+        incremental_template_catalog,
+        read_template_catalog,
+    )
+
+    tstream = spark.readStream.schema(logs.schema).parquet(land)
+    incremental_template_catalog(
+        tstream, f"{work}/templates", f"{work}/tckpt",
+        message_col="body", ts_col="timestamp",
+    ).awaitTermination()
+    catalog = read_template_catalog(spark, f"{work}/templates")
+    print(f"{catalog.count()} templates mined from the body stream; top 5:")
+    catalog.orderBy(F.desc("n_events")).select("template", "n_events").show(
+        5, truncate=60
+    )
+
     spark.stop()
     print("\ndone")
 
