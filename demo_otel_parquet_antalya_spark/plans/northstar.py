@@ -1555,6 +1555,7 @@ def q_fingerprint_winnow_stats(spark, sf_dir):
         "operators/fingerprint.py::fingerprint_overlap_pairs."
     ),
     tags=("northstar", "fingerprint"),
+    bench=True,
 )
 def q_fingerprint_overlap_pairs(spark, sf_dir):
     from demo_otel_parquet_antalya_spark.operators import fingerprint as fpr

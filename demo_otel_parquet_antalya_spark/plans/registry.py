@@ -4077,6 +4077,7 @@ def _event_message_sql() -> str:
         "text.template_masks_sql."
     ),
     tags=("northstar", "logmine"),
+    bench=True,
 )
 def q_log_template_mining(spark, sf_dir):
     from demo_otel_parquet_antalya_spark.functions import text as _tx
@@ -4114,3 +4115,36 @@ def _finalize_log_template_oracle():
 
 
 _finalize_log_template_oracle()
+
+
+@register(
+    "approx_kll_quantile_rollup",
+    None,
+    doc=(
+        "The sketch ROLLUP pattern for quantiles (datasketches KLL): "
+        "hourly kll_sketch_agg_double states over events.value (what a "
+        "materialized rollup would persist), merged per day with "
+        "kll_merge_agg_double and read out at p50/p95/p99 WITHOUT "
+        "rescanning raw events — latency-percentile dashboards over "
+        "100 TB become O(hours x sketch_size) merges. Completes the "
+        "mergeable-sketch family (HLL uniques, frequent-items top-k, "
+        "theta set algebra, KLL quantiles). Approximate -> rows-only; "
+        "the published KLL rank-error bound vs the exact per-day "
+        "percentiles is pytest-asserted."
+    ),
+)
+def q_approx_kll_quantile_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.expr("kll_sketch_agg_double(value, 256)").alias("sk"))
+    daily = hourly.groupBy("day").agg(
+        F.expr("kll_merge_agg_double(sk, 256)").alias("msk")
+    )
+    return daily.select(
+        "day",
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.99)"), 6).alias("p99"),
+    ).orderBy("day")

@@ -761,3 +761,28 @@ def test_pq_codes_shape_and_compression(spark, emb):
     assert all(0 <= c < 16 for c in row.codes)
     # every corpus vector is encoded exactly once
     assert enc.count() == emb.count()
+
+
+def test_kll_quantile_rollup_rank_error_bound(spark):
+    """Daily percentiles read from merged hourly KLL sketches must satisfy
+    the published rank-error contract: the returned value's true rank lies
+    within eps of the requested rank (k=256 -> eps ~ 1.3%; assert 3%)."""
+    from demo_otel_parquet_antalya_spark.plans import QUERIES
+    from demo_otel_parquet_antalya_spark.plans.tables import load_table
+
+    rows = QUERIES["approx_kll_quantile_rollup"].build(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    by_day = {
+        r.day: sorted(v for v in r.vals)
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    assert {r.day for r in rows} == set(by_day)
+    eps = 0.03
+    for r in rows:
+        vals = by_day[r.day]
+        n = len(vals)
+        for q, got in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            true_rank = sum(1 for v in vals if v <= got) / n
+            assert abs(true_rank - q) <= eps + 1.0 / n, (r.day, q, got, true_rank)
