@@ -1,0 +1,93 @@
+"""Edit-distance string similarity join (Ed-Join family — Xiao, Wang, Lin
+VLDB'08; prefix filtering per Chaudhuri, Ganti, Kaushik ICDE'06).
+
+Finds all pairs within Levenshtein distance ``d`` WITHOUT the all-pairs
+cross product:
+
+1. every string emits its positional q-gram multiset as occurrence-numbered
+   tokens ``(gram, occ#)`` — occurrence numbering makes the multiset overlap
+   bound sound when a gram repeats inside one string;
+2. prefix filter: under ONE global token order (ascending corpus frequency,
+   token text as tie-break), two strings with ed <= d must share a token
+   within their first ``q*d + 1`` tokens — the pigeonhole on the bound
+   ``overlap >= max(|Ga|,|Gb|) - q*d``. Only these prefix tokens enter the
+   join, so posting lists are built from each string's RAREST grams (the
+   ubiquitous boilerplate grams never generate candidates);
+3. candidates dedup to distinct id pairs and verify with one exact
+   levenshtein call per pair.
+
+Scale shape: token-frequency count and the prefix join are plain keyed
+shuffles (map-side-combined count, equi-join on token); per-string state is
+one row_number window keyed by id. Verification cost is |candidates|, which
+the prefix filter keeps near |true pairs|. Exact output (no recall loss) —
+which is what lets the DuckDB brute-force levenshtein join serve as the
+oracle.
+
+The filter's overlap bound needs every string to have at least one
+guaranteed shared token: len(s) >= q * (d + 1). The operator checks the
+corpus min length once and refuses (rather than silently missing pairs) if
+the guarantee would not hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    d: int = 1,
+    q: int = 2,
+    validate_lengths: bool = True,
+) -> DataFrame:
+    """All (id_a, id_b, dist) with id_a < id_b and levenshtein <= d. Exact."""
+    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    if validate_lengths:
+        row = base.agg(F.min(F.length("s")).alias("m")).first()
+        if row.m is not None and row.m < q * (d + 1):
+            raise ValueError(
+                f"prefix-filter guarantee needs len >= q*(d+1) = {q * (d + 1)}; "
+                f"corpus min length is {row.m}"
+            )
+    grams = F.element_at(
+        F.transform(
+            F.array(F.col("s")),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.length(s) - (q - 1)),
+                lambda i: F.substr(s, i, F.lit(q)),
+            ),
+        ),
+        1,
+    )
+    toks = base.select("id", "s", F.posexplode(grams).alias("pos", "g"))
+    occ_w = W.partitionBy("id", "g").orderBy("pos")
+    toks = toks.withColumn(
+        "tok", F.concat_ws("", "g", F.row_number().over(occ_w).cast("string"))
+    ).select("id", "s", "tok")
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    rank_w = W.partitionBy("id").orderBy("cnt", "tok")
+    prefix = (
+        toks.join(freq, "tok")
+        .withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= q * d + 1)
+        .select("id", "s", "tok")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"))
+    return cand.select(
+        "id_a", "id_b", dist.cast("int").alias("dist")
+    ).filter(F.col("dist") <= d)

@@ -4148,3 +4148,40 @@ def q_approx_kll_quantile_rollup(spark, sf_dir):
         F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.95)"), 6).alias("p95"),
         F.round(F.expr("kll_sketch_get_quantile_double(msk, 0.99)"), 6).alias("p99"),
     ).orderBy("day")
+
+
+@register(
+    "string_edit_distance_join",
+    "SELECT a.c_custkey AS id_a, "
+    "CAST(COUNT(*) AS BIGINT) AS n_matches, "
+    "CAST(SUM(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS sum_dist "
+    "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+    "WHERE levenshtein(a.c_name, b.c_name) <= 1 "
+    "GROUP BY id_a ORDER BY id_a",
+    doc=(
+        "Ed-Join edit-distance similarity join (Xiao/Wang/Lin VLDB'08): "
+        "all customer-name pairs within Levenshtein 1, found via "
+        "occurrence-numbered positional q-gram tokens + the q*d+1 "
+        "prefix filter under a global rarity order, then one exact "
+        "levenshtein per surviving candidate — never the all-pairs "
+        "product the ORACLE runs. Exact (prefix filtering has no recall "
+        "loss), which is what lets the brute-force oracle verify it. "
+        "operators/stringsim.py."
+    ),
+    tags=("northstar", "stringsim"),
+)
+def q_string_edit_distance_join(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators.stringsim import (
+        edit_distance_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = edit_distance_join(cust, "c_custkey", "c_name", d=1, q=2)
+    return (
+        pairs.groupBy(F.col("id_a"))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+        )
+        .orderBy("id_a")
+    )
