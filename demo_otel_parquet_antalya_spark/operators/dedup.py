@@ -917,3 +917,76 @@ def cluster_density(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") ->
         )
         .orderBy("cluster_id")
     )
+
+
+def jaccard_pairs_ppjoin(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard pairs >= threshold via PPJoin-style prefix filtering
+    (Bayardo/Ma/Srikant WWW'07 AllPairs; Xiao et al. WWW'08 PPJoin).
+
+    Same contract and output as ``ngram_jaccard_pairs`` — (id_a, id_b,
+    jaccard), exact, no recall loss — but candidate generation joins only
+    each document's PREFIX shingles instead of every shingle: under one
+    global shingle order (ascending corpus frequency, shingle text as
+    tie-break), two sets with J >= t must share a shingle within their
+    first ``|S| - ceil(t*|S|) + 1`` shingles (pigeonhole on the overlap
+    bound ``inter >= t/(1+t) * (|A|+|B|) >= t*|A|``). The posting lists
+    that enter the self-join are built from each doc's rarest ~(1-t)
+    fraction of shingles, so the ubiquitous boilerplate shingles that
+    dominate the baseline's shuffle never generate candidates — the
+    higher the threshold, the smaller the join. Verification recomputes
+    the exact intersection for candidate pairs only, via a semi-join
+    prune of the full shingle stream.
+    """
+    import math
+
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("s").agg(F.count("*").alias("cnt"))
+    rank_w = W.partitionBy("id").orderBy("cnt", "s")
+    prefix = (
+        sh.join(freq, "s")
+        .join(sizes, "id")
+        .withColumn("rk", F.row_number().over(rank_w))
+        .filter(
+            F.col("rk")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("id", "s")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates exactly: prune the shingle stream to candidate ids,
+    # then count the true intersection per pair
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    sh_c = sh.join(cand_ids, "id")
+    ca = sh_c.alias("ca")
+    cb = sh_c.alias("cb")
+    inter = (
+        ca.join(cb, (F.col("ca.s") == F.col("cb.s")) & (F.col("ca.id") < F.col("cb.id")))
+        .select(F.col("ca.id").alias("id_a"), F.col("cb.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+        .join(cand, ["id_a", "id_b"], "left_semi")
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

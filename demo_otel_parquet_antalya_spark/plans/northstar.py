@@ -1706,3 +1706,24 @@ def q_similarity_pq_topk(spark, sf_dir):
     return similarity.pq_topk_refined(
         vectors, queries, k=5, m=8, n_codes=64
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "dedup_jaccard_ppjoin",
+    f"WITH {_SHINGLES_SQL} SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.9 "
+    "ORDER BY id_a, id_b",
+    doc=(
+        "PPJoin/AllPairs prefix-filtered EXACT Jaccard pairs at >= 0.9 — "
+        "identical output (and oracle) to dedup_ngram_jaccard, but "
+        "candidates come only from each doc's rarest |S|-ceil(t|S|)+1 "
+        "shingles under a global frequency order, so boilerplate "
+        "shingles never enter the self-join. The second exact tier "
+        "alongside MinHash+LSH: no signatures, no probabilistic knobs, "
+        "~(1-t)-fraction posting lists. "
+        "operators/dedup.py::jaccard_pairs_ppjoin."
+    ),
+    tags=("northstar", "dedup"),
+)
+def q_dedup_jaccard_ppjoin(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs_ppjoin(docs, threshold=0.9).orderBy("id_a", "id_b")

@@ -786,3 +786,16 @@ def test_kll_quantile_rollup_rank_error_bound(spark):
         for q, got in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
             true_rank = sum(1 for v in vals if v <= got) / n
             assert abs(true_rank - q) <= eps + 1.0 / n, (r.day, q, got, true_rank)
+
+
+def test_ppjoin_equals_posting_list_baseline(spark, docs):
+    """PPJoin prefix filtering is exact: identical pair set and jaccard
+    values to the full posting-list join, at two thresholds."""
+    for t in (0.9, 0.7):
+        base = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=t).collect())
+        )
+        pp = sorted(
+            map(tuple, dedup.jaccard_pairs_ppjoin(docs, threshold=t).collect())
+        )
+        assert pp == base, f"threshold {t}"

@@ -466,3 +466,11 @@ def test_dsir_vocab_join_not_broadcast_hinted(spark):
     plan = plan_of(spark, "dsir_importance_topk")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stringsim_and_ppjoin_no_cartesian(spark):
+    for name in ("string_edit_distance_join", "dedup_jaccard_ppjoin"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "EvalPython" not in plan, name
