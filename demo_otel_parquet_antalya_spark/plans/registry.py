@@ -4185,3 +4185,95 @@ def q_string_edit_distance_join(spark, sf_dir):
         )
         .orderBy("id_a")
     )
+
+
+@register(
+    "record_linkage_scores",
+    "WITH pairs AS ("
+    "  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+    "         a.c_nationkey = b.c_nationkey AS agr_nation, "
+    "         a.c_mktsegment = b.c_mktsegment AS agr_segment, "
+    "         ABS(a.c_acctbal - b.c_acctbal) <= 100.0 AS agr_balance "
+    "  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+    "  WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+    "scored AS ("
+    "  SELECT id_a, id_b, ROUND("
+    "    CASE WHEN agr_nation THEN log2(0.9 / 0.04) ELSE log2(0.1 / 0.96) END + "
+    "    CASE WHEN agr_segment THEN log2(0.85 / 0.2) ELSE log2(0.15 / 0.8) END + "
+    "    CASE WHEN agr_balance THEN log2(0.8 / 0.1) ELSE log2(0.2 / 0.9) END, 6) "
+    "  AS weight FROM pairs) "
+    "SELECT CASE WHEN weight >= 4.0 THEN 'match' "
+    "WHEN weight >= 0.0 THEN 'possible' ELSE 'non_match' END AS verdict, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "ROUND(AVG(weight), 6) AS avg_weight "
+    "FROM scored GROUP BY verdict ORDER BY verdict",
+    doc=(
+        "Fellegi-Sunter record-linkage scoring (JASA 1969) composed on the "
+        "Ed-Join blocking tier: candidate pairs come from the prefix-"
+        "filtered edit-distance join (never all-pairs), each pair gets an "
+        "agreement vector over (nation, segment, balance-within-100) and "
+        "a log2(m/u) match weight with fixed m/u probabilities (an EM fit "
+        "would estimate them from the same agreement aggregates — one "
+        "extra groupBy per iteration), then pairs classify into "
+        "match / possible / non_match by weight thresholds. All "
+        "arithmetic is deterministic doubles, so the brute-force oracle "
+        "verifies the whole chain. operators/stringsim.py supplies the "
+        "blocking."
+    ),
+    tags=("northstar", "linkage"),
+)
+def q_record_linkage_scores(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators.stringsim import (
+        edit_distance_join,
+    )
+    import math
+
+    cust = _t(spark, sf_dir, "customer")
+    blocks = edit_distance_join(cust, "c_custkey", "c_name", d=1, q=2)
+    feats = cust.select(
+        F.col("c_custkey").alias("id"),
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    fa = feats.select(
+        F.col("id").alias("id_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    fb = feats.select(
+        F.col("id").alias("id_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+
+    def w(cond, m, u):
+        return F.when(cond, math.log2(m / u)).otherwise(math.log2((1 - m) / (1 - u)))
+
+    weight = F.round(
+        w(F.col("nat_a") == F.col("nat_b"), 0.9, 0.04)
+        + w(F.col("seg_a") == F.col("seg_b"), 0.85, 0.2)
+        + w(F.abs(F.col("bal_a") - F.col("bal_b")) <= 100.0, 0.8, 0.1),
+        6,
+    )
+    scored = (
+        blocks.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", weight.alias("weight"))
+    )
+    verdict = (
+        F.when(F.col("weight") >= 4.0, "match")
+        .when(F.col("weight") >= 0.0, "possible")
+        .otherwise("non_match")
+    )
+    return (
+        scored.select(verdict.alias("verdict"), "weight")
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("weight"), 6).alias("avg_weight"),
+        )
+        .orderBy("verdict")
+    )
