@@ -19,7 +19,9 @@ _DRIVER_WINDOW: tuple = (
     # scans / filters / projection (§2.C rows 1-6)
     "scan_count",
     "filter_eq_count",  # predicate pushdown on the events table
-    "filter_range_conj",
+    # filter_range_conj rotated to the second window (third filter-family
+    # variant) for the observability-native template miner
+    "log_template_mining",  # Drain-style masking chain, identical-regex oracle
     "project_alias",
     # joins (§2.C rows 7-12)
     "join_revenue_by_region",  # broadcast star
@@ -76,12 +78,22 @@ _DRIVER_WINDOW: tuple = (
     "text_quality_metrics",
     "text_lang_id_counts",
     "multimodal_payload_bytes",
-    "embedding_normalize",
+    # embedding_normalize rotated to the second window (simple map-side
+    # transform; the embedding tier is already evidenced by cosine top-k)
+    # for the new exact similarity-join tier's Ed-Join representative
+    "string_edit_distance_join",  # prefix-filtered levenshtein join
     "pipeline_training_prep",
 )
 
 # next-most-important — first in line if the driver window ever widens
 _SECOND_WINDOW: tuple = (
+    "filter_range_conj",  # rotated out for log_template_mining
+    "embedding_normalize",  # rotated out for string_edit_distance_join
+    "contamination_cross_split_neardup",
+    "dedup_jaccard_ppjoin",
+    "fingerprint_overlap_pairs",
+    "fingerprint_winnow_stats",
+    "dsir_importance_topk",
     "filter_in_like",  # third filter-family variant, swapped out for semantic dedup
     "dedup_repeated_ngram_spans",
     "dedup_span_doc_stats",
