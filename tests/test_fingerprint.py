@@ -72,3 +72,30 @@ def test_overlap_pairs_cap_guard(spark):
     # with the cap, only fingerprints on <=4 posting lists survive; the
     # pair graph shrinks strictly (the freq-8 clique-maker is gone)
     assert capped.count() < uncapped.count()
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_word = st.text(alphabet="xyz", min_size=1, max_size=4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pre=st.lists(_word, min_size=0, max_size=10),
+    post=st.lists(_word, min_size=0, max_size=10),
+    pre2=st.lists(_word, min_size=0, max_size=10),
+    shared=st.lists(_word, min_size=K + W - 1, max_size=K + W - 1),
+)
+def test_winnowing_guarantee_property(spark, pre, post, pre2, shared):
+    """For ANY surrounding context, a shared run of k+window-1 words must
+    contribute >= 1 common fingerprint (the SIGMOD'03 guarantee)."""
+    doc1 = " ".join(pre + shared + post)
+    doc2 = " ".join(pre2 + shared)
+    out = (
+        _fps(spark, [(1, doc1), (2, doc2)])
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 2)
+        .count()
+    )
+    assert out >= 1
