@@ -1727,3 +1727,100 @@ def q_similarity_pq_topk(spark, sf_dir):
 def q_dedup_jaccard_ppjoin(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.jaccard_pairs_ppjoin(docs, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_containment_pairs",
+    "WITH " + _SHINGLES_SQL.replace(
+        "jac AS (SELECT id_a, id_b, ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard",
+        "jac AS (SELECT id_a, id_b, ROUND(c * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment",
+    )
+    + " SELECT id_a, id_b, containment FROM jac WHERE containment >= 0.9 "
+    "ORDER BY id_a, id_b",
+    doc=(
+        "Shingle CONTAINMENT pairs (Broder'97 asymmetric resemblance): "
+        "|A∩B| / min(|A|,|B|) >= 0.9 catches quotes, excerpts and "
+        "wholesale-inclusion duplicates that symmetric Jaccard misses "
+        "entirely (a 100-word doc embedded in a 10000-word doc has "
+        "Jaccard ~0.01 but containment ~1.0) — the curation case is "
+        "dropping docs that are substantially quoted inside kept docs. "
+        "Same posting-list machinery and cost as the Jaccard join; only "
+        "the denominator changes."
+    ),
+    tags=("northstar", "dedup"),
+)
+def q_dedup_containment_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "doc_id", "text", 3).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "blocking_sorted_neighborhood",
+    "WITH ranked AS (SELECT c_custkey, c_name, "
+    "ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn FROM customer), "
+    "cand AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+    "levenshtein(a.c_name, b.c_name) AS dist "
+    "FROM ranked a JOIN ranked b "
+    "ON b.rn - a.rn BETWEEN 1 AND 3) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates, "
+    "CAST(SUM(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches "
+    "FROM cand",
+    doc=(
+        "Sorted-neighborhood blocking (Hernandez/Stolfo SIGMOD'95), the "
+        "other classic ER candidate generator beside the q-gram prefix "
+        "filter: sort once on the blocking key, slide a w=4 window, pair "
+        "each row with its 3 successors, verify with levenshtein. "
+        "Candidates are exactly (n - w/2-ish) * (w-1) — COST IS CHOSEN, "
+        "not data-dependent — at the price of recall limited to what the "
+        "sort key clusters (typo-in-first-char pairs sort far apart; "
+        "Ed-Join has no such blind spot, which is why both exist). The "
+        "global rank comes from the range-partitioned parallel prefix "
+        "sum (operators/stats.py — never a one-task unpartitioned "
+        "window); the neighbor join is an equi-join on rank+offset, "
+        "never a cross product."
+    ),
+    tags=("northstar", "linkage"),
+)
+def q_blocking_sorted_neighborhood(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    cust = load_table(spark, sf_dir, "customer")
+    # global rank via the range-partitioned parallel prefix sum — an
+    # unpartitioned row_number() window would funnel the corpus through
+    # one task (the r1-class scale-killer the prefix-sum family refuses)
+    ranked = stats.prefix_sums(
+        cust.select("c_custkey", "c_name", F.lit(1).alias("one")),
+        ["c_name", "c_custkey"],
+        ["one"],
+    ).select("c_custkey", "c_name", F.col("cum_one").alias("rn"))
+    # equi-join on the neighbor offset: b.rn = a.rn + k for k in 1..3
+    offsets = spark.range(1, 4).select(F.col("id").alias("k"))
+    a = ranked.alias("a").crossJoin(F.broadcast(offsets))
+    b = ranked.alias("b")
+    cand = a.join(b, F.col("a.rn") + F.col("k") == F.col("b.rn")).select(
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist")
+    )
+    return cand.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("dist") <= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+    )

@@ -799,3 +799,28 @@ def test_ppjoin_equals_posting_list_baseline(spark, docs):
             map(tuple, dedup.jaccard_pairs_ppjoin(docs, threshold=t).collect())
         )
         assert pp == base, f"threshold {t}"
+
+
+def test_containment_catches_embedded_quote(spark):
+    """A short doc wholly quoted inside a long doc has tiny Jaccard but
+    containment ~1.0 — the asymmetric measure must find the pair and the
+    symmetric one must miss it."""
+    quote = " ".join(f"q{i}" for i in range(20))
+    filler = " ".join(f"f{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}")], "doc_id long, text string"
+    )
+    sh = dedup.shingle_sets(df, "doc_id", "text", 3)
+    sizes = {r.id: r.n for r in sh.groupBy("id").agg(F.count("*").alias("n")).collect()}
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .count()
+    )
+    containment = inter / min(sizes[1], sizes[2])
+    jaccard = inter / (sizes[1] + sizes[2] - inter)
+    assert containment >= 0.85
+    assert jaccard < 0.1

@@ -474,3 +474,17 @@ def test_stringsim_and_ppjoin_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "EvalPython" not in plan, name
+
+
+def test_sorted_neighborhood_no_global_window(spark):
+    """The blocking rank must come from the parallel prefix sum, never an
+    unpartitioned row_number window (one-task funnel at scale)."""
+    plan = plan_of(spark, "blocking_sorted_neighborhood")
+    assert "No Partition Defined" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_shares_posting_shape(spark):
+    plan = plan_of(spark, "dedup_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
