@@ -91,3 +91,76 @@ def edit_distance_join(
     return cand.select(
         "id_a", "id_b", dist.cast("int").alias("dist")
     ).filter(F.col("dist") <= d)
+
+
+def _deletion_variants(s, max_del: int):
+    """array<string> of all strings reachable by deleting up to ``max_del``
+    characters (the Mor-Fraenkel / FastSS / SymSpell deletion
+    neighborhood), as one JVM HOF expression. Sizes: 1 + L for d=1,
+    + L*(L-1)/2 for d=2."""
+    one = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(F.substr(s, F.lit(1), i - 1), F.substr(s, i + 1, F.length(s))),
+    )
+    out = F.concat(F.array(s), one)
+    if max_del >= 2:
+        two = F.flatten(
+            F.transform(
+                one,
+                lambda v: F.transform(
+                    F.sequence(F.lit(1), F.length(v)),
+                    lambda i: F.concat(
+                        F.substr(v, F.lit(1), i - 1), F.substr(v, i + 1, F.length(v))
+                    ),
+                ),
+            )
+        )
+        out = F.concat(out, two)
+    return F.array_distinct(out)
+
+
+def edit_distance_join_deletions(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    d: int = 1,
+) -> DataFrame:
+    """Exact Levenshtein join via deletion-neighborhood blocking
+    (Mor-Fraenkel 1982; FastSS; the SymSpell index): two strings are
+    within edit distance d only if their <=d-deletion neighborhoods
+    intersect, so an equi-join on deletion variants + one levenshtein
+    verify per candidate finds every pair.
+
+    The complementary exact tier to ``edit_distance_join``: q-gram prefix
+    filtering discriminates on LOCAL substrings and degrades when the
+    corpus shares long runs (serial-number keys like 'Customer#000000042'
+    — measured 10M candidates for a 262k-pair answer at sf0.1); deletion
+    variants carry the FULL string content minus d characters, so a
+    variant collision already implies near-total agreement and candidates
+    track the answer. The price is write amplification — (1 + L) variants
+    per string at d=1, +L(L-1)/2 at d=2 — which is why this is the
+    short-key path (names, SKUs, codes) and Ed-Join the long-string path.
+    Supports d in {1, 2}.
+    """
+    if d not in (1, 2):
+        raise ValueError("deletion-neighborhood join supports d in {1, 2}")
+    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    variants = base.select(
+        "id", "s", F.explode(_deletion_variants(F.col("s"), d)).alias("v")
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"))
+    return cand.select("id_a", "id_b", dist.cast("int").alias("dist")).filter(
+        F.col("dist") <= d
+    )

@@ -4224,12 +4224,16 @@ def q_string_edit_distance_join(spark, sf_dir):
 )
 def q_record_linkage_scores(spark, sf_dir):
     from demo_otel_parquet_antalya_spark.operators.stringsim import (
-        edit_distance_join,
+        edit_distance_join_deletions,
     )
     import math
 
     cust = _t(spark, sf_dir, "customer")
-    blocks = edit_distance_join(cust, "c_custkey", "c_name", d=1, q=2)
+    # deletion-neighborhood blocking: on serial-number-style keys the
+    # q-gram prefix filter over-generates ~40x (see
+    # string_edit_join_deletions) — the linkage pipeline uses the
+    # short-key tier
+    blocks = edit_distance_join_deletions(cust, "c_custkey", "c_name", d=1)
     feats = cust.select(
         F.col("c_custkey").alias("id"),
         "c_nationkey",
@@ -4276,4 +4280,42 @@ def q_record_linkage_scores(spark, sf_dir):
             F.round(F.avg("weight"), 6).alias("avg_weight"),
         )
         .orderBy("verdict")
+    )
+
+
+@register(
+    "string_edit_join_deletions",
+    "SELECT a.c_custkey AS id_a, "
+    "CAST(COUNT(*) AS BIGINT) AS n_matches, "
+    "CAST(SUM(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS sum_dist "
+    "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+    "WHERE levenshtein(a.c_name, b.c_name) <= 1 "
+    "GROUP BY id_a ORDER BY id_a",
+    doc=(
+        "Deletion-neighborhood (SymSpell/FastSS) exact edit-distance "
+        "join — same output and oracle as string_edit_distance_join, "
+        "different blocking: variants carry the full string minus d "
+        "chars, so candidates track the answer even on serial-number "
+        "keys where q-gram prefixes collapse (measured at sf0.1: 10M "
+        "Ed-Join candidates vs a 262k-pair answer; the deletion path "
+        "runs the same join 7x faster). The short-key tier; Ed-Join "
+        "remains the long-string tier. "
+        "operators/stringsim.py::edit_distance_join_deletions."
+    ),
+    tags=("northstar", "stringsim"),
+)
+def q_string_edit_join_deletions(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators.stringsim import (
+        edit_distance_join_deletions,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = edit_distance_join_deletions(cust, "c_custkey", "c_name", d=1)
+    return (
+        pairs.groupBy(F.col("id_a"))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+        )
+        .orderBy("id_a")
     )

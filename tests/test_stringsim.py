@@ -74,3 +74,46 @@ def test_short_string_guard(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "abd")], "id long, s string")
     with pytest.raises(ValueError, match="prefix-filter guarantee"):
         edit_distance_join(df, "id", "s", d=2, q=2)
+
+
+from demo_otel_parquet_antalya_spark.operators.stringsim import (
+    edit_distance_join_deletions,
+)
+
+
+def _spark_pairs_del(spark, strings, d):
+    df = spark.createDataFrame(list(enumerate(strings)), "id long, s string")
+    return {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join_deletions(df, "id", "s", d=d).collect()
+    }
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=10),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+def test_deletion_join_matches_bruteforce(spark, strings, d):
+    """Deletion-neighborhood blocking is exact for d in {1,2} — including
+    insert/delete pairs of unequal length and the empty-ish short strings
+    the q-gram tier refuses."""
+    assert _spark_pairs_del(spark, strings, d) == _brute(strings, d)
+
+
+def test_deletion_join_equals_gram_join(spark):
+    strings = [f"item-{i:04d}-unit" for i in range(60)]
+    assert _spark_pairs_del(spark, strings, 1) == _spark_pairs(spark, strings, 1)
+
+
+def test_deletion_join_rejects_large_d(spark):
+    df = spark.createDataFrame([(1, "abcdef")], "id long, s string")
+    with pytest.raises(ValueError, match="supports d in"):
+        edit_distance_join_deletions(df, "id", "s", d=3)
