@@ -1,0 +1,106 @@
+"""Continuous sketch maintenance: merged streaming states answer exactly
+like a single batch pass (sketches are exact below their compaction
+threshold at this volume), and the read side stays within the published
+error bound against the raw data."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.streaming.sketches import (
+    incremental_sketches,
+    read_sketches,
+    sketch_estimates,
+)
+
+SCHEMA = "ts timestamp, user_id bigint, value double"
+
+
+def _write(path, fname, rows):
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    with open(f"{path}/{fname}", "w") as f:
+        for off, uid, val in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": str(base + pd.Timedelta(seconds=off)),
+                        "user_id": uid,
+                        "value": val,
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_stream_sketches_match_batch_answers(spark, tmp_path):
+    b1 = [(i * 7, i % 40, float(i % 97)) for i in range(120)]
+    b2 = [(3600 + i * 5, i % 25, float((i * 3) % 89)) for i in range(100)]
+    b3 = [(i * 11 + 1, (i * 13) % 40, float((i * 7) % 61)) for i in range(80)]
+    src = str(tmp_path / "events")
+    _write(src, "b1.json", b1)
+    _write(src, "b2.json", b2)
+    _write(src, "b3.json", b3)
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    q = incremental_sketches(stream, str(tmp_path / "sk"), str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    states = read_sketches(spark, str(tmp_path / "sk"))
+    got = {
+        str(r.hour): (r.approx_users, r.p50, r.p95)
+        for r in sketch_estimates(states).collect()
+    }
+
+    raw = spark.read.schema(SCHEMA).json(src)
+    exact = {
+        str(r.hour): (r.n_users, sorted(r.vals))
+        for r in raw.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.collect_list("value").alias("vals"),
+        )
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for hour, (users, p50, p95) in got.items():
+        n_users, vals = exact[hour]
+        n = len(vals)
+        # HLL at this cardinality: within 5%
+        assert abs(users - n_users) / n_users <= 0.05, (hour, users, n_users)
+        # KLL rank-error contract (k=256 -> ~1.3%; assert 3% + 1/n)
+        for quantile, val in ((0.5, p50), (0.95, p95)):
+            rank = sum(1 for v in vals if v <= val) / n
+            assert abs(rank - quantile) <= 0.03 + 1.0 / n, (hour, quantile, val, rank)
+
+
+def test_replayed_batch_converges(spark, tmp_path):
+    rows = [(i, i % 10, float(i)) for i in range(50)]
+    src = str(tmp_path / "events")
+    _write(src, "b1.json", rows)
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    incremental_sketches(
+        stream, str(tmp_path / "sk"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+    before = {
+        str(r.hour): (r.approx_users, r.p50, r.p95)
+        for r in sketch_estimates(read_sketches(spark, str(tmp_path / "sk"))).collect()
+    }
+    # replay batch 0 by hand: its merge base is snapshots with id < 0 (none),
+    # so the rewritten v=0 must equal the original — no double-merge
+    from demo_otel_parquet_antalya_spark.streaming.sketches import _sketch_batch
+
+    batch = spark.read.schema(SCHEMA).json(src)
+    _sketch_batch(batch, "ts", "user_id", "value").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "sk" / "v=0"))
+    after = {
+        str(r.hour): (r.approx_users, r.p50, r.p95)
+        for r in sketch_estimates(read_sketches(spark, str(tmp_path / "sk"))).collect()
+    }
+    assert after == before
