@@ -4319,3 +4319,93 @@ def q_string_edit_join_deletions(spark, sf_dir):
         )
         .orderBy("id_a")
     )
+
+
+_ER_WEIGHT_SQL = (
+    "ROUND("
+    "CASE WHEN a.c_nationkey = b.c_nationkey THEN log2(0.9 / 0.04) "
+    "ELSE log2(0.1 / 0.96) END + "
+    "CASE WHEN a.c_mktsegment = b.c_mktsegment THEN log2(0.85 / 0.2) "
+    "ELSE log2(0.15 / 0.8) END + "
+    "CASE WHEN ABS(a.c_acctbal - b.c_acctbal) <= 100.0 THEN log2(0.8 / 0.1) "
+    "ELSE log2(0.2 / 0.9) END, 6)"
+)
+
+
+@register(
+    "er_golden_records",
+    "WITH RECURSIVE pairs AS ("
+    "  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b "
+    "  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+    "  WHERE levenshtein(a.c_name, b.c_name) <= 1 "
+    "  AND " + _ER_WEIGHT_SQL + " >= 4.0), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "          UNION SELECT id_b, id_a FROM pairs), "
+    "reach(src, dst) AS ("
+    "  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n "
+    "  UNION "
+    "  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a), "
+    "comp AS (SELECT src, MIN(dst) AS cluster FROM reach GROUP BY src) "
+    "SELECT CAST(cluster AS BIGINT) AS golden_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_merged "
+    "FROM comp GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY golden_id",
+    doc=(
+        "End-to-end entity resolution to GOLDEN RECORDS: deletion-"
+        "neighborhood blocking -> Fellegi-Sunter agreement weights -> "
+        "match pairs (weight >= 4) -> connected components (pointer-"
+        "jumped min-label propagation) -> survivorship by min member id "
+        "with merged-duplicate counts. Every stage is the independently-"
+        "proven operator (stringsim, linkage weights, dedup.connected_"
+        "components); the oracle replays the WHOLE chain — brute "
+        "levenshtein join + the same weight arithmetic + a recursive-CTE "
+        "transitive closure."
+    ),
+    tags=("northstar", "linkage"),
+)
+def q_er_golden_records(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import dedup
+    from demo_otel_parquet_antalya_spark.operators.stringsim import (
+        edit_distance_join_deletions,
+    )
+    import math
+
+    cust = _t(spark, sf_dir, "customer")
+    blocks = edit_distance_join_deletions(cust, "c_custkey", "c_name", d=1)
+    feats = cust.select(
+        F.col("c_custkey").alias("id"), "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    fa = feats.select(
+        F.col("id").alias("id_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    fb = feats.select(
+        F.col("id").alias("id_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+
+    def w(cond, m, u):
+        return F.when(cond, math.log2(m / u)).otherwise(math.log2((1 - m) / (1 - u)))
+
+    weight = F.round(
+        w(F.col("nat_a") == F.col("nat_b"), 0.9, 0.04)
+        + w(F.col("seg_a") == F.col("seg_b"), 0.85, 0.2)
+        + w(F.abs(F.col("bal_a") - F.col("bal_b")) <= 100.0, 0.8, 0.1),
+        6,
+    )
+    matches = (
+        blocks.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(weight >= 4.0)
+        .select("id_a", "id_b")
+    )
+    cc = dedup.connected_components(matches)
+    return (
+        cc.groupBy(F.col("cluster_id").alias("golden_id"))
+        .agg(F.count("*").alias("n_merged"))
+        .filter(F.col("n_merged") >= 2)
+        .orderBy("golden_id")
+    )
