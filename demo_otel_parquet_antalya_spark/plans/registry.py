@@ -4409,3 +4409,46 @@ def q_er_golden_records(spark, sf_dir):
         .filter(F.col("n_merged") >= 2)
         .orderBy("golden_id")
     )
+
+
+@register(
+    "timeseries_m4_downsample",
+    "WITH s AS (SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS bucket, "
+    "ts, event_id, value FROM events WHERE event_type = 'click'), "
+    "w AS (SELECT bucket, value, "
+    "ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn_a, "
+    "ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn_d "
+    "FROM s) "
+    "SELECT bucket, "
+    "MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first, "
+    "MIN(value) AS v_min, MAX(value) AS v_max, "
+    "MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last "
+    "FROM w GROUP BY bucket ORDER BY bucket",
+    doc=(
+        "M4 time-series downsampling (Jugel et al., VLDB'14): per pixel-"
+        "column time bucket keep exactly first/min/max/last — the four "
+        "points that make the downsampled line RENDER pixel-identically "
+        "to the raw series. THE dashboard operator at 100 TB: a Grafana "
+        "panel needs ~2k buckets regardless of row count, and the whole "
+        "reduction is one map-side-combinable aggregate (min_by/max_by "
+        "with a (ts, event_id) struct tiebreak), no window, no sort of "
+        "raw rows. The reference's dashboards rescan raw parquet per "
+        "refresh (SURVEY §2.B Q5); composing this under the maintained "
+        "rollup gives both resolution and boundedness."
+    ),
+    tags=("northstar", "timeseries"),
+)
+def q_timeseries_m4_downsample(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    bucket = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    return (
+        ev.select(bucket.alias("bucket"), "ts", "event_id", "value")
+        .groupBy("bucket")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("v_first"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("v_last"),
+        )
+        .orderBy("bucket")
+    )

@@ -488,3 +488,12 @@ def test_containment_shares_posting_shape(spark):
     plan = plan_of(spark, "dedup_containment_pairs")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_m4_downsample_is_one_aggregate_pass(spark):
+    """M4 must plan as one map-side-combinable aggregate over the scan —
+    no window over raw rows, no sort before the aggregate."""
+    plan = plan_of(spark, "timeseries_m4_downsample")
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_max" in plan
+    assert "PushedFilters" in plan
