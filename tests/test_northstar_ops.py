@@ -824,3 +824,41 @@ def test_containment_catches_embedded_quote(spark):
     jaccard = inter / (sizes[1] + sizes[2] - inter)
     assert containment >= 0.85
     assert jaccard < 0.1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff gg".split()), min_size=5, max_size=14),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.5, 0.8]),
+)
+def test_ppjoin_matches_bruteforce_property(spark, word_lists, threshold):
+    """PPJoin prefix filtering loses no pair for ANY corpus/threshold —
+    tiny repeated vocab maximizes shared shingles and prefix-tie stress."""
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    want = set()
+    for i, ta in docs:
+        for j, tb in docs[i + 1 :]:
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if round(jac, 6) >= threshold:
+                want.add((i, j, round(jac, 6)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs_ppjoin(df, threshold=threshold).collect()
+    }
+    assert got == want
