@@ -92,3 +92,90 @@ def incremental_sketches(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous M4 downsampling state: first/min/max/last per time bucket are
+# all re-aggregable (min/max outright; first/last by carrying their
+# (ts, tiebreak) argument keys), so the pixel-perfect dashboard reduction
+# can be maintained per micro-batch in the same versioned layout — a
+# Grafana panel then reads ~2k tiny rows, never raw events.
+# ---------------------------------------------------------------------------
+
+M4_SCHEMA = (
+    "bucket long, k_first string, v_first double, v_min double, "
+    "v_max double, k_last string, v_last double"
+)
+
+
+def _m4_batch(df: DataFrame, ts_col: str, id_col: str, value_col: str) -> DataFrame:
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / 3600).cast("long")
+    # orderable composite key for first/last: zero-padded epoch-micros + id
+    key = F.concat_ws(
+        "#",
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+    return (
+        df.select(bucket.alias("bucket"), key.alias("k"), F.col(value_col).alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.expr("min_by(k, k)").alias("k_first"),
+            F.expr("min_by(v, k)").alias("v_first"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.expr("max_by(k, k)").alias("k_last"),
+            F.expr("max_by(v, k)").alias("v_last"),
+        )
+    )
+
+
+def _m4_merge(states: DataFrame) -> DataFrame:
+    return states.groupBy("bucket").agg(
+        F.expr("min_by(k_first, k_first)").alias("k_first"),
+        F.expr("min_by(v_first, k_first)").alias("v_first"),
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+        F.expr("max_by(k_last, k_last)").alias("k_last"),
+        F.expr("max_by(v_last, k_last)").alias("v_last"),
+    )
+
+
+def read_m4(spark: SparkSession, target_dir: str) -> DataFrame:
+    vs = _versions(spark, target_dir)
+    if not vs:
+        return spark.createDataFrame([], M4_SCHEMA)
+    return spark.read.schema(M4_SCHEMA).parquet(f"{target_dir}/v={vs[-1]}")
+
+
+def incremental_m4(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark_delay: str = "10 minutes",
+):
+    """Maintain the M4 dashboard reduction continuously; returns the query."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = _m4_batch(batch_df, ts_col, id_col, value_col)
+        prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
+        if prior_vs:
+            prior = spark.read.schema(M4_SCHEMA).parquet(
+                f"{target_dir}/v={prior_vs[-1]}"
+            )
+            merged = _m4_merge(prior.unionByName(inc))
+        else:
+            merged = inc
+        merged.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")
+
+    keyed = events.withWatermark(ts_col, watermark_delay)
+    return (
+        keyed.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -104,3 +104,53 @@ def test_replayed_batch_converges(spark, tmp_path):
         for r in sketch_estimates(read_sketches(spark, str(tmp_path / "sk"))).collect()
     }
     assert after == before
+
+
+def test_stream_m4_equals_batch_m4(spark, tmp_path):
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        incremental_m4,
+        read_m4,
+    )
+
+    import os
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    src = str(tmp_path / "events")
+    os.makedirs(src, exist_ok=True)
+    for fname, rows in (
+        ("b1.json", [(i * 97, i, float((i * 13) % 71)) for i in range(60)]),
+        ("b2.json", [(3600 + i * 41, 100 + i, float((i * 7) % 53)) for i in range(50)]),
+    ):
+        with open(f"{src}/{fname}", "w") as f:
+            for off, eid, val in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "ts": str(base + pd.Timedelta(seconds=off)),
+                            "event_id": eid,
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_id bigint, value double"
+    ).option("maxFilesPerTrigger", 1).json(src)
+    q = incremental_m4(
+        stream, str(tmp_path / "m4"), str(tmp_path / "ckpt"),
+        ts_col="ts", id_col="event_id", value_col="value",
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.bucket, r.v_first, r.v_min, r.v_max, r.v_last)
+        for r in read_m4(spark, str(tmp_path / "m4")).collect()
+    }
+    raw = spark.read.schema("ts timestamp, event_id bigint, value double").json(src)
+    want = {
+        (r.bucket, r.v_first, r.v_min, r.v_max, r.v_last)
+        for r in _m4_batch(raw, "ts", "event_id", "value").collect()
+    }
+    assert got == want and len(got) >= 2
