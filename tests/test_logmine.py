@@ -72,3 +72,20 @@ def test_sql_twin_matches_spark(spark):
         ).fetchall()
     ]
     assert spark_side == duck_side
+
+
+def test_null_and_empty_messages_are_safe(spark):
+    """NULL messages stay NULL (grouped as one catalog row, never a crash);
+    empty strings mask to empty templates."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ok 5ms"), (4, None)],
+        "id long, msg string",
+    )
+    out = {
+        r.template: r.n
+        for r in df.select(tx.log_template("msg").alias("template"))
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == {None: 2, "": 1, "ok <NUM>ms": 1}
