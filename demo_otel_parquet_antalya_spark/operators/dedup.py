@@ -942,10 +942,15 @@ def jaccard_pairs_ppjoin(
     higher the threshold, the smaller the join. Verification recomputes
     the exact intersection for candidate pairs only, via a semi-join
     prune of the full shingle stream.
-    """
-    import math
 
-    sh = shingle_sets(df, id_col, text_col, n).cache()
+    The prefix bound is computed FP-safely: ``ceil(t * n)`` on doubles can
+    round UP past the exact integer (e.g. 0.54 * 450 -> 243.00000000000003,
+    ceil 244), shortening the prefix below the pigeonhole guarantee and
+    silently dropping qualifying pairs. Subtracting a 1e-9 epsilon before
+    the ceil errs toward a one-longer prefix (a pure perf cost, never a
+    recall loss).
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("s").agg(F.count("*").alias("cnt"))
     rank_w = W.partitionBy("id").orderBy("cnt", "s")
@@ -955,7 +960,9 @@ def jaccard_pairs_ppjoin(
         .withColumn("rk", F.row_number().over(rank_w))
         .filter(
             F.col("rk")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+            + 1
         )
         .select("id", "s")
     )

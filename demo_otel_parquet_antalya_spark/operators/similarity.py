@@ -661,6 +661,11 @@ def train_pq_codebooks(
         .limit(sample_size)
         .collect()
     )
+    if len(rows) < max(n_codes, 1):
+        raise ValueError(
+            f"PQ training needs at least n_codes={n_codes} sample vectors, "
+            f"got {len(rows)} — shrink n_codes or grow the corpus"
+        )
     x = np.asarray([list(map(float, r.v)) for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dim = x.shape[1]

@@ -1751,7 +1751,10 @@ def q_dedup_jaccard_ppjoin(spark, sf_dir):
 )
 def q_dedup_containment_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_sets(docs, "doc_id", "text", 3).cache()
+    # no .cache(): the returned frame is lazy, so a cache pinned here could
+    # never be unpersisted after materialization and would leak across the
+    # query suite; AQE exchange reuse covers the double consumption
+    sh = dedup.shingle_sets(docs, "doc_id", "text", 3)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

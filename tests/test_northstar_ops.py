@@ -862,3 +862,35 @@ def test_ppjoin_matches_bruteforce_property(spark, word_lists, threshold):
         for r in dedup.jaccard_pairs_ppjoin(df, threshold=threshold).collect()
     }
     assert got == want
+
+
+def test_ppjoin_fp_safe_prefix_bound(spark):
+    """Regression (ADVICE r4): ceil(t * n) on doubles can round past the
+    exact integer (0.54 * 450 -> 243.000...003, ceil 244), shortening the
+    prefix below the pigeonhole bound. With A = 450 distinct shingles and
+    B a contiguous 243-shingle sub-document (Jaccard exactly 0.54), the
+    one-short prefix contains zero shared shingles and the qualifying
+    pair silently vanishes; the epsilon-guarded ceil must find it."""
+    assert float(0.54 * 450) > 243.0  # the FP hazard this test pins
+    toks = [f"w{i:04d}" for i in range(452)]
+    a_text = " ".join(toks)  # 450 shingles, all distinct
+    b_text = " ".join(toks[:245])  # 243 shingles, all shared with A
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    got = dedup.jaccard_pairs_ppjoin(df, threshold=0.54).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.54)]
+
+
+def test_pq_train_small_corpus_raises(spark):
+    """Regression (ADVICE r4): a corpus smaller than n_codes must raise a
+    clear ValueError, not a numpy broadcast error downstream."""
+    few = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="n_codes"):
+        similarity.train_pq_codebooks(few, m=2, n_codes=16)
+    empty = few.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="n_codes"):
+        similarity.train_pq_codebooks(empty, m=2, n_codes=16)
