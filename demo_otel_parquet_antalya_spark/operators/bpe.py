@@ -25,8 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# the merge loop is driver-side on the word-type table; refuse corpora whose
-# TYPE table (not corpus!) exceeds this without an explicit override
+# word-type tables at or below this run the driver-side merge loop (faster
+# on small vocabularies: no per-round job launch); above it, training
+# switches to the fully distributed per-round pair-count path — there is no
+# capability ceiling either way
 MAX_WORD_TYPES = 1_000_000
 
 
@@ -50,21 +52,26 @@ def train_bpe_merges(
     min_freq: int = 1,
     end_of_word: str = "</w>",
     force: bool = False,
+    max_word_types: int = MAX_WORD_TYPES,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus.
 
     Returns the ordered merge list [(left, right), ...] — the artifact a
     tokenizer ships. Deterministic: most-frequent pair first, ties broken
     by (left, right) lexicographic order.
+
+    Type tables up to ``max_word_types`` rows run the driver-side loop
+    (one collect, n_merges pure-Python rounds — fastest when the
+    vocabulary is small); larger tables run the fully distributed trainer
+    (``_train_bpe_merges_distributed``: per-round Spark pair counting +
+    HOF merge application, only ONE ROW per round ever reaches the
+    driver). Both paths produce the identical merge list — pinned by
+    ``tests/test_northstar_ops.py``. ``force=True`` keeps the driver loop
+    regardless of table size (the pre-r4 behavior, minus the hard error).
     """
     freqs = word_frequencies(docs, text_col, min_freq)
-    if not force:
-        n_types = freqs.count()
-        if n_types > MAX_WORD_TYPES:
-            raise ValueError(
-                f"word-type table has {n_types} rows (> {MAX_WORD_TYPES}); "
-                "raise min_freq to shrink it, or pass force=True"
-            )
+    if not force and freqs.count() > max_word_types:
+        return _train_bpe_merges_distributed(freqs, n_merges, end_of_word)
     types = {
         tuple(r.word) + (end_of_word,): r.freq for r in freqs.collect()
     }
@@ -99,6 +106,82 @@ def train_bpe_merges(
             key = tuple(out)
             new_types[key] = new_types.get(key, 0) + freq
         types = new_types
+    return merges
+
+
+def _train_bpe_merges_distributed(
+    freqs: DataFrame, n_merges: int, end_of_word: str
+) -> list[tuple[str, str]]:
+    """Fully distributed BPE merge training (VERDICT r3 item 2).
+
+    The word-type table stays a DataFrame end to end; each round is
+
+    1. pair counting — explode each type's adjacent symbol pairs weighted
+       by word frequency, ``groupBy(a, b).sum(freq)`` (map-side
+       combinable, one shuffle over the TYPE table, never the corpus);
+    2. deterministic argmax — ``orderBy(cnt DESC, a, b).limit(1)``
+       (TakeOrderedAndProject: per-partition top-1, ONE row collected);
+    3. merge application — a left-to-right fold over each symbol array via
+       the ``aggregate`` HOF (pure JVM expression, zero shuffle), then a
+       re-aggregate of now-identical types. The fold merges exactly the
+       non-overlapping left-to-right occurrences the classic scan merges:
+       after a merge the accumulator's tail is the MERGED token, which can
+       only equal the left symbol if the right symbol were empty —
+       impossible — so no double merge.
+
+    ``localCheckpoint`` truncates lineage each round so the plan stays
+    O(1) deep across n_merges rounds. Scale: every stage is bounded by
+    the type table (Heaps-law sublinear in corpus size); nothing
+    corpus-sized or vocabulary-sized is ever collected.
+    """
+    chars = F.array_compact(F.split(F.col("word"), ""))
+    types = freqs.select(
+        F.concat(chars, F.array(F.lit(end_of_word))).alias("symbols"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+    pair_structs = F.expr(
+        "CASE WHEN size(symbols) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(symbols) - 1), "
+        "i -> struct(symbols[i-1] AS a, symbols[i] AS b)) END"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            types.select(F.explode(pair_structs).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0].a, best[0].b
+        merges.append((left, right))
+        tail = F.slice(F.col("symbols"), 2, F.greatest(F.size("symbols") - 1, F.lit(0)))
+        init = F.slice(F.col("symbols"), 1, 1)
+
+        def make_step(_l: str, _r: str):
+            def step(acc, x):
+                do_merge = (F.element_at(acc, -1) == F.lit(_l)) & (x == F.lit(_r))
+                return F.when(
+                    do_merge,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_l + _r))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return step
+
+        types = (
+            types.select(
+                F.aggregate(tail, init, make_step(left, right)).alias("symbols"),
+                "freq",
+            )
+            .groupBy("symbols")
+            .agg(F.sum("freq").alias("freq"))
+            .localCheckpoint()
+        )
     return merges
 
 
