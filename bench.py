@@ -75,6 +75,10 @@ def main() -> None:
     # LLM-data-pipeline operators (plans.northstar) — sub-totals let a
     # Python-worker-contention artifact in one family be seen as such
     def _family(spec) -> str:
+        # the linkage/dedup chains registered in registry.py carry the
+        # "northstar" tag — classify by tag first, module second
+        if "northstar" in (spec.tags or ()):
+            return "northstar"
         return "northstar" if spec.build.__module__.endswith(".northstar") else "core"
 
     core_total = round(

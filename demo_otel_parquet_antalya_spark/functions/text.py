@@ -53,7 +53,13 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         F.transform(
             F.array(tokens(text)),
             lambda toks: F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+                # guard, not greatest(): sequence(0, -1) DESCENDS to [0, -1]
+                # (Spark picks step -1 when start > stop), and the -1 index
+                # made slice() throw on any doc shorter than n tokens —
+                # short docs must yield an EMPTY shingle set instead
+                F.when(
+                    F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+                ).otherwise(F.expr("array()").cast("array<int>")),
                 lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
             ),
         )

@@ -648,6 +648,185 @@ def repeated_ngram_spans(
     )
 
 
+def exact_substring_matches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Individual maximal common substrings of token length >= ``n``
+    between every pair of distinct documents — the suffix-array answer
+    (what ``infini-gram``/ExactSubstr tooling reports), from posting
+    lists.
+
+    A maximal common substring of length L >= n between docs A and B is
+    EXACTLY a maximal run of L-n+1 consecutive n-gram matches on one
+    (A, B, pos_a - pos_b) diagonal, so: positional grams -> cross-doc
+    gram self-join (posting-list shape, quadratic within a posting list —
+    ``max_postings`` caps it for the scale path at a documented recall
+    trade) -> gaps-and-islands per diagonal.
+
+    Returns (doc_id, other_id, pos, other_pos, length): both directions
+    of each pair, token offsets, length in tokens. Deterministic and
+    integer-only.
+    """
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+    )
+    if max_postings is not None:
+        keep = (
+            sh.groupBy("gram")
+            .agg(F.count("*").alias("pf"))
+            .filter(F.col("pf") <= max_postings)
+            .select("gram")
+        )
+        sh = sh.join(keep, "gram", "left_semi")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.pos").alias("pos"),
+        F.col("b.doc_id").alias("other_id"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    wd = W.partitionBy("doc_id", "other_id", "diag").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(wd).isNull() | (F.col("pos") - F.lag("pos").over(wd) > 1), 1
+    ).otherwise(0)
+    return (
+        m.withColumn(
+            "run", F.sum(brk).over(wd.rowsBetween(W.unboundedPreceding, W.currentRow))
+        )
+        .groupBy("doc_id", "other_id", "diag", "run")
+        .agg(F.min("pos").alias("pos"), (F.max("pos") - F.min("pos") + n).alias("length"))
+        .select(
+            "doc_id",
+            "other_id",
+            "pos",
+            (F.col("pos") - F.col("diag")).alias("other_pos"),
+            "length",
+        )
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """TRUE ExactSubstr maximal spans (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better', arXiv:2107.06499 —
+    reference behavior, not code): for each document, every maximal token
+    interval covered by some substring of length >= ``n`` tokens that
+    occurs VERBATIM in at least one other document.
+
+    The chain requirement is the suffix-array semantics itself: a maximal
+    common substring of token length L >= n between docs A and B appears
+    as EXACTLY a maximal run of L-n+1 consecutive gram matches on one
+    (A, B, pos_a - pos_b) diagonal, so
+
+    COVERAGE-EQUIVALENCE THEOREM (pinned by a property test): the merged
+    per-doc spans returned here coincide with ``repeated_ngram_spans``'s
+    span bounds. Both reduce to the union of [p, p+n) over the SAME hit
+    positions (a gram occurs in >= 2 distinct docs iff some cross-doc
+    match exists for each of its occurrences), and the island break
+    condition gap > n is exactly interval disjointness. The value of the
+    diagonal form is (a) ``exact_substring_matches`` — the individual
+    maximal common substrings with partner, offsets and true length,
+    which no per-doc island chain can produce — and (b) the proof chain:
+    brute-force-verified spans transfer their correctness guarantee to
+    the cheap island operator through the equivalence.
+
+    Pipeline: ``exact_substring_matches`` (diagonal runs) followed by a
+    per-document interval union (sort-by-start running-max merge) — the
+    scrub granularity: token regions covered by ANY cross-document
+    repeat.
+
+    Returns (doc_id, span_start, span_end, span_len): token offsets, end
+    exclusive, integer-only. Use ``scrub_exact_substrings`` to remove the
+    spans and reassemble the surviving tokens.
+    """
+    runs = (
+        exact_substring_matches(docs, id_col, text_col, n, max_postings)
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + F.col("length")).alias("e"))
+        .distinct()
+    )
+    wm = W.partitionBy("doc_id").orderBy("s", "e")
+    pmax = F.max("e").over(wm.rowsBetween(W.unboundedPreceding, -1))
+    merged = runs.withColumn(
+        "isl",
+        F.sum(
+            F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0)
+        ).over(wm.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        merged.groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def scrub_exact_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Remove every cross-document repeated span (>= ``n`` tokens, per
+    ``exact_substring_spans``) from each document and reassemble the
+    surviving tokens in order — span-granularity scrubbing, the ExactSubstr
+    dedup action itself.
+
+    The span table rides back to the corpus as one per-doc array join;
+    token filtering is a single JVM higher-order ``filter`` with an
+    ``exists`` membership probe per token index — no Python in the path,
+    no extra shuffle beyond the span computation. Docs with no spans pass
+    through byte-identical. Returns the input columns with ``text``
+    replaced by the scrubbed text plus ``n_scrubbed_tokens``.
+    """
+    from demo_otel_parquet_antalya_spark.functions.text import tokens
+
+    spans = exact_substring_spans(docs, id_col, text_col, n, max_postings)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    joined = docs.join(
+        per_doc, docs[id_col] == per_doc["doc_id"], "left"
+    ).drop("doc_id") if id_col != "doc_id" else docs.join(per_doc, "doc_id", "left")
+    toks = tokens(F.col(text_col))
+    spans_arr = F.coalesce("spans", F.array())
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_arr,
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return (
+        joined.withColumn("__kept", kept)
+        .withColumn("n_scrubbed_tokens", (F.size(toks) - F.size("__kept")).cast("long"))
+        .withColumn(text_col, F.concat_ws(" ", "__kept"))
+        .drop("__kept", "spans")
+    )
+
+
 def minhash_index_write(
     docs: DataFrame,
     path: str,

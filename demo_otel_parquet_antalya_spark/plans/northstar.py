@@ -781,6 +781,61 @@ def q_dedup_repeated_ngram_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_exact_substr_spans",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+    "FROM documents), "
+    "g AS (SELECT doc_id, unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos, toks "
+    "FROM t), "
+    "sh AS (SELECT doc_id, pos, "
+    "array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS gram FROM g), "
+    "m AS (SELECT a.doc_id AS doc_id, a.pos AS pos, b.doc_id AS other_id, "
+    "a.pos - b.pos AS diag FROM sh a JOIN sh b "
+    "ON a.gram = b.gram AND a.doc_id <> b.doc_id), "
+    "lagged AS (SELECT doc_id, other_id, diag, pos, LAG(pos) OVER "
+    "(PARTITION BY doc_id, other_id, diag ORDER BY pos) AS prev FROM m), "
+    "runs AS (SELECT doc_id, other_id, diag, pos, "
+    "SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END) OVER "
+    "(PARTITION BY doc_id, other_id, diag ORDER BY pos) AS run FROM lagged), "
+    "iv AS (SELECT DISTINCT doc_id, s, e FROM ("
+    "SELECT doc_id, other_id, diag, run, MIN(pos) AS s, MAX(pos) + 8 AS e "
+    "FROM runs GROUP BY doc_id, other_id, diag, run)), "
+    "pm AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), "
+    "isl AS (SELECT doc_id, s, e, "
+    "SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) OVER "
+    "(PARTITION BY doc_id ORDER BY s, e) AS island FROM pm) "
+    "SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end, "
+    "CAST(MAX(e) - MIN(s) AS BIGINT) AS span_len "
+    "FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start",
+    doc=(
+        "TRUE ExactSubstr maximal spans (Lee et al. 2022 semantics): a "
+        "maximal common substring of token length L >= 8 between two docs "
+        "is exactly a maximal run of consecutive 8-gram matches on one "
+        "(doc_a, doc_b, pos_a - pos_b) diagonal, so diagonal "
+        "gaps-and-islands recovers the suffix-array answer from posting "
+        "lists; per-doc interval union then gives scrub granularity. The "
+        "merged coverage provably coincides with dedup_repeated_ngram_"
+        "spans' bounds (equivalence property test), transferring the "
+        "brute-force correctness guarantee to the cheap island operator; "
+        "the diagonal form additionally yields exact_substring_matches — "
+        "per-partner substrings with offsets and true lengths. "
+        "Oracle = the same relational algebra "
+        "in DuckDB; pytest pins it to a brute-force all-pairs all-offsets "
+        "span finder, and scrub_exact_substrings round-trips. The gram "
+        "self-join is quadratic within a posting list — the declared "
+        "oracle-tier cost (same family as dedup_ngram_jaccard); "
+        "max_postings caps it on the scale path. "
+        "operators/dedup.py::exact_substring_spans."
+    ),
+    tags=("northstar", "dedup"),
+    bench=True,
+)
+def q_dedup_exact_substr_spans(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(docs, n=8).orderBy("doc_id", "span_start")
+
+
+@register(
     "similarity_int8_topk",
     "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
     "FROM embeddings WHERE vec_id < 10), "

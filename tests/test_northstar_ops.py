@@ -147,9 +147,11 @@ def test_multimodal_real_decode_is_explicit_gap(spark, docs):
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decode_stub=False)
     with pytest.raises(NotImplementedError):
-        multimodal.resize(media, decode_stub=False)
-    with pytest.raises(NotImplementedError):
         multimodal.sample_frames(media, decode_stub=False)
+    # resize now decodes PNG for real, so its non-PNG NotImplementedError is
+    # per-payload inside the executor (surfaces on collect, wrapped by Spark)
+    with pytest.raises(Exception, match="codec"):
+        multimodal.resize(media, decode_stub=False).collect()
 
 
 def test_multimodal_resize_size_contract(spark, docs):

@@ -320,3 +320,40 @@ def test_pb_quarantine_keeps_path_for_undecodable(spark, tmp_path):
 
     flat = ingest_otlp_protobuf(spark, pb_dir)
     assert flat.count() == 1  # poison contributes zero rows, kills nothing
+
+
+def test_proto_decoder_ships_by_value_not_by_module_reference():
+    """The mapInPandas closure in decode_envelope_frame calls the module-level
+    decoder web, so the module is registered for BY-VALUE cloudpickle: the
+    closure must unpickle and decode in an interpreter that cannot import this
+    package (driver launched from any cwd; cluster without pyFiles).
+    Regression: caught by the scratch-dir verify run, round 4."""
+    import subprocess
+    import sys
+    import tempfile
+
+    from pyspark import cloudpickle
+
+    from demo_otel_parquet_antalya_spark.sources import otlp_proto as m
+
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        f.write(cloudpickle.dumps((m.decode_export_logs_request, m.encode_export_logs_request)))
+        blob_path = f.name
+    script = (
+        "import pickle, sys\n"
+        "assert not any('repo' in p for p in sys.path)\n"
+        f"dec, enc = pickle.load(open({blob_path!r}, 'rb'))\n"
+        "env = {'resourceLogs': [{'resource': {'attributes': [{'key': 'service.name',"
+        " 'value': {'stringValue': 'x'}}]}, 'scopeLogs': [{'scope': {'name': 's'},"
+        " 'logRecords': [{'timeUnixNano': '123', 'severityNumber': 9,"
+        " 'severityText': 'INFO', 'body': {'stringValue': 'hello'}}]}]}]}\n"
+        "assert dec(enc(env)) == env\n"
+        "assert 'demo_otel_parquet_antalya_spark' not in sys.modules\n"
+        "print('OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], cwd=tempfile.gettempdir(),
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ""},
+    )
+    assert proc.returncode == 0 and "OK" in proc.stdout, proc.stderr

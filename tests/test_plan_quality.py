@@ -497,3 +497,35 @@ def test_m4_downsample_is_one_aggregate_pass(spark):
     assert "Window" not in plan
     assert "partial_min" in plan or "partial_max" in plan
     assert "PushedFilters" in plan
+
+
+def test_exact_substr_diagonal_join_is_equi(spark):
+    """The cross-doc gram join must be a hash join on the gram key (never a
+    cartesian/nested loop: the doc_id inequality is a post-join filter),
+    and the whole pipeline stays JVM-side."""
+    plan = plan_of(spark, "dedup_exact_substr_spans")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_type_profit",
+        "tpch_q11_important_stock",
+        "tpch_q16_parts_supplier_relationship",
+        "tpch_q20_potential_part_promotion",
+    ],
+)
+def test_partsupp_tpch_no_cartesian_and_dims_broadcast(spark, name):
+    """The five partsupp shapes: every join is equi, dims broadcast, and
+    nothing falls back to a nested loop — except Q11's 1-row global-total
+    broadcast, the repo's accepted scalar-join pattern (a keyless join
+    against a single aggregate row plans as BroadcastNestedLoopJoin by
+    construction and moves one row)."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    if name != "tpch_q11_important_stock":
+        assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
