@@ -483,6 +483,14 @@ def connected_components(
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
 
+    # convergence test: least()-only updates mean labels are monotonically
+    # non-increasing, so the label sum strictly decreases until fixpoint —
+    # one exact decimal aggregate per round instead of an old-vs-new join
+    # (decimal(38,0): a long sum could overflow at corpus scale)
+    def _label_sum(df):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -499,15 +507,11 @@ def connected_components(
             .select("id", F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select("id", F.col("comp").alias("cluster_id"))
 

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from demo_otel_parquet_antalya_spark.util import ensure_parallelism
+
 
 def edit_distance_join(
     df: DataFrame,
@@ -44,7 +46,9 @@ def edit_distance_join(
     validate_lengths: bool = True,
 ) -> DataFrame:
     """All (id_a, id_b, dist) with id_a < id_b and levenshtein <= d. Exact."""
-    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    # fan the scan out first: a small-SF single-file input otherwise runs
+    # the gram explode + candidate probe + levenshtein verify on ONE task
+    base = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
     if validate_lengths:
         row = base.agg(F.min(F.length("s")).alias("m")).first()
         if row.m is not None and row.m < q * (d + 1):
@@ -62,30 +66,34 @@ def edit_distance_join(
         ),
         1,
     )
-    toks = base.select("id", "s", F.posexplode(grams).alias("pos", "g"))
+    toks = base.select("id", F.posexplode(grams).alias("pos", "g"))
     occ_w = W.partitionBy("id", "g").orderBy("pos")
     toks = toks.withColumn(
         "tok", F.concat_ws("", "g", F.row_number().over(occ_w).cast("string"))
-    ).select("id", "s", "tok")
+    ).select("id", "tok")
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     rank_w = W.partitionBy("id").orderBy("cnt", "tok")
     prefix = (
         toks.join(freq, "tok")
         .withColumn("rk", F.row_number().over(rank_w))
         .filter(F.col("rk") <= q * d + 1)
-        .select("id", "s", "tok")
+        .select("id", "tok")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # ids only through the collision join + distinct: a candidate pair
+    # collides on up to q*d+1 prefix tokens, so carrying both strings
+    # through the dedup shuffle would move each string that many times —
+    # the strings rejoin once per side AFTER the multiplicity collapses
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("a.s").alias("s_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("b.s").alias("s_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    strs = base.select(F.col("id"), F.col("s"))
+    cand = (
+        cand.join(strs.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a")
+        .join(strs.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b")
     )
     dist = F.levenshtein(F.col("s_a"), F.col("s_b"))
     return cand.select(
@@ -144,21 +152,27 @@ def edit_distance_join_deletions(
     """
     if d not in (1, 2):
         raise ValueError("deletion-neighborhood join supports d in {1, 2}")
-    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    # fan the scan out first: a small-SF single-file input otherwise runs
+    # the variant explode + candidate probe + levenshtein verify on ONE task
+    base = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
     variants = base.select(
-        "id", "s", F.explode(_deletion_variants(F.col("s"), d)).alias("v")
+        "id", F.explode(_deletion_variants(F.col("s"), d)).alias("v")
     )
     a = variants.alias("a")
     b = variants.alias("b")
+    # ids only through the collision join + distinct: a d=1 pair collides
+    # on up to ~L shared deletion variants, so carrying both strings
+    # through the dedup shuffle would move each string ~L times — the
+    # strings rejoin once per side AFTER the multiplicity collapses
     cand = (
         a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("a.s").alias("s_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("b.s").alias("s_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    strs = base.select(F.col("id"), F.col("s"))
+    cand = (
+        cand.join(strs.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a")
+        .join(strs.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b")
     )
     dist = F.levenshtein(F.col("s_a"), F.col("s_b"))
     return cand.select("id_a", "id_b", dist.cast("int").alias("dist")).filter(
