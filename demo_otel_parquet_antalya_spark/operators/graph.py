@@ -1,0 +1,88 @@
+"""Graph analytics over relational edge lists: weighted PageRank.
+
+Complements ``dedup.connected_components`` (the other iterative graph
+operator): CC answers "which nodes belong together", PageRank answers
+"which nodes matter" — e.g. document centrality inside near-dup clusters,
+or supplier importance in an order-flow graph, the classic
+quality-weighting signal for training-data curation (PageRank: Page,
+Brin, Motwani, Winograd 1999).
+
+Scale shape: one edge-list equi-join + one keyed aggregation per
+iteration, with the iteration count FIXED (not convergence-tested) so the
+result is a deterministic function of the edge list — which is what lets
+a relational oracle replay it as K unrolled join+aggregate rounds. Each
+round's lineage is truncated with localCheckpoint, exactly like the CC
+loop; the edge frame and out-degree table are computed once and cached.
+
+Semantics (standard damped PageRank on a WEIGHTED directed graph):
+  rank_0(n)   = 1 / N
+  rank_i+1(n) = (1 - d) / N + d * sum_{(s -> n) in E} rank_i(s) * w(s, n) / out_w(s)
+where out_w(s) is s's total outgoing weight and N the number of distinct
+nodes (union of sources and destinations). Dangling-node mass (nodes with
+no out-edges) is dropped, not redistributed — the simplest published
+variant; the oracle mirrors it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    k: int = 6,
+    damping: float = 0.85,
+    checkpoint_interval: int = 1,
+) -> DataFrame:
+    """(node, rank) after exactly ``k`` damped power-iteration rounds.
+
+    ``edges`` is a directed edge list; ``weight`` (optional) weights each
+    edge's contribution, default 1.0. Parallel edges are legal (their
+    weights add). Deterministic given the edge list: fixed iteration
+    count, no convergence test — by design, so relational oracles can
+    replay the exact computation.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
+    )
+    # collapse parallel edges once so every iteration joins the minimal list
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).localCheckpoint(eager=True)
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    ).localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # bounded: one long per partition to the driver
+    base = (1.0 - damping) / n_nodes
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(k):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+        )
+        # checkpoint_interval=1 measured FASTER than fusing rounds into one
+        # job (a 4-round fused plan of chained join+agg re-plans worse under
+        # AQE than 4 small materialized jobs); the knob stays for clusters
+        # where materialization is costlier than plan depth
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < k:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

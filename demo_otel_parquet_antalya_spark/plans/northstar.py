@@ -1882,3 +1882,110 @@ def q_blocking_sorted_neighborhood(spark, sf_dir):
         .cast("long")
         .alias("n_matches"),
     )
+
+
+# unrolled fixed-K PageRank oracle: the operator runs EXACTLY k join+agg
+# rounds (no convergence test) precisely so this relational replay is the
+# same computation — each rK CTE is one round of
+#   rank = 0.15/N + 0.85 * sum_in(rank * edge_probability)
+def _pagerank_oracle_sql(k: int = 6) -> str:
+    sql = (
+        "WITH e0 AS (SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'s:' || CAST(l_suppkey AS VARCHAR) AS dst, "
+        "CAST(COUNT(*) AS DOUBLE) AS w "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY 1, 2), "
+        "ow AS (SELECT src, SUM(w) AS out_w FROM e0 GROUP BY src), "
+        "e AS (SELECT e0.src, e0.dst, e0.w / ow.out_w AS p "
+        "FROM e0 JOIN ow ON e0.src = ow.src), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+    )
+    for i in range(1, k + 1):
+        sql += (
+            f", r{i} AS (SELECT nodes.node, "
+            f"0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0) AS rank "
+            f"FROM nodes LEFT JOIN "
+            f"(SELECT e.dst, SUM(r.rank * e.p) AS s "
+            f"FROM e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst) c "
+            f"ON nodes.node = c.dst)"
+        )
+    return (
+        sql
+        + f" SELECT node, ROUND(rank, 8) AS rank FROM r{k} "
+        "ORDER BY ROUND(rank, 8) DESC, node LIMIT 100"
+    )
+
+
+@register(
+    "graph_pagerank_trade",
+    _pagerank_oracle_sql(6),
+    doc=(
+        "Weighted PageRank over the customer->supplier order-flow graph "
+        "(edges = orders x lineitem, weight = line count): the 'which "
+        "nodes matter' sibling of connected_components' 'which belong "
+        "together', and the classic graph-centrality quality-weighting "
+        "signal for training-data curation. EXACTLY 6 damped power-"
+        "iteration rounds, no convergence test, so the computation is a "
+        "deterministic function of the edge list and the DuckDB oracle "
+        "replays it as 6 unrolled join+aggregate CTEs. Per round: one "
+        "edge-list equi-join + one keyed sum — node count never enters a "
+        "single task; lineage truncated per round via localCheckpoint. "
+        "Dangling mass (suppliers have no out-edges) is dropped, "
+        "identically on both engines. operators/graph.py::pagerank."
+    ),
+    tags=("northstar", "graph"),
+    bench=True,
+)
+def q_graph_pagerank_trade(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import graph
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    # unit-weight parallel edges: pagerank's groupBy collapse makes w = count
+    pr = graph.pagerank(edges, k=6)
+    return (
+        pr.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(100)
+    )
+
+
+@register(
+    "unigram_tokenize_corpus",
+    None,
+    doc=(
+        "Unigram-LM (SentencePiece-style, Kudo arXiv:1804.10959) tokenizer "
+        "training + encoding on the corpus (operators/unigram_lm.py): the "
+        "complement of BPE's bottom-up merging — a large JVM-HOF-seeded "
+        "substring vocabulary fit by hard (Viterbi) EM over the word-TYPE "
+        "table, each E-step one Arrow-batched mapInPandas with piece counts "
+        "returning through a map-side-combinable groupBy; no driver loop "
+        "over words anywhere, only the <= vocab_size result is ever "
+        "collected. Deterministic end-to-end (tie-broken Viterbi), "
+        "partitioning-invariant (tested). Rows-only: per-word DP is not "
+        "SQL-expressible; semantics pinned by hand-checked segmentations, "
+        "EM-monotonicity, round-trip, and determinism tests in "
+        "tests/test_unigram_lm.py."
+    ),
+    tags=("northstar", "tokenize"),
+)
+def q_unigram_tokenize_corpus(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_lm.train_unigram_lm(
+        docs, vocab_size=200, n_rounds=2, seed_size=500, seed_max_len=6
+    )
+    enc = unigram_lm.apply_unigram(docs, vocab)
+    return (
+        enc.select("doc_id", F.size("pieces").alias("n_pieces"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
