@@ -1989,3 +1989,94 @@ def q_unigram_tokenize_corpus(spark, sf_dir):
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# unrolled greedy k-center oracle: round i = one LEAST running-min update
+# against the single round-(i-1) center + one argmax — the operator's exact
+# recurrence (incl. the ROUND(_, 6)-before-argmax discipline), so the
+# relational replay IS the computation
+def _k_center_oracle_sql(k: int = 5) -> str:
+    sql = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "c0 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1), "
+        "m0 AS (SELECT v.vec_id, v.v, "
+        "ROUND(1 - list_cosine_similarity(v.v, (SELECT v FROM c0)), 6) AS mind FROM v)"
+    )
+    for i in range(1, k):
+        sql += (
+            f", c{i} AS (SELECT vec_id, v, mind FROM m{i - 1} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            sql += (
+                f", m{i} AS (SELECT m.vec_id, m.v, LEAST(m.mind, "
+                f"ROUND(1 - list_cosine_similarity(m.v, (SELECT v FROM c{i})), 6)) "
+                f"AS mind FROM m{i - 1} m)"
+            )
+    parts = [f"SELECT 0 AS sel_round, (SELECT vec_id FROM c0) AS vec_id, 0.0 AS mind"]
+    parts += [f"SELECT {i}, vec_id, mind FROM c{i}" for i in range(1, k)]
+    return sql + " " + " UNION ALL ".join(parts) + " ORDER BY sel_round"
+
+
+@register(
+    "select_k_center_coreset",
+    _k_center_oracle_sql(5),
+    doc=(
+        "Diverse coreset selection by greedy k-center / farthest-point "
+        "traversal (Gonzalez 1985, the 2-approximation to the k-center "
+        "objective) over the embeddings table — the curation counterpart "
+        "of dedup: instead of removing redundancy, SELECT the maximally-"
+        "spread representative subset. Deterministic for oracle replay: "
+        "lowest-id seed, per-round argmax of the ROUND(_,6) running "
+        "cosine min-distance with id tie-break. Scale shape: k rounds of "
+        "one full-column broadcast-center scan + one "
+        "TakeOrderedAndProject(1) — O(k*N*dim), no pairwise term, only "
+        "k single-row collects. operators/coreset.py::k_center_select."
+    ),
+    tags=("northstar", "selection"),
+)
+def q_select_k_center_coreset(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return coreset.k_center_select(emb, k=5).orderBy("sel_round")
+
+
+@register(
+    "dedup_exact_substr_matches",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+    "FROM documents), "
+    "g AS (SELECT doc_id, unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos, toks "
+    "FROM t), "
+    "sh AS (SELECT doc_id, pos, "
+    "array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS gram FROM g), "
+    "m AS (SELECT a.doc_id AS doc_id, a.pos AS pos, b.doc_id AS other_id, "
+    "a.pos - b.pos AS diag FROM sh a JOIN sh b "
+    "ON a.gram = b.gram AND a.doc_id <> b.doc_id), "
+    "lagged AS (SELECT doc_id, other_id, diag, pos, LAG(pos) OVER "
+    "(PARTITION BY doc_id, other_id, diag ORDER BY pos) AS prev FROM m), "
+    "runs AS (SELECT doc_id, other_id, diag, pos, "
+    "SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END) OVER "
+    "(PARTITION BY doc_id, other_id, diag ORDER BY pos) AS run FROM lagged) "
+    "SELECT doc_id, other_id, MIN(pos) AS pos, "
+    "MIN(pos) - diag AS other_pos, "
+    "CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS length "
+    "FROM runs GROUP BY doc_id, other_id, diag, run "
+    "ORDER BY doc_id, other_id, pos, other_pos",
+    doc=(
+        "The individual maximal common substrings behind the ExactSubstr "
+        "spans — what suffix-array/infini-gram tooling REPORTS: for every "
+        "ordered doc pair, each maximal >= 8-token verbatim shared "
+        "substring with both offsets and its true token length, recovered "
+        "as maximal diagonal runs of 8-gram matches (operators/dedup.py::"
+        "exact_substring_matches; same posting-list algebra as "
+        "dedup_exact_substr_spans, before the per-doc interval union). "
+        "Oracle = the identical relational algebra in DuckDB."
+    ),
+    tags=("northstar", "dedup"),
+)
+def q_dedup_exact_substr_matches(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_matches(docs, n=8).orderBy(
+        "doc_id", "other_id", "pos", "other_pos"
+    )
