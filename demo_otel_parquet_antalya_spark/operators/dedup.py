@@ -476,9 +476,15 @@ def connected_components(
     join is small regardless of corpus size.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.unionAll(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().cache()
+    # pre-partition on the per-round join key ONCE (and materialize): every
+    # iteration's neighbor join then reuses this layout, shuffling only the
+    # label table into it
+    edges = (
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("dst")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -512,7 +518,7 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    edges.unpersist()
+    # (edges is a localCheckpoint now; its blocks free when the RDD is GC'd)
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 

@@ -54,9 +54,15 @@ def pagerank(
     # collapse parallel edges once so every iteration joins the minimal list
     e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).localCheckpoint(eager=True)
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = e.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
-    ).localCheckpoint(eager=True)
+    # pre-partition the edge list on the per-round join key ONCE: every
+    # iteration then reuses this layout and shuffles only the (much
+    # smaller) contrib table into it
+    e = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -67,22 +73,34 @@ def pagerank(
     n_nodes = nodes.count()  # bounded: one long per partition to the driver
     base = (1.0 - damping) / n_nodes
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    # Per round, only the CONTRIB table (dst, c) is materialized; a node's
+    # rank is reconstructed inline as base + damping * coalesce(c, 0)
+    # wherever needed (sources with no in-edges have c = NULL -> the
+    # teleport share). This halves the joins per round vs materializing a
+    # full (node, rank) frame: one edges-left-join-contrib + one keyed sum.
+    def rank_of(c_col):
+        return F.lit(base) + F.lit(damping) * F.coalesce(c_col, F.lit(0.0))
+
+    contrib = None
     for i in range(k):
+        if contrib is None:
+            joined = e.withColumn("rank", F.lit(1.0 / n_nodes))
+        else:
+            joined = e.join(
+                contrib, e.src == contrib.node_c, "left"
+            ).withColumn("rank", rank_of(F.col("c")))
         contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+            joined.select("dst", (F.col("rank") * F.col("p")).alias("cc"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("c"))
-        )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            .agg(F.sum("cc").alias("c"))
+            .select(F.col("dst").alias("node_c"), "c")
         )
         # checkpoint_interval=1 measured FASTER than fusing rounds into one
         # job (a 4-round fused plan of chained join+agg re-plans worse under
         # AQE than 4 small materialized jobs); the knob stays for clusters
         # where materialization is costlier than plan depth
         if (i + 1) % checkpoint_interval == 0 and i + 1 < k:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            contrib = contrib.localCheckpoint(eager=True)
+    return nodes.join(contrib, nodes.node == contrib.node_c, "left").select(
+        "node", rank_of(F.col("c")).alias("rank")
+    )

@@ -23,28 +23,55 @@ from pyspark.sql import functions as F
 from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
 
 
-def _sample_schema(key_col: str, payload_cols: list[str]) -> str:
+def _sample_schema(key_col: str, payload_cols: list[str], weighted: bool = False) -> str:
     cols = ", ".join([f"{key_col} long"] + [f"{c} string" for c in payload_cols])
-    return f"{cols}, __sk string"
+    return f"{cols}, __sk {'double' if weighted else 'string'}"
 
 
-def batch_sample(df: DataFrame, k: int, key_col: str, payload_cols: list[str]) -> DataFrame:
-    """The batch twin: k smallest md5(key) rows — TakeOrderedAndProject,
-    per-partition heaps, k-row driver merge."""
-    return (
-        df.select(
-            F.col(key_col).cast("long").alias(key_col),
-            *[F.col(c).cast("string").alias(c) for c in payload_cols],
-            F.md5(F.col(key_col).cast("string")).alias("__sk"),
+def batch_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    payload_cols: list[str],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The batch twin — TakeOrderedAndProject, per-partition heaps, k-row
+    driver merge. Uniform (default): the k smallest md5(key) rows. Weighted
+    (``weight_col``): the k LARGEST Efraimidis-Spirakis keys
+    ln(u)/w with u derived from md5(key) — the same pure-function-of-the-
+    data trick as the batch ``sample_weighted_es`` query, so inclusion
+    probability tracks the weight with zero RNG coordination."""
+    base = [
+        F.col(key_col).cast("long").alias(key_col),
+        *[F.col(c).cast("string").alias(c) for c in payload_cols],
+    ]
+    if weight_col is None:
+        return (
+            df.select(*base, F.md5(F.col(key_col).cast("string")).alias("__sk"))
+            .orderBy("__sk", key_col)
+            .limit(k)
         )
-        .orderBy("__sk", key_col)
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.select(*base, es_key.alias("__sk"))
+        .orderBy(F.col("__sk").desc(), key_col)
         .limit(k)
     )
 
 
-def read_sample(spark: SparkSession, target_dir: str, key_col: str, payload_cols: list[str]) -> DataFrame:
+def read_sample(
+    spark: SparkSession,
+    target_dir: str,
+    key_col: str,
+    payload_cols: list[str],
+    weighted: bool = False,
+) -> DataFrame:
     vs = _versions(spark, target_dir)
-    schema = _sample_schema(key_col, payload_cols)
+    schema = _sample_schema(key_col, payload_cols, weighted)
     if not vs:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(f"{target_dir}/v={vs[-1]}")
@@ -57,18 +84,23 @@ def incremental_sample(
     k: int = 100,
     key_col: str = "event_id",
     payload_cols: list[str] | None = None,
+    weight_col: str | None = None,
 ):
-    """Start the sample-maintenance stream; returns the StreamingQuery."""
+    """Start the sample-maintenance stream; returns the StreamingQuery.
+    With ``weight_col``, maintains the WEIGHTED (Efraimidis-Spirakis)
+    sample instead — same associative/idempotent top-k-by-key merge, keys
+    ordered descending."""
     payload = payload_cols or []
-    schema = _sample_schema(key_col, payload)
+    schema = _sample_schema(key_col, payload, weighted=weight_col is not None)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        cand = batch_sample(batch_df, k, key_col, payload)
+        cand = batch_sample(batch_df, k, key_col, payload, weight_col)
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         if prior_vs:
             prior = spark.read.schema(schema).parquet(f"{target_dir}/v={prior_vs[-1]}")
-            cand = prior.unionByName(cand).orderBy("__sk", key_col).limit(k)
+            order = F.col("__sk").desc() if weight_col is not None else F.col("__sk")
+            cand = prior.unionByName(cand).orderBy(order, key_col).limit(k)
         cand.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")
 
     return (

@@ -67,3 +67,44 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     cand.coalesce(1).write.mode("overwrite").parquet(f"{target}/v=0")
     after = _rows(read_sample(spark, target, "event_id", ["action"]))
     assert after == before
+
+
+def test_streamed_weighted_sample_equals_batch(spark, tmp_path):
+    """Weighted (Efraimidis-Spirakis) mode: the streamed top-k-by-ES-key
+    sample must equal the batch twin over the union, for any micro-batch
+    split, and must favor heavy rows."""
+    from demo_otel_parquet_antalya_spark.streaming.reservoir import (
+        batch_sample,
+        incremental_sample,
+        read_sample,
+    )
+
+    schema_w = "event_id bigint, action string, w double"
+    src = str(tmp_path / "src")
+    # heavy rows (w=1000) in one file, light (w=0.01) in another
+    import json, os
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/a.json", "w") as f:
+        for i in range(0, 30):
+            f.write(json.dumps({"event_id": i, "action": f"h{i}", "w": 1000.0}) + "\n")
+    with open(f"{src}/b.json", "w") as f:
+        for i in range(30, 200):
+            f.write(json.dumps({"event_id": i, "action": f"l{i}", "w": 0.01}) + "\n")
+
+    stream = spark.readStream.schema(schema_w).option("maxFilesPerTrigger", 1).json(src)
+    target, ckpt = str(tmp_path / "wsample"), str(tmp_path / "ckpt")
+    q = incremental_sample(
+        stream, target, ckpt, k=20, payload_cols=["action"], weight_col="w"
+    )
+    q.awaitTermination()
+
+    got = read_sample(spark, target, "event_id", ["action"], weighted=True)
+    want = batch_sample(
+        spark.read.schema(schema_w).json(src), 20, "event_id", ["action"], weight_col="w"
+    )
+    assert sorted((r.event_id, r.action) for r in got.collect()) == sorted(
+        (r.event_id, r.action) for r in want.collect()
+    )
+    # the 30 heavy rows (weights 100000x the light ones) dominate the sample
+    heavy = sum(1 for r in got.collect() if r.action.startswith("h"))
+    assert heavy >= 18
