@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.functions import text as tx
+from demo_otel_parquet_antalya_spark.util import ensure_parallelism
 
 
 def _bound(arr: Column, fn) -> Column:
@@ -79,6 +80,9 @@ def winnow_fingerprints(
     window: int = 5,
 ) -> DataFrame:
     """(id, fp) posting frame: one row per selected fingerprint per document."""
+    # fan the scan out first: the rolling-hash winnow HOF is the expensive
+    # per-row stage, and a small-SF single-file input would run it one-task
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprint_col(text_col, k=k, window=window)).alias("fp"),

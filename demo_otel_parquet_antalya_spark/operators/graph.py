@@ -104,3 +104,67 @@ def pagerank(
     return nodes.join(contrib, nodes.node == contrib.node_c, "left").select(
         "node", rank_of(F.col("c")).alias("rank")
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 4,
+) -> DataFrame:
+    """(node, hub, authority) after exactly ``k`` HITS rounds (Kleinberg
+    1999, "Authoritative sources in a hyperlinked environment") on the
+    UNWEIGHTED distinct edge list.
+
+    Per round: authority(v) = sum of hub over in-edges, then hub(u) = sum
+    of authority over out-edges, each half-step L1-normalized (divide by
+    the score total — a 1-row broadcast aggregate) so scores stay a
+    distribution. Fixed iteration count, hub_0 = 1.0 — deterministic, so a
+    relational oracle replays it as k unrolled join+aggregate rounds
+    (same discipline as ``pagerank``). Nodes with no out-edges have hub 0,
+    no in-edges authority 0 (coalesced at the end).
+
+    Scale shape identical to pagerank's rounds: the edge list is
+    pre-partitioned once per join key; each half-step shuffles only the
+    score table. 2k+1 single-row driver reads (the normalizers), nothing
+    else collected.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e_by_src = e.repartition("src").localCheckpoint(eager=True)
+    e_by_dst = e.repartition("dst").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("node", F.lit(1.0).alias("s"))
+    a = None
+    for _ in range(k):
+        ar = (
+            e_by_src.join(h, e_by_src.src == h.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        a = ar.select("node", (F.col("s") / F.lit(ar.agg(F.sum("s")).first()[0])).alias("s")).localCheckpoint(eager=True)
+        hr = (
+            e_by_dst.join(a, e_by_dst.dst == a.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        h = hr.select("node", (F.col("s") / F.lit(hr.agg(F.sum("s")).first()[0])).alias("s")).localCheckpoint(eager=True)
+    return (
+        nodes.join(h.withColumnRenamed("s", "hub").withColumnRenamed("node", "hn"), nodes.node == F.col("hn"), "left")
+        .join(a.withColumnRenamed("s", "authority").withColumnRenamed("node", "an"), nodes.node == F.col("an"), "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )

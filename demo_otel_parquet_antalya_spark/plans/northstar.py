@@ -2080,3 +2080,76 @@ def q_dedup_exact_substr_matches(spark, sf_dir):
     return dedup.exact_substring_matches(docs, n=8).orderBy(
         "doc_id", "other_id", "pos", "other_pos"
     )
+
+
+# unrolled fixed-K HITS oracle: each round = one hub->authority half-step +
+# one authority->hub half-step, each L1-normalized — the operator's exact
+# recurrence (hub_0 = 1.0, unweighted distinct edges)
+def _hits_oracle_sql(k: int = 4) -> str:
+    sql = (
+        "WITH e AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'s:' || CAST(l_suppkey AS VARCHAR) AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        "h0 AS (SELECT node, 1.0 AS s FROM nodes)"
+    )
+    # each CTE references its predecessor exactly ONCE (the L1 normalizer is
+    # a SUM() OVER () window, not a second scalar-subquery reference): a
+    # twice-referenced CTE chain inlines exponentially in DuckDB — the
+    # scalar-subquery form of this oracle hung at sf0.001
+    for i in range(1, k + 1):
+        sql += (
+            f", a{i} AS (SELECT node, s / SUM(s) OVER () AS s FROM "
+            f"(SELECT e.dst AS node, SUM(h.s) AS s "
+            f"FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst)), "
+            f"h{i} AS (SELECT node, s / SUM(s) OVER () AS s FROM "
+            f"(SELECT e.src AS node, SUM(a.s) AS s "
+            f"FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src))"
+        )
+    return (
+        sql
+        + f" SELECT n.node AS node, ROUND(COALESCE(h.s, 0), 8) AS hub, "
+        f"ROUND(COALESCE(a.s, 0), 8) AS authority "
+        f"FROM nodes n LEFT JOIN h{k} h ON n.node = h.node "
+        f"LEFT JOIN a{k} a ON n.node = a.node "
+        "ORDER BY authority DESC, n.node LIMIT 50"
+    )
+
+
+@register(
+    "graph_hits_trade",
+    _hits_oracle_sql(4),
+    doc=(
+        "HITS hubs & authorities (Kleinberg 1999) over the unweighted "
+        "customer->supplier order-flow graph: on the bipartite trade graph "
+        "authorities rank suppliers by weighted in-flow, hubs rank "
+        "customers by how much authoritative supply they draw — the "
+        "second centrality lens next to PageRank. EXACTLY 4 rounds, each "
+        "half-step L1-normalized by a 1-row aggregate, hub_0 = 1.0, so "
+        "the DuckDB oracle replays it as 4 unrolled join+aggregate round "
+        "pairs. Per half-step: one pre-partitioned edge join shuffling "
+        "only the score table + one keyed sum. "
+        "operators/graph.py::hits."
+    ),
+    tags=("northstar", "graph"),
+)
+def q_graph_hits_trade(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import graph
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    out = graph.hits(edges, k=4)
+    return (
+        out.select(
+            "node",
+            F.round("hub", 8).alias("hub"),
+            F.round("authority", 8).alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), "node")
+        .limit(50)
+    )

@@ -1,15 +1,16 @@
-"""operators/graph.py — weighted fixed-K PageRank.
+"""operators/graph.py — weighted fixed-K PageRank + fixed-K HITS.
 
-The registered query (graph_pagerank_trade) is oracle-checked against the
-unrolled DuckDB replay by tests/test_queries_oracle.py; these tests pin the
-operator's semantics on hand-computable graphs.
+The registered queries (graph_pagerank_trade, graph_hits_trade) are
+oracle-checked against the unrolled DuckDB replays by
+tests/test_queries_oracle.py; these tests pin the operators' semantics on
+hand-computable graphs.
 """
 
 from __future__ import annotations
 
 import pytest
 
-from demo_otel_parquet_antalya_spark.operators.graph import pagerank
+from demo_otel_parquet_antalya_spark.operators.graph import hits, pagerank
 
 
 def _ranks(spark, rows, **kw):
@@ -61,3 +62,49 @@ def test_deterministic_across_runs_and_checkpoint_interval(spark):
     r1 = _ranks(spark, rows, k=6, checkpoint_interval=1)
     r2 = _ranks(spark, rows, k=6, checkpoint_interval=3)
     assert r1 == pytest.approx(r2, abs=1e-12)
+
+
+def _hits(spark, rows, k):
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = hits(edges, k=k)
+    return {r.node: (r.hub, r.authority) for r in out.collect()}
+
+
+def test_hits_two_cycle_uniform(spark):
+    """A<->B is symmetric: hub = authority = 1/2 everywhere at every k."""
+    for k in (1, 3):
+        r = _hits(spark, [("A", "B"), ("B", "A")], k=k)
+        assert r["A"] == pytest.approx((0.5, 0.5))
+        assert r["B"] == pytest.approx((0.5, 0.5))
+
+
+def test_hits_single_edge_roles(spark):
+    """A->B: A is the pure hub, B the pure authority; the missing halves
+    coalesce to exactly 0."""
+    r = _hits(spark, [("A", "B")], k=2)
+    assert r["A"] == pytest.approx((1.0, 0.0))
+    assert r["B"] == pytest.approx((0.0, 1.0))
+
+
+def test_hits_two_rounds_hand_computed(spark):
+    """A->X, B->X, B->Y, k=2, hand-unrolled:
+    r1: a = (X 2/3, Y 1/3); h = (A 2/5, B 3/5)
+    r2: a = (X 5/8, Y 3/8); h = (A 5/13, B 8/13)"""
+    r = _hits(spark, [("A", "X"), ("B", "X"), ("B", "Y")], k=2)
+    assert r["X"] == pytest.approx((0.0, 5 / 8))
+    assert r["Y"] == pytest.approx((0.0, 3 / 8))
+    assert r["A"] == pytest.approx((5 / 13, 0.0))
+    assert r["B"] == pytest.approx((8 / 13, 0.0))
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    """The contract is the UNWEIGHTED distinct edge list: repeating an edge
+    changes nothing."""
+    once = _hits(spark, [("A", "X"), ("B", "X"), ("B", "Y")], k=2)
+    thrice = _hits(
+        spark,
+        [("A", "X"), ("A", "X"), ("A", "X"), ("B", "X"), ("B", "Y"), ("B", "Y")],
+        k=2,
+    )
+    for n in once:
+        assert thrice[n] == pytest.approx(once[n])
