@@ -168,3 +168,91 @@ def hits(
             F.coalesce("authority", F.lit(0.0)).alias("authority"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, triangles) over the UNDIRECTED simple graph induced by
+    ``edges`` (direction, duplicates, and self-loops are collapsed/dropped
+    first): the number of triangles each node participates in — the
+    cliqueness counterpart to ``connected_components``' membership and
+    ``dedup_cluster_density``'s edge-ratio verdict. Nodes in the graph with
+    no triangle get an explicit 0 row.
+
+    Scale shape: the classic degree-ordered orientation (each undirected
+    edge points from its lower (degree, node) endpoint to the higher) makes
+    the wedge self-join enumerate each triangle exactly once from its
+    lowest-order apex, and bounds per-vertex wedge fan-out by the oriented
+    out-degree <= O(sqrt(m)) — total work O(m^1.5) independent of hub
+    degrees, the MPC-standard bound. Three equi-joins + one keyed count;
+    no window, nothing collected.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(u.alias("u"), v.alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge by the (deg, node) total order; carry the head's
+    # order key so the wedge join can keep its two heads strictly ordered
+    # (every wedge — hence every triangle — enumerated exactly once)
+    du, dv = deg.alias("du"), deg.alias("dv")
+    u_key = F.struct(F.col("du.deg").alias("d"), F.col("u").alias("n"))
+    v_key = F.struct(F.col("dv.deg").alias("d"), F.col("v").alias("n"))
+    eo = (
+        e.join(du, e.u == F.col("du.node"))
+        .join(dv, e.v == F.col("dv.node"))
+        .select(
+            F.when(
+                u_key < v_key,
+                F.struct(
+                    F.col("u").alias("lo"),
+                    F.col("v").alias("hi"),
+                    v_key.alias("hi_key"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("lo"),
+                    F.col("u").alias("hi"),
+                    u_key.alias("hi_key"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.lo", "o.hi", "o.hi_key")
+        .localCheckpoint(eager=True)
+    )
+    x, y = eo.alias("x"), eo.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.lo") == F.col("y.lo")) & (F.col("x.hi_key") < F.col("y.hi_key")),
+    ).select(
+        F.col("x.lo").alias("a"), F.col("x.hi").alias("b"), F.col("y.hi").alias("c")
+    )
+    tri = wedges.join(
+        e,
+        (F.least("b", "c") == e.u) & (F.greatest("b", "c") == e.v),
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select("node", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )

@@ -2153,3 +2153,50 @@ def q_graph_hits_trade(spark, sf_dir):
         .orderBy(F.col("authority").desc(), "node")
         .limit(50)
     )
+
+
+@register(
+    "graph_triangles_neardup",
+    f"WITH {_SHINGLES_SQL}, "
+    "e AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.8), "
+    # jac already emits id_a < id_b, so e is the canonical orientation and
+    # the ascending 3-join enumerates each triangle {a<b<c} exactly once
+    "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+    "        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+    "        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v), "
+    "gnodes AS (SELECT DISTINCT node FROM "
+    "           (SELECT u AS node FROM e UNION ALL SELECT v FROM e)), "
+    "pern AS (SELECT node, COUNT(*) AS triangles FROM "
+    "         (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+    "          UNION ALL SELECT c FROM tri) GROUP BY node) "
+    "SELECT CAST(n.node AS BIGINT) AS doc_id, "
+    "CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles "
+    "FROM gnodes n LEFT JOIN pern p ON n.node = p.node ORDER BY doc_id",
+    doc=(
+        "Per-document triangle counts on the exact word-3-gram Jaccard >= "
+        "0.8 near-dup graph: the cliqueness measure that separates true "
+        "duplicate cliques from transitive chains, one level finer than "
+        "dedup_cluster_density's edge ratio (a 4-node path and a triangle "
+        "+ pendant have the same component density shape; only the latter "
+        "closes a triangle). Spark side composes ngram_jaccard_pairs with "
+        "operators/graph.py::triangle_counts — degree-ordered edge "
+        "orientation, so the wedge self-join fans out by oriented "
+        "out-degree <= O(sqrt(m)) and total work is O(m^1.5) regardless "
+        "of hub degrees (the MPC-standard bound); the DuckDB oracle "
+        "enumerates the same triangles from the id-ordered pair list."
+    ),
+    tags=("northstar", "graph"),
+)
+def q_graph_triangles_neardup(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return (
+        graph.triangle_counts(pairs, src="id_a", dst="id_b")
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("triangles").cast("long").alias("triangles"),
+        )
+        .orderBy("doc_id")
+    )

@@ -108,3 +108,56 @@ def test_hits_duplicate_edges_collapse(spark):
     )
     for n in once:
         assert thrice[n] == pytest.approx(once[n])
+
+
+def _tri(spark, rows):
+    from demo_otel_parquet_antalya_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = triangle_counts(edges)
+    return {r.node: r.triangles for r in out.collect()}
+
+
+def test_triangles_k3_and_k4(spark):
+    """K3: every node in 1 triangle. K4: every node in C(3,2)=3."""
+    k3 = _tri(spark, [("A", "B"), ("B", "C"), ("C", "A")])
+    assert k3 == {"A": 1, "B": 1, "C": 1}
+    nodes = ["A", "B", "C", "D"]
+    k4 = _tri(
+        spark, [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+    )
+    assert k4 == {n: 3 for n in nodes}
+
+
+def test_triangles_none_on_path_and_star(spark):
+    """Acyclic shapes have zero triangles, but every node still gets a row."""
+    assert _tri(spark, [("A", "B"), ("B", "C"), ("C", "D")]) == {
+        "A": 0, "B": 0, "C": 0, "D": 0,
+    }
+    assert _tri(spark, [("H", "X"), ("H", "Y"), ("H", "Z")]) == {
+        "H": 0, "X": 0, "Y": 0, "Z": 0,
+    }
+
+
+def test_triangles_direction_duplicates_self_loops_collapse(spark):
+    """The graph contract is undirected+simple: reversed and repeated edges
+    and self-loops change nothing."""
+    clean = _tri(spark, [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D")])
+    noisy = _tri(
+        spark,
+        [
+            ("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"), ("C", "A"),
+            ("A", "C"), ("C", "D"), ("C", "D"), ("D", "D"),
+        ],
+    )
+    assert noisy == clean == {"A": 1, "B": 1, "C": 1, "D": 0}
+
+
+def test_triangles_two_overlapping(spark):
+    """Diamond A-B-C-D with chord B-C: triangles ABC + BCD; the chord
+    endpoints sit in both."""
+    r = _tri(
+        spark,
+        [("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("C", "D")],
+    )
+    assert r == {"A": 1, "B": 2, "C": 2, "D": 1}
