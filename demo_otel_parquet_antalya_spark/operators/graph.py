@@ -126,8 +126,9 @@ def hits(
 
     Scale shape identical to pagerank's rounds: the edge list is
     pre-partitioned once per join key; each half-step shuffles only the
-    score table. 2k+1 single-row driver reads (the normalizers), nothing
-    else collected.
+    score table and materializes exactly once (the L1 normalizer rides a
+    1-row broadcast aggregate crossJoin, same discipline as the repo's
+    other global-scalar uses — no driver round trips anywhere).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -142,6 +143,14 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    def _l1(scores: DataFrame) -> DataFrame:
+        # normalize over a 1-row broadcast aggregate; left lazy on purpose —
+        # the division is a cheap expression over the checkpointed sums
+        tot = scores.agg(F.sum("s").alias("_tot"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("s") / F.col("_tot")).alias("s")
+        )
+
     h = nodes.select("node", F.lit(1.0).alias("s"))
     a = None
     for _ in range(k):
@@ -151,14 +160,14 @@ def hits(
             .agg(F.sum("s").alias("s"))
             .localCheckpoint(eager=True)
         )
-        a = ar.select("node", (F.col("s") / F.lit(ar.agg(F.sum("s")).first()[0])).alias("s")).localCheckpoint(eager=True)
+        a = _l1(ar)
         hr = (
             e_by_dst.join(a, e_by_dst.dst == a.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("s"))
             .localCheckpoint(eager=True)
         )
-        h = hr.select("node", (F.col("s") / F.lit(hr.agg(F.sum("s")).first()[0])).alias("s")).localCheckpoint(eager=True)
+        h = _l1(hr)
     return (
         nodes.join(h.withColumnRenamed("s", "hub").withColumnRenamed("node", "hn"), nodes.node == F.col("hn"), "left")
         .join(a.withColumnRenamed("s", "authority").withColumnRenamed("node", "an"), nodes.node == F.col("an"), "left")
