@@ -63,6 +63,15 @@ def main() -> None:
     for r in top:
         print(f"   {r.node}: {r.rank:.6f}")
 
+    print("== 3b. HITS + triangle cliqueness on the same graphs ==")
+    ha = graph.hits(edges, k=4).orderBy(F.col("authority").desc()).limit(3).collect()
+    for r in ha:
+        print(f"   {r.node}: hub {r.hub:.6f} authority {r.authority:.6f}")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    tri = graph.triangle_counts(pairs, src="id_a", dst="id_b")
+    closed = tri.where(F.col("triangles") > 0).count()
+    print(f"   near-dup graph: {tri.count()} nodes, {closed} inside a triangle")
+
     print("== 4. unigram-LM tokenizer (distributed Viterbi-EM) ==")
     vocab = unigram_lm.train_unigram_lm(docs, vocab_size=200, n_rounds=2, seed_size=500)
     head = vocab.orderBy(F.col("logprob").desc()).limit(8).collect()

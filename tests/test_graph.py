@@ -161,3 +161,45 @@ def test_triangles_two_overlapping(spark):
         [("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("C", "D")],
     )
     assert r == {"A": 1, "B": 2, "C": 2, "D": 1}
+
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _brute_triangles(edge_rows):
+    adj: dict = {}
+    for s, d in edge_rows:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    counts = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return counts
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ).map(lambda t: (f"n{t[0]}", f"n{t[1]}")),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_triangles_match_bruteforce_property(spark, rows):
+    """Degree-ordered wedge enumeration must count every triangle exactly
+    once for ANY multigraph with loops/duplicates/reversals — the
+    orientation trick is a perf strategy, not a semantics change."""
+    rows = [r for r in rows if r[0] != r[1]]
+    if not rows:
+        return
+    assert _tri(spark, rows) == _brute_triangles(rows)
