@@ -2178,7 +2178,10 @@ def q_graph_hits_trade(spark, sf_dir):
         "duplicate cliques from transitive chains, one level finer than "
         "dedup_cluster_density's edge ratio (a 4-node path and a triangle "
         "+ pendant have the same component density shape; only the latter "
-        "closes a triangle). Spark side composes ngram_jaccard_pairs with "
+        "closes a triangle). Spark side composes jaccard_pairs_ppjoin — "
+        "the EXACT prefix-filtered pair tier, so the scale path carries no "
+        "quadratic posting lists and the output (hence the oracle) is "
+        "identical to the brute tier's — with "
         "operators/graph.py::triangle_counts — degree-ordered edge "
         "orientation, so the wedge self-join fans out by oriented "
         "out-degree <= O(sqrt(m)) and total work is O(m^1.5) regardless "
@@ -2191,7 +2194,7 @@ def q_graph_triangles_neardup(spark, sf_dir):
     from demo_otel_parquet_antalya_spark.operators import graph
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    pairs = dedup.jaccard_pairs_ppjoin(docs, threshold=0.8)
     return (
         graph.triangle_counts(pairs, src="id_a", dst="id_b")
         .select(

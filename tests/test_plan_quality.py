@@ -529,3 +529,23 @@ def test_partsupp_tpch_no_cartesian_and_dims_broadcast(spark, name):
     if name != "tpch_q11_important_stock":
         assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_graph_triangles_all_joins_equi(spark):
+    """Wedge enumeration and closure must be hash equi-joins — a cartesian
+    (or nested-loop) here means the degree-ordered orientation was lost
+    and the operator is all-pairs. The HITS-side BNLJ allowance does NOT
+    extend to triangles: nothing in this plan is a 1-row broadcast."""
+    plan = plan_of(spark, "graph_triangles_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_graph_hits_only_one_row_broadcasts(spark):
+    """HITS' crossJoins are the per-half-step 1-row L1 normalizers (the
+    declared global-scalar pattern); the edge joins themselves must stay
+    equi, and nothing Python-side ever enters the loop."""
+    plan = plan_of(spark, "graph_hits_trade")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
