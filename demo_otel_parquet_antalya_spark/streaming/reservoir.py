@@ -56,8 +56,13 @@ def batch_sample(
         + 0.5
     ) / 4294967296.0
     es_key = F.log(u) / F.col(weight_col).cast("double")
+    # Efraimidis-Spirakis requires w > 0: w = 0 divides to -Inf (row could
+    # never be sampled) and w < 0 flips the key positive so the row always
+    # wins — both silently corrupt the sample, so such rows are excluded
+    # up front (ADVICE r4 #4)
     return (
-        df.select(*base, es_key.alias("__sk"))
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .select(*base, es_key.alias("__sk"))
         .orderBy(F.col("__sk").desc(), key_col)
         .limit(k)
     )

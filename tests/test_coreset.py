@@ -49,3 +49,27 @@ def test_partitioning_invariant(spark):
     a = [tuple(r) for r in k_center_select(df, k=4).collect()]
     b = [tuple(r) for r in k_center_select(df.repartition(13), k=4).collect()]
     assert a == b
+
+
+def test_string_ids_and_exhaustion_stop(spark):
+    """The vec_id output column keeps the input id type (string ids used to
+    crash createDataFrame against a hardcoded 'vec_id long' schema), and
+    k beyond the distinct vectors stops instead of re-picking centers at
+    mind=0 (ADVICE r4 #5)."""
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.0, 1.0]),
+        ("c", [1.0, 0.0]),  # duplicate direction of "a"
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = [(r.sel_round, r.vec_id) for r in k_center_select(df, k=5).collect()]
+    # seed = lowest id "a"; round 1 = farthest "b"; then every remaining
+    # vector ("c") is at distance 0 -> stop at 2 centers, not 5
+    assert got == [(0, "a"), (1, "b")]
+
+
+def test_empty_input_returns_empty_typed_frame(spark):
+    df = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = k_center_select(df, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["sel_round", "vec_id", "mind"]

@@ -187,3 +187,20 @@ def test_word_shingles_short_doc_yields_empty_not_error(spark):
     assert len(got[2]) == 2  # 9 tokens -> two 8-gram shingles
     # and the full span operator tolerates the mixed corpus
     assert dedup.exact_substring_spans(df, n=8).count() == 0
+
+
+def test_scrub_preserves_raw_whitespace_in_untouched_docs(spark):
+    """A doc with NO scrubbed spans must pass through byte-identical —
+    including tabs, runs of spaces, and newlines, which the concat_ws
+    rebuild would otherwise collapse (ADVICE r4 #3). Scrubbed docs are
+    rebuilt single-spaced by contract."""
+    shared = " ".join(f"w{i}" for i in range(8))
+    raw = "alpha\tbeta  gamma\ndelta"
+    df = spark.createDataFrame(
+        [(1, shared + " left"), (2, shared + " right"), (3, raw)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_scrubbed_tokens) for r in
+           dedup.scrub_exact_substrings(df, n=8).collect()}
+    assert got[3] == (raw, 0)
+    assert got[1] == ("left", 8) and got[2] == ("right", 8)

@@ -896,3 +896,39 @@ def test_pq_train_small_corpus_raises(spark):
     empty = few.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="n_codes"):
         similarity.train_pq_codebooks(empty, m=2, n_codes=16)
+
+
+def test_prefix_sums_partition_count_invariance(spark):
+    """Results must be identical at 8/32/64 partitions AND with the default
+    (defaultParallelism-derived) count — the scale knob changes parallelism
+    only, never values (VERDICT r4 #3 / r5 directive 5)."""
+    from demo_otel_parquet_antalya_spark.operators import stats
+
+    rows = [((v * 13) % 101, 1 + (v % 9)) for v in range(300)]
+    uniq = [(k, i, c) for i, (k, c) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "k long, i long, c long").repartition(16)
+
+    def run(**kw):
+        return {
+            (r.k, r.i): r.cum_c
+            for r in stats.prefix_sums(df, ["k", "i"], ["c"], **kw).collect()
+        }
+
+    base = run(num_partitions=8)
+    assert run(num_partitions=32) == base
+    assert run(num_partitions=64) == base
+    assert run() == base  # default derives from defaultParallelism
+
+
+def test_connected_components_string_ids(spark):
+    """String ids must work end-to-end: the convergence check hashes labels
+    (xxhash64) instead of numerically casting them — a decimal cast threw
+    under ANSI / silently nulled otherwise (ADVICE r4 #1). Chain long
+    enough that pointer jumping needs >1 round, so the early-exit check
+    actually runs on string labels."""
+    from demo_otel_parquet_antalya_spark.operators import dedup
+
+    chain = [(f"doc-{i:02d}", f"doc-{i + 1:02d}") for i in range(9)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {f"doc-{i:02d}": "doc-00" for i in range(10)}

@@ -108,3 +108,17 @@ def test_streamed_weighted_sample_equals_batch(spark, tmp_path):
     # the 30 heavy rows (weights 100000x the light ones) dominate the sample
     heavy = sum(1 for r in got.collect() if r.action.startswith("h"))
     assert heavy >= 18
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """w = 0 divides the ES key to -Inf (never sampled) and w < 0 flips it
+    positive (always wins) — both outside the Efraimidis-Spirakis
+    precondition, so such rows must be excluded, not silently mis-ranked
+    (ADVICE r4 #4)."""
+    rows = [(1, "a", -5.0), (2, "b", 0.0), (3, "c", 1.0), (4, "d", 2.0)]
+    df = spark.createDataFrame(rows, "event_id long, action string, w double")
+    got = sorted(
+        r.event_id
+        for r in batch_sample(df, 10, "event_id", ["action"], weight_col="w").collect()
+    )
+    assert got == [3, 4]

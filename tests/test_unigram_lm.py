@@ -99,3 +99,11 @@ def test_estep_ships_by_value_not_by_module_reference():
         env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ""},
     )
     assert proc.returncode == 0 and "OK" in proc.stdout, proc.stderr
+
+
+def test_viterbi_tie_breaks_to_lexicographically_smallest_pieces():
+    """Equal score AND equal piece count: the piece TUPLES are compared
+    (not their concatenation, which is always word[:i] and never
+    discriminates — ADVICE r4 #2): ('a','bc') < ('ab','c')."""
+    logp = {"a": -1.0, "bc": -1.0, "ab": -1.0, "c": -1.0}
+    assert U._viterbi("abc", logp, 2) == ["a", "bc"]
