@@ -9,11 +9,13 @@ library, and the result is a typed feature column.
 
 PNG pixel decode is REAL — a pure-stdlib codec (``decode_png`` /
 ``encode_png``: zlib + per-spec scanline unfilter in numpy) powers the
-resize stage with no image library. WAV PCM sample decode is REAL too —
-``decode_wav`` / ``encode_wav_pcm16`` (RIFF chunk walk + numpy frombuffer,
-PCM 8/16/32-bit and float32) power ``audio_features`` with no audio
-library. The remaining decode steps (JPEG pixels, video frames) are
-STUBBED (no JPEG/video libs in this container): ``decode_stub=True``
+resize stage with no image library. Baseline-JPEG pixel decode is REAL —
+``decode_jpeg`` / ``encode_jpeg_baseline`` (marker walk, canonical Huffman
+entropy decode, dequant + orthonormal IDCT, chroma upsampling, BT.601) —
+as is WAV PCM sample decode — ``decode_wav`` / ``encode_wav_pcm16`` (RIFF
+chunk walk + numpy frombuffer, PCM 8/16/32-bit and float32) powering
+``audio_features``. The one remaining decode step (video frames) is
+STUBBED (no video libs in this container): ``decode_stub=True``
 computes deterministic fake features (length, rolling byte checksum) so the
 Spark-side plumbing — schema, batch shape, partition behavior — is fully
 real and tested; swapping in PIL/torchaudio is a one-function change inside
@@ -127,14 +129,16 @@ FRAME_SCHEMA = T.StructType(
 def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True) -> DataFrame:
     """Resize stage: binary payload -> binary payload at (width, height).
 
-    PNG payloads take the REAL path: stdlib ``decode_png`` (zlib inflate +
-    vectorized scanline unfilter), deterministic nearest-neighbor resample,
-    ``encode_png`` back out — no image library anywhere. Non-PNG payloads
-    (JPEG et al.) still go through the declared stub slot: with
-    ``decode_stub=True`` the fake 'resize' deterministically truncates or
-    tiles payload bytes to width*height so the output-size contract is
-    real; with ``decode_stub=False`` they raise NotImplementedError (the
-    honest codec slot). Runs in place (mapInPandas, no shuffle).
+    PNG and baseline-JPEG payloads take the REAL path: the pure-stdlib
+    codecs (``decode_png``: zlib inflate + vectorized scanline unfilter;
+    ``decode_jpeg``: Huffman + IDCT baseline decode), deterministic
+    nearest-neighbor resample, then re-encode in the payload's own format
+    — no image library anywhere. Other payloads (GIF et al.) still go
+    through the declared stub slot: with ``decode_stub=True`` the fake
+    'resize' deterministically truncates or tiles payload bytes to
+    width*height so the output-size contract is real; with
+    ``decode_stub=False`` they raise NotImplementedError (the honest
+    codec slot). Runs in place (mapInPandas, no shuffle).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -150,14 +154,24 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
                     out["height"].append(None)
                     continue
                 b = bytes(payload)
+                jpeg_img = None
+                if b[:2] == b"\xff\xd8":
+                    try:
+                        jpeg_img = decode_jpeg(b)
+                    except ValueError:
+                        jpeg_img = None  # truncated/progressive: degrade below
                 if b[:8] == PNG_SIGNATURE:
                     resized = encode_png(resize_nearest(decode_png(b), width, height))
+                elif jpeg_img is not None:
+                    resized = encode_jpeg_baseline(
+                        resize_nearest(jpeg_img, width, height)
+                    )
                 elif decode_stub:
                     resized = (b * (target // max(len(b), 1) + 1))[:target]
                 else:
                     raise NotImplementedError(
-                        "real resize for non-PNG formats requires an image "
-                        "codec; plug it into this slot (PNG is handled)"
+                        "real resize for other formats requires an image "
+                        "codec; plug it into this slot (PNG + JPEG are handled)"
                     )
                 out["payload"].append(resized)
                 out["width"].append(width)
@@ -827,6 +841,459 @@ def synthesize_wav_media(
             i = _np.arange(n, dtype=_np.int64)
             s = ((int(d) * 7919 + i * 2663) % 65536) - 32768
             return encode_wav_pcm16(s.astype("<i2"), rate)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [synth(d) for d in pdf[id_col]],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, "media_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Real baseline-JPEG pixel codec — pure stdlib + numpy, no image libraries.
+# (VERDICT r4 item 6 stretch: the image slot's JPEG half. PNG was r3.)
+# Decoder: full baseline sequential DCT (SOF0) — marker walk, DQT/DHT/DRI,
+# canonical Huffman entropy decode with byte unstuffing and restart
+# markers, dequantize + dezigzag, orthonormal 8x8 IDCT as two matrix
+# multiplies, per-component chroma upsampling by sample replication,
+# BT.601 YCbCr->RGB. Progressive (SOF2), arithmetic, and 12-bit inputs
+# raise ValueError — declared out of scope, never silently mis-decoded.
+# Encoder: baseline 4:4:4 (or grayscale) with flat all-ones quantization
+# tables (near-lossless: error bounded by DCT float rounding) and
+# self-describing canonical Huffman tables emitted in DHT (12 DC symbols
+# at code length 4, all 162 AC symbols at length 8 — valid, prefix-free,
+# all-ones codes unused), so the decoder needs no out-of-band tables and
+# the pair round-trips within +/-1 per sample (asserted in tests).
+# Same `_build_*` by-value pickling convention as the PNG/WAV codecs.
+# ---------------------------------------------------------------------------
+
+
+def _build_jpeg_codec():
+    import numpy as np
+
+    _ZIGZAG = np.array(
+        [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ],
+        dtype=np.int64,
+    )
+    # orthonormal 8x8 DCT-II matrix: JPEG FDCT = T @ f @ T.T, IDCT = T.T @ F @ T
+    _x = np.arange(8)
+    _T = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) * np.sqrt(2 / 8)
+    _T[0] = np.sqrt(1 / 8)
+
+    class _Bits:
+        """MSB-first bit reader over a byte-unstuffed entropy segment."""
+
+        def __init__(self, data: bytes):
+            self.d = data
+            self.pos = 0  # bit position
+
+        def read(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                byte = self.d[self.pos >> 3]
+                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+                self.pos += 1
+            return v
+
+        def align(self):
+            self.pos = (self.pos + 7) & ~7
+
+    def _extend(v: int, size: int) -> int:
+        # JPEG F.2.2.1 EXTEND: size-bit magnitude to signed value
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    def _huff_decode(bits: _Bits, table: dict) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | bits.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def decode_jpeg(data: bytes):
+        """Decode a baseline sequential (SOF0) 8-bit JPEG to a numpy uint8
+        array of shape (height, width) for grayscale or (height, width, 3)
+        RGB (BT.601 conversion, chroma upsampled by sample replication)."""
+        b = bytes(data)
+        if b[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload")
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+        frame = None
+        restart_interval = 0
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            seg = b[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    prec, tid = seg[j] >> 4, seg[j] & 0xF
+                    if prec != 0:
+                        raise ValueError("16-bit quant tables unsupported")
+                    qt[tid] = np.frombuffer(seg, np.uint8, 64, j + 1).astype(np.int32)
+                    j += 65
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0xF
+                    counts = list(seg[j + 1 : j + 17])
+                    syms = seg[j + 17 : j + 17 + sum(counts)]
+                    code, k, table = 0, 0, {}
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = syms[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    j += 17 + sum(counts)
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+                if prec != 8:
+                    raise ValueError("only 8-bit precision supported")
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                frame = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("only baseline sequential (SOF0) JPEG supported")
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF0")
+                ns = seg[0]
+                scan = {}
+                for c in range(ns):
+                    scan[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                ecs_start = i + 2 + seg_len
+                return _decode_scan(
+                    b, ecs_start, frame, scan, qt, huff, restart_interval
+                )
+            i += 2 + seg_len
+        raise ValueError("JPEG missing SOS")
+
+    def _decode_scan(b, start, frame, scan, qt, huff, restart_interval):
+        h, w, comps = frame
+        # unstuff the entropy segment, recording restart-marker cut points
+        out = bytearray()
+        cuts = []
+        j = start
+        while j < len(b):
+            byte = b[j]
+            if byte == 0xFF:
+                nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+                if nxt == 0x00:
+                    out.append(0xFF)
+                    j += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:  # RSTn
+                    cuts.append(len(out) * 8)
+                    j += 2
+                    continue
+                break  # EOI or next marker
+            out.append(byte)
+            j += 1
+        bits = _Bits(bytes(out))
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        planes = [
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+            for c in comps
+        ]
+        pred = [0] * len(comps)
+        n_mcu = 0
+        cut_idx = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    # resync at the recorded restart cut, reset DC predictors
+                    if cut_idx < len(cuts):
+                        bits.pos = cuts[cut_idx]
+                        cut_idx += 1
+                    else:
+                        bits.align()
+                    pred = [0] * len(comps)
+                n_mcu += 1
+                for ci, c in enumerate(comps):
+                    dc_t = huff[(0, scan[c["id"]][0])]
+                    ac_t = huff[(1, scan[c["id"]][1])]
+                    q = qt[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = np.zeros(64, dtype=np.int64)
+                            s = _huff_decode(bits, dc_t)
+                            diff = _extend(bits.read(s), s) if s else 0
+                            pred[ci] += diff
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(bits, ac_t)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC run overflow")
+                                zz[k] = _extend(bits.read(s), s)
+                                k += 1
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[_ZIGZAG] = zz * q
+                            blk = _T.T @ coef.reshape(8, 8) @ _T + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+        # upsample every component to full MCU-grid resolution, then crop
+        full = []
+        for ci, c in enumerate(comps):
+            p = planes[ci]
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+            full.append(p[:h, :w])
+        if len(full) == 1:
+            return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        if len(full) != 3:
+            raise ValueError("only 1- or 3-component JPEGs supported")
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=-1,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    # ---- encoder (baseline, 4:4:4 / grayscale, flat quant, own tables) ----
+    _DC_SYMS = list(range(12))  # all at code length 4
+    _AC_SYMS = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]  # all 162 at code length 8
+    _AC_SYMS.sort()
+
+    def _canonical(syms, length):
+        return {sym: (length, code) for code, sym in enumerate(syms)}
+
+    _DC_CODE = _canonical(_DC_SYMS, 4)
+    _AC_CODE = _canonical(_AC_SYMS, 8)
+
+    def _dht_segment(tc, th, syms, length):
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        return bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+
+    class _BitWriter:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def write(self, value, length):
+            for k in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((value >> k) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0x00)  # byte stuffing
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.write(1, 1)  # pad with 1-bits per spec
+            return bytes(self.buf)
+
+    def _encode_block(bw, blk, pred):
+        coef = _T @ (blk.astype(np.float64) - 128.0) @ _T.T
+        zz = np.round(coef.reshape(64)[_ZIGZAG]).astype(np.int64)
+        diff = int(zz[0]) - pred
+        size = int(diff).bit_length() if diff else 0
+        l, c = _DC_CODE[size]
+        bw.write(c, l)
+        if size:
+            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last_nz = np.nonzero(zz[1:])[0]
+        last = last_nz[-1] + 1 if len(last_nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                l, c = _AC_CODE[0xF0]
+                bw.write(c, l)
+                run -= 16
+            size = abs(v).bit_length()
+            l, c = _AC_CODE[(run << 4) | size]
+            bw.write(c, l)
+            bw.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < 63:
+            l, c = _AC_CODE[0x00]
+            bw.write(c, l)
+        return int(zz[0])
+
+    def encode_jpeg_baseline(arr) -> bytes:
+        """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+        baseline 4:4:4 JPEG with flat (all-ones) quantization — the
+        near-lossless configuration: decode_jpeg reproduces every sample
+        within +/-1 (DCT float rounding only)."""
+        import struct
+
+        a = np.asarray(arr, dtype=np.uint8)
+        gray = a.ndim == 2
+        h, w = a.shape[:2]
+        if gray:
+            planes = [a.astype(np.float64)]
+        else:
+            r, g, bch = (a[..., k].astype(np.float64) for k in range(3))
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * bch,
+                -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0,
+            ]
+        out = bytearray(b"\xff\xd8")  # SOI
+
+        def seg(marker, body):
+            out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+        seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+        nc = 1 if gray else 3
+        sof = struct.pack(">BHHB", 8, h, w, nc)
+        for cid in range(1, nc + 1):
+            sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+        seg(0xC0, sof)
+        seg(0xC4, _dht_segment(0, 0, _DC_SYMS, 4))
+        seg(0xC4, _dht_segment(1, 0, _AC_SYMS, 8))
+        sos = bytes([nc])
+        for cid in range(1, nc + 1):
+            sos += bytes([cid, 0x00])
+        sos += bytes([0, 63, 0])
+        seg(0xDA, sos)
+        bw = _BitWriter()
+        preds = [0] * nc
+        pad_h, pad_w = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = [
+            np.pad(p, ((0, pad_h - h), (0, pad_w - w)), mode="edge") for p in planes
+        ]
+        for my in range(pad_h // 8):
+            for mx in range(pad_w // 8):
+                for ci in range(nc):
+                    blk = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                    preds[ci] = _encode_block(bw, blk, preds[ci])
+        out.extend(bw.flush())
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
+
+    return decode_jpeg, encode_jpeg_baseline
+
+
+decode_jpeg, encode_jpeg_baseline = _build_jpeg_codec()
+
+
+IMAGE_STAT_SCHEMA = (
+    "media_id long, width int, height int, mean_px double, min_px int, max_px int"
+)
+
+
+def image_pixel_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
+    """REAL image pixel decode + per-payload stats: decode every PNG or
+    baseline-JPEG payload to pixels (``decode_png`` / ``decode_jpeg``) and
+    reduce to (width, height, mean, min, max) over the gray/luma plane
+    (channel mean for multi-channel images). Arrow-batched ``mapInPandas``,
+    O(pixels) per row, zero shuffle; undecodable payloads degrade to NULL
+    stat columns (quarantine-friendly).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def stats(payload):
+            none = (None, None, None, None, None)
+            if payload is None:
+                return none
+            b = bytes(payload)
+            try:
+                if b[:8] == PNG_SIGNATURE:
+                    img = decode_png(b)
+                elif b[:2] == b"\xff\xd8":
+                    img = decode_jpeg(b)
+                else:
+                    return none
+            except ValueError:
+                return none
+            plane = img.astype(_np.float64)
+            if plane.ndim == 3:
+                plane = plane.mean(axis=2)
+            return (
+                img.shape[1],
+                img.shape[0],
+                round(float(plane.mean()), round_digits),
+                int(plane.min()),
+                int(plane.max()),
+            )
+
+        for pdf in batches:
+            rows = [stats(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": _pd.array([r[0] for r in rows], dtype="Int32"),
+                    "height": _pd.array([r[1] for r in rows], dtype="Int32"),
+                    "mean_px": _pd.array([r[2] for r in rows], dtype="float64"),
+                    "min_px": _pd.array([r[3] for r in rows], dtype="Int32"),
+                    "max_px": _pd.array([r[4] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, IMAGE_STAT_SCHEMA)
+
+
+def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): a deterministic 16x16 grayscale baseline JPEG
+    per input id, built from four constant 8x8 blocks with the CLOSED-FORM
+    value of block k (row-major) of id d:
+        v(d, k) = (d * 31 + k * 17) mod 256.
+    Constant blocks survive flat-quant JPEG EXACTLY (all energy in the
+    integer DC term), so a SQL oracle can predict the decoded pixel stats
+    from the closed form with no codec — certifying the full JPEG
+    encode -> Huffman/IDCT decode chain by value hash, the image twin of
+    ``synthesize_wav_media``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def synth(d):
+            img = _np.empty((16, 16), dtype=_np.uint8)
+            for k in range(4):
+                by, bx = divmod(k, 2)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    int(d) * 31 + k * 17
+                ) % 256
+            return encode_jpeg_baseline(img)
 
         for pdf in batches:
             yield _pd.DataFrame(
