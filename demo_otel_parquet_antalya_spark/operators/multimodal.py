@@ -14,12 +14,16 @@ resize stage with no image library. Baseline-JPEG pixel decode is REAL —
 entropy decode, dequant + orthonormal IDCT, chroma upsampling, BT.601) —
 as is WAV PCM sample decode — ``decode_wav`` / ``encode_wav_pcm16`` (RIFF
 chunk walk + numpy frombuffer, PCM 8/16/32-bit and float32) powering
-``audio_features``. The one remaining decode step (video frames) is
-STUBBED (no video libs in this container): ``decode_stub=True``
-computes deterministic fake features (length, rolling byte checksum) so the
+``audio_features``. Video frame decode is REAL for MJPEG-in-AVI —
+``encode_avi_mjpeg`` / ``decode_avi_frames`` demux the RIFF/AVI container
+and each frame pixel-decodes through the JPEG codec
+(``video_frame_stats``; ``sample_frames`` demuxes real frames for AVI
+payloads too). Inter-frame-predicted codecs (H.264 et al.) and other
+formats stay behind the declared stub: ``decode_stub=True`` computes
+deterministic fake features (length, rolling byte checksum) so the
 Spark-side plumbing — schema, batch shape, partition behavior — is fully
-real and tested; swapping in PIL/torchaudio is a one-function change inside
-the pandas iterator.
+real and tested; swapping in PIL/torchaudio/ffmpeg is a one-function
+change inside the pandas iterator.
 """
 
 from __future__ import annotations
@@ -184,13 +188,14 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8, decode_stub: bool = True) -> DataFrame:
     """Frame sampling: one binary payload -> N frame rows (1:N un-nesting).
 
-    STUBBED: 'frames' are fixed-stride byte windows standing in for video
-    keyframes; the per-row fan-out, output schema and batch shape are the
-    real contract. Emits (media_id, frame_idx, frame) — downstream
-    feature-extraction runs on frames exactly like whole payloads.
+    MJPEG-AVI payloads take the REAL path: the RIFF/AVI demuxer
+    (``decode_avi_frames``) yields each video frame's JPEG bytes, sampled
+    evenly up to ``max_frames`` with ORIGINAL frame indices — downstream
+    feature-extraction decodes them like any JPEG payload. Other formats
+    go through the declared stub ('frames' are fixed-stride byte windows)
+    with ``decode_stub=True``, or raise with ``decode_stub=False`` (the
+    honest codec slot for inter-frame-predicted formats).
     """
-    if not decode_stub:
-        raise NotImplementedError("real frame sampling requires a video codec; plug it into the stub slot")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -200,7 +205,21 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                b = bytes(payload)  # <- real demux/decode goes here
+                b = bytes(payload)
+                if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    fr, _fps = decode_avi_frames(b)
+                    n = len(fr)
+                    take = min(max_frames, n)
+                    for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
+                        ids.append(media_id)
+                        idxs.append(fi)
+                        frames.append(fr[fi])
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real frame sampling for non-AVI formats requires a "
+                        "video codec; plug it into this slot (MJPEG-AVI is handled)"
+                    )
                 for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
                     ids.append(media_id)
                     idxs.append(i)
@@ -437,9 +456,11 @@ VIDEO_HEADER_SCHEMA = (
 def parse_video_headers(media: DataFrame) -> DataFrame:
     """REAL video container-header decode, completing the image/audio/video
     triad: MP4/ISO-BMFF box walk — ``ftyp`` sniffs the type, ``moov/mvhd``
-    yields timescale + duration, ``trak`` boxes are counted. Pure byte
-    walking (big-endian box sizes), no codec library; frame decode stays
-    the declared stub slot.
+    yields timescale + duration, ``trak`` boxes are counted — plus the
+    RIFF/AVI sibling (``avih``: microseconds-per-frame, total frames,
+    stream count). Pure byte walking, no codec library; AVI frame PIXEL
+    decode is real too (``video_frame_stats``), MP4 frame decode stays the
+    declared stub slot.
 
     Arrow-batched mapInPandas, zero shuffle; malformed/truncated payloads
     degrade to NULLs (quarantine-friendly).
@@ -470,6 +491,28 @@ def parse_video_headers(media: DataFrame) -> DataFrame:
             if payload is None:
                 return none
             b = bytes(payload)
+            if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                # AVI sibling: avih gives microseconds/frame + total frames
+                # + stream count; timescale has no AVI equivalent -> NULL
+                i, us_pf, n_frames, n_streams = 12, None, None, None
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                    if cid == b"LIST":
+                        i += 12  # descend into the list
+                        continue
+                    if cid == b"avih" and clen >= 28:
+                        us_pf = int.from_bytes(b[i + 8 : i + 12], "little")
+                        n_frames = int.from_bytes(b[i + 24 : i + 28], "little")
+                        n_streams = int.from_bytes(b[i + 32 : i + 36], "little")
+                        break
+                    i += 8 + clen + (clen & 1)
+                dur = (
+                    int(us_pf * n_frames / 1000)
+                    if us_pf and n_frames is not None
+                    else None
+                )
+                return "video/x-msvideo", dur, None, n_streams
             if len(b) < 12 or b[4:8] != b"ftyp":
                 return none
             dur_ms = scale = None
@@ -1294,6 +1337,203 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     int(d) * 31 + k * 17
                 ) % 256
             return encode_jpeg_baseline(img)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [synth(d) for d in pdf[id_col]],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, "media_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Real MJPEG-in-AVI video codec — pure stdlib, no video libraries.
+# Closes the LAST declared multimodal stub slot: AVI is a RIFF container
+# (the WAV walker's sibling) and MJPEG frames are baseline JPEGs (decoded
+# by decode_jpeg above), so frame DEMUX and frame PIXEL decode are both
+# real. Inter-frame-predicted codecs (H.264 et al.) remain out of scope by
+# declaration — an MJPEG stream has no inter-frame state, which is exactly
+# what makes a self-contained pure-stdlib decoder honest rather than toy.
+# Same `_build_*` by-value pickling convention as the PNG/WAV/JPEG codecs.
+# ---------------------------------------------------------------------------
+
+
+def _build_avi_codec():
+    import struct
+
+    def encode_avi_mjpeg(jpeg_frames, fps: int, width: int, height: int) -> bytes:
+        """Pack baseline-JPEG payloads as a spec-shaped MJPEG AVI:
+        RIFF('AVI ') [ LIST(hdrl)[avih, LIST(strl)[strh 'vids'/'MJPG',
+        strf BITMAPINFOHEADER]], LIST(movi)['00dc' frames], idx1 ]."""
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", kind + body)
+
+        n = len(jpeg_frames)
+        max_bytes = max((len(f) for f in jpeg_frames), default=0)
+        avih = struct.pack(
+            "<14I", 1_000_000 // max(fps, 1), max_bytes * fps, 0, 0x10,
+            n, 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+        )
+        strh = (
+            b"vidsMJPG"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, max(fps, 1), 0, n, max_bytes, 0, 0)
+            + struct.pack("<4h", 0, 0, width, height)
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+            width * height * 3, 0, 0, 0, 0,
+        )
+        hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        movi_chunks = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+        movi = lst(b"movi", movi_chunks)
+        # idx1: (ckid, flags=KEYFRAME, offset-from-movi-kind, size) per frame
+        off, entries = 4, []
+        for f in jpeg_frames:
+            entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+            off += 8 + len(f) + (len(f) & 1)
+        idx1 = chunk(b"idx1", b"".join(entries))
+        body = b"AVI " + hdrl + movi + idx1
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def decode_avi_frames(data: bytes):
+        """(frames, fps): the raw JPEG payload of every video frame chunk
+        ('00dc'/'00db', including inside 'rec ' groups), in stream order,
+        plus the frame rate from strh (rate/scale, falling back to avih's
+        microseconds-per-frame). Non-AVI payloads raise ValueError."""
+        b = bytes(data)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI payload")
+        frames: list[bytes] = []
+        fps = None
+        us_per_frame = None
+
+        def walk(start: int, end: int):
+            nonlocal fps, us_per_frame
+            i = start
+            while i + 8 <= end:
+                cid = b[i : i + 4]
+                clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                body_start, body_end = i + 8, min(i + 8 + clen, end)
+                if cid == b"LIST":
+                    walk(body_start + 4, body_end)  # skip the list kind
+                elif cid in (b"00dc", b"00db"):
+                    frames.append(b[body_start:body_end])
+                elif cid == b"strh" and clen >= 32 and b[body_start : body_start + 4] == b"vids":
+                    scale = int.from_bytes(b[body_start + 20 : body_start + 24], "little")
+                    rate = int.from_bytes(b[body_start + 24 : body_start + 28], "little")
+                    if scale:
+                        fps = rate // scale
+                elif cid == b"avih" and clen >= 4:
+                    us_per_frame = int.from_bytes(b[body_start : body_start + 4], "little")
+                i += 8 + clen + (clen & 1)  # chunks are word-aligned
+
+        walk(12, len(b))
+        if fps is None and us_per_frame:
+            fps = 1_000_000 // us_per_frame
+        return frames, fps
+
+    return encode_avi_mjpeg, decode_avi_frames
+
+
+encode_avi_mjpeg, decode_avi_frames = _build_avi_codec()
+
+
+VIDEO_FRAME_STAT_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, mean_px double"
+)
+
+
+def video_frame_stats(
+    media: DataFrame, max_frames: int = 8, round_digits: int = 6
+) -> DataFrame:
+    """REAL video frame decode: demux every MJPEG-AVI payload
+    (``decode_avi_frames``), sample up to ``max_frames`` frames evenly
+    across the stream (original frame indices preserved), pixel-decode
+    each sampled frame with the baseline-JPEG codec, and emit per-frame
+    (width, height, mean pixel). One payload -> N rows, Arrow-batched
+    ``mapInPandas``, O(payload) per row, zero shuffle; non-AVI or
+    undecodable payloads yield no rows (quarantine-friendly).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    frames, _fps = decode_avi_frames(bytes(payload))
+                except ValueError:
+                    continue
+                n = len(frames)
+                take = min(max_frames, n)
+                picked = sorted({(k * n) // take for k in range(take)}) if take else []
+                for fi in picked:
+                    try:
+                        img = decode_jpeg(frames[fi])
+                    except ValueError:
+                        continue
+                    plane = img.astype(_np.float64)
+                    if plane.ndim == 3:
+                        plane = plane.mean(axis=2)
+                    ids.append(media_id)
+                    idxs.append(fi)
+                    ws.append(img.shape[1])
+                    hs.append(img.shape[0])
+                    means.append(round(float(plane.mean()), round_digits))
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": _pd.array(idxs, dtype="Int32"),
+                    "width": _pd.array(ws, dtype="Int32"),
+                    "height": _pd.array(hs, dtype="Int32"),
+                    "mean_px": _pd.array(means, dtype="float64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, VIDEO_FRAME_STAT_SCHEMA)
+
+
+def synthesize_avi_media(
+    ids: DataFrame, id_col: str = "doc_id", fps: int = 10
+) -> DataFrame:
+    """(media_id, payload): a deterministic MJPEG AVI per input id with
+    n = 2 + (d mod 3) frames; frame f is the block-constant 16x16 JPEG
+    whose block k (row-major 2x2 grid) has the CLOSED-FORM value
+        v(d, f, k) = (d * 31 + f * 97 + k * 17) mod 256.
+    Constant blocks survive flat-quant JPEG exactly, so a SQL oracle can
+    recompute every sampled frame's pixel stats from the closed form with
+    no codec — certifying container demux + frame pixel decode end-to-end
+    (the video twin of ``synthesize_jpeg_media`` / ``synthesize_wav_media``).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def frame(d, f):
+            img = _np.empty((16, 16), dtype=_np.uint8)
+            for k in range(4):
+                by, bx = divmod(k, 2)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    int(d) * 31 + f * 97 + k * 17
+                ) % 256
+            return encode_jpeg_baseline(img)
+
+        def synth(d):
+            n = 2 + (int(d) % 3)
+            return encode_avi_mjpeg([frame(d, f) for f in range(n)], fps, 16, 16)
 
         for pdf in batches:
             yield _pd.DataFrame(

@@ -509,6 +509,46 @@ def q_multimodal_image_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_frame_stats",
+    # The oracle replays the AVI synthesizer's CLOSED-FORM frame blocks
+    # block k of frame f of doc d = (d*31 + f*97 + k*17) % 256, with
+    # n_frames = 2 + d%3 — directly in SQL. Constant blocks survive
+    # flat-quant JPEG exactly, so a value match certifies RIFF/AVI demux
+    # AND per-frame Huffman/IDCT pixel decode end-to-end with no codec
+    # in DuckDB.
+    "WITH ids AS (SELECT doc_id FROM documents), "
+    "fr AS (SELECT doc_id, f FROM ids, LATERAL (SELECT unnest(range(0, "
+    "2 + doc_id % 3)) AS f) t), "
+    "px AS (SELECT doc_id, f, (doc_id * 31 + f * 97 + k * 17) % 256 AS v "
+    "FROM fr, LATERAL (SELECT unnest(range(0, 4)) AS k) u) "
+    "SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx, "
+    "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "ROUND(AVG(v), 6) AS mean_px "
+    "FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx LIMIT 200",
+    doc=(
+        "REAL video frame decode (the last multimodal stub slot, closed): "
+        "deterministic MJPEG-AVI streams are synthesized per doc_id, "
+        "demuxed by the pure-stdlib RIFF/AVI walker, and every frame "
+        "pixel-decoded through the baseline-JPEG codec "
+        "(operators/multimodal.py::video_frame_stats) — one payload -> "
+        "N frame rows in a single Arrow-batched mapInPandas pass, zero "
+        "shuffle. The DuckDB oracle recomputes each frame's pixel mean "
+        "from the closed form with no codec, so the value hash certifies "
+        "container demux + frame pixel decode end-to-end."
+    ),
+    tags=("northstar", "multimodal"),
+)
+def q_multimodal_video_frame_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    avis = multimodal.synthesize_avi_media(docs.select("doc_id"))
+    return (
+        multimodal.video_frame_stats(avis)
+        .orderBy("media_id", "frame_idx")
+        .limit(200)
+    )
+
+
+@register(
     "multimodal_frame_sample",
     None,
     doc=(

@@ -1,0 +1,105 @@
+"""MJPEG-in-AVI video codec: the last multimodal stub slot, now real —
+RIFF/AVI container demux (sibling of the WAV chunk walk) + per-frame
+baseline-JPEG pixel decode. Frame-exact pins against hand-built streams."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from demo_otel_parquet_antalya_spark.operators.multimodal import (
+    decode_avi_frames,
+    decode_jpeg,
+    encode_avi_mjpeg,
+    encode_jpeg_baseline,
+    parse_video_headers,
+    sample_frames,
+    synthesize_avi_media,
+    video_frame_stats,
+)
+
+
+def _flat_jpeg(v: int) -> bytes:
+    return encode_jpeg_baseline(np.full((16, 16), v, dtype=np.uint8))
+
+
+def test_avi_round_trip_preserves_frame_bytes_and_fps():
+    frames = [_flat_jpeg(v) for v in (10, 20, 30)]
+    avi = encode_avi_mjpeg(frames, fps=25, width=16, height=16)
+    got, fps = decode_avi_frames(avi)
+    assert fps == 25
+    assert got == frames  # demux is byte-exact: frames come back verbatim
+    # and each demuxed frame pixel-decodes to its constant
+    for f, v in zip(got, (10, 20, 30)):
+        np.testing.assert_array_equal(decode_jpeg(f), np.full((16, 16), v, np.uint8))
+
+
+def test_non_avi_payloads_raise():
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_frames(b"\xff\xd8\xff")
+
+
+def test_video_frame_stats_exact_means(spark):
+    """Block-constant frames survive flat-quant JPEG exactly, so the
+    per-frame mean through demux + pixel decode is integer-exact."""
+    frames = [_flat_jpeg(v) for v in (40, 200)]
+    avi = encode_avi_mjpeg(frames, fps=10, width=16, height=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, None), (3, bytearray(b"not a video"))],
+        "media_id long, payload binary",
+    )
+    rows = {(r.media_id, r.frame_idx): r for r in video_frame_stats(df).collect()}
+    assert set(rows) == {(1, 0), (1, 1)}  # non-AVI payloads yield no rows
+    assert rows[(1, 0)].mean_px == 40.0 and rows[(1, 1)].mean_px == 200.0
+    assert (rows[(1, 0)].width, rows[(1, 0)].height) == (16, 16)
+
+
+def test_sample_frames_routes_avi_through_real_demux(spark):
+    """AVI payloads must come back as their ORIGINAL JPEG frame bytes with
+    original frame indices (only possible via real demux); non-AVI
+    payloads keep the declared stub contract in the same frame."""
+    frames = [_flat_jpeg(v) for v in (1, 2, 3, 4, 5)]
+    avi = encode_avi_mjpeg(frames, fps=5, width=16, height=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"x" * 600))],
+        "media_id long, payload binary",
+    )
+    got = {}
+    for r in sample_frames(df, max_frames=2).collect():
+        got.setdefault(r.media_id, {})[r.frame_idx] = bytes(r.frame)
+    # 5 frames sampled down to 2: indices 0 and 2 (evenly strided floor(k*n/take))
+    assert set(got[1]) == {0, 2}
+    assert got[1][0] == frames[0] and got[1][2] == frames[2]
+    assert len(got[2]) == 2 and len(got[2][0]) == 256  # stub byte windows
+
+
+def test_parse_video_headers_detects_avi(spark):
+    avi = encode_avi_mjpeg([_flat_jpeg(9)] * 4, fps=10, width=16, height=16)
+    df = spark.createDataFrame([(1, bytearray(avi))], "media_id long, payload binary")
+    r = parse_video_headers(df).collect()[0]
+    assert r.mime_detected == "video/x-msvideo"
+    assert r.n_tracks == 1
+    assert r.duration_ms == 400  # 4 frames at 10 fps
+    assert r.timescale is None
+
+
+def test_synthesized_avi_matches_closed_form(spark):
+    """Every sampled frame of the synthesizer must decode to its
+    closed-form block values exactly — the invariant the SQL oracle
+    replays with no codec."""
+    ids = spark.createDataFrame([(0,), (4,), (11,)], "doc_id long")
+    payloads = {r.media_id: bytes(r.payload) for r in synthesize_avi_media(ids).collect()}
+    for d, payload in payloads.items():
+        frames, fps = decode_avi_frames(payload)
+        assert fps == 10 and len(frames) == 2 + (d % 3)
+        for f, jpeg in enumerate(frames):
+            img = decode_jpeg(jpeg)
+            want = np.empty((16, 16), dtype=np.uint8)
+            for k in range(4):
+                by, bx = divmod(k, 2)
+                want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    d * 31 + f * 97 + k * 17
+                ) % 256
+            np.testing.assert_array_equal(img, want)
