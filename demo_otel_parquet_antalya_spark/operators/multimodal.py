@@ -133,11 +133,12 @@ FRAME_SCHEMA = T.StructType(
 def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True) -> DataFrame:
     """Resize stage: binary payload -> binary payload at (width, height).
 
-    PNG and baseline-JPEG payloads take the REAL path: the pure-stdlib
-    codecs (``decode_png``: zlib inflate + vectorized scanline unfilter;
-    ``decode_jpeg``: Huffman + IDCT baseline decode), deterministic
-    nearest-neighbor resample, then re-encode in the payload's own format
-    — no image library anywhere. Other payloads (GIF et al.) still go
+    PNG, GIF, and baseline-JPEG payloads take the REAL path: the
+    pure-stdlib codecs (``decode_png``: zlib inflate + vectorized scanline
+    unfilter; ``decode_gif``: full LZW + palettes; ``decode_jpeg``:
+    Huffman + IDCT baseline decode), deterministic nearest-neighbor
+    resample, then re-encode in the payload's own format — no image
+    library anywhere. Other payloads (WebP et al.) still go
     through the declared stub slot: with ``decode_stub=True`` the fake
     'resize' deterministically truncates or tiles payload bytes to
     width*height so the output-size contract is real; with
@@ -166,6 +167,8 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
                         jpeg_img = None  # truncated/progressive: degrade below
                 if b[:8] == PNG_SIGNATURE:
                     resized = encode_png(resize_nearest(decode_png(b), width, height))
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    resized = encode_gif(resize_nearest(decode_gif(b), width, height))
                 elif jpeg_img is not None:
                     resized = encode_jpeg_baseline(
                         resize_nearest(jpeg_img, width, height)
@@ -175,7 +178,7 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
                 else:
                     raise NotImplementedError(
                         "real resize for other formats requires an image "
-                        "codec; plug it into this slot (PNG + JPEG are handled)"
+                        "codec; plug it into this slot (PNG/GIF/JPEG handled)"
                     )
                 out["payload"].append(resized)
                 out["width"].append(width)
@@ -1260,8 +1263,9 @@ IMAGE_STAT_SCHEMA = (
 
 
 def image_pixel_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
-    """REAL image pixel decode + per-payload stats: decode every PNG or
-    baseline-JPEG payload to pixels (``decode_png`` / ``decode_jpeg``) and
+    """REAL image pixel decode + per-payload stats: decode every PNG, GIF,
+    or baseline-JPEG payload to pixels (``decode_png`` / ``decode_gif`` /
+    ``decode_jpeg``) and
     reduce to (width, height, mean, min, max) over the gray/luma plane
     (channel mean for multi-channel images). Arrow-batched ``mapInPandas``,
     O(pixels) per row, zero shuffle; undecodable payloads degrade to NULL
@@ -1282,6 +1286,8 @@ def image_pixel_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
                     img = decode_png(b)
                 elif b[:2] == b"\xff\xd8":
                     img = decode_jpeg(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    img = decode_gif(b)
                 else:
                     return none
             except ValueError:
@@ -1544,3 +1550,191 @@ def synthesize_avi_media(
             )
 
     return ids.select(id_col).mapInPandas(run, "media_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Real GIF pixel codec — pure stdlib + numpy, no image libraries.
+# GIF is LOSSLESS (LZW over palette indices), so unlike JPEG the round
+# trip is byte-for-byte pixel-exact — the strongest possible codec test.
+# Decoder: header + logical screen descriptor, global/local color tables,
+# extension skipping, full LZW decompression (variable code width, clear/
+# end codes, 12-bit cap) and Adam-style 4-pass deinterlace. Encoder:
+# palette-building GIF87a writer with a real LZW compressor (string table,
+# width growth, dictionary-full clear). Same `_build_*` by-value pickling
+# convention as the other codecs.
+# ---------------------------------------------------------------------------
+
+
+def _build_gif_codec():
+    import numpy as np
+
+    def _lzw_decode(data: bytes, mcs: int) -> list:
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        size = mcs + 1
+        out = []
+        prev = None
+        pos = 0
+        nbits = len(data) * 8
+        while pos + size <= nbits:
+            code = 0
+            for k in range(size):  # LSB-first packing
+                byte = data[(pos + k) >> 3]
+                code |= ((byte >> ((pos + k) & 7)) & 1) << k
+            pos += size
+            if code == clear:
+                table = table[: (1 << mcs) + 2]
+                size = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.append(entry)
+            prev = entry
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+        return out
+
+    def decode_gif(data: bytes):
+        """Decode the FIRST image of a GIF87a/89a payload to a numpy uint8
+        RGB array of shape (height, width, 3) — full LZW decompression,
+        local/global palettes, interlace supported. Animated GIFs decode
+        their first frame; malformed streams raise ValueError."""
+        b = bytes(data)
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        packed = b[10]
+        i = 13
+        global_pal = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            global_pal = np.frombuffer(b, np.uint8, 3 * n, i).reshape(n, 3)
+            i += 3 * n
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x21:  # extension: label + length-prefixed sub-blocks
+                i += 2
+                while i < len(b) and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            elif blk == 0x2C:  # image descriptor
+                w = int.from_bytes(b[i + 5 : i + 7], "little")
+                h = int.from_bytes(b[i + 7 : i + 9], "little")
+                ipacked = b[i + 9]
+                i += 10
+                pal = global_pal
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 7)
+                    pal = np.frombuffer(b, np.uint8, 3 * n, i).reshape(n, 3)
+                    i += 3 * n
+                if pal is None:
+                    raise ValueError("GIF image has no color table")
+                mcs = b[i]
+                i += 1
+                lzw = bytearray()
+                while i < len(b) and b[i] != 0:
+                    lzw.extend(b[i + 1 : i + 1 + b[i]])
+                    i += 1 + b[i]
+                idx = np.frombuffer(
+                    b"".join(_lzw_decode(bytes(lzw), mcs)), np.uint8
+                )
+                if len(idx) < w * h:
+                    raise ValueError("GIF pixel data truncated")
+                img = idx[: w * h].reshape(h, w)
+                if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+                    rows = np.empty(h, dtype=np.int64)
+                    order = [r for r in range(0, h, 8)] + [r for r in range(4, h, 8)] \
+                        + [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)]
+                    rows[np.array(order, dtype=np.int64)] = np.arange(h)
+                    img = img[rows]
+                return pal[img]
+            elif blk == 0x3B:  # trailer
+                break
+            else:
+                raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        raise ValueError("GIF contains no image")
+
+    def encode_gif(arr) -> bytes:
+        """Encode a (h, w, 3) RGB or (h, w) grayscale uint8 array with at
+        most 256 distinct colors as a GIF87a (real LZW compression).
+        Round-trips EXACTLY through decode_gif — GIF is lossless."""
+        import struct
+
+        a = np.asarray(arr, dtype=np.uint8)
+        if a.ndim == 2:
+            a = np.stack([a] * 3, axis=-1)
+        h, w = a.shape[:2]
+        flat = a.reshape(-1, 3)
+        pal, idx = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("GIF encoder supports at most 256 distinct colors")
+        depth = max(int(len(pal) - 1).bit_length(), 1)
+        n_pal = 1 << depth
+        mcs = max(depth, 2)
+        out = bytearray(b"GIF87a")
+        out.extend(struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0))
+        out.extend(pal.astype(np.uint8).tobytes())
+        out.extend(b"\x00" * (3 * (n_pal - len(pal))))
+        out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+        out.append(mcs)
+        # real LZW: string table, LSB-first variable-width codes
+        clear, end_code = 1 << mcs, (1 << mcs) + 1
+        table = {bytes([i]): i for i in range(1 << mcs)}
+        next_code = end_code + 1
+        size = mcs + 1
+        acc = n_acc = 0
+        body = bytearray()
+
+        def emit(code, csize):
+            nonlocal acc, n_acc
+            acc |= code << n_acc
+            n_acc += csize
+            while n_acc >= 8:
+                body.append(acc & 0xFF)
+                acc >>= 8
+                n_acc -= 8
+
+        emit(clear, size)
+        wstr = b""
+        for k in idx.astype(np.uint8).tobytes():
+            wk = wstr + bytes([k])
+            if wk in table:
+                wstr = wk
+                continue
+            emit(table[wstr], size)
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << size) and size < 12:
+                size += 1
+            elif next_code == (1 << 12):
+                emit(clear, size)
+                table = {bytes([i]): i for i in range(1 << mcs)}
+                next_code = end_code + 1
+                size = mcs + 1
+            wstr = bytes([k])
+        if wstr:
+            emit(table[wstr], size)
+        emit(end_code, size)
+        if n_acc:
+            body.append(acc & 0xFF)
+        for j in range(0, len(body), 255):
+            chunk = body[j : j + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.extend(b"\x00\x3b")
+        return bytes(out)
+
+    return decode_gif, encode_gif
+
+
+decode_gif, encode_gif = _build_gif_codec()

@@ -1,0 +1,77 @@
+"""GIF pixel codec: full LZW decode/encode, palettes, interlace. GIF is
+LOSSLESS, so every round trip must be byte-for-byte pixel-exact — the
+strongest codec contract in the multimodal tier."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from demo_otel_parquet_antalya_spark.operators.multimodal import (
+    decode_gif,
+    encode_gif,
+    image_pixel_stats,
+    resize,
+)
+
+
+def test_round_trip_exact_across_palette_sizes_and_shapes():
+    rng = np.random.default_rng(5)
+    for h, w, ncol in [(8, 8, 2), (16, 16, 4), (64, 64, 256), (5, 300, 250)]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (h, w))]
+        out = decode_gif(encode_gif(img))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_dictionary_cap_and_grayscale():
+    """65k pixels of structured data forces LZW through every code width to
+    the 12-bit cap and a mid-stream clear; grayscale input comes back as
+    its RGB expansion."""
+    g = np.tile(np.arange(256, dtype=np.uint8).reshape(16, 16), (16, 16))
+    out = decode_gif(encode_gif(g))
+    np.testing.assert_array_equal(out, np.stack([g] * 3, axis=-1))
+
+
+def test_interlaced_gif_decodes_in_display_order():
+    """Hand-interlace a known image (GIF 4-pass row order), set the
+    interlace flag, and require the decoder to un-shuffle it exactly."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 2, (10, 4)).astype(np.uint8) * 255
+    plain = encode_gif(img)
+    # image descriptor starts after header(6) + lsd(7) + 2-entry palette
+    i = 13 + 3 * 2
+    assert plain[i] == 0x2C
+    # encode the pixels pre-shuffled into GIF's 4-pass interlace row order,
+    # graft that stream onto the original header, set the interlace flag
+    order = [r for r in range(0, 10, 8)] + [r for r in range(4, 10, 8)] \
+        + [r for r in range(2, 10, 4)] + [r for r in range(1, 10, 2)]
+    interlaced = bytearray(plain[:i] + encode_gif(img[order])[i:])
+    interlaced[i + 9] |= 0x40
+    out = decode_gif(bytes(interlaced))
+    np.testing.assert_array_equal(out, np.stack([img] * 3, axis=-1))
+
+
+def test_too_many_colors_and_malformed_raise():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)  # ~1024 colors
+    if len(np.unique(img.reshape(-1, 3), axis=0)) > 256:
+        with pytest.raises(ValueError, match="256"):
+            encode_gif(img)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"\x89PNG\r\n\x1a\n")
+
+
+def test_spark_resize_and_stats_route_gif_through_real_codec(spark):
+    """A flat GIF resized through the Spark stage must come back as a
+    decodable GIF with the same constant pixels, and image_pixel_stats
+    must report its exact stats — only possible via the real codec."""
+    img = np.full((32, 32, 3), 99, dtype=np.uint8)
+    payload = encode_gif(img)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    row = resize(df, 8, 8).collect()[0]
+    np.testing.assert_array_equal(
+        decode_gif(bytes(row.payload)), np.full((8, 8, 3), 99, np.uint8)
+    )
+    st = image_pixel_stats(df).collect()[0]
+    assert (st.width, st.height, st.mean_px, st.min_px, st.max_px) == (32, 32, 99.0, 99, 99)
