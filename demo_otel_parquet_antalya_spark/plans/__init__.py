@@ -37,7 +37,6 @@ _DRIVER_WINDOW: tuple = (
     # aggregation (§2.C rows 13-17 + pandas UDAF)
     "agg_multikey_counts",
     "agg_pricing_summary",
-    "agg_rollup",
     "agg_pandas_udaf_iqr",  # PandasUDF GROUPED_AGG
     # windows / sessions / time buckets (§2.C rows 18-20)
     "window_first_order_per_customer",
@@ -46,7 +45,6 @@ _DRIVER_WINDOW: tuple = (
     # sort / set / scalars (§2.C rows 21-28)
     "sort_topk_orders",
     "string_functions",
-    "math_revenue_total",
     "array_hof_norm",
     "map_priority_counts",
     "json_extract_group",
@@ -74,7 +72,6 @@ _DRIVER_WINDOW: tuple = (
     "select_token_budget",  # r4-in: token-budget selection (prefix sums)
     # north-star: drift / time-series / multimodal / corpus prep
     "drift_ks_value",  # r4-in: Kolmogorov-Smirnov on prefix sums
-    "multimodal_payload_bytes",
     "pipeline_training_prep",
     # r5-in (VERDICT r4 item 3): the round-4-new families
     "graph_pagerank_trade",  # r5-in: weighted damped PageRank, unrolled oracle
@@ -86,6 +83,12 @@ _DRIVER_WINDOW: tuple = (
     "shard_token_balanced",  # r5-in: token-balanced contiguous sharding
     "tpch_q2_min_cost_supplier",  # r5-in: partsupp TPC-H representative
     "tpch_q9_product_type_profit",  # r5-in: partsupp TPC-H representative
+    # r5-in (late): the round-5-new codec chains, windowed the same round
+    # they were built so no curation lag accrues (VERDICT r4 item "What's
+    # wrong" #4) — each certifies a real pure-stdlib codec end-to-end
+    "multimodal_audio_features",  # r5-in: WAV PCM decode, closed-form oracle
+    "multimodal_image_stats",  # r5-in: baseline-JPEG pixel decode
+    "multimodal_video_frame_stats",  # r5-in: MJPEG-AVI demux + frame decode
 )
 
 # next-most-important — first in line if the driver window ever widens.
@@ -94,6 +97,9 @@ _DRIVER_WINDOW: tuple = (
 _SECOND_WINDOW: tuple = (
     # r5 rotate-outs (driver-green in r4; families still represented in the
     # driver window or graded pass-local like prior rotations)
+    "agg_rollup",
+    "math_revenue_total",
+    "multimodal_payload_bytes",
     "project_alias",
     "date_extract_year",
     "set_intersect_nations",
