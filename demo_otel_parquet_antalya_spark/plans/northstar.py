@@ -430,7 +430,7 @@ def q_multimodal_resize(spark, sf_dir):
     # directly from generate_series — no codec in DuckDB — so a value match
     # proves the whole Spark-side WAV encode -> PCM decode -> feature chain
     # is sample-exact end-to-end.
-    "WITH ids AS (SELECT doc_id FROM documents), "
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200), "
     "s AS (SELECT doc_id, i, "
     "(((doc_id * 7919 + i * 2663) % 65536) - 32768) / 32768.0 AS v "
     "FROM ids, LATERAL (SELECT unnest(range(0, 512 + (doc_id % 7) * 64)) AS i) t), "
@@ -460,12 +460,13 @@ def q_multimodal_resize(spark, sf_dir):
 )
 def q_multimodal_audio_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    wavs = multimodal.synthesize_wav_media(docs.select("doc_id"))
-    return (
-        multimodal.audio_features(wavs)
-        .orderBy("media_id")
-        .limit(200)
-    )
+    # features are per-doc pure functions of doc_id, so the 200-doc cap
+    # prunes BEFORE synthesis/decode (a limit can't push through
+    # mapInPandas); the oracle caps its ids CTE identically
+    ids = docs.select("doc_id").orderBy("doc_id").limit(200)
+    return multimodal.audio_features(
+        multimodal.synthesize_wav_media(ids)
+    ).orderBy("media_id")
 
 
 @register(
@@ -475,7 +476,7 @@ def q_multimodal_audio_features(spark, sf_dir):
     # value (d*31 + k*17) % 256 — directly in SQL. Constant blocks
     # survive flat-quant JPEG EXACTLY (integer DC term only), so a value
     # match certifies the whole encode -> Huffman/IDCT decode chain.
-    "WITH ids AS (SELECT doc_id FROM documents), "
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200), "
     "b AS (SELECT doc_id, k, (doc_id * 31 + k * 17) % 256 AS v "
     "FROM ids, LATERAL (SELECT unnest(range(0, 4)) AS k) t), "
     "f AS (SELECT doc_id, ROUND(AVG(v), 6) AS mean_px, "
@@ -500,12 +501,11 @@ def q_multimodal_audio_features(spark, sf_dir):
 )
 def q_multimodal_image_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    jpegs = multimodal.synthesize_jpeg_media(docs.select("doc_id"))
-    return (
-        multimodal.image_pixel_stats(jpegs)
-        .orderBy("media_id")
-        .limit(200)
-    )
+    # per-doc pure function of doc_id: cap ids BEFORE synthesis/decode
+    ids = docs.select("doc_id").orderBy("doc_id").limit(200)
+    return multimodal.image_pixel_stats(
+        multimodal.synthesize_jpeg_media(ids)
+    ).orderBy("media_id")
 
 
 @register(
@@ -516,7 +516,7 @@ def q_multimodal_image_stats(spark, sf_dir):
     # flat-quant JPEG exactly, so a value match certifies RIFF/AVI demux
     # AND per-frame Huffman/IDCT pixel decode end-to-end with no codec
     # in DuckDB.
-    "WITH ids AS (SELECT doc_id FROM documents), "
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64), "
     "fr AS (SELECT doc_id, f FROM ids, LATERAL (SELECT unnest(range(0, "
     "2 + doc_id % 3)) AS f) t), "
     "px AS (SELECT doc_id, f, (doc_id * 31 + f * 97 + k * 17) % 256 AS v "
@@ -524,7 +524,7 @@ def q_multimodal_image_stats(spark, sf_dir):
     "SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx, "
     "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
     "ROUND(AVG(v), 6) AS mean_px "
-    "FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx LIMIT 200",
+    "FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx",
     doc=(
         "REAL video frame decode (the last multimodal stub slot, closed): "
         "deterministic MJPEG-AVI streams are synthesized per doc_id, "
@@ -540,12 +540,12 @@ def q_multimodal_image_stats(spark, sf_dir):
 )
 def q_multimodal_video_frame_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    avis = multimodal.synthesize_avi_media(docs.select("doc_id"))
-    return (
-        multimodal.video_frame_stats(avis)
-        .orderBy("media_id", "frame_idx")
-        .limit(200)
-    )
+    # per-doc pure function of doc_id: cap ids BEFORE synthesis/decode
+    # (64 docs -> 128-256 frame rows; the oracle caps identically)
+    ids = docs.select("doc_id").orderBy("doc_id").limit(64)
+    return multimodal.video_frame_stats(
+        multimodal.synthesize_avi_media(ids)
+    ).orderBy("media_id", "frame_idx")
 
 
 @register(
