@@ -982,6 +982,8 @@ def _build_jpeg_codec():
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 raise ValueError("JPEG marker desync")
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1  # legal 0xFF fill bytes before a marker
             marker = b[i + 1]
             if marker == 0xD9:  # EOI
                 break
@@ -1031,9 +1033,14 @@ def _build_jpeg_codec():
                 for c in range(ns):
                     scan[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
                 ecs_start = i + 2 + seg_len
-                return _decode_scan(
-                    b, ecs_start, frame, scan, qt, huff, restart_interval
-                )
+                try:
+                    return _decode_scan(
+                        b, ecs_start, frame, scan, qt, huff, restart_interval
+                    )
+                except (IndexError, KeyError) as exc:
+                    # truncated entropy stream / missing table id: surface
+                    # as the ValueError contract every caller degrades on
+                    raise ValueError(f"corrupt JPEG scan: {exc}") from exc
             i += 2 + seg_len
         raise ValueError("JPEG missing SOS")
 

@@ -78,3 +78,16 @@ def test_resize_routes_jpeg_through_the_real_codec(spark):
     assert (row.width, row.height) == (16, 16)
     out = decode_jpeg(bytes(row.payload))
     np.testing.assert_array_equal(out, np.full((16, 16), 77, dtype=np.uint8))
+
+
+def test_truncated_entropy_stream_and_fill_bytes():
+    """A JPEG cut mid-entropy-stream must raise ValueError (the contract
+    every Spark stage degrades on), never IndexError; legal 0xFF fill
+    bytes before a marker must not desync the walk."""
+    good = encode_jpeg_baseline(np.arange(256, dtype=np.uint8).reshape(16, 16))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - 40])
+    # inject fill bytes before the SOF0 marker
+    i = good.find(b"\xff\xc0")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(good))
