@@ -146,10 +146,12 @@ def test_multimodal_real_decode_is_explicit_gap(spark, docs):
     media = multimodal.documents_as_media(docs)
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decode_stub=False)
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(media, decode_stub=False)
-    # resize now decodes PNG for real, so its non-PNG NotImplementedError is
-    # per-payload inside the executor (surfaces on collect, wrapped by Spark)
+    # resize and sample_frames decode PNG/GIF/JPEG/AVI for real, so their
+    # remaining NotImplementedError is per-payload inside the executor
+    # (these text payloads match no real codec; surfaces on collect,
+    # wrapped by Spark)
+    with pytest.raises(Exception, match="codec"):
+        multimodal.sample_frames(media, decode_stub=False).collect()
     with pytest.raises(Exception, match="codec"):
         multimodal.resize(media, decode_stub=False).collect()
 
