@@ -549,6 +549,51 @@ def q_multimodal_video_frame_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_classify",
+    # Mixed-media corpus from closed forms on doc_id (doc_id%3 picks the
+    # modality; each synthesizer's container parameters are closed-form),
+    # so the oracle predicts every header-derived property in pure SQL:
+    # a value match certifies the one-pass magic-byte classifier against
+    # three real containers at once.
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300) "
+    "SELECT doc_id AS media_id, "
+    "CASE doc_id % 3 WHEN 0 THEN 'audio' WHEN 1 THEN 'image' "
+    "ELSE 'video' END AS media_type, "
+    "CASE doc_id % 3 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/jpeg' "
+    "ELSE 'video/x-msvideo' END AS mime, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 16 END AS INTEGER) AS width, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 16 END AS INTEGER) AS height, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN 16000 END AS INTEGER) AS sample_rate, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 END AS INTEGER) AS channels, "
+    "CAST(CASE doc_id % 3 WHEN 0 THEN (512 + (doc_id % 7) * 64) * 1000 // 16000 "
+    "WHEN 2 THEN (2 + doc_id % 3) * 100 END AS INTEGER) AS duration_ms "
+    "FROM ids ORDER BY media_id",
+    doc=(
+        "One-pass media classification (the streaming media ingest's "
+        "gate, streaming/media.py): magic-byte dispatch to the matching "
+        "HEADER parser — O(header) bytes per payload, so the "
+        "decompression-bomb guard costs ~nothing and downstream "
+        "pixel/sample decode runs only on policy-passed payloads. One "
+        "Arrow-batched mapInPandas pass over a synthesized WAV/JPEG/AVI "
+        "mix; the DuckDB oracle predicts every header property from the "
+        "synthesizers' closed forms. "
+        "operators/multimodal.py::classify_media."
+    ),
+    tags=("northstar", "multimodal"),
+)
+def q_multimodal_classify(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(300)
+    m = F.col("doc_id") % 3
+    media = (
+        multimodal.synthesize_wav_media(ids.filter(m == 0))
+        .unionByName(multimodal.synthesize_jpeg_media(ids.filter(m == 1)))
+        .unionByName(multimodal.synthesize_avi_media(ids.filter(m == 2)))
+    )
+    return multimodal.classify_media(media).drop("n_bytes").orderBy("media_id")
+
+
+@register(
     "multimodal_frame_sample",
     None,
     doc=(
