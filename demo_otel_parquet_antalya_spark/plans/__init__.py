@@ -66,7 +66,6 @@ _DRIVER_WINDOW: tuple = (
     "string_edit_join_deletions",  # r4-in: SymSpell deletion blocking
     "er_golden_records",  # r4-in: survivorship over linkage clusters
     # north-star: text quality / retrieval / selection
-    "text_quality_metrics",
     "text_bm25_topk",  # r4-in: BM25 ranking
     "dsir_importance_topk",  # r4-in: DSIR importance weighting
     "select_token_budget",  # r4-in: token-budget selection (prefix sums)
@@ -89,6 +88,7 @@ _DRIVER_WINDOW: tuple = (
     "multimodal_audio_features",  # r5-in: WAV PCM decode, closed-form oracle
     "multimodal_image_stats",  # r5-in: baseline-JPEG pixel decode
     "multimodal_video_frame_stats",  # r5-in: MJPEG-AVI demux + frame decode
+    "multimodal_classify",  # r5-in: one-pass header classifier (media ingest gate)
 )
 
 # next-most-important — first in line if the driver window ever widens.
@@ -100,6 +100,7 @@ _SECOND_WINDOW: tuple = (
     "agg_rollup",
     "math_revenue_total",
     "multimodal_payload_bytes",
+    "text_quality_metrics",
     "project_alias",
     "date_extract_year",
     "set_intersect_nations",
