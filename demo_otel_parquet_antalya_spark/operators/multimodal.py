@@ -165,10 +165,16 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
                         jpeg_img = decode_jpeg(b)
                     except ValueError:
                         jpeg_img = None  # truncated/progressive: degrade below
+                gif_img = None
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        gif_img = decode_gif(b)
+                    except ValueError:
+                        gif_img = None  # truncated/corrupt: degrade below
                 if b[:8] == PNG_SIGNATURE:
                     resized = encode_png(resize_nearest(decode_png(b), width, height))
-                elif b[:6] in (b"GIF87a", b"GIF89a"):
-                    resized = encode_gif(resize_nearest(decode_gif(b), width, height))
+                elif gif_img is not None:
+                    resized = encode_gif(resize_nearest(gif_img, width, height))
                 elif jpeg_img is not None:
                     resized = encode_jpeg_baseline(
                         resize_nearest(jpeg_img, width, height)
@@ -1596,6 +1602,8 @@ def _build_gif_codec():
                 continue
             if code == end:
                 break
+            if code > len(table) or (prev is None and code >= len(table)):
+                raise ValueError("corrupt GIF LZW stream")
             if prev is None:
                 entry = table[code]
             elif code < len(table):
@@ -1620,6 +1628,8 @@ def _build_gif_codec():
         b = bytes(data)
         if b[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF payload")
+        if len(b) < 13:
+            raise ValueError("GIF header truncated")
         packed = b[10]
         i = 13
         global_pal = None

@@ -75,3 +75,13 @@ def test_spark_resize_and_stats_route_gif_through_real_codec(spark):
     )
     st = image_pixel_stats(df).collect()[0]
     assert (st.width, st.height, st.mean_px, st.min_px, st.max_px) == (32, 32, 99.0, 99, 99)
+
+
+def test_truncated_and_corrupt_streams_raise_valueerror():
+    """Truncation anywhere (header, palette, LZW stream) must raise
+    ValueError — the contract the Spark stages degrade on — never
+    IndexError; and an invalid LZW code is refused, not crashed on."""
+    good = encode_gif(np.full((8, 8), 7, dtype=np.uint8))
+    for cut in (7, 12, 15, len(good) - 4):
+        with pytest.raises(ValueError):
+            decode_gif(good[:cut])
