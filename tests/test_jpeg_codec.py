@@ -91,3 +91,16 @@ def test_truncated_entropy_stream_and_fill_bytes():
     i = good.find(b"\xff\xc0")
     padded = good[:i] + b"\xff\xff\xff" + good[i:]
     np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(good))
+
+
+def test_restart_intervals_round_trip():
+    """DRI + RSTn streams must decode identically to the restart-free
+    encoding — this is the only path through the decoder's resync logic
+    (seek to the recorded cut, reset DC predictors)."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg_baseline(img))
+    for interval in (1, 2, 7):
+        withrst = encode_jpeg_baseline(img, restart_interval=interval)
+        assert b"\xff\xdd" in withrst and b"\xff\xd0" in withrst
+        np.testing.assert_array_equal(decode_jpeg(withrst), plain)
