@@ -2379,3 +2379,110 @@ def q_graph_triangles_neardup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- privacy: regex-tier PII detection + scrubbing -------------------------
+#
+# The corpus is synthetic word soup with no real PII, so both queries
+# inject deterministic PII tokens (emails / IPv4s / E.164-ish phones,
+# multiplicities closed-form in doc_id) into the text IDENTICALLY in Spark
+# and in the DuckDB oracle, then run the SAME patterns — which makes the
+# check a dual-engine regex-semantics proof over the full pipeline (build
+# text -> scan/scrub -> aggregate), not a fixture-counting exercise. The
+# patterns avoid lookaround so Java regex (Spark) and RE2 (DuckDB) agree.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{7,12}"
+
+# text with injected PII, as one reusable SQL fragment and one Spark column
+_PII_TEXT_SQL = (
+    "text || repeat(' contact' || doc_id || '@example.com ', doc_id % 3) "
+    "|| repeat(' 10.0.' || (doc_id % 256) || '.7 ', doc_id % 4) "
+    "|| repeat(' +1415555' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') || ' ', "
+    "doc_id % 2)"
+)
+
+
+def _pii_text_col():
+    return F.concat(
+        F.col("text"),
+        F.expr("repeat(concat(' contact', doc_id, '@example.com '), doc_id % 3)"),
+        F.expr("repeat(concat(' 10.0.', doc_id % 256, '.7 '), doc_id % 4)"),
+        F.expr(
+            "repeat(concat(' +1415555', lpad(CAST(doc_id % 100 AS STRING), 4, '0'), ' '), "
+            "doc_id % 2)"
+        ),
+    )
+
+
+@register(
+    "privacy_pii_scan",
+    "WITH t AS (SELECT doc_id, " + _PII_TEXT_SQL + " AS txt FROM documents) "
+    "SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_emails, "
+    f"CAST(len(regexp_extract_all(txt, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4, "
+    f"CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT) AS n_phones "
+    "FROM t WHERE doc_id % 12 != 0 ORDER BY doc_id LIMIT 300",
+    doc=(
+        "Regex-tier PII detection (the redaction-audit pass of a "
+        "training-data pipeline): per-document counts of emails / IPv4s / "
+        "phone numbers, computed entirely JVM-side with regexp_count in "
+        "one scan stage — zero shuffle before the final sort, linear in "
+        "corpus bytes at 100 TB. The WHERE keeps docs where at least one "
+        "injected class is present (doc_id % 12 == 0 injects nothing), "
+        "so the scan is verified on non-trivial rows."
+    ),
+    tags=("northstar", "privacy"),
+)
+def q_privacy_pii_scan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _pii_text_col().alias("txt"))
+    return (
+        t.filter(F.col("doc_id") % 12 != 0)
+        .select(
+            "doc_id",
+            F.regexp_count("txt", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+            F.regexp_count("txt", F.lit(_PII_IPV4)).cast("long").alias("n_ipv4"),
+            F.regexp_count("txt", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@register(
+    "privacy_pii_scrub",
+    "WITH t AS (SELECT doc_id, " + _PII_TEXT_SQL + " AS txt FROM documents) "
+    "SELECT doc_id, "
+    f"regexp_replace(regexp_replace(regexp_replace(txt, '{_PII_EMAIL}', "
+    "'<EMAIL>', 'g'), "
+    f"'{_PII_IPV4}', '<IP>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text "
+    "FROM t WHERE doc_id % 12 != 0 ORDER BY doc_id LIMIT 100",
+    doc=(
+        "Regex-tier PII scrubbing (the action to the scan's audit): every "
+        "email/IPv4/phone occurrence replaced by a typed placeholder via "
+        "chained regexp_replace — still one JVM scan stage, zero shuffle. "
+        "The oracle string-compares the full scrubbed text, so the two "
+        "engines must agree on every match BOUNDARY, not just the counts."
+    ),
+    tags=("northstar", "privacy"),
+)
+def q_privacy_pii_scrub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _pii_text_col().alias("txt"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("txt", _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        t.filter(F.col("doc_id") % 12 != 0)
+        .select("doc_id", clean.alias("clean_text"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
