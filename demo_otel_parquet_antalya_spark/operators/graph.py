@@ -281,3 +281,63 @@ def triangle_counts(
         .join(per_node, "node", "left")
         .select("node", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+) -> DataFrame:
+    """(node, degree) for the nodes surviving ``rounds`` peel iterations
+    of the k-core reduction on the UNDIRECTED simple graph (direction,
+    duplicates, self-loops collapsed/dropped): each round removes every
+    node whose current degree is < ``k`` and the edges touching it — the
+    standard core-decomposition step (Seidman 1983, "Network structure
+    and minimum degree") that separates a dedup/linkage graph's dense
+    core from its periphery, one level finer than triangle counts.
+
+    The iteration count is FIXED (not convergence-tested), the same
+    oracle-replay discipline as ``pagerank``/``hits``: the result after R
+    rounds is a deterministic function of the edge list, so a relational
+    oracle unrolls R degree-filter-semijoin rounds and must match
+    exactly. Peeling is monotone (the surviving set only shrinks), so a
+    converged round is a no-op and extra rounds never change the result;
+    ``rounds`` ~ O(log n) suffices for typical graphs because peel
+    cascades shorten geometrically, and the converged fixpoint IS the
+    true k-core.
+
+    Scale shape: per round one keyed degree aggregate + one semi-join per
+    endpoint, each on a monotonically SHRINKING edge frame (work decays
+    with the periphery); lineage truncated per round via localCheckpoint.
+    No windows, nothing collected.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(u.alias("u"), v.alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

@@ -203,3 +203,61 @@ def test_triangles_match_bruteforce_property(spark, rows):
     if not rows:
         return
     assert _tri(spark, rows) == _brute_triangles(rows)
+
+
+def _kcore(spark, rows, k, rounds=6):
+    from demo_otel_parquet_antalya_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    return {r.node: r.degree for r in k_core(edges, k=k, rounds=rounds).collect()}
+
+
+def test_kcore_hand_graphs(spark):
+    # K4 is a 3-core: everyone survives at degree 3
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert _kcore(spark, k4, k=3) == {n: 3 for n in "abcd"}
+    # ...and has an empty 4-core
+    assert _kcore(spark, k4, k=4) == {}
+    # a path has an empty 2-core (peeling cascades from both ends)
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    assert _kcore(spark, path, k=2) == {}
+    # triangle + pendant: the 2-core is exactly the triangle
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "x")]
+    assert _kcore(spark, tri, k=2) == {"a": 2, "b": 2, "c": 2}
+    # duplicate/reversed/self-loop edges collapse before peeling
+    noisy = tri + [("b", "a"), ("a", "a"), ("b", "c")]
+    assert _kcore(spark, noisy, k=2) == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_matches_python_peel_on_random_graphs(spark):
+    """Fixed-round Spark peeling must equal the classic run-to-fixpoint
+    reference implementation once rounds cover the cascade depth."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(4):
+        n = 14
+        edges = sorted(
+            {
+                (f"n{min(a, b)}", f"n{max(a, b)}")
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+                )
+                if a != b
+            }
+        )
+        k = rng.choice([2, 3])
+        # reference: peel to fixpoint
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for node in [x for x in adj if len(adj[x]) < k]:
+                for nb in adj.pop(node):
+                    adj[nb].discard(node)
+                changed = True
+        want = {node: len(nbrs) for node, nbrs in adj.items()}
+        assert _kcore(spark, edges, k=k, rounds=n) == want, (trial, k)
