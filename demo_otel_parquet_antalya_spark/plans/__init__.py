@@ -40,7 +40,6 @@ _DRIVER_WINDOW: tuple = (
     "agg_pandas_udaf_iqr",  # PandasUDF GROUPED_AGG
     # windows / sessions / time buckets (§2.C rows 18-20)
     "window_first_order_per_customer",
-    "window_session_native",  # batch twin of streaming sessionize
     "time_bucket_30s_series",  # reference dashboard Q5 shape
     # sort / set / scalars (§2.C rows 21-28)
     "sort_topk_orders",
@@ -62,8 +61,6 @@ _DRIVER_WINDOW: tuple = (
     "dedup_line_level",  # r4-in: RefinedWeb line dedup
     # north-star: similarity / fingerprints / linkage
     "similarity_cosine_topk",
-    "fingerprint_overlap_pairs",  # r4-in: winnowing (MOSS)
-    "string_edit_join_deletions",  # r4-in: SymSpell deletion blocking
     "er_golden_records",  # r4-in: survivorship over linkage clusters
     # north-star: text quality / retrieval / selection
     "text_bm25_topk",  # r4-in: BM25 ranking
@@ -89,6 +86,9 @@ _DRIVER_WINDOW: tuple = (
     "multimodal_image_stats",  # r5-in: baseline-JPEG pixel decode
     "multimodal_video_frame_stats",  # r5-in: MJPEG-AVI demux + frame decode
     "multimodal_classify",  # r5-in: one-pass header classifier (media ingest gate)
+    "graph_kcore_trade",  # r5-in: fixed-round k-core peeling
+    "privacy_pii_scan",  # r5-in: regex-tier PII detection
+    "privacy_pii_scrub",  # r5-in: PII redaction, boundary-exact oracle
 )
 
 # next-most-important — first in line if the driver window ever widens.
@@ -101,6 +101,9 @@ _SECOND_WINDOW: tuple = (
     "math_revenue_total",
     "multimodal_payload_bytes",
     "text_quality_metrics",
+    "window_session_native",
+    "fingerprint_overlap_pairs",
+    "string_edit_join_deletions",
     "project_alias",
     "date_extract_year",
     "set_intersect_nations",
