@@ -2544,3 +2544,51 @@ def q_graph_kcore_trade(spark, sf_dir):
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     return graph.k_core(edges, k=8, rounds=4).orderBy("node")
+
+
+@register(
+    "timeseries_ewma_smoothing",
+    "WITH pm AS (SELECT event_type, date_trunc('minute', ts) AS m, "
+    "COUNT(*) AS c FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY m) AS cs "
+    "FROM pm GROUP BY 1) "
+    "SELECT event_type, CAST(len(cs) AS BIGINT) AS n_points, "
+    "ROUND(CAST(list_reduce(cs, (a, x) -> a * 0.7 + x * 0.3) AS DOUBLE), 6) "
+    "AS ewma, CAST(cs[len(cs)] AS BIGINT) AS last_raw "
+    "FROM s ORDER BY event_type",
+    doc=(
+        "Exponentially-weighted moving average over per-minute event "
+        "rates (alpha = 0.3, s_1 = x_1): the smoothing/baseline primitive "
+        "under alerting thresholds and trend panels. EWMA's recurrence is "
+        "not window-expressible without an overflowing power-series "
+        "trick, so it runs as a JVM aggregate-HOF FOLD over each series "
+        "(F.aggregate on the minute-sorted counts — per-group arrays "
+        "bounded by the time range, never by event count; the heavy "
+        "lifting is the map-side-combined minute pre-aggregation). The "
+        "oracle folds the identical recurrence with DuckDB list_reduce, "
+        "so both engines must agree bit-for-bit on the float sequence."
+    ),
+    tags=("northstar", "timeseries"),
+)
+def q_timeseries_ewma_smoothing(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count("*").alias("c"))
+    series = per_min.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "c"))),
+            lambda e: e["c"].cast("double"),
+        ).alias("cs")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("cs"), 2, F.greatest(F.size("cs") - 1, F.lit(0))),
+        F.element_at(F.col("cs"), 1),
+        lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+    )
+    return series.select(
+        "event_type",
+        F.size("cs").cast("long").alias("n_points"),
+        F.round(ewma, 6).alias("ewma"),
+        F.element_at(F.col("cs"), -1).cast("long").alias("last_raw"),
+    ).orderBy("event_type")
