@@ -341,3 +341,59 @@ def k_core(
         .agg(F.count("*").alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """(node, community) after exactly ``rounds`` synchronous label-
+    propagation iterations (Raghavan-Albert-Kumara 2007) on the
+    UNDIRECTED simple graph: label_0(v) = v; each round every node adopts
+    the most frequent label among its neighbors PLUS its own current
+    label (the self-vote — the standard damping that keeps synchronous
+    updates from oscillating on near-bipartite regions), ties broken to
+    the SMALLEST label. Deterministic: fixed rounds, total tie order — so
+    a relational oracle replays the rounds exactly (same discipline as
+    pagerank/hits/k_core). Communities refine connected components:
+    a chain of weakly-bridged duplicate cliques is one component but
+    several propagation communities.
+
+    Scale shape: per round ONE shuffle of the label table into the
+    pre-partitioned edge layout + one keyed count + one keyed min-struct
+    argmax (no window, nothing collected); lineage truncated per round.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(u.alias("u"), v.alias("v"))
+        .distinct()
+    )
+    e = (
+        und.select("u", "v")
+        .unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("v")
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e.v == labels.node)
+            .select(F.col("u").alias("node"), "lbl")
+            .unionAll(labels.select("node", "lbl"))  # self-vote
+            .groupBy("node", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax by (count desc, label asc) as a keyed min over a struct —
+        # stays in whole-stage codegen, no window
+        labels = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
+            .select("node", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -2592,3 +2592,64 @@ def q_timeseries_ewma_smoothing(spark, sf_dir):
         F.round(ewma, 6).alias("ewma"),
         F.element_at(F.col("cs"), -1).cast("long").alias("last_raw"),
     ).orderBy("event_type")
+
+
+# unrolled fixed-R label-propagation oracle: per round one neighbor-vote
+# count (+ the self-vote) and one (count desc, label asc) argmax via
+# QUALIFY — the operator's exact recurrence. Round CTEs are referenced
+# twice (neighbor join + self-vote union), so every one is MATERIALIZED.
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    sql = (
+        f"WITH {_SHINGLES_SQL}, "
+        "p AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM jac "
+        "WHERE jaccard >= 0.8), "
+        "ue AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM ue)"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", v{i} AS MATERIALIZED (SELECT node, lbl, COUNT(*) AS c FROM ("
+            f"SELECT e.u AS node, l.lbl FROM ue e JOIN l{i - 1} l ON e.v = l.node "
+            f"UNION ALL SELECT node, lbl FROM l{i - 1}) GROUP BY node, lbl), "
+            f"l{i} AS MATERIALIZED (SELECT node, lbl FROM v{i} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1)"
+        )
+    return (
+        sql
+        + f" SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS community "
+        f"FROM l{rounds} ORDER BY doc_id"
+    )
+
+
+@register(
+    "graph_communities_neardup",
+    _lpa_oracle_sql(4),
+    doc=(
+        "Label-propagation communities (Raghavan-Albert-Kumara 2007) on "
+        "the exact word-3-gram Jaccard >= 0.8 near-dup graph: EXACTLY 4 "
+        "synchronous rounds, each node adopting the most frequent label "
+        "among neighbors + its own current label (self-vote damping), "
+        "ties to the smallest label — the community structure one level "
+        "finer than connected components (a chain of weakly-bridged "
+        "duplicate cliques is one component but several communities). "
+        "Spark side composes the prefix-filtered PPJoin pair tier with "
+        "operators/graph.py::label_propagation: per round one label "
+        "shuffle into the pre-partitioned edge layout + keyed count + "
+        "keyed min-struct argmax, no windows, nothing collected; the "
+        "DuckDB oracle unrolls the identical rounds as MATERIALIZED CTEs."
+    ),
+    tags=("northstar", "graph"),
+)
+def q_graph_communities_neardup(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_ppjoin(docs, threshold=0.8)
+    return (
+        graph.label_propagation(pairs, src="id_a", dst="id_b", rounds=4)
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("community").cast("long").alias("community"),
+        )
+        .orderBy("doc_id")
+    )

@@ -261,3 +261,39 @@ def test_kcore_matches_python_peel_on_random_graphs(spark):
                 changed = True
         want = {node: len(nbrs) for node, nbrs in adj.items()}
         assert _kcore(spark, edges, k=k, rounds=n) == want, (trial, k)
+
+
+def _lpa(spark, rows, rounds=4):
+    from demo_otel_parquet_antalya_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    return {
+        r.node: r.community
+        for r in label_propagation(edges, rounds=rounds).collect()
+    }
+
+
+def test_lpa_two_bridged_triangles_form_two_communities(spark):
+    """The case that separates LPA from connected components: two
+    triangles joined by one bridge edge are ONE component but TWO
+    propagation communities (the bridge label never outvotes a
+    triangle's internal majority thanks to the self-vote)."""
+    rows = [("a", "b"), ("b", "c"), ("a", "c"),
+            ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    got = _lpa(spark, rows)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["d"] == got["e"] == got["f"] == "d"
+    # and the assignment is a fixed point: more rounds change nothing
+    assert _lpa(spark, rows, rounds=6) == got
+
+
+def test_lpa_clique_and_path_converge_to_min_label(spark):
+    k3 = [("a", "b"), ("b", "c"), ("a", "c")]
+    assert _lpa(spark, k3, rounds=2) == {"a": "a", "b": "a", "c": "a"}
+    path = [("a", "b"), ("b", "c")]
+    assert _lpa(spark, path, rounds=4) == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_lpa_duplicate_and_reversed_edges_collapse(spark):
+    rows = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")]
+    assert _lpa(spark, rows, rounds=2) == {"a": "a", "b": "a"}
