@@ -197,10 +197,12 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8, decode_stub: bool = True) -> DataFrame:
     """Frame sampling: one binary payload -> N frame rows (1:N un-nesting).
 
-    MJPEG-AVI payloads take the REAL path: the RIFF/AVI demuxer
-    (``decode_avi_frames``) yields each video frame's JPEG bytes, sampled
-    evenly up to ``max_frames`` with ORIGINAL frame indices — downstream
-    feature-extraction decodes them like any JPEG payload. Other formats
+    MJPEG-AVI and (possibly animated) GIF payloads take the REAL path:
+    the RIFF/AVI demuxer yields each video frame's JPEG bytes verbatim,
+    and ``decode_gif_frames`` yields composited canvas frames re-encoded
+    as standalone GIFs — both sampled evenly up to ``max_frames`` with
+    ORIGINAL frame indices, decodable downstream like any image payload.
+    Other formats
     go through the declared stub ('frames' are fixed-stride byte windows)
     with ``decode_stub=True``, or raise with ``decode_stub=False`` (the
     honest codec slot for inter-frame-predicted formats).
@@ -223,6 +225,18 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                         ids.append(media_id)
                         idxs.append(fi)
                         frames.append(fr[fi])
+                    continue
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: composited canvas frames, each sampled
+                    # frame re-encoded as a standalone single-frame GIF so
+                    # downstream stages decode it like any image payload
+                    canvases, _delays = decode_gif_frames(b)
+                    n = len(canvases)
+                    take = min(max_frames, n)
+                    for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
+                        ids.append(media_id)
+                        idxs.append(fi)
+                        frames.append(encode_gif(canvases[fi]))
                     continue
                 if not decode_stub:
                     raise NotImplementedError(
@@ -1711,6 +1725,51 @@ def _build_gif_codec():
                 size += 1
         return out
 
+    def _lzw_encode(data: bytes, mcs: int) -> bytes:
+        """Real LZW compression: string table, LSB-first variable-width
+        codes, width growth mirrored by the decoder, dictionary-full
+        clear at 12 bits. Shared by the static and animated encoders."""
+        clear, end_code = 1 << mcs, (1 << mcs) + 1
+        table = {bytes([i]): i for i in range(1 << mcs)}
+        next_code = end_code + 1
+        size = mcs + 1
+        acc = n_acc = 0
+        body = bytearray()
+
+        def emit(code, csize):
+            nonlocal acc, n_acc
+            acc |= code << n_acc
+            n_acc += csize
+            while n_acc >= 8:
+                body.append(acc & 0xFF)
+                acc >>= 8
+                n_acc -= 8
+
+        emit(clear, size)
+        wstr = b""
+        for k in data:
+            wk = wstr + bytes([k])
+            if wk in table:
+                wstr = wk
+                continue
+            emit(table[wstr], size)
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << size) and size < 12:
+                size += 1
+            elif next_code == (1 << 12):
+                emit(clear, size)
+                table = {bytes([i]): i for i in range(1 << mcs)}
+                next_code = end_code + 1
+                size = mcs + 1
+            wstr = bytes([k])
+        if wstr:
+            emit(table[wstr], size)
+        emit(end_code, size)
+        if n_acc:
+            body.append(acc & 0xFF)
+        return bytes(body)
+
     def decode_gif(data: bytes):
         """Decode the FIRST image of a GIF87a/89a payload to a numpy uint8
         RGB array of shape (height, width, 3) — full LZW decompression,
@@ -1795,46 +1854,7 @@ def _build_gif_codec():
         out.extend(b"\x00" * (3 * (n_pal - len(pal))))
         out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
         out.append(mcs)
-        # real LZW: string table, LSB-first variable-width codes
-        clear, end_code = 1 << mcs, (1 << mcs) + 1
-        table = {bytes([i]): i for i in range(1 << mcs)}
-        next_code = end_code + 1
-        size = mcs + 1
-        acc = n_acc = 0
-        body = bytearray()
-
-        def emit(code, csize):
-            nonlocal acc, n_acc
-            acc |= code << n_acc
-            n_acc += csize
-            while n_acc >= 8:
-                body.append(acc & 0xFF)
-                acc >>= 8
-                n_acc -= 8
-
-        emit(clear, size)
-        wstr = b""
-        for k in idx.astype(np.uint8).tobytes():
-            wk = wstr + bytes([k])
-            if wk in table:
-                wstr = wk
-                continue
-            emit(table[wstr], size)
-            table[wk] = next_code
-            next_code += 1
-            if next_code > (1 << size) and size < 12:
-                size += 1
-            elif next_code == (1 << 12):
-                emit(clear, size)
-                table = {bytes([i]): i for i in range(1 << mcs)}
-                next_code = end_code + 1
-                size = mcs + 1
-            wstr = bytes([k])
-        if wstr:
-            emit(table[wstr], size)
-        emit(end_code, size)
-        if n_acc:
-            body.append(acc & 0xFF)
+        body = _lzw_encode(idx.astype(np.uint8).tobytes(), mcs)
         for j in range(0, len(body), 255):
             chunk = body[j : j + 255]
             out.append(len(chunk))
@@ -1842,10 +1862,159 @@ def _build_gif_codec():
         out.extend(b"\x00\x3b")
         return bytes(out)
 
-    return decode_gif, encode_gif
+    def decode_gif_frames(data: bytes):
+        """Decode EVERY frame of a (possibly animated) GIF to full-canvas
+        RGB arrays: image blocks composite onto the logical screen at
+        their (left, top) rects per the disposal model — method 0/1
+        (leave in place) supported, 2 (restore background) clears the
+        rect to the background color, 3 (restore previous) and
+        transparency are refused with ValueError (compositing them
+        requires per-pixel alpha state this codec declares out of
+        scope). Returns (frames, delays_ms). Static GIFs yield one frame
+        identical to ``decode_gif`` when the first block covers the
+        screen."""
+        import numpy as np
+
+        b = bytes(data)
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        if len(b) < 13:
+            raise ValueError("GIF header truncated")
+        sw = int.from_bytes(b[6:8], "little")
+        sh = int.from_bytes(b[8:10], "little")
+        packed = b[10]
+        bg_idx = b[11]
+        i = 13
+        global_pal = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            global_pal = np.frombuffer(b, np.uint8, 3 * n, i).reshape(n, 3)
+            i += 3 * n
+        bg_rgb = (
+            global_pal[bg_idx] if global_pal is not None and bg_idx < len(global_pal)
+            else np.zeros(3, np.uint8)
+        )
+        canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+        frames: list = []
+        delays: list = []
+        disposal, delay_cs = 0, 0
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x21:
+                label = b[i + 1] if i + 1 < len(b) else 0
+                j = i + 2
+                if label == 0xF9 and j < len(b) and b[j] >= 4:
+                    gpacked = b[j + 1]
+                    disposal = (gpacked >> 2) & 7
+                    if gpacked & 1:
+                        raise ValueError("GIF transparency unsupported")
+                    if disposal == 3:
+                        raise ValueError("GIF disposal 'restore previous' unsupported")
+                    delay_cs = int.from_bytes(b[j + 2 : j + 4], "little")
+                while j < len(b) and b[j] != 0:
+                    j += 1 + b[j]
+                i = j + 1
+            elif blk == 0x2C:
+                left = int.from_bytes(b[i + 1 : i + 3], "little")
+                top = int.from_bytes(b[i + 3 : i + 5], "little")
+                w = int.from_bytes(b[i + 5 : i + 7], "little")
+                h = int.from_bytes(b[i + 7 : i + 9], "little")
+                ipacked = b[i + 9]
+                i += 10
+                pal = global_pal
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 7)
+                    pal = np.frombuffer(b, np.uint8, 3 * n, i).reshape(n, 3)
+                    i += 3 * n
+                if pal is None:
+                    raise ValueError("GIF image has no color table")
+                mcs = b[i]
+                i += 1
+                lzw = bytearray()
+                while i < len(b) and b[i] != 0:
+                    lzw.extend(b[i + 1 : i + 1 + b[i]])
+                    i += 1 + b[i]
+                i += 1  # block terminator
+                idx = np.frombuffer(b"".join(_lzw_decode(bytes(lzw), mcs)), np.uint8)
+                if len(idx) < w * h:
+                    raise ValueError("GIF pixel data truncated")
+                patch = idx[: w * h].reshape(h, w)
+                if ipacked & 0x40:
+                    rows = np.empty(h, dtype=np.int64)
+                    order = [r for r in range(0, h, 8)] + [r for r in range(4, h, 8)] \
+                        + [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)]
+                    rows[np.array(order, dtype=np.int64)] = np.arange(h)
+                    patch = patch[rows]
+                if top + h > sh or left + w > sw:
+                    raise ValueError("GIF frame rect exceeds the logical screen")
+                canvas[top : top + h, left : left + w] = pal[patch]
+                frames.append(canvas.copy())
+                delays.append(delay_cs * 10)
+                if disposal == 2:  # restore background inside the rect
+                    canvas[top : top + h, left : left + w] = bg_rgb
+                disposal, delay_cs = 0, 0
+            elif blk == 0x3B:
+                break
+            else:
+                raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        if not frames:
+            raise ValueError("GIF contains no image")
+        return frames, delays
+
+    def encode_gif_animation(frame_arrs, delay_ms: int = 100) -> bytes:
+        """Encode a list of same-shape uint8 RGB/grayscale arrays (union
+        of colors <= 256) as an animated GIF89a: one shared global
+        palette, a graphic-control extension per frame (disposal 1 =
+        leave in place, no transparency), full-canvas image blocks.
+        Round-trips exactly through ``decode_gif_frames``."""
+        import struct
+
+        import numpy as np
+
+        arrs = []
+        for a in frame_arrs:
+            a = np.asarray(a, dtype=np.uint8)
+            if a.ndim == 2:
+                a = np.stack([a] * 3, axis=-1)
+            arrs.append(a)
+        if not arrs:
+            raise ValueError("no frames")
+        h, w = arrs[0].shape[:2]
+        if any(a.shape[:2] != (h, w) for a in arrs):
+            raise ValueError("all frames must share one shape")
+        allpx = np.concatenate([a.reshape(-1, 3) for a in arrs])
+        pal, inv = np.unique(allpx, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("GIF encoder supports at most 256 distinct colors")
+        depth = max(int(len(pal) - 1).bit_length(), 1)
+        n_pal = 1 << depth
+        mcs = max(depth, 2)
+        out = bytearray(b"GIF89a")
+        out.extend(struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0))
+        out.extend(pal.astype(np.uint8).tobytes())
+        out.extend(b"\x00" * (3 * (n_pal - len(pal))))
+        per = h * w
+        for fi in range(len(arrs)):
+            out.extend(
+                struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, delay_ms // 10, 0, 0)
+            )  # GCE: disposal 1, no transparency
+            out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+            out.append(mcs)
+            body = _lzw_encode(
+                inv[fi * per : (fi + 1) * per].astype(np.uint8).tobytes(), mcs
+            )
+            for j in range(0, len(body), 255):
+                chunk = body[j : j + 255]
+                out.append(len(chunk))
+                out.extend(chunk)
+            out.append(0)
+        out.extend(b"\x3b")
+        return bytes(out)
+
+    return decode_gif, encode_gif, decode_gif_frames, encode_gif_animation
 
 
-decode_gif, encode_gif = _build_gif_codec()
+decode_gif, encode_gif, decode_gif_frames, encode_gif_animation = _build_gif_codec()
 
 
 CLASSIFY_SCHEMA = (

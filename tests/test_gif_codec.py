@@ -85,3 +85,69 @@ def test_truncated_and_corrupt_streams_raise_valueerror():
     for cut in (7, 12, 15, len(good) - 4):
         with pytest.raises(ValueError):
             decode_gif(good[:cut])
+
+
+def test_animation_round_trip_and_patch_compositing():
+    from demo_otel_parquet_antalya_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 16, (10, 12))] for _ in range(3)]
+    got, delays = decode_gif_frames(encode_gif_animation(frames, delay_ms=80))
+    assert delays == [80, 80, 80]
+    for g, want in zip(got, frames):
+        np.testing.assert_array_equal(g, want)
+
+    # compositing: frame 2 differs from frame 1 only inside a 2x3 rect;
+    # the decoded canvas must show the update there and frame 1's pixels
+    # everywhere else (disposal 1 = leave in place)
+    f1 = np.zeros((4, 6), dtype=np.uint8)
+    f2 = f1.copy()
+    f2[1:3, 2:5] = 255
+    got2, _ = decode_gif_frames(encode_gif_animation([f1, f2]))
+    np.testing.assert_array_equal(got2[1][1:3, 2:5], np.full((2, 3, 3), 255))
+    assert (got2[1][0, :, :] == 0).all()
+
+
+def test_animation_refusals_and_static_equivalence():
+    from demo_otel_parquet_antalya_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    # static GIF -> exactly one frame, equal to decode_gif
+    img = np.full((5, 7), 42, dtype=np.uint8)
+    frames, delays = decode_gif_frames(encode_gif(img))
+    assert len(frames) == 1
+    np.testing.assert_array_equal(frames[0], decode_gif(encode_gif(img)))
+
+    # transparency and disposal 3 are refused, never mis-composited
+    anim = bytearray(encode_gif_animation([img, img]))
+    i = anim.find(bytes([0x21, 0xF9]))
+    t = bytearray(anim)
+    t[i + 3] |= 0x01  # transparency flag
+    with pytest.raises(ValueError, match="transparency"):
+        decode_gif_frames(bytes(t))
+    d = bytearray(anim)
+    d[i + 3] = (d[i + 3] & ~0x1C) | (3 << 2)  # disposal 3
+    with pytest.raises(ValueError, match="restore previous"):
+        decode_gif_frames(bytes(d))
+
+
+def test_sample_frames_routes_animated_gif(spark):
+    from demo_otel_parquet_antalya_spark.operators.multimodal import (
+        encode_gif_animation,
+        sample_frames,
+    )
+
+    frames = [np.full((8, 8), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)]
+    payload = encode_gif_animation(frames)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    got = {r.frame_idx: bytes(r.frame) for r in sample_frames(df, max_frames=2).collect()}
+    assert set(got) == {0, 2}
+    np.testing.assert_array_equal(
+        decode_gif(got[2]), np.full((8, 8, 3), 30, dtype=np.uint8)
+    )
