@@ -2133,3 +2133,102 @@ def classify_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             )
 
     return media.select(F.col(id_col), "payload").mapInPandas(run, CLASSIFY_SCHEMA)
+
+
+AUDIO_SPECTRAL_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, "
+    "dominant_bin int, dominant_freq_hz double, rms double"
+)
+
+
+def audio_spectral_features(
+    media: DataFrame, n_fft: int = 1024, round_digits: int = 6
+) -> DataFrame:
+    """REAL spectral analysis over decoded PCM: rFFT (numpy) of the first
+    ``n_fft`` channel-mean samples per WAV payload -> dominant non-DC
+    frequency bin, its frequency in Hz (bin * rate / n_fft), and the
+    signal RMS. The dominant bin is what a SQL oracle can certify: for a
+    synthesized tone whose fundamental sits at a known bin, the FFT must
+    recover exactly that bin — attesting the whole decode + transform
+    chain without the oracle ever computing a transform. Payloads shorter
+    than ``n_fft`` frames or undecodable yield NULL features. Arrow-
+    batched mapInPandas, O(n_fft log n_fft) per row, zero shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def feats(payload):
+            none = (None, None, None, None, None)
+            if payload is None:
+                return none
+            try:
+                s, rate = decode_wav(bytes(payload))
+            except ValueError:
+                return none
+            v = s.mean(axis=1)
+            n = len(v)
+            if n < n_fft:
+                return rate, n, None, None, None
+            mag = _np.abs(_np.fft.rfft(v[:n_fft]))
+            dom = int(_np.argmax(mag[1:]) + 1)  # skip DC
+            return (
+                rate,
+                n,
+                dom,
+                round(dom * rate / n_fft, round_digits),
+                round(float(_np.sqrt(_np.mean(v * v))), round_digits),
+            )
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": _pd.array([r[0] for r in rows], dtype="Int32"),
+                    "n_samples": _pd.array([r[1] for r in rows], dtype="Int64"),
+                    "dominant_bin": _pd.array([r[2] for r in rows], dtype="Int32"),
+                    "dominant_freq_hz": _pd.array([r[3] for r in rows], dtype="float64"),
+                    "rms": _pd.array([r[4] for r in rows], dtype="float64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_SPECTRAL_SCHEMA)
+
+
+def synthesize_tone_media(
+    ids: DataFrame, id_col: str = "doc_id", rate: int = 16000, n_frames: int = 1024
+) -> DataFrame:
+    """(media_id, payload): a deterministic square-wave WAV per id with
+    the CLOSED-FORM integer waveform
+        sample i = amp * (1 - 2 * (((2 * k * i) // n_frames) % 2)),
+        k = 10 + id % 40,   amp = 16384 + (id % 5) * 1024.
+    A period-(n/k) square wave's fundamental sits exactly at FFT bin k
+    (odd harmonics decay ~1/m, so k dominates), and its RMS is exactly
+    amp/32768 — all integer arithmetic, so a SQL oracle predicts both
+    without transforms or libm (no float sin() divergence between
+    engines by construction).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        i = _np.arange(n_frames, dtype=_np.int64)
+
+        def synth(d):
+            k = 10 + int(d) % 40
+            amp = 16384 + (int(d) % 5) * 1024
+            s = amp * (1 - 2 * (((2 * k * i) // n_frames) % 2))
+            return encode_wav_pcm16(s.astype("<i2"), rate)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [synth(d) for d in pdf[id_col]],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, "media_id long, payload binary")

@@ -2653,3 +2653,39 @@ def q_graph_communities_neardup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_audio_spectrum",
+    # the synthesizer's waveform is an INTEGER closed form (square wave
+    # with fundamental at bin k = 10 + doc_id % 40, amplitude
+    # 16384 + (doc_id % 5) * 1024), so the oracle predicts the FFT's
+    # dominant bin and the exact RMS without transforms or libm — a
+    # value match certifies WAV decode + rFFT end-to-end
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) "
+    "SELECT doc_id AS media_id, CAST(16000 AS INTEGER) AS sample_rate, "
+    "CAST(1024 AS BIGINT) AS n_samples, "
+    "CAST(10 + doc_id % 40 AS INTEGER) AS dominant_bin, "
+    "ROUND((10 + doc_id % 40) * 16000.0 / 1024, 6) AS dominant_freq_hz, "
+    "ROUND((16384 + (doc_id % 5) * 1024) / 32768.0, 6) AS rms "
+    "FROM ids ORDER BY media_id",
+    doc=(
+        "REAL spectral audio features: numpy rFFT over decoded PCM -> "
+        "dominant non-DC bin, dominant frequency, RMS — the frequency-"
+        "domain signal tier next to the time-domain audio_features. The "
+        "synthesized square waves put their fundamental at a closed-form "
+        "bin with closed-form RMS (pure integer arithmetic — no sin()/"
+        "libm divergence between engines by construction), so the DuckDB "
+        "oracle certifies the decode + transform chain while computing "
+        "no transform itself. One Arrow-batched mapInPandas pass, "
+        "O(n_fft log n_fft)/row, zero shuffle. "
+        "operators/multimodal.py::audio_spectral_features."
+    ),
+    tags=("northstar", "multimodal"),
+)
+def q_multimodal_audio_spectrum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(200)
+    return multimodal.audio_spectral_features(
+        multimodal.synthesize_tone_media(ids)
+    ).orderBy("media_id")

@@ -91,3 +91,33 @@ def test_synthesized_media_matches_closed_form(spark):
         i = np.arange(n, dtype=np.int64)
         want = (((d * 7919 + i * 2663) % 65536) - 32768) / 32768.0
         np.testing.assert_array_equal(s[:, 0], want)
+
+
+def test_spectral_features_recover_known_tones(spark):
+    """The rFFT must recover the synthesized fundamental exactly: a
+    square wave at bin k dominates at k (harmonics decay ~1/m), and the
+    integer waveform's RMS is exactly amp/32768. Short and undecodable
+    payloads degrade to NULLs."""
+    from demo_otel_parquet_antalya_spark.operators.multimodal import (
+        audio_spectral_features,
+        synthesize_tone_media,
+    )
+
+    ids = spark.createDataFrame([(0,), (7,), (39,)], "doc_id long")
+    media = synthesize_tone_media(ids)
+    got = {r.media_id: r for r in audio_spectral_features(media).collect()}
+    for d in (0, 7, 39):
+        r = got[d]
+        assert r.dominant_bin == 10 + d % 40
+        assert r.dominant_freq_hz == round((10 + d % 40) * 16000 / 1024, 6)
+        assert r.rms == round((16384 + (d % 5) * 1024) / 32768, 6)
+        assert (r.sample_rate, r.n_samples) == (16000, 1024)
+
+    short = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(np.zeros(100, dtype="<i2"), 8000))),
+         (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_spectral_features(short).collect()}
+    assert rows[1].dominant_bin is None and rows[1].n_samples == 100
+    assert rows[2].sample_rate is None
