@@ -218,30 +218,45 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                     continue
                 b = bytes(payload)
                 if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                    fr, _fps = decode_avi_frames(b)
-                    n = len(fr)
-                    take = min(max_frames, n)
-                    for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
-                        ids.append(media_id)
-                        idxs.append(fi)
-                        frames.append(fr[fi])
-                    continue
+                    try:
+                        fr, _fps = decode_avi_frames(b)
+                        n = len(fr)
+                        take = min(max_frames, n)
+                        for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
+                            ids.append(media_id)
+                            idxs.append(fi)
+                            frames.append(fr[fi])
+                        continue
+                    except ValueError:
+                        if not decode_stub:
+                            continue  # skip the corrupt payload
+                        # else: fall through to the byte-window stub below
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     # animated GIF: composited canvas frames, each sampled
                     # frame re-encoded as a standalone single-frame GIF so
-                    # downstream stages decode it like any image payload
-                    canvases, _delays = decode_gif_frames(b)
-                    n = len(canvases)
-                    take = min(max_frames, n)
-                    for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
-                        ids.append(media_id)
-                        idxs.append(fi)
-                        frames.append(encode_gif(canvases[fi]))
-                    continue
+                    # downstream stages decode it like any image payload.
+                    # Truncated LZW / oversize rects / >256-color composited
+                    # canvases raise ValueError: degrade per-payload to the
+                    # byte-window stub (or skip), never fail the Spark task —
+                    # same quarantine-friendly contract as resize/stats.
+                    try:
+                        canvases, _delays = decode_gif_frames(b)
+                        n = len(canvases)
+                        take = min(max_frames, n)
+                        for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
+                            ids.append(media_id)
+                            idxs.append(fi)
+                            frames.append(encode_gif(canvases[fi]))
+                        continue
+                    except ValueError:
+                        if not decode_stub:
+                            continue  # skip the corrupt payload
+                        # else: fall through to the byte-window stub below
                 if not decode_stub:
                     raise NotImplementedError(
-                        "real frame sampling for non-AVI formats requires a "
-                        "video codec; plug it into this slot (MJPEG-AVI is handled)"
+                        "real frame sampling for other formats requires a "
+                        "video codec; plug it into this slot (MJPEG-AVI and "
+                        "animated GIF are handled)"
                     )
                 for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
                     ids.append(media_id)
@@ -452,7 +467,7 @@ def parse_audio_headers(media: DataFrame) -> DataFrame:
             if data_len is not None and rate and ch and bits:
                 bytes_per_s = rate * ch * (bits // 8)
                 if bytes_per_s:
-                    dur = int(data_len * 1000 / bytes_per_s)
+                    dur = data_len * 1000 // bytes_per_s
             return "audio/wav", rate, ch, bits, dur
 
         for pdf in batches:
@@ -538,7 +553,7 @@ def parse_video_headers(media: DataFrame) -> DataFrame:
                         break
                     i += 8 + clen + (clen & 1)
                 dur = (
-                    int(us_pf * n_frames / 1000)
+                    us_pf * n_frames // 1000
                     if us_pf and n_frames is not None
                     else None
                 )
@@ -562,7 +577,7 @@ def parse_video_headers(media: DataFrame) -> DataFrame:
                             scale = int.from_bytes(b[is_ + 12 : is_ + 16], "big")
                             dur = int.from_bytes(b[is_ + 16 : is_ + 20], "big")
                         if scale:
-                            dur_ms = int(dur * 1000 / scale)
+                            dur_ms = dur * 1000 // scale
             return "video/mp4", dur_ms, scale, n_tracks
 
         for pdf in batches:
@@ -1867,12 +1882,14 @@ def _build_gif_codec():
         RGB arrays: image blocks composite onto the logical screen at
         their (left, top) rects per the disposal model — method 0/1
         (leave in place) supported, 2 (restore background) clears the
-        rect to the background color, 3 (restore previous) and
-        transparency are refused with ValueError (compositing them
-        requires per-pixel alpha state this codec declares out of
-        scope). Returns (frames, delays_ms). Static GIFs yield one frame
-        identical to ``decode_gif`` when the first block covers the
-        screen."""
+        rect to the background color, 3 (restore previous) restores the
+        rect to the canvas state from before the frame was drawn
+        (GIF89a spec: "restore the area overwritten by the graphic with
+        what was there prior to rendering"). Transparency is refused
+        with ValueError (compositing it requires per-pixel alpha state
+        this codec declares out of scope). Returns (frames, delays_ms).
+        Static GIFs yield one frame identical to ``decode_gif`` when the
+        first block covers the screen."""
         import numpy as np
 
         b = bytes(data)
@@ -1908,8 +1925,6 @@ def _build_gif_codec():
                     disposal = (gpacked >> 2) & 7
                     if gpacked & 1:
                         raise ValueError("GIF transparency unsupported")
-                    if disposal == 3:
-                        raise ValueError("GIF disposal 'restore previous' unsupported")
                     delay_cs = int.from_bytes(b[j + 2 : j + 4], "little")
                 while j < len(b) and b[j] != 0:
                     j += 1 + b[j]
@@ -1947,11 +1962,18 @@ def _build_gif_codec():
                     patch = patch[rows]
                 if top + h > sh or left + w > sw:
                     raise ValueError("GIF frame rect exceeds the logical screen")
+                prev_rect = (
+                    canvas[top : top + h, left : left + w].copy()
+                    if disposal == 3
+                    else None
+                )
                 canvas[top : top + h, left : left + w] = pal[patch]
                 frames.append(canvas.copy())
                 delays.append(delay_cs * 10)
                 if disposal == 2:  # restore background inside the rect
                     canvas[top : top + h, left : left + w] = bg_rgb
+                elif disposal == 3:  # restore previous inside the rect
+                    canvas[top : top + h, left : left + w] = prev_rect
                 disposal, delay_cs = 0, 0
             elif blk == 0x3B:
                 break
@@ -1961,12 +1983,22 @@ def _build_gif_codec():
             raise ValueError("GIF contains no image")
         return frames, delays
 
-    def encode_gif_animation(frame_arrs, delay_ms: int = 100) -> bytes:
-        """Encode a list of same-shape uint8 RGB/grayscale arrays (union
-        of colors <= 256) as an animated GIF89a: one shared global
-        palette, a graphic-control extension per frame (disposal 1 =
-        leave in place, no transparency), full-canvas image blocks.
-        Round-trips exactly through ``decode_gif_frames``."""
+    def encode_gif_animation(
+        frame_arrs,
+        delay_ms: int = 100,
+        disposals=None,
+        offsets=None,
+        screen=None,
+    ) -> bytes:
+        """Encode a list of uint8 RGB/grayscale arrays (union of colors
+        <= 256) as an animated GIF89a: one shared global palette, a
+        graphic-control extension per frame (no transparency), image
+        blocks at per-frame ``offsets`` (default full-canvas at (0, 0)).
+        ``disposals`` is an optional per-frame list of GIF89a disposal
+        methods (0/1 leave, 2 restore background, 3 restore previous);
+        default 1. ``screen`` = (height, width) of the logical screen
+        (default: frame 0's shape; required when frames differ in
+        shape). Round-trips exactly through ``decode_gif_frames``."""
         import struct
 
         import numpy as np
@@ -1979,9 +2011,14 @@ def _build_gif_codec():
             arrs.append(a)
         if not arrs:
             raise ValueError("no frames")
-        h, w = arrs[0].shape[:2]
-        if any(a.shape[:2] != (h, w) for a in arrs):
-            raise ValueError("all frames must share one shape")
+        sh, sw = screen if screen is not None else arrs[0].shape[:2]
+        offs = offsets if offsets is not None else [(0, 0)] * len(arrs)
+        disp = disposals if disposals is not None else [1] * len(arrs)
+        if len(offs) != len(arrs) or len(disp) != len(arrs):
+            raise ValueError("offsets/disposals must match the frame count")
+        for a, (left, top) in zip(arrs, offs):
+            if top + a.shape[0] > sh or left + a.shape[1] > sw:
+                raise ValueError("frame rect exceeds the logical screen")
         allpx = np.concatenate([a.reshape(-1, 3) for a in arrs])
         pal, inv = np.unique(allpx, axis=0, return_inverse=True)
         if len(pal) > 256:
@@ -1990,19 +2027,24 @@ def _build_gif_codec():
         n_pal = 1 << depth
         mcs = max(depth, 2)
         out = bytearray(b"GIF89a")
-        out.extend(struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0))
+        out.extend(struct.pack("<HHBBB", sw, sh, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0))
         out.extend(pal.astype(np.uint8).tobytes())
         out.extend(b"\x00" * (3 * (n_pal - len(pal))))
-        per = h * w
-        for fi in range(len(arrs)):
+        pos = 0
+        for fi, a in enumerate(arrs):
+            fh, fw = a.shape[:2]
+            left, top = offs[fi]
             out.extend(
-                struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, delay_ms // 10, 0, 0)
-            )  # GCE: disposal 1, no transparency
-            out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+                struct.pack(
+                    "<BBBBHBB", 0x21, 0xF9, 4, (disp[fi] & 7) << 2, delay_ms // 10, 0, 0
+                )
+            )  # GCE: per-frame disposal, no transparency
+            out.extend(struct.pack("<BHHHHB", 0x2C, left, top, fw, fh, 0))
             out.append(mcs)
             body = _lzw_encode(
-                inv[fi * per : (fi + 1) * per].astype(np.uint8).tobytes(), mcs
+                inv[pos : pos + fh * fw].astype(np.uint8).tobytes(), mcs
             )
+            pos += fh * fw
             for j in range(0, len(body), 255):
                 chunk = body[j : j + 255]
                 out.append(len(chunk))
@@ -2084,7 +2126,7 @@ def classify_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                     dur = None
                     if data_len and rate and ch and bits:
                         bps = rate * ch * (bits // 8)
-                        dur = int(data_len * 1000 / bps) if bps else None
+                        dur = data_len * 1000 // bps if bps else None
                     return "audio", "audio/wav", None, None, rate, ch, dur
                 if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                     i, us_pf, n_frames, w = 12, None, None, None
@@ -2103,7 +2145,7 @@ def classify_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                             break
                         i += 8 + clen + (clen & 1)
                     dur = (
-                        int(us_pf * n_frames / 1000)
+                        us_pf * n_frames // 1000
                         if us_pf and n_frames is not None
                         else None
                     )

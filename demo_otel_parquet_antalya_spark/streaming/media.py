@@ -9,6 +9,12 @@ the OTLP log ingest (streaming/ingest.py), same exactly-once contract.
 
 - The binaryFile source checkpoints processed files exactly like the JSON
   landing source, so re-runs ingest only the delta (incremental, at-once).
+- The sink is idempotent: each micro-batch writes a dynamic OVERWRITE of
+  its own ``ingest_batch_id`` partitions, so a batch replayed after a
+  mid-write failure replaces its earlier partial output instead of
+  double-appending — at-least-once delivery + idempotent writes =
+  exactly-once effect (same guarantee class as ingest.py's file-sink
+  metadata log, achieved the foreachBatch way).
 - Classification is the HEADER gate from SCALE.md's codec section: a
   payload's declared shape is parsed from O(header) bytes before any
   pixel/sample decode is spent on it; undecodable payloads land in
@@ -91,18 +97,37 @@ def run_media_ingest_once(
     qdir = quarantine_dir or os.path.join(warehouse_dir, "_quarantine")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        classified = classify_media_files(batch_df).localCheckpoint()
+        # Idempotent-by-partition: every row carries its micro-batch id as a
+        # trailing partition column, and the write is a DYNAMIC partition
+        # overwrite — replaying batch N after a failure between the two
+        # writes (or after writing but before the checkpoint commit)
+        # re-OVERWRITES exactly batch N's partitions instead of
+        # double-appending, which is what makes the foreachBatch path
+        # exactly-once in effect (the classic idempotent-sink recipe from
+        # the Structured Streaming guide). media_type stays the LEADING
+        # partition column so downstream modality scans still prune.
+        classified = (
+            classify_media_files(batch_df)
+            .withColumn("ingest_batch_id", F.lit(batch_id))
+            .localCheckpoint()
+        )
         healthy = classified.filter(F.col("media_type") != "unknown")
         (
-            healthy.write.mode("append")
-            .partitionBy("media_type")
+            healthy.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("media_type", "ingest_batch_id")
             .parquet(warehouse_dir)
         )
         bad = classified.filter(F.col("media_type") == "unknown").select(
-            "media_id", "path", "n_bytes", "payload"
+            "media_id", "path", "n_bytes", "payload", "ingest_batch_id"
         )
         if bad.take(1):
-            bad.write.mode("append").parquet(qdir)
+            (
+                bad.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch_id")
+                .parquet(qdir)
+            )
 
     q = (
         read_media_stream(spark, landing_dir)

@@ -124,17 +124,58 @@ def test_animation_refusals_and_static_equivalence():
     assert len(frames) == 1
     np.testing.assert_array_equal(frames[0], decode_gif(encode_gif(img)))
 
-    # transparency and disposal 3 are refused, never mis-composited
+    # transparency is refused, never mis-composited
     anim = bytearray(encode_gif_animation([img, img]))
     i = anim.find(bytes([0x21, 0xF9]))
     t = bytearray(anim)
     t[i + 3] |= 0x01  # transparency flag
     with pytest.raises(ValueError, match="transparency"):
         decode_gif_frames(bytes(t))
-    d = bytearray(anim)
-    d[i + 3] = (d[i + 3] & ~0x1C) | (3 << 2)  # disposal 3
-    with pytest.raises(ValueError, match="restore previous"):
-        decode_gif_frames(bytes(d))
+
+
+def test_animation_disposal_restore_previous():
+    """GIF89a disposal 3: after a frame is displayed, its rect reverts to
+    what the canvas held BEFORE the frame was drawn — so a later frame
+    composites over the pre-disposal-3 state, not over the disposed
+    frame's pixels (the discriminating case vs 'leave in place')."""
+    from demo_otel_parquet_antalya_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    # base is NOT the palette's first (= background) color, so disposal 2
+    # (restore background) and disposal 3 (restore previous) are
+    # distinguishable in the divergence check below
+    base = np.full((8, 8, 3), 200, dtype=np.uint8)  # frame 0: full canvas
+    patch = np.full((4, 4, 3), 40, dtype=np.uint8)  # frame 1 at (2,2), disp 3
+    dot = np.full((2, 2, 3), 90, dtype=np.uint8)  # frame 2 at (0,0)
+    anim = encode_gif_animation(
+        [base, patch, dot],
+        disposals=[1, 3, 0],
+        offsets=[(0, 0), (2, 2), (0, 0)],
+        screen=(8, 8),
+    )
+    frames, _ = decode_gif_frames(anim)
+    assert len(frames) == 3
+    np.testing.assert_array_equal(frames[0], base)
+    want1 = base.copy()
+    want1[2:6, 2:6] = 40
+    np.testing.assert_array_equal(frames[1], want1)
+    # frame 2: the disposal-3 rect reverted to base before 'dot' composited
+    want2 = base.copy()
+    want2[0:2, 0:2] = 90
+    np.testing.assert_array_equal(frames[2], want2)
+
+    # disposal 2 vs 3 diverge on the same byte stream shape: with
+    # 'restore background' the rect clears to palette bg, not to base
+    anim2 = encode_gif_animation(
+        [base, patch, dot],
+        disposals=[1, 2, 0],
+        offsets=[(0, 0), (2, 2), (0, 0)],
+        screen=(8, 8),
+    )
+    frames2, _ = decode_gif_frames(anim2)
+    assert not np.array_equal(frames2[2], frames[2])
 
 
 def test_sample_frames_routes_animated_gif(spark):

@@ -88,6 +88,28 @@ def test_ingest_is_incremental_and_idempotent(spark, tmp_path):
     assert out.filter(F.col("path").endswith("late.png")).count() == 1
 
 
+def test_replayed_batch_overwrites_instead_of_double_appending(spark, tmp_path):
+    """Exactly-once effect under replay: if a micro-batch re-runs (failure
+    after the sink writes but before the checkpoint commit), the dynamic
+    overwrite of its ingest_batch_id partitions must REPLACE the earlier
+    output, not append a second copy. Simulated by wiping the checkpoint so
+    the whole landing dir replays as batch 0 again."""
+    import shutil
+
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(landing)
+    run_media_ingest_once(spark, landing, wh, ckpt)
+    n1 = spark.read.parquet(wh).count()
+    q1 = spark.read.parquet(os.path.join(wh, "_quarantine")).count()
+
+    shutil.rmtree(ckpt)  # forces a full replay with the same batch ids
+    run_media_ingest_once(spark, landing, wh, ckpt)
+    assert spark.read.parquet(wh).count() == n1
+    assert spark.read.parquet(os.path.join(wh, "_quarantine")).count() == q1
+
+
 def test_stream_classification_equals_batch(spark, tmp_path):
     """The stream's per-batch classification must equal the batch twin over
     the same files — the repo's standard stream==batch equivalence."""
