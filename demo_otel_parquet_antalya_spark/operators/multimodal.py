@@ -164,7 +164,7 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
                     try:
                         jpeg_img = decode_jpeg(b)
                     except ValueError:
-                        jpeg_img = None  # truncated/progressive: degrade below
+                        jpeg_img = None  # truncated/corrupt: degrade below
                 gif_img = None
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     try:
@@ -948,8 +948,12 @@ def synthesize_wav_media(
 # canonical Huffman entropy decode with byte unstuffing and restart
 # markers, dequantize + dezigzag, orthonormal 8x8 IDCT as two matrix
 # multiplies, per-component chroma upsampling by sample replication,
-# BT.601 YCbCr->RGB. Progressive (SOF2), arithmetic, and 12-bit inputs
-# raise ValueError — declared out of scope, never silently mis-decoded.
+# BT.601 YCbCr->RGB — AND full progressive DCT (SOF2, ITU T.81 Annex G):
+# interleaved DC first/refinement scans, non-interleaved per-component AC
+# first/refinement scans with EOB-run coding and correction bits,
+# coefficients accumulated across scans, reconstructed once at EOI.
+# Arithmetic-coded and 12-bit inputs raise ValueError — declared out of
+# scope, never silently mis-decoded.
 # Encoder: baseline 4:4:4 (or grayscale) with flat all-ones quantization
 # tables (near-lossless: error bounded by coefficient rounding — +/-1 on
 # typical images, < 4 worst case on adversarial outlier blocks) and
@@ -1065,15 +1069,22 @@ def _build_jpeg_codec():
         raise ValueError("invalid JPEG Huffman code")
 
     def decode_jpeg(data: bytes):
-        """Decode a baseline sequential (SOF0) 8-bit JPEG to a numpy uint8
-        array of shape (height, width) for grayscale or (height, width, 3)
-        RGB (BT.601 conversion, chroma upsampled by sample replication)."""
+        """Decode a baseline sequential (SOF0) or progressive (SOF2) 8-bit
+        JPEG to a numpy uint8 array of shape (height, width) for grayscale
+        or (height, width, 3) RGB (BT.601 conversion, chroma upsampled by
+        sample replication). Progressive decode implements the full ITU
+        T.81 Annex G successive-approximation model: interleaved DC
+        first/refinement scans, non-interleaved AC first/refinement scans
+        with EOB-run coding, coefficients accumulated across scans and
+        reconstructed once at EOI."""
         b = bytes(data)
         if b[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG payload")
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
         frame = None
+        progressive = False
+        store = None  # progressive: per-component zigzag coefficient grids
         restart_interval = 0
         i = 2
         while i + 4 <= len(b):
@@ -1085,6 +1096,8 @@ def _build_jpeg_codec():
             if marker == 0xD9:  # EOI
                 break
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2 or i + 2 + seg_len > len(b):
+                raise ValueError("JPEG marker segment truncated")
             seg = b[i + 4 : i + 2 + seg_len]
             if marker == 0xDB:  # DQT
                 j = 0
@@ -1109,7 +1122,7 @@ def _build_jpeg_codec():
                         code <<= 1
                     huff[(tc, th)] = table
                     j += 17 + sum(counts)
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
                 if prec != 8:
                     raise ValueError("only 8-bit precision supported")
@@ -1118,32 +1131,52 @@ def _build_jpeg_codec():
                     cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
                 frame = (h, w, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                raise ValueError("only baseline sequential (SOF0) JPEG supported")
+                progressive = marker == 0xC2
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+                )
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS
                 if frame is None:
-                    raise ValueError("JPEG SOS before SOF0")
+                    raise ValueError("JPEG SOS before SOF")
                 ns = seg[0]
                 scan = {}
                 for c in range(ns):
                     scan[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
                 ecs_start = i + 2 + seg_len
+                if not progressive:
+                    try:
+                        return _decode_scan(
+                            b, ecs_start, frame, scan, qt, huff, restart_interval
+                        )
+                    except (IndexError, KeyError) as exc:
+                        # truncated entropy stream / missing table id:
+                        # surface as the ValueError contract every caller
+                        # degrades on
+                        raise ValueError(f"corrupt JPEG scan: {exc}") from exc
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+                if store is None:
+                    store = _init_coef_store(frame)
                 try:
-                    return _decode_scan(
-                        b, ecs_start, frame, scan, qt, huff, restart_interval
+                    i = _decode_progressive_scan(
+                        b, ecs_start, frame, store, scan,
+                        (ss, se, ah, al), huff, restart_interval,
                     )
                 except (IndexError, KeyError) as exc:
-                    # truncated entropy stream / missing table id: surface
-                    # as the ValueError contract every caller degrades on
                     raise ValueError(f"corrupt JPEG scan: {exc}") from exc
+                continue  # i now points at the next marker's 0xFF
             i += 2 + seg_len
+        if progressive and store is not None:
+            return _reconstruct(frame, store, qt)
         raise ValueError("JPEG missing SOS")
 
-    def _decode_scan(b, start, frame, scan, qt, huff, restart_interval):
-        h, w, comps = frame
-        # unstuff the entropy segment, recording restart-marker cut points
+    def _unstuff(b, start):
+        """Byte-unstuff an entropy-coded segment starting at ``start``:
+        returns (data, restart cut bit-positions, index of the next
+        marker's 0xFF byte)."""
         out = bytearray()
         cuts = []
         j = start
@@ -1162,7 +1195,13 @@ def _build_jpeg_codec():
                 break  # EOI or next marker
             out.append(byte)
             j += 1
-        bits = _Bits(bytes(out))
+        return bytes(out), cuts, j
+
+    def _decode_scan(b, start, frame, scan, qt, huff, restart_interval):
+        h, w, comps = frame
+        # unstuff the entropy segment, recording restart-marker cut points
+        out, cuts, _end = _unstuff(b, start)
+        bits = _Bits(out)
         luts = {key: _build_lut(t) for key, t in huff.items()}
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
@@ -1225,6 +1264,207 @@ def _build_jpeg_codec():
             p = planes[ci]
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
             full.append(p[:h, :w])
+        if len(full) == 1:
+            return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        if len(full) != 3:
+            raise ValueError("only 1- or 3-component JPEGs supported")
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=-1,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    # ---- progressive (SOF2) scan decode: ITU T.81 Annex G ----------------
+    # Coefficients live in per-component (rows, cols, 64) int32 grids in
+    # ZIGZAG order, sized to the interleaved MCU grid (a superset of the
+    # non-interleaved block grid), and are accumulated scan by scan:
+    # DC first/refine over the interleaved MCU order, AC first/refine
+    # non-interleaved per component with EOB-run coding. Reconstruction
+    # (dequantize + dezigzag + IDCT + upsample + BT.601) happens once, at
+    # EOI, vectorized over all blocks.
+
+    def _grids(frame):
+        h, w, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        return hmax, vmax, mcus_x, mcus_y
+
+    def _init_coef_store(frame):
+        _hmax, _vmax, mcus_x, mcus_y = _grids(frame)
+        return [
+            np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+            for c in frame[2]
+        ]
+
+    def _refine_nonzero(bits, blk, k, se, p1):
+        """Append a correction bit to every already-nonzero coefficient in
+        zigzag positions [k, se] (T.81 G.7: the EOB-run tail)."""
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and bits.read(1) and (c & p1) == 0:
+                blk[k] = c + p1 if c > 0 else c - p1
+            k += 1
+
+    def _ac_first_block(bits, table, lut, blk, ss, se, al, eobrun):
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _huff_decode(bits, table, lut)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # EOBn: this block is the first of 2^r
+                if r:
+                    eobrun += bits.read(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflow")
+            blk[k] = _extend(bits.read(s), s) << al
+            k += 1
+        return eobrun
+
+    def _ac_refine_block(bits, table, lut, blk, ss, se, al, eobrun):
+        p1 = 1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(bits, table, lut)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:  # EOBn: includes this block; tail below
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += bits.read(r)
+                        break
+                    # ZRL: r stays 15 -> skip 16 zero-history positions
+                elif s == 1:
+                    val = p1 if bits.read(1) else -p1
+                else:
+                    raise ValueError("invalid JPEG refinement symbol")
+                # advance: correction bits on nonzero-history coefficients,
+                # r zero-history skips, then place the newly-nonzero value
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if bits.read(1) and (c & p1) == 0:
+                            blk[k] = c + p1 if c > 0 else c - p1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            _refine_nonzero(bits, blk, k, se, p1)
+            eobrun -= 1
+        return eobrun
+
+    def _decode_progressive_scan(
+        b, start, frame, store, scan, params, huff, restart_interval
+    ):
+        h, w, comps = frame
+        ss, se, ah, al = params
+        data, cuts, end = _unstuff(b, start)
+        bits = _Bits(data)
+        luts = {key: _build_lut(t) for key, t in huff.items()}
+        hmax, vmax, mcus_x, mcus_y = _grids(frame)
+        scan_cis = [ci for ci, c in enumerate(comps) if c["id"] in scan]
+        if not scan_cis:
+            raise ValueError("JPEG scan references unknown component")
+        eobrun = 0
+        pred = [0] * len(comps)
+        n_unit = 0
+        cut_idx = 0
+
+        def _maybe_restart():
+            nonlocal eobrun, pred, cut_idx
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                if cut_idx < len(cuts):
+                    bits.seek_bit(cuts[cut_idx])
+                    cut_idx += 1
+                else:
+                    bits.align()
+                pred = [0] * len(comps)
+                eobrun = 0
+
+        if ss == 0:  # DC scan (interleaved MCU order; Se must be 0)
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    _maybe_restart()
+                    n_unit += 1
+                    for ci in scan_cis:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = store[ci][my * c["v"] + by, mx * c["h"] + bx]
+                                if ah == 0:
+                                    dc_key = (0, scan[c["id"]][0])
+                                    s = _huff_decode(bits, huff[dc_key], luts[dc_key])
+                                    diff = _extend(bits.read(s), s) if s else 0
+                                    pred[ci] += diff
+                                    blk[0] = pred[ci] << al
+                                elif bits.read(1):
+                                    blk[0] |= 1 << al
+        else:  # AC scan: exactly one component, non-interleaved block order
+            if len(scan_cis) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            ci = scan_cis[0]
+            c = comps[ci]
+            comp_w = -(-(w * c["h"]) // hmax)  # ceil: component pixel dims
+            comp_h = -(-(h * c["v"]) // vmax)
+            bw = -(-comp_w // 8)  # ceil: component block-grid dims (T.81
+            bh = -(-comp_h // 8)  # A.2.2 — NOT padded to the MCU grid)
+            ac_key = (1, scan[c["id"]][1])
+            table, lut = huff[ac_key], luts[ac_key]
+            fn = _ac_first_block if ah == 0 else _ac_refine_block
+            for byi in range(bh):
+                for bxi in range(bw):
+                    _maybe_restart()
+                    n_unit += 1
+                    eobrun = fn(
+                        bits, table, lut, store[ci][byi, bxi], ss, se, al, eobrun
+                    )
+        return end
+
+    def _reconstruct(frame, store, qt):
+        h, w, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        full = []
+        for ci, c in enumerate(comps):
+            q = qt[c["tq"]].astype(np.float64)
+            coefs = store[ci]
+            rows, cols = coefs.shape[:2]
+            nat = np.zeros((rows, cols, 64), dtype=np.float64)
+            nat[:, :, _ZIGZAG] = coefs * q[None, None, :]
+            blocks = nat.reshape(rows, cols, 8, 8)
+            plane = np.empty((rows * 8, cols * 8), dtype=np.float64)
+            for r_ in range(rows):
+                for c_ in range(cols):
+                    # same per-block expression as the baseline path, so a
+                    # progressive decode of identical coefficients is
+                    # bit-identical to the baseline decode (einsum's
+                    # different summation order can flip np.round at
+                    # exactly-.5 pixel values)
+                    plane[r_ * 8 : r_ * 8 + 8, c_ * 8 : c_ * 8 + 8] = (
+                        _T.T @ blocks[r_, c_] @ _T + 128.0
+                    )
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+            full.append(plane[:h, :w])
         if len(full) == 1:
             return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         if len(full) != 3:
@@ -1377,10 +1617,209 @@ def _build_jpeg_codec():
         out.extend(b"\xff\xd9")  # EOI
         return bytes(out)
 
-    return decode_jpeg, encode_jpeg_baseline
+    # ---- progressive encoder (4:4:4 / grayscale, flat quant, 2-level
+    # successive approximation) — exists to certify the SOF2 decoder
+    # end-to-end with no image library: DC first (Al=1) -> per-component
+    # AC first (Al=1) -> DC refinement -> per-component AC refinement,
+    # the full four-scan-type coverage of T.81 Annex G. The AC table adds
+    # the EOBn symbols (r<<4 for r 0..14) the progressive EOB-run coding
+    # needs: 176 canonical codes at length 8, all-ones code unused.
+    _ACP_SYMS = sorted({r << 4 for r in range(16)} | set(_AC_SYMS))
+    _ACP_CODE = _canonical(_ACP_SYMS, 8)
+
+    def _emit_eobrun(bwr, eobrun, be):
+        """Flush a pending EOB run: EOBn symbol + its extra bits + the
+        correction bits buffered behind the run (T.81 G.1.2.3)."""
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ln, code = _ACP_CODE[nbits << 4]
+            bwr.write(code, ln)
+            if nbits:
+                bwr.write(eobrun & ((1 << nbits) - 1), nbits)
+            for bit in be:
+                bwr.write(bit, 1)
+            be.clear()
+        return 0
+
+    def _encode_ac_first_scan(bwr, comp_coefs, al):
+        eobrun = 0
+        for by in range(comp_coefs.shape[0]):
+            for bx in range(comp_coefs.shape[1]):
+                blk = comp_coefs[by, bx]
+                r = 0
+                wrote = False
+                for k in range(1, 64):
+                    t = int(blk[k])
+                    m = (t if t >= 0 else -t) >> al  # magnitude shift
+                    if m == 0:
+                        r += 1
+                        continue
+                    eobrun = _emit_eobrun(bwr, eobrun, [])
+                    while r > 15:
+                        ln, code = _ACP_CODE[0xF0]
+                        bwr.write(code, ln)
+                        r -= 16
+                    nbits = m.bit_length()
+                    ln, code = _ACP_CODE[(r << 4) | nbits]
+                    bwr.write(code, ln)
+                    bwr.write(m if t > 0 else (1 << nbits) - 1 - m, nbits)
+                    r = 0
+                    wrote = True
+                if r > 0 or not wrote:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun = _emit_eobrun(bwr, eobrun, [])
+        _emit_eobrun(bwr, eobrun, [])
+
+    def _encode_ac_refine_scan(bwr, comp_coefs, al):
+        eobrun = 0
+        be: list = []  # correction bits buffered behind the EOB run
+        for by in range(comp_coefs.shape[0]):
+            for bx in range(comp_coefs.shape[1]):
+                blk = comp_coefs[by, bx]
+                absval = [abs(int(blk[k])) >> al for k in range(64)]
+                eob = 0  # position of the last NEWLY-nonzero coefficient
+                for k in range(1, 64):
+                    if absval[k] == 1:
+                        eob = k
+                r = 0
+                br: list = []  # correction bits since the last symbol
+                for k in range(1, 64):
+                    a = absval[k]
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        eobrun = _emit_eobrun(bwr, eobrun, be)
+                        ln, code = _ACP_CODE[0xF0]
+                        bwr.write(code, ln)
+                        r -= 16
+                        for bit in br:
+                            bwr.write(bit, 1)
+                        br = []
+                    if a > 1:  # already nonzero: buffer its correction bit
+                        br.append(a & 1)
+                        continue
+                    eobrun = _emit_eobrun(bwr, eobrun, be)
+                    ln, code = _ACP_CODE[(r << 4) | 1]
+                    bwr.write(code, ln)
+                    bwr.write(1 if int(blk[k]) > 0 else 0, 1)
+                    for bit in br:
+                        bwr.write(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF or len(be) > 930:
+                        eobrun = _emit_eobrun(bwr, eobrun, be)
+        _emit_eobrun(bwr, eobrun, be)
+
+    def encode_jpeg_progressive(arr) -> bytes:
+        """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+        PROGRESSIVE (SOF2) 4:4:4 JPEG with flat quantization and one
+        level of successive approximation: scans are DC-first (Al=1),
+        AC-first per component (Al=1), DC-refinement, AC-refinement per
+        component — so a conforming decoder must exercise all four T.81
+        Annex G scan decoders (including EOB-run and correction-bit
+        handling) to reconstruct it. Reconstruction is coefficient-exact
+        vs ``encode_jpeg_baseline`` of the same image: both quantize to
+        the identical integer coefficients."""
+        import struct
+
+        a = np.asarray(arr, dtype=np.uint8)
+        gray = a.ndim == 2
+        h, w = a.shape[:2]
+        if gray:
+            planes = [a.astype(np.float64)]
+        else:
+            r, g, bch = (a[..., k].astype(np.float64) for k in range(3))
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * bch,
+                -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0,
+            ]
+        nc = len(planes)
+        pad_h, pad_w = -(-h // 8) * 8, -(-w // 8) * 8
+        nby, nbx = pad_h // 8, pad_w // 8
+        coefs = []
+        for p in planes:
+            padded = np.pad(p, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
+            cc = np.empty((nby, nbx, 64), dtype=np.int64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    # the EXACT per-block expression _encode_block uses, so
+                    # rounding at coefficient .5 boundaries is bit-identical
+                    # to the baseline encoder and the two decodes compare
+                    # pixel-exactly (a vectorized einsum FDCT differs by
+                    # ~1e-13, enough to flip np.round either side of .5)
+                    blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    coef = _T @ (blk - 128.0) @ _T.T
+                    cc[by, bx] = np.round(coef.reshape(64)[_ZIGZAG]).astype(np.int64)
+            coefs.append(cc)
+
+        out = bytearray(b"\xff\xd8")
+
+        def seg(marker, body):
+            out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+        seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+        sof = struct.pack(">BHHB", 8, h, w, nc)
+        for cid in range(1, nc + 1):
+            sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+        seg(0xC2, sof)
+        seg(0xC4, _dht_segment(0, 0, _DC_SYMS, 4))
+        seg(0xC4, _dht_segment(1, 0, _ACP_SYMS, 8))
+
+        def sos(comp_ids, ss, se, ah, al):
+            body = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                body += bytes([cid, 0x00])
+            seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+        # scan 1: DC first, all components interleaved, point transform 1
+        sos(list(range(1, nc + 1)), 0, 0, 0, 1)
+        bwr = _BitWriter()
+        preds = [0] * nc
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(nc):
+                    v = int(coefs[ci][by, bx, 0]) >> 1  # arithmetic shift
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size = abs(diff).bit_length()
+                    ln, code = _DC_CODE[size]
+                    bwr.write(code, ln)
+                    if size:
+                        bwr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        out.extend(bwr.flush())
+        # scan 2..1+nc: AC first per component
+        for ci in range(nc):
+            sos([ci + 1], 1, 63, 0, 1)
+            bwr = _BitWriter()
+            _encode_ac_first_scan(bwr, coefs[ci], 1)
+            out.extend(bwr.flush())
+        # DC refinement: one raw bit per block, interleaved
+        sos(list(range(1, nc + 1)), 0, 0, 1, 0)
+        bwr = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(nc):
+                    bwr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+        out.extend(bwr.flush())
+        # AC refinement per component
+        for ci in range(nc):
+            sos([ci + 1], 1, 63, 1, 0)
+            bwr = _BitWriter()
+            _encode_ac_refine_scan(bwr, coefs[ci], 0)
+            out.extend(bwr.flush())
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
+
+    return decode_jpeg, encode_jpeg_baseline, encode_jpeg_progressive
 
 
-decode_jpeg, encode_jpeg_baseline = _build_jpeg_codec()
+decode_jpeg, encode_jpeg_baseline, encode_jpeg_progressive = _build_jpeg_codec()
 
 
 IMAGE_STAT_SCHEMA = (
@@ -1445,7 +1884,9 @@ def image_pixel_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, IMAGE_STAT_SCHEMA)
 
 
-def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_jpeg_media(
+    ids: DataFrame, id_col: str = "doc_id", mixed: bool = False
+) -> DataFrame:
     """(media_id, payload): a deterministic 16x16 grayscale baseline JPEG
     per input id, built from four constant 8x8 blocks with the CLOSED-FORM
     value of block k (row-major) of id d:
@@ -1455,6 +1896,11 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from the closed form with no codec — certifying the full JPEG
     encode -> Huffman/IDCT decode chain by value hash, the image twin of
     ``synthesize_wav_media``.
+
+    With ``mixed=True``, odd ids encode PROGRESSIVE (SOF2, four-scan
+    successive approximation) instead of baseline — the corpus a real
+    crawl delivers — so one oracle certifies both entropy-coding models
+    at once (constant blocks are exact under either).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1468,6 +1914,8 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     int(d) * 31 + k * 17
                 ) % 256
+            if mixed and int(d) % 2 == 1:
+                return encode_jpeg_progressive(img)
             return encode_jpeg_baseline(img)
 
         for pdf in batches:

