@@ -16,12 +16,16 @@ from demo_otel_parquet_antalya_spark.plans import northstar as _northstar  # noq
 # test_queries_oracle.py) still verifies all of them every run.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: tuple = (
-    # --- round-5 curation (VERDICT r4 item 3): the 50-slot window now
-    # driver-verifies the 9 round-4-new families (graph trio, ExactSubstr
-    # spans+matches, k-center coreset, token-balanced sharding, partsupp
-    # TPC-H pair) that were only locally oracle-green. Every rotated-out
-    # name was GREEN in CORRECTNESS_r04 and keeps its oracle in the second
-    # window, where tests/test_queries_oracle.py re-proves it every run.
+    # --- round-6 curation (VERDICT r5 item 1): rotate IN the three late-r5
+    # locally-green queries (graph_communities_neardup,
+    # timeseries_ewma_smoothing, multimodal_audio_spectrum) plus the two
+    # r6-new queries (multimodal_image_stats_mixed progressive-JPEG,
+    # privacy_pii_scrub_logs) the same round they were built; rotate OUT
+    # five CORRECTNESS_r05-green within-family redundants
+    # (dedup_exact_substr_matches, tpch_q9_product_type_profit,
+    # graph_hits_trade, multimodal_classify, privacy_pii_scan), which keep
+    # their oracles at the head of the second window where
+    # tests/test_queries_oracle.py re-proves them every run.
     # ---------------------------------------------------------------------
     # scans / filters / projection (§2.C rows 1-6)
     "scan_count",
@@ -71,30 +75,39 @@ _DRIVER_WINDOW: tuple = (
     "pipeline_training_prep",
     # r5-in (VERDICT r4 item 3): the round-4-new families
     "graph_pagerank_trade",  # r5-in: weighted damped PageRank, unrolled oracle
-    "graph_hits_trade",  # r5-in: HITS hubs/authorities, deferred-L1 form
     "graph_triangles_neardup",  # r5-in: degree-ordered triangles on PPJoin pairs
     "dedup_exact_substr_spans",  # r5-in: ExactSubstr interval union (Lee et al.)
-    "dedup_exact_substr_matches",  # r5-in: maximal diagonal-run matches
     "select_k_center_coreset",  # r5-in: greedy k-center (Gonzalez)
     "shard_token_balanced",  # r5-in: token-balanced contiguous sharding
     "tpch_q2_min_cost_supplier",  # r5-in: partsupp TPC-H representative
-    "tpch_q9_product_type_profit",  # r5-in: partsupp TPC-H representative
     # r5-in (late): the round-5-new codec chains, windowed the same round
     # they were built so no curation lag accrues (VERDICT r4 item "What's
     # wrong" #4) — each certifies a real pure-stdlib codec end-to-end
     "multimodal_audio_features",  # r5-in: WAV PCM decode, closed-form oracle
     "multimodal_image_stats",  # r5-in: baseline-JPEG pixel decode
     "multimodal_video_frame_stats",  # r5-in: MJPEG-AVI demux + frame decode
-    "multimodal_classify",  # r5-in: one-pass header classifier (media ingest gate)
     "graph_kcore_trade",  # r5-in: fixed-round k-core peeling
-    "privacy_pii_scan",  # r5-in: regex-tier PII detection
     "privacy_pii_scrub",  # r5-in: PII redaction, boundary-exact oracle
+    # r6-in (VERDICT r5 item 1): the three late-r5 locally-green queries
+    "graph_communities_neardup",  # r6-in: label-propagation communities
+    "timeseries_ewma_smoothing",  # r6-in: EWMA over pre-bucketed minutes
+    "multimodal_audio_spectrum",  # r6-in: FFT spectral features, transform-free oracle
+    # r6-in (built this round, windowed this round - no curation lag)
+    "multimodal_image_stats_mixed",  # r6-in: progressive SOF2 + baseline JPEG mix
+    "privacy_pii_scrub_logs",  # r6-in: PII scrub inside log_attributes JSON
 )
 
 # next-most-important — first in line if the driver window ever widens.
 # The leading block is the r4 rotation: all CORRECTNESS_r03-green, oracles
 # retained, re-proved locally by tests/test_queries_oracle.py every run.
 _SECOND_WINDOW: tuple = (
+    # r6 rotate-outs (driver-green in r5; families still represented in
+    # the driver window)
+    "graph_hits_trade",
+    "dedup_exact_substr_matches",
+    "tpch_q9_product_type_profit",
+    "multimodal_classify",
+    "privacy_pii_scan",
     # r5 rotate-outs (driver-green in r4; families still represented in the
     # driver window or graded pass-local like prior rotations)
     "agg_rollup",
