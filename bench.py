@@ -48,6 +48,28 @@ def bench_ingest(spark, n_files: int = 50, records_per_file: int = 4000) -> floa
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Loadavg gate (VERDICT r5 item 3): the r5 "quiet" ledger's own loadavg
+    # field read 8.14 — numbers recorded on a contended box are noise that
+    # poisons the round-over-round comparison. If the 1-min loadavg at start
+    # exceeds the gate, wait (up to ~3 min) for the box to settle; if it
+    # never does, proceed but stamp the run "contended": true so readers
+    # KNOW to discount it. Gate is env-tunable; the driver's own run is
+    # never refused outright (it must always produce one JSON line).
+    gate = float(os.environ.get("SPARK_GRAFT_LOADAVG_GATE", "2.0"))
+    load_start = os.getloadavg()[0]
+    waited = 0.0
+    while load_start > gate and waited < 180.0:
+        print(
+            f"bench: 1-min loadavg {load_start:.2f} > gate {gate}; "
+            "waiting for quiet...",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
+        waited += 15.0
+        load_start = os.getloadavg()[0]
+    contended = load_start > gate
+
     spark = get_spark(app_name="bench")
 
     bench_queries = {name: spec for name, spec in QUERIES.items() if spec.bench}
@@ -118,9 +140,12 @@ def main() -> None:
                 "core_total": core_total,
                 "northstar_total": northstar_total,
                 "rel_spread_max": rel_spread_max,
-                # 1/5/15-min load average at exit: lets the round-over-round
-                # ledger distinguish a contended machine from a regression
+                # 1/5/15-min load average at exit + the gated start value:
+                # lets the round-over-round ledger distinguish a contended
+                # machine from a regression
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "loadavg_start": round(load_start, 2),
+                "contended": contended,
                 "ingest_logs_per_sec": ingest_rate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

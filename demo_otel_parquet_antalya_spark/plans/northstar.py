@@ -2806,6 +2806,7 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
         "DuckDB oracle unrolls the identical rounds as MATERIALIZED CTEs."
     ),
     tags=("northstar", "graph"),
+    bench=True,  # VERDICT r5 item 2: the heaviest warm op joins the ledger
 )
 def q_graph_communities_neardup(spark, sf_dir):
     from demo_otel_parquet_antalya_spark.operators import graph
