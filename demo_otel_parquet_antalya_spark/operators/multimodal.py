@@ -2333,11 +2333,14 @@ def _build_gif_codec():
         rect to the background color, 3 (restore previous) restores the
         rect to the canvas state from before the frame was drawn
         (GIF89a spec: "restore the area overwritten by the graphic with
-        what was there prior to rendering"). Transparency is refused
-        with ValueError (compositing it requires per-pixel alpha state
-        this codec declares out of scope). Returns (frames, delays_ms).
-        Static GIFs yield one frame identical to ``decode_gif`` when the
-        first block covers the screen."""
+        what was there prior to rendering"). GIF transparency is the
+        BINARY kind (a single transparent palette index, no alpha
+        blending): transparent pixels leave the canvas unchanged during
+        compositing, exactly per spec — the output frames themselves
+        stay plain RGB (the canvas always has a defined color
+        underneath). Returns (frames, delays_ms). Static GIFs yield one
+        frame identical to ``decode_gif`` when the first block covers
+        the screen."""
         import numpy as np
 
         b = bytes(data)
@@ -2362,7 +2365,7 @@ def _build_gif_codec():
         canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
         frames: list = []
         delays: list = []
-        disposal, delay_cs = 0, 0
+        disposal, delay_cs, transp = 0, 0, None
         while i < len(b):
             blk = b[i]
             if blk == 0x21:
@@ -2371,8 +2374,7 @@ def _build_gif_codec():
                 if label == 0xF9 and j < len(b) and b[j] >= 4:
                     gpacked = b[j + 1]
                     disposal = (gpacked >> 2) & 7
-                    if gpacked & 1:
-                        raise ValueError("GIF transparency unsupported")
+                    transp = b[j + 4] if (gpacked & 1) and j + 4 < len(b) else None
                     delay_cs = int.from_bytes(b[j + 2 : j + 4], "little")
                 while j < len(b) and b[j] != 0:
                     j += 1 + b[j]
@@ -2415,14 +2417,22 @@ def _build_gif_codec():
                     if disposal == 3
                     else None
                 )
-                canvas[top : top + h, left : left + w] = pal[patch]
+                if transp is None:
+                    canvas[top : top + h, left : left + w] = pal[patch]
+                else:
+                    # binary transparency: transparent-index pixels leave
+                    # the canvas unchanged (no alpha blending in GIF)
+                    opaque = patch != transp
+                    canvas[top : top + h, left : left + w][opaque] = pal[
+                        patch[opaque]
+                    ]
                 frames.append(canvas.copy())
                 delays.append(delay_cs * 10)
                 if disposal == 2:  # restore background inside the rect
                     canvas[top : top + h, left : left + w] = bg_rgb
                 elif disposal == 3:  # restore previous inside the rect
                     canvas[top : top + h, left : left + w] = prev_rect
-                disposal, delay_cs = 0, 0
+                disposal, delay_cs, transp = 0, 0, None
             elif blk == 0x3B:
                 break
             else:
@@ -2437,16 +2447,20 @@ def _build_gif_codec():
         disposals=None,
         offsets=None,
         screen=None,
+        transparencies=None,
     ) -> bytes:
         """Encode a list of uint8 RGB/grayscale arrays (union of colors
         <= 256) as an animated GIF89a: one shared global palette, a
-        graphic-control extension per frame (no transparency), image
-        blocks at per-frame ``offsets`` (default full-canvas at (0, 0)).
+        graphic-control extension per frame, image blocks at per-frame
+        ``offsets`` (default full-canvas at (0, 0)).
         ``disposals`` is an optional per-frame list of GIF89a disposal
         methods (0/1 leave, 2 restore background, 3 restore previous);
         default 1. ``screen`` = (height, width) of the logical screen
         (default: frame 0's shape; required when frames differ in
-        shape). Round-trips exactly through ``decode_gif_frames``."""
+        shape). ``transparencies`` is an optional per-frame list of an
+        RGB color (3-sequence) to mark as the frame's transparent index,
+        or None — pixels of that color leave the canvas unchanged when
+        composited. Round-trips exactly through ``decode_gif_frames``."""
         import struct
 
         import numpy as np
@@ -2462,8 +2476,11 @@ def _build_gif_codec():
         sh, sw = screen if screen is not None else arrs[0].shape[:2]
         offs = offsets if offsets is not None else [(0, 0)] * len(arrs)
         disp = disposals if disposals is not None else [1] * len(arrs)
-        if len(offs) != len(arrs) or len(disp) != len(arrs):
-            raise ValueError("offsets/disposals must match the frame count")
+        trans = transparencies if transparencies is not None else [None] * len(arrs)
+        if len(offs) != len(arrs) or len(disp) != len(arrs) or len(trans) != len(arrs):
+            raise ValueError(
+                "offsets/disposals/transparencies must match the frame count"
+            )
         for a, (left, top) in zip(arrs, offs):
             if top + a.shape[0] > sh or left + a.shape[1] > sw:
                 raise ValueError("frame rect exceeds the logical screen")
@@ -2482,11 +2499,21 @@ def _build_gif_codec():
         for fi, a in enumerate(arrs):
             fh, fw = a.shape[:2]
             left, top = offs[fi]
+            tflag, tidx = 0, 0
+            if trans[fi] is not None:
+                want = np.asarray(trans[fi], dtype=np.uint8)
+                hit = np.nonzero((pal == want[None, :]).all(axis=1))[0]
+                if len(hit) == 0:
+                    raise ValueError(
+                        "transparent color must occur in the frames' palette"
+                    )
+                tflag, tidx = 1, int(hit[0])
             out.extend(
                 struct.pack(
-                    "<BBBBHBB", 0x21, 0xF9, 4, (disp[fi] & 7) << 2, delay_ms // 10, 0, 0
+                    "<BBBBHBB", 0x21, 0xF9, 4,
+                    ((disp[fi] & 7) << 2) | tflag, delay_ms // 10, tidx, 0,
                 )
-            )  # GCE: per-frame disposal, no transparency
+            )  # GCE: per-frame disposal + optional transparent index
             out.extend(struct.pack("<BHHHHB", 0x2C, left, top, fw, fh, 0))
             out.append(mcs)
             body = _lzw_encode(

@@ -112,7 +112,7 @@ def test_animation_round_trip_and_patch_compositing():
     assert (got2[1][0, :, :] == 0).all()
 
 
-def test_animation_refusals_and_static_equivalence():
+def test_animation_static_equivalence():
     from demo_otel_parquet_antalya_spark.operators.multimodal import (
         decode_gif_frames,
         encode_gif_animation,
@@ -124,13 +124,40 @@ def test_animation_refusals_and_static_equivalence():
     assert len(frames) == 1
     np.testing.assert_array_equal(frames[0], decode_gif(encode_gif(img)))
 
-    # transparency is refused, never mis-composited
-    anim = bytearray(encode_gif_animation([img, img]))
-    i = anim.find(bytes([0x21, 0xF9]))
-    t = bytearray(anim)
-    t[i + 3] |= 0x01  # transparency flag
-    with pytest.raises(ValueError, match="transparency"):
-        decode_gif_frames(bytes(t))
+def test_animation_transparency_composites_through():
+    """GIF89a binary transparency: pixels of the frame's transparent
+    palette index leave the canvas unchanged during compositing (no
+    alpha blending exists in GIF — it's a per-pixel keep/replace)."""
+    from demo_otel_parquet_antalya_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = np.full((8, 8, 3), 200, dtype=np.uint8)
+    patch = np.full((4, 4, 3), 40, dtype=np.uint8)
+    patch[::2, ::2] = 90  # checkerboard: 90 will be the transparent color
+    anim = encode_gif_animation(
+        [base, patch],
+        disposals=[1, 1],
+        offsets=[(0, 0), (2, 2)],
+        screen=(8, 8),
+        transparencies=[None, (90, 90, 90)],
+    )
+    frames, _ = decode_gif_frames(anim)
+    want = base.copy()
+    rect = want[2:6, 2:6]
+    opaque = (patch != 90).all(axis=-1)
+    rect[opaque] = 40  # only the opaque pixels composite
+    np.testing.assert_array_equal(frames[0], base)
+    np.testing.assert_array_equal(frames[1], want)
+    # the transparent positions still show the base color
+    assert (frames[1][2:6, 2:6][~opaque] == 200).all()
+
+    # a transparent color absent from the palette is refused at encode
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif_animation([base, patch], transparencies=[None, (1, 2, 3)],
+                             offsets=[(0, 0), (2, 2)], screen=(8, 8),
+                             disposals=[1, 1])
 
 
 def test_animation_disposal_restore_previous():
