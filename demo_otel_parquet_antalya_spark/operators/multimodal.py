@@ -1112,6 +1112,8 @@ def _build_jpeg_codec():
                 while j < len(seg):
                     tc, th = seg[j] >> 4, seg[j] & 0xF
                     counts = list(seg[j + 1 : j + 17])
+                    if len(counts) < 16 or j + 17 + sum(counts) > len(seg):
+                        raise ValueError("JPEG DHT segment truncated")
                     syms = seg[j + 17 : j + 17 + sum(counts)]
                     code, k, table = 0, 0, {}
                     for length in range(1, 17):
@@ -1123,13 +1125,20 @@ def _build_jpeg_codec():
                     huff[(tc, th)] = table
                     j += 17 + sum(counts)
             elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                if len(seg) < 6:
+                    raise ValueError("JPEG SOF segment truncated")
                 prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
                 if prec != 8:
                     raise ValueError("only 8-bit precision supported")
+                if h == 0 or w == 0 or nc == 0 or len(seg) < 6 + 3 * nc:
+                    raise ValueError("invalid JPEG frame header")
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                    ch, cv = hv >> 4, hv & 0xF
+                    if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                        raise ValueError("invalid JPEG sampling factors")
+                    comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
                 frame = (h, w, comps)
                 progressive = marker == 0xC2
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1141,7 +1150,11 @@ def _build_jpeg_codec():
             elif marker == 0xDA:  # SOS
                 if frame is None:
                     raise ValueError("JPEG SOS before SOF")
+                if not seg:
+                    raise ValueError("JPEG SOS segment truncated")
                 ns = seg[0]
+                if ns == 0 or len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("JPEG SOS segment truncated")
                 scan = {}
                 for c in range(ns):
                     scan[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
@@ -1235,6 +1248,8 @@ def _build_jpeg_codec():
                         for bx in range(c["h"]):
                             zz = np.zeros(64, dtype=np.int64)
                             s = _huff_decode(bits, dc_t, dc_lut)
+                            if s > 15:
+                                raise ValueError("invalid JPEG DC size")
                             diff = _extend(bits.read(s), s) if s else 0
                             pred[ci] += diff
                             zz[0] = pred[ci]
@@ -1412,6 +1427,8 @@ def _build_jpeg_codec():
                                 if ah == 0:
                                     dc_key = (0, scan[c["id"]][0])
                                     s = _huff_decode(bits, huff[dc_key], luts[dc_key])
+                                    if s > 15:
+                                        raise ValueError("invalid JPEG DC size")
                                     diff = _extend(bits.read(s), s) if s else 0
                                     pred[ci] += diff
                                     blk[0] = pred[ci] << al
@@ -1444,6 +1461,8 @@ def _build_jpeg_codec():
         vmax = max(c["v"] for c in comps)
         full = []
         for ci, c in enumerate(comps):
+            if c["tq"] not in qt:
+                raise ValueError("JPEG missing quantization table")
             q = qt[c["tq"]].astype(np.float64)
             coefs = store[ci]
             rows, cols = coefs.shape[:2]
@@ -1546,40 +1565,79 @@ def _build_jpeg_codec():
             bw.write(c, l)
         return int(zz[0])
 
-    def encode_jpeg_baseline(arr, restart_interval: int = 0) -> bytes:
+    def _encoder_planes(arr, subsampling: str):
+        """uint8 image -> [(plane, h_factor, v_factor)]: BT.601 color
+        split, chroma 2x2-mean-downsampled for 4:2:0. Shared by BOTH
+        encoders so their coefficients round identically."""
+        a = np.asarray(arr, dtype=np.uint8)
+        h, w = a.shape[:2]
+        if a.ndim == 2:
+            return h, w, [(a.astype(np.float64), 1, 1)]
+        r, g, bch = (a[..., k].astype(np.float64) for k in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+        if subsampling == "444":
+            return h, w, [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+        if subsampling != "420":
+            raise ValueError("subsampling must be '444' or '420'")
+
+        def down2(p):
+            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+            q = np.pad(p, ((0, eh - h), (0, ew - w)), mode="edge")
+            return (
+                q.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            )
+
+        return h, w, [(y, 2, 2), (down2(cb), 1, 1), (down2(cr), 1, 1)]
+
+    def _mcu_padded(planes_hv, mcus_x, mcus_y):
+        """Edge-pad each component plane to its MCU-grid pixel extent."""
+        out = []
+        for p, hf, vf in planes_hv:
+            ph, pw = mcus_y * vf * 8, mcus_x * hf * 8
+            out.append(
+                np.pad(
+                    p,
+                    ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                    mode="edge",
+                )
+            )
+        return out
+
+    def encode_jpeg_baseline(
+        arr, restart_interval: int = 0, subsampling: str = "444"
+    ) -> bytes:
         """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-        baseline 4:4:4 JPEG with flat (all-ones) quantization — the
+        baseline JPEG with flat (all-ones) quantization — the
         near-lossless configuration: reconstruction error is bounded by
         the per-coefficient rounding (worst case < 4 counts on
         adversarial single-outlier blocks; within +/-1 on typical
         images). ``restart_interval`` > 0 emits DRI + RSTn markers every
         N MCUs (byte-aligned, DC predictors reset) — the feature real
         encoders use for error resilience, and what exercises the
-        decoder's resync path."""
+        decoder's resync path. ``subsampling`` '444' (default, exact
+        chroma) or '420' (luma 2x2 sampling factors, chroma 2x2-mean
+        downsampled — the dominant real-world layout; lossy in chroma by
+        construction, decoder upsamples by replication)."""
         import struct
 
-        a = np.asarray(arr, dtype=np.uint8)
-        gray = a.ndim == 2
-        h, w = a.shape[:2]
-        if gray:
-            planes = [a.astype(np.float64)]
-        else:
-            r, g, bch = (a[..., k].astype(np.float64) for k in range(3))
-            planes = [
-                0.299 * r + 0.587 * g + 0.114 * bch,
-                -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0,
-                0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0,
-            ]
+        h, w, planes_hv = _encoder_planes(arr, subsampling)
+        nc = len(planes_hv)
+        hmax = max(hf for _, hf, _ in planes_hv)
+        vmax = max(vf for _, _, vf in planes_hv)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
         out = bytearray(b"\xff\xd8")  # SOI
 
         def seg(marker, body):
             out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
 
         seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
-        nc = 1 if gray else 3
         sof = struct.pack(">BHHB", 8, h, w, nc)
         for cid in range(1, nc + 1):
-            sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+            _, hf, vf = planes_hv[cid - 1]
+            sof += bytes([cid, (hf << 4) | vf, 0])
         seg(0xC0, sof)
         seg(0xC4, _dht_segment(0, 0, _DC_SYMS, 4))
         seg(0xC4, _dht_segment(1, 0, _AC_SYMS, 8))
@@ -1592,14 +1650,11 @@ def _build_jpeg_codec():
         seg(0xDA, sos)
         bw = _BitWriter()
         preds = [0] * nc
-        pad_h, pad_w = -(-h // 8) * 8, -(-w // 8) * 8
-        padded = [
-            np.pad(p, ((0, pad_h - h), (0, pad_w - w)), mode="edge") for p in planes
-        ]
+        padded = _mcu_padded(planes_hv, mcus_x, mcus_y)
         n_mcu = 0
         rst = 0
-        for my in range(pad_h // 8):
-            for mx in range(pad_w // 8):
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
                 if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                     # RST markers sit OUTSIDE the stuffed entropy bytes:
                     # flush (1-padded to a byte), emit the marker raw,
@@ -1611,8 +1666,13 @@ def _build_jpeg_codec():
                     preds = [0] * nc
                 n_mcu += 1
                 for ci in range(nc):
-                    blk = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                    preds[ci] = _encode_block(bw, blk, preds[ci])
+                    _, hf, vf = planes_hv[ci]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            y0 = (my * vf + by) * 8
+                            x0 = (mx * hf + bx) * 8
+                            blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                            preds[ci] = _encode_block(bw, blk, preds[ci])
         out.extend(bw.flush())
         out.extend(b"\xff\xd9")  # EOI
         return bytes(out)
@@ -1641,11 +1701,9 @@ def _build_jpeg_codec():
             be.clear()
         return 0
 
-    def _encode_ac_first_scan(bwr, comp_coefs, al):
+    def _encode_ac_first_blocks(bwr, blocks, al):
         eobrun = 0
-        for by in range(comp_coefs.shape[0]):
-            for bx in range(comp_coefs.shape[1]):
-                blk = comp_coefs[by, bx]
+        for blk in blocks:
                 r = 0
                 wrote = False
                 for k in range(1, 64):
@@ -1671,12 +1729,10 @@ def _build_jpeg_codec():
                         eobrun = _emit_eobrun(bwr, eobrun, [])
         _emit_eobrun(bwr, eobrun, [])
 
-    def _encode_ac_refine_scan(bwr, comp_coefs, al):
+    def _encode_ac_refine_blocks(bwr, blocks, al):
         eobrun = 0
         be: list = []  # correction bits buffered behind the EOB run
-        for by in range(comp_coefs.shape[0]):
-            for bx in range(comp_coefs.shape[1]):
-                blk = comp_coefs[by, bx]
+        for blk in blocks:
                 absval = [abs(int(blk[k])) >> al for k in range(64)]
                 eob = 0  # position of the last NEWLY-nonzero coefficient
                 for k in range(1, 64):
@@ -1715,36 +1771,57 @@ def _build_jpeg_codec():
                         eobrun = _emit_eobrun(bwr, eobrun, be)
         _emit_eobrun(bwr, eobrun, be)
 
-    def encode_jpeg_progressive(arr) -> bytes:
+    def _chunked(items, n):
+        if not n:
+            return [items]
+        return [items[i : i + n] for i in range(0, len(items), n)]
+
+    def _emit_restart_groups(out, groups, encode_group):
+        """Encode each group into its own byte-aligned entropy segment
+        with RSTn markers between groups (T.81 restart semantics: DC
+        predictors and EOB runs reset at every marker — the per-group
+        encoder state is naturally fresh)."""
+        rst = 0
+        for gi, grp in enumerate(groups):
+            if gi:
+                out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+            bwr = _BitWriter()
+            encode_group(bwr, grp)
+            out.extend(bwr.flush())
+
+    def encode_jpeg_progressive(
+        arr, restart_interval: int = 0, subsampling: str = "444"
+    ) -> bytes:
         """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-        PROGRESSIVE (SOF2) 4:4:4 JPEG with flat quantization and one
+        PROGRESSIVE (SOF2) JPEG with flat quantization and one
         level of successive approximation: scans are DC-first (Al=1),
         AC-first per component (Al=1), DC-refinement, AC-refinement per
         component — so a conforming decoder must exercise all four T.81
         Annex G scan decoders (including EOB-run and correction-bit
         handling) to reconstruct it. Reconstruction is coefficient-exact
-        vs ``encode_jpeg_baseline`` of the same image: both quantize to
-        the identical integer coefficients."""
+        vs ``encode_jpeg_baseline`` of the same image at the same
+        ``subsampling``: both build the same planes and quantize with
+        the identical per-block FDCT expression, so the two decodes are
+        bit-identical. ``restart_interval`` > 0 emits DRI + RSTn every N
+        MCUs of the DC scans / N blocks of the AC scans (DC predictors
+        and EOB runs reset, segments byte-aligned) — the resync path
+        real encoders use. ``subsampling`` '444' or '420' (chroma
+        2x2-mean downsampled; the component coefficient grids then
+        DIFFER from the MCU grid, exercising the non-interleaved AC scan
+        geometry real-world progressive JPEGs have)."""
         import struct
 
-        a = np.asarray(arr, dtype=np.uint8)
-        gray = a.ndim == 2
-        h, w = a.shape[:2]
-        if gray:
-            planes = [a.astype(np.float64)]
-        else:
-            r, g, bch = (a[..., k].astype(np.float64) for k in range(3))
-            planes = [
-                0.299 * r + 0.587 * g + 0.114 * bch,
-                -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0,
-                0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0,
-            ]
-        nc = len(planes)
-        pad_h, pad_w = -(-h // 8) * 8, -(-w // 8) * 8
-        nby, nbx = pad_h // 8, pad_w // 8
+        h, w, planes_hv = _encoder_planes(arr, subsampling)
+        nc = len(planes_hv)
+        hmax = max(hf for _, hf, _ in planes_hv)
+        vmax = max(vf for _, _, vf in planes_hv)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        padded = _mcu_padded(planes_hv, mcus_x, mcus_y)
         coefs = []
-        for p in planes:
-            padded = np.pad(p, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
+        for ci, (_, hf, vf) in enumerate(planes_hv):
+            nby, nbx = mcus_y * vf, mcus_x * hf
             cc = np.empty((nby, nbx, 64), dtype=np.int64)
             for by in range(nby):
                 for bx in range(nbx):
@@ -1753,7 +1830,7 @@ def _build_jpeg_codec():
                     # to the baseline encoder and the two decodes compare
                     # pixel-exactly (a vectorized einsum FDCT differs by
                     # ~1e-13, enough to flip np.round either side of .5)
-                    blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                     coef = _T @ (blk - 128.0) @ _T.T
                     cc[by, bx] = np.round(coef.reshape(64)[_ZIGZAG]).astype(np.int64)
             coefs.append(cc)
@@ -1766,10 +1843,13 @@ def _build_jpeg_codec():
         seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
         sof = struct.pack(">BHHB", 8, h, w, nc)
         for cid in range(1, nc + 1):
-            sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+            _, hf, vf = planes_hv[cid - 1]
+            sof += bytes([cid, (hf << 4) | vf, 0])
         seg(0xC2, sof)
         seg(0xC4, _dht_segment(0, 0, _DC_SYMS, 4))
         seg(0xC4, _dht_segment(1, 0, _ACP_SYMS, 8))
+        if restart_interval:
+            seg(0xDD, struct.pack(">H", restart_interval))  # DRI
 
         def sos(comp_ids, ss, se, ah, al):
             body = bytes([len(comp_ids)])
@@ -1777,14 +1857,36 @@ def _build_jpeg_codec():
                 body += bytes([cid, 0x00])
             seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
+        # interleaved MCU order: [(ci, block_view), ...] per MCU
+        mcu_blocks = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                one = []
+                for ci, (_, hf, vf) in enumerate(planes_hv):
+                    for by in range(vf):
+                        for bx in range(hf):
+                            one.append((ci, coefs[ci][my * vf + by, mx * hf + bx]))
+                mcu_blocks.append(one)
+
+        # non-interleaved per-component block order over the COMPONENT
+        # blocks grid (T.81 A.2.2 — smaller than the MCU grid when the
+        # image is not an exact MCU multiple; padding blocks carry DC only)
+        def comp_blocks(ci):
+            _, hf, vf = planes_hv[ci]
+            comp_w = -(-(w * hf) // hmax)  # ceil: component pixel dims
+            comp_h = -(-(h * vf) // vmax)
+            bw_ = -(-comp_w // 8)  # ceil: component blocks-grid dims
+            bh_ = -(-comp_h // 8)
+            return [coefs[ci][by, bx] for by in range(bh_) for bx in range(bw_)]
+
         # scan 1: DC first, all components interleaved, point transform 1
         sos(list(range(1, nc + 1)), 0, 0, 0, 1)
-        bwr = _BitWriter()
-        preds = [0] * nc
-        for by in range(nby):
-            for bx in range(nbx):
-                for ci in range(nc):
-                    v = int(coefs[ci][by, bx, 0]) >> 1  # arithmetic shift
+
+        def dc_first_group(bwr, grp):
+            preds = [0] * nc
+            for one in grp:
+                for ci, blk in one:
+                    v = int(blk[0]) >> 1  # arithmetic shift (T.81 G.1.2.1)
                     diff = v - preds[ci]
                     preds[ci] = v
                     size = abs(diff).bit_length()
@@ -1792,27 +1894,34 @@ def _build_jpeg_codec():
                     bwr.write(code, ln)
                     if size:
                         bwr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-        out.extend(bwr.flush())
+
+        _emit_restart_groups(out, _chunked(mcu_blocks, restart_interval), dc_first_group)
+
         # scan 2..1+nc: AC first per component
         for ci in range(nc):
             sos([ci + 1], 1, 63, 0, 1)
-            bwr = _BitWriter()
-            _encode_ac_first_scan(bwr, coefs[ci], 1)
-            out.extend(bwr.flush())
+            _emit_restart_groups(
+                out,
+                _chunked(comp_blocks(ci), restart_interval),
+                lambda bwr, grp: _encode_ac_first_blocks(bwr, grp, 1),
+            )
         # DC refinement: one raw bit per block, interleaved
         sos(list(range(1, nc + 1)), 0, 0, 1, 0)
-        bwr = _BitWriter()
-        for by in range(nby):
-            for bx in range(nbx):
-                for ci in range(nc):
-                    bwr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
-        out.extend(bwr.flush())
+
+        def dc_refine_group(bwr, grp):
+            for one in grp:
+                for _ci, blk in one:
+                    bwr.write(int(blk[0]) & 1, 1)
+
+        _emit_restart_groups(out, _chunked(mcu_blocks, restart_interval), dc_refine_group)
         # AC refinement per component
         for ci in range(nc):
             sos([ci + 1], 1, 63, 1, 0)
-            bwr = _BitWriter()
-            _encode_ac_refine_scan(bwr, coefs[ci], 0)
-            out.extend(bwr.flush())
+            _emit_restart_groups(
+                out,
+                _chunked(comp_blocks(ci), restart_interval),
+                lambda bwr, grp: _encode_ac_refine_blocks(bwr, grp, 0),
+            )
         out.extend(b"\xff\xd9")  # EOI
         return bytes(out)
 

@@ -125,6 +125,65 @@ def test_partial_scans_are_displayable_and_converge():
     np.testing.assert_array_equal(full, decode_jpeg(encode_jpeg_baseline(img)))
 
 
+def test_420_subsampling_decodes_identically():
+    """4:2:0 (the dominant real-world layout): luma at 2x2 sampling
+    factors, chroma 2x2-mean downsampled. The component coefficient
+    grids then DIFFER from the MCU grid, exercising the non-interleaved
+    AC scan geometry — progressive and baseline must still decode
+    bit-identically (same planes, same per-block FDCT rounding)."""
+    rng = np.random.default_rng(33)
+    for shape in [(16, 16, 3), (24, 17, 3), (13, 21, 3), (40, 28, 3), (9, 9, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_baseline(img, subsampling="420"))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsampling="420"))
+        np.testing.assert_array_equal(base, prog)
+    # constant-chroma content survives 4:2:0 within rounding
+    g = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    img = np.stack([g] * 3, axis=-1)
+    d = decode_jpeg(encode_jpeg_baseline(img, subsampling="420")).astype(int)
+    assert np.abs(d - img).max() <= 1
+
+
+def test_restart_markers_resync_in_every_scan_type():
+    """DRI + RSTn in progressive scans: DC predictors and EOB runs reset
+    at each marker, segments byte-aligned — decode must equal the
+    restart-free encode of the same image (both carry identical
+    coefficients), in 4:4:4 and 4:2:0, gray and color."""
+    rng = np.random.default_rng(34)
+    for shape, sub in [((24, 40), "444"), ((16, 24, 3), "444"), ((16, 24, 3), "420")]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))
+        for r in (1, 2, 7):
+            got = decode_jpeg(
+                encode_jpeg_progressive(img, restart_interval=r, subsampling=sub)
+            )
+            np.testing.assert_array_equal(got, want)
+            base = decode_jpeg(
+                encode_jpeg_baseline(img, restart_interval=r, subsampling=sub)
+            )
+            np.testing.assert_array_equal(base, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(2, 10_000), st.sampled_from([0x01, 0x80, 0xFF]), st.booleans())
+def test_byte_flip_fuzz_never_escapes_valueerror(pos, flip, progressive):
+    """Any single corrupted byte must yield ValueError or a decodable
+    uint8 image — never IndexError/KeyError/OverflowError/ZeroDivision
+    (the per-payload degrade contract of every Spark stage rides on
+    this)."""
+    rng = np.random.default_rng(35)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    enc = encode_jpeg_progressive if progressive else encode_jpeg_baseline
+    payload = bytearray(enc(img))
+    m = bytearray(payload)
+    m[pos % (len(m) - 2) + 2] ^= flip
+    try:
+        out = decode_jpeg(bytes(m))
+    except ValueError:
+        return
+    assert out.dtype == np.uint8
+
+
 def test_spark_image_stats_decode_progressive_payloads(spark):
     """The Spark pixel-stats stage must route progressive payloads through
     the real SOF2 decoder: exact stats on a constant-block image are only
