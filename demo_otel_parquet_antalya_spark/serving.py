@@ -12,6 +12,9 @@ and serves
     GET  /queries           -> the registered query catalog (name -> doc)
     POST /query             -> {"sql": "SELECT ..."} run against the views
     POST /run/<name>        -> run a catalog query by name (plans.QUERIES)
+    GET  /panels/<name>     -> the reference's Grafana panel queries
+                               (plans/facade.py q1..q6) over an ingested
+                               logs warehouse; ?start=&end=&interval=&limit=
 
 Responses are JSON ``{"columns": [...], "rows": [[...]], "row_count": N,
 "truncated": bool}`` with timestamps/dates ISO-formatted, Decimals
@@ -105,10 +108,36 @@ def _df_payload(df, cap: int) -> dict:
     }
 
 
+def _panel_frame(logs, name: str, params: dict):
+    """Dispatch to the reference's dashboard queries (plans/facade.py)."""
+    from demo_otel_parquet_antalya_spark.plans import facade
+
+    start = params.get("start")
+    end = params.get("end")
+    if name == "q1_projection":
+        return facade.q1_projection(logs)
+    if name == "q2_recent_logs":
+        return facade.q2_recent_logs(logs, limit=int(params.get("limit", 10)))
+    if name == "q3_severity_counts":
+        return facade.q3_severity_counts(logs)
+    if name == "q4_select_all":
+        return facade.q4_select_all(logs)
+    if name == "q5_timeseries":
+        return facade.q5_timeseries(
+            logs, start, end, interval_seconds=int(params.get("interval", 30))
+        )
+    if name == "q6_log_panel":
+        return facade.q6_log_panel(
+            logs, start, end, limit=int(params.get("limit", 1000))
+        )
+    raise KeyError(name)
+
+
 class _SQLHandler(BaseHTTPRequestHandler):
     spark: SparkSession
     sf_dir: str
     tables: tuple
+    logs_dir: str | None = None
     row_cap: int = DEFAULT_ROW_CAP
 
     # quiet: the stdlib default logs every request to stderr
@@ -124,7 +153,8 @@ class _SQLHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):  # noqa: N802
-        path = self.path.split("?", 1)[0].rstrip("/")
+        path, _, query = self.path.partition("?")
+        path = path.rstrip("/")
         if path == "/health":
             self._send(200, {"status": "ok", "tables": list(self.tables)})
             return
@@ -135,6 +165,22 @@ class _SQLHandler(BaseHTTPRequestHandler):
                 200,
                 {name: (spec.doc or "").split(". ")[0] for name, spec in QUERIES.items()},
             )
+            return
+        if path.startswith("/panels/"):
+            if self.logs_dir is None:
+                self._send(400, {"error": "no logs warehouse configured"})
+                return
+            import urllib.parse
+
+            params = {k: v[0] for k, v in urllib.parse.parse_qs(query).items()}
+            try:
+                logs = self.spark.read.parquet(self.logs_dir)
+                frame = _panel_frame(logs, path[len("/panels/") :], params)
+                self._send(200, _df_payload(frame, self.row_cap))
+            except KeyError as exc:
+                self._send(404, {"error": f"unknown panel {exc}"})
+            except Exception as exc:
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
             return
         self._send(404, {"error": "unknown path"})
 
@@ -179,18 +225,27 @@ def start_sql_endpoint(
     port: int = 0,
     tables: tuple = TESTDATA_TABLES,
     row_cap: int = DEFAULT_ROW_CAP,
+    logs_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     """Register ``tables`` from ``sf_dir`` as temp views and serve the
     read-only SQL endpoint on (host, port) in a daemon thread. ``port=0``
     binds an ephemeral port (read it back from ``server.server_address``).
-    Call ``server.shutdown()`` to stop."""
+    ``logs_dir`` (optional) points at an ingested logs warehouse
+    (streaming/ingest.py output) and enables the /panels/* dashboard
+    routes. Call ``server.shutdown()`` to stop."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
     handler = type(
         "_BoundSQLHandler",
         (_SQLHandler,),
-        {"spark": spark, "sf_dir": sf_dir, "tables": tuple(tables), "row_cap": row_cap},
+        {
+            "spark": spark,
+            "sf_dir": sf_dir,
+            "tables": tuple(tables),
+            "row_cap": row_cap,
+            "logs_dir": logs_dir,
+        },
     )
     server = ThreadingHTTPServer((host, port), handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)

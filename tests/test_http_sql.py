@@ -99,6 +99,57 @@ def test_read_only_enforcement(endpoint):
     assert code == 400
 
 
+def test_panels_serve_reference_dashboard_over_ingested_logs(spark, tmp_path):
+    """The reference's full loop, Spark-side: generated OTLP landing files
+    -> exactly-once ingest -> partitioned warehouse -> the Grafana panel
+    queries (facade q5/q6) served over HTTP. Values must equal the direct
+    facade call on the same warehouse."""
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "warehouse")
+    generate_files(landing, n_files=3, records_per_file=50)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "ckpt"))
+
+    server = start_sql_endpoint(spark, SF_DIR, row_cap=5000, logs_dir=wh)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=30") as r:
+            got = json.loads(r.read())
+        logs = spark.read.parquet(wh)
+        want = facade.q5_timeseries(logs, interval_seconds=30).collect()
+        assert got["columns"] == ["t", "series", "value"]
+        assert got["row_count"] == len(want)
+        assert sorted(r_[2] for r_ in got["rows"]) == sorted(r_["value"] for r_ in want)
+        with urllib.request.urlopen(f"{base}/panels/q6_log_panel?limit=25") as r:
+            q6 = json.loads(r.read())
+        assert q6["row_count"] == 25
+        assert q6["columns"] == [
+            "log_time", "message", "service_name", "scope_name", "severity_text",
+        ]
+        code, err = _post_err(base, "/query", {"sql": "DELETE FROM lineitem"})
+        assert code == 400
+        try:
+            urllib.request.urlopen(f"{base}/panels/nope")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_panels_without_logs_dir_rejected(endpoint):
+    try:
+        urllib.request.urlopen(endpoint + "/panels/q5_timeseries")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "warehouse" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")
+
+
 def test_run_catalog_query_by_name(endpoint, spark):
     from demo_otel_parquet_antalya_spark.plans import QUERIES
 
