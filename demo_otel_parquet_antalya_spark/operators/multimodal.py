@@ -197,11 +197,13 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8, decode_stub: bool = True) -> DataFrame:
     """Frame sampling: one binary payload -> N frame rows (1:N un-nesting).
 
-    MJPEG-AVI and (possibly animated) GIF payloads take the REAL path:
-    the RIFF/AVI demuxer yields each video frame's JPEG bytes verbatim,
-    and ``decode_gif_frames`` yields composited canvas frames re-encoded
-    as standalone GIFs — both sampled evenly up to ``max_frames`` with
-    ORIGINAL frame indices, decodable downstream like any image payload.
+    MJPEG-AVI, animated GIF, and animated PNG payloads take the REAL
+    path: the RIFF/AVI demuxer yields each video frame's JPEG bytes
+    verbatim, ``decode_gif_frames`` yields composited canvas frames
+    re-encoded as standalone GIFs, and ``decode_apng_frames`` yields
+    alpha-composited RGBA canvases re-encoded as standalone PNGs — all
+    sampled evenly up to ``max_frames`` with ORIGINAL frame indices,
+    decodable downstream like any image payload.
     Other formats
     go through the declared stub ('frames' are fixed-stride byte windows)
     with ``decode_stub=True``, or raise with ``decode_stub=False`` (the
@@ -226,6 +228,23 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                             ids.append(media_id)
                             idxs.append(fi)
                             frames.append(fr[fi])
+                        continue
+                    except ValueError:
+                        if not decode_stub:
+                            continue  # skip the corrupt payload
+                        # else: fall through to the byte-window stub below
+                if b[:8] == PNG_SIGNATURE and is_apng(b):
+                    # animated PNG: composited RGBA canvas frames, each
+                    # sampled frame re-encoded as a standalone PNG. Same
+                    # per-payload degrade contract as GIF/AVI below.
+                    try:
+                        canvases, _delays = decode_apng_frames(b)
+                        n = len(canvases)
+                        take = min(max_frames, n)
+                        for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
+                            ids.append(media_id)
+                            idxs.append(fi)
+                            frames.append(encode_png(canvases[fi]))
                         continue
                     except ValueError:
                         if not decode_stub:
@@ -741,6 +760,237 @@ def _build_png_codec():
 
 
 decode_png, encode_png, resize_nearest = _build_png_codec()
+
+
+# ---------------------------------------------------------------------------
+# Real APNG (animated PNG) codec — pure stdlib + numpy, built on the PNG
+# codec above. APNG is the PNG second edition's animation layer (acTL /
+# fcTL / fdAT chunks): each frame is an independently zlib-compressed
+# region composited onto an RGBA canvas with per-frame DISPOSE
+# (none / background / previous) and BLEND (source / over) operators —
+# the third real animated container next to GIF and MJPEG-AVI, and the
+# only one with true alpha compositing.
+# ---------------------------------------------------------------------------
+
+
+def _build_apng_codec():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def is_apng(data: bytes) -> bool:
+        """O(header): PNG signature + an acTL chunk before the first IDAT
+        (the spec's placement requirement, so the probe is bounded)."""
+        if data[:8] != PNG_SIGNATURE:
+            return False
+        pos = 8
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            ctype = data[pos + 4 : pos + 8]
+            if ctype == b"acTL":
+                return True
+            if ctype in (b"IDAT", b"IEND"):
+                return False
+            pos += 12 + length
+        return False
+
+    def _region_png(w: int, h: int, color_type: int, zdata: bytes) -> bytes:
+        """Wrap one frame's compressed region as a standalone PNG so the
+        scanline unfilter runs through decode_png unchanged."""
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zdata) + chunk(b"IEND", b"")
+
+    def _to_rgba(img):
+        """Promote any decoded PNG layout to RGBA (alpha 255 when absent)."""
+        h, w, ch = img.shape
+        out = np.zeros((h, w, 4), dtype=np.uint8)
+        if ch == 1:
+            out[..., :3] = img
+            out[..., 3] = 255
+        elif ch == 2:
+            out[..., :3] = img[..., :1]
+            out[..., 3] = img[..., 1]
+        elif ch == 3:
+            out[..., :3] = img
+            out[..., 3] = 255
+        else:
+            out[:] = img
+        return out
+
+    def _blend_over(dst, src):
+        """APNG 'over' (straight alpha, PNG spec's compositing equation):
+        out_a = sa + da*(1-sa); out_rgb = (srgb*sa + drgb*da*(1-sa))/out_a."""
+        sa = src[..., 3:4].astype(np.float64) / 255.0
+        da = dst[..., 3:4].astype(np.float64) / 255.0
+        oa = sa + da * (1.0 - sa)
+        rgb = src[..., :3] * sa + dst[..., :3] * da * (1.0 - sa)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rgb = np.where(oa > 0, rgb / np.maximum(oa, 1e-12), 0.0)
+        out = np.empty_like(dst)
+        out[..., :3] = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        out[..., 3] = np.clip(np.round(oa[..., 0] * 255.0), 0, 255).astype(np.uint8)
+        return out
+
+    def decode_apng_frames(data: bytes):
+        """Decode every frame of an APNG to full-canvas RGBA arrays per the
+        APNG compositing model (dispose_op 0 none / 1 background / 2
+        previous; blend_op 0 source / 1 over). Returns (frames,
+        delays_ms). The static default image (an IDAT with no preceding
+        fcTL) is not part of the animation, per spec."""
+        b = bytes(data)
+        if b[:8] != PNG_SIGNATURE:
+            raise ValueError("not a PNG payload")
+        pos = 8
+        ihdr = None
+        actl = None
+        fctls: list = []  # (fctl fields, [zdata parts])
+        idat_parts: list = []
+        idat_fctl = None
+        seen_idat = False
+        while pos + 8 <= len(b):
+            if pos + 12 > len(b):
+                raise ValueError("APNG chunk truncated")
+            (length,) = struct.unpack(">I", b[pos : pos + 4])
+            ctype = b[pos + 4 : pos + 8]
+            body = b[pos + 8 : pos + 8 + length]
+            if len(body) != length:
+                raise ValueError("APNG chunk truncated")
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"acTL":
+                actl = struct.unpack(">II", body[:8])
+            elif ctype == b"fcTL":
+                f = struct.unpack(">IIIIIHHBB", body[:26])
+                if seen_idat or fctls:
+                    fctls.append((f, []))
+                else:
+                    idat_fctl = f  # default image participates in animation
+            elif ctype == b"IDAT":
+                seen_idat = True
+                idat_parts.append(body)
+            elif ctype == b"fdAT":
+                if not fctls:
+                    raise ValueError("APNG fdAT before any fcTL")
+                fctls[-1][1].append(body[4:])  # strip the 4-byte sequence no.
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None:
+            raise ValueError("PNG missing IHDR")
+        if actl is None:
+            raise ValueError("not an animated PNG (no acTL)")
+        sw, sh, depth, color_type, _c, _f, interlace = ihdr
+        if depth != 8 or interlace != 0:
+            raise ValueError("stdlib APNG codec supports 8-bit non-interlaced")
+        frames_meta = []
+        if idat_fctl is not None:
+            frames_meta.append((idat_fctl, idat_parts))
+        frames_meta.extend(fctls)
+        if not frames_meta:
+            raise ValueError("APNG contains no animation frames")
+        canvas = np.zeros((sh, sw, 4), dtype=np.uint8)  # fully transparent
+        frames: list = []
+        delays: list = []
+        for (f, parts) in frames_meta:
+            _seq, fw, fh, fx, fy, dnum, dden, dispose, blend = f
+            if fx + fw > sw or fy + fh > sh:
+                raise ValueError("APNG frame rect exceeds the canvas")
+            region = _to_rgba(
+                decode_png(_region_png(fw, fh, color_type, b"".join(parts)))
+            )
+            prev = canvas[fy : fy + fh, fx : fx + fw].copy() if dispose == 2 else None
+            if blend == 0:  # source: replace the rect
+                canvas[fy : fy + fh, fx : fx + fw] = region
+            else:  # over
+                canvas[fy : fy + fh, fx : fx + fw] = _blend_over(
+                    canvas[fy : fy + fh, fx : fx + fw], region
+                )
+            frames.append(canvas.copy())
+            delays.append(round(1000 * dnum / (dden or 100)))
+            if dispose == 1:  # background: fully transparent black
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+            elif dispose == 2:  # previous
+                canvas[fy : fy + fh, fx : fx + fw] = prev
+        return frames, delays
+
+    def encode_apng(
+        frame_arrs,
+        delay_ms: int = 100,
+        offsets=None,
+        disposes=None,
+        blends=None,
+        screen=None,
+    ) -> bytes:
+        """Encode uint8 RGBA (or gray/RGB, promoted) arrays as an APNG:
+        8-bit RGBA IHDR, acTL, per-frame fcTL + IDAT/fdAT regions at
+        ``offsets`` with per-frame ``disposes`` (0/1/2) and ``blends``
+        (0 source / 1 over). Round-trips exactly through
+        ``decode_apng_frames`` when blends are 'source' (alpha 'over'
+        compositing is exact only for 0/255 alphas)."""
+        arrs = []
+        for a in frame_arrs:
+            a = np.asarray(a, dtype=np.uint8)
+            if a.ndim == 2:
+                a = np.stack([a] * 3 + [np.full_like(a, 255)], axis=-1)
+            elif a.shape[-1] == 3:
+                a = np.concatenate([a, np.full(a.shape[:2] + (1,), 255, np.uint8)], axis=-1)
+            arrs.append(a)
+        if not arrs:
+            raise ValueError("no frames")
+        sh, sw = screen if screen is not None else arrs[0].shape[:2]
+        offs = offsets if offsets is not None else [(0, 0)] * len(arrs)
+        disp = disposes if disposes is not None else [0] * len(arrs)
+        blnd = blends if blends is not None else [0] * len(arrs)
+        if not (len(offs) == len(disp) == len(blnd) == len(arrs)):
+            raise ValueError("offsets/disposes/blends must match the frame count")
+        # spec: when the default image is the first frame its fcTL must
+        # cover the full canvas at (0,0) with blend_op 'source'
+        if arrs[0].shape[:2] != (sh, sw) or offs[0] != (0, 0) or blnd[0] != 0:
+            raise ValueError(
+                "APNG first frame must be full-canvas at (0,0) with blend 'source'"
+            )
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+        out = bytearray(PNG_SIGNATURE)
+        out += chunk(b"IHDR", struct.pack(">IIBBBBB", sw, sh, 8, 6, 0, 0, 0))
+        out += chunk(b"acTL", struct.pack(">II", len(arrs), 0))
+        seq = 0
+        for fi, a in enumerate(arrs):
+            fh, fw = a.shape[:2]
+            left, top = offs[fi]
+            if top + fh > sh or left + fw > sw:
+                raise ValueError("frame rect exceeds the canvas")
+            out += chunk(
+                b"fcTL",
+                struct.pack(
+                    ">IIIIIHHBB", seq, fw, fh, left, top,
+                    delay_ms, 1000, disp[fi], blnd[fi],
+                ),
+            )
+            seq += 1
+            raw = b"".join(b"\x00" + a[y].tobytes() for y in range(fh))
+            zdata = zlib.compress(raw, 6)
+            if fi == 0:
+                out += chunk(b"IDAT", zdata)
+            else:
+                out += chunk(b"fdAT", struct.pack(">I", seq) + zdata)
+                seq += 1
+        out += chunk(b"IEND", b"")
+        return bytes(out)
+
+    return is_apng, decode_apng_frames, encode_apng
+
+
+is_apng, decode_apng_frames, encode_apng = _build_apng_codec()
 
 
 # ---------------------------------------------------------------------------
