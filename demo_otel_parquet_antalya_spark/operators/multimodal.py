@@ -133,12 +133,13 @@ FRAME_SCHEMA = T.StructType(
 def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True) -> DataFrame:
     """Resize stage: binary payload -> binary payload at (width, height).
 
-    PNG, GIF, and baseline-JPEG payloads take the REAL path: the
-    pure-stdlib codecs (``decode_png``: zlib inflate + vectorized scanline
-    unfilter; ``decode_gif``: full LZW + palettes; ``decode_jpeg``:
-    Huffman + IDCT baseline decode), deterministic nearest-neighbor
+    PNG, GIF, baseline-JPEG, and lossless-WebP payloads take the REAL
+    path: the pure-stdlib codecs (``decode_png``: zlib inflate + vectorized
+    scanline unfilter; ``decode_gif``: full LZW + palettes; ``decode_jpeg``:
+    Huffman + IDCT baseline decode; ``decode_webp``: VP8L prefix codes +
+    all four inverse transforms), deterministic nearest-neighbor
     resample, then re-encode in the payload's own format — no image
-    library anywhere. Other payloads (WebP et al.) still go
+    library anywhere. Other payloads (lossy-VP8 WebP et al.) still go
     through the declared stub slot: with ``decode_stub=True`` the fake
     'resize' deterministically truncates or tiles payload bytes to
     width*height so the output-size contract is real; with
@@ -171,10 +172,20 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
                         gif_img = decode_gif(b)
                     except ValueError:
                         gif_img = None  # truncated/corrupt: degrade below
+                webp_img = None
+                if len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    try:
+                        webp_img = decode_webp(b)
+                    except ValueError:
+                        webp_img = None  # lossy/extended/corrupt: degrade below
                 if b[:8] == PNG_SIGNATURE:
                     resized = encode_png(resize_nearest(decode_png(b), width, height))
                 elif gif_img is not None:
                     resized = encode_gif(resize_nearest(gif_img, width, height))
+                elif webp_img is not None:
+                    resized = encode_webp_lossless(
+                        resize_nearest(webp_img, width, height)
+                    )
                 elif jpeg_img is not None:
                     resized = encode_jpeg_baseline(
                         resize_nearest(jpeg_img, width, height)
@@ -184,7 +195,8 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
                 else:
                     raise NotImplementedError(
                         "real resize for other formats requires an image "
-                        "codec; plug it into this slot (PNG/GIF/JPEG handled)"
+                        "codec; plug it into this slot (PNG/GIF/JPEG and "
+                        "lossless WebP handled)"
                     )
                 out["payload"].append(resized)
                 out["width"].append(width)
@@ -231,7 +243,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                         continue
                     except ValueError:
                         if not decode_stub:
-                            continue  # skip the corrupt payload
+                            raise  # strict mode: surface the corrupt payload
                         # else: fall through to the byte-window stub below
                 if b[:8] == PNG_SIGNATURE and is_apng(b):
                     # animated PNG: composited RGBA canvas frames, each
@@ -248,7 +260,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                         continue
                     except ValueError:
                         if not decode_stub:
-                            continue  # skip the corrupt payload
+                            raise  # strict mode: surface the corrupt payload
                         # else: fall through to the byte-window stub below
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     # animated GIF: composited canvas frames, each sampled
@@ -256,7 +268,8 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                     # downstream stages decode it like any image payload.
                     # Truncated LZW / oversize rects / >256-color composited
                     # canvases raise ValueError: degrade per-payload to the
-                    # byte-window stub (or skip), never fail the Spark task —
+                    # byte-window stub (strict mode re-raises), never fail
+                    # the Spark task in stub mode —
                     # same quarantine-friendly contract as resize/stats.
                     try:
                         canvases, _delays = decode_gif_frames(b)
@@ -269,7 +282,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                         continue
                     except ValueError:
                         if not decode_stub:
-                            continue  # skip the corrupt payload
+                            raise  # strict mode: surface the corrupt payload
                         # else: fall through to the byte-window stub below
                 if not decode_stub:
                     raise NotImplementedError(
@@ -418,6 +431,30 @@ def parse_image_headers(media: DataFrame) -> DataFrame:
                         break
                     i += 2 + seg_len
                 return "image/jpeg", None, None
+            if len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                # VP8L: 14-bit minus-one dims LSB-first after the 0x2F sig;
+                # VP8X: 24-bit minus-one canvas dims; lossy VP8: 14-bit dims
+                # after the 3-byte frame tag + 0x9D012A sync code.
+                if b[12:16] == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+                    v = int.from_bytes(b[21:25], "little")
+                    return "image/webp", (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1
+                if b[12:16] == b"VP8X" and len(b) >= 30:
+                    return (
+                        "image/webp",
+                        int.from_bytes(b[24:27], "little") + 1,
+                        int.from_bytes(b[27:30], "little") + 1,
+                    )
+                if (
+                    b[12:16] == b"VP8 "
+                    and len(b) >= 30
+                    and b[23:26] == b"\x9d\x01\x2a"
+                ):
+                    return (
+                        "image/webp",
+                        int.from_bytes(b[26:28], "little") & 0x3FFF,
+                        int.from_bytes(b[28:30], "little") & 0x3FFF,
+                    )
+                return "image/webp", None, None
             return None, None, None
 
         for pdf in batches:
@@ -1248,7 +1285,12 @@ def _build_vp8l_codec():
             return np.clip(left + top - topleft, 0, 255)
         if mode == 13:  # clamp-add-subtract-half
             clamp = np.clip(_avg2(left, top), 0, 255)
-            return np.clip(clamp + (clamp - topleft) // 2, 0, 255)
+            # libwebp computes (clamp - topleft) / 2 in C, which truncates
+            # toward zero — Python's // floors, differing by 1 for negative
+            # odd deltas, so emulate C truncation explicitly.
+            d = clamp - topleft
+            half = np.where(d < 0, -((-d) // 2), d // 2)
+            return np.clip(clamp + half, 0, 255)
         raise ValueError(f"invalid VP8L predictor mode {mode}")
 
     def _apply_inverse_transforms(argb, transforms, w, h):
@@ -1275,7 +1317,11 @@ def _build_vp8l_codec():
                             pred = _unpack(px[y - 1, x])
                         else:
                             mode = int((timg[y >> size_bits, x >> size_bits] >> 8) & 0xFF)
-                            tr = px[y - 1, x + 1] if x + 1 < w else px[y - 1, 0]
+                            # Top-right for the last column wraps to the
+                            # CURRENT row's leftmost pixel (the contiguous
+                            # buffer wraparound in libwebp: top[w] == row[0],
+                            # already reconstructed since x=0 precedes x=w-1).
+                            tr = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
                             pred = _predict(
                                 mode,
                                 _unpack(px[y, x - 1]),
@@ -2783,8 +2829,8 @@ IMAGE_STAT_SCHEMA = (
 
 def image_pixel_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
     """REAL image pixel decode + per-payload stats: decode every PNG, GIF,
-    or baseline-JPEG payload to pixels (``decode_png`` / ``decode_gif`` /
-    ``decode_jpeg``) and
+    baseline-JPEG, or lossless-WebP payload to pixels (``decode_png`` /
+    ``decode_gif`` / ``decode_jpeg`` / ``decode_webp``) and
     reduce to (width, height, mean, min, max) over the gray/luma plane
     (channel mean for multi-channel images). Arrow-batched ``mapInPandas``,
     O(pixels) per row, zero shuffle; undecodable payloads degrade to NULL
@@ -2807,6 +2853,8 @@ def image_pixel_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
                     img = decode_jpeg(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     img = decode_gif(b)
+                elif len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    img = decode_webp(b)
                 else:
                     return none
             except ValueError:
@@ -3540,6 +3588,29 @@ def classify_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                             return "image", "image/jpeg", w, h, None, None, None
                         i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
                     return "image", "image/jpeg", None, None, None, None, None
+                if len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    if b[12:16] == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+                        v = int.from_bytes(b[21:25], "little")
+                        return (
+                            "image",
+                            "image/webp",
+                            (v & 0x3FFF) + 1,
+                            ((v >> 14) & 0x3FFF) + 1,
+                            None,
+                            None,
+                            None,
+                        )
+                    if b[12:16] == b"VP8X" and len(b) >= 30:
+                        return (
+                            "image",
+                            "image/webp",
+                            int.from_bytes(b[24:27], "little") + 1,
+                            int.from_bytes(b[27:30], "little") + 1,
+                            None,
+                            None,
+                            None,
+                        )
+                    return "image", "image/webp", None, None, None, None, None
                 if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     i, rate, ch, bits, data_len = 12, None, None, None, None
                     while i + 8 <= len(b):

@@ -35,6 +35,31 @@ def time_bucket(col: str | Column, interval_seconds: int = 30) -> Column:
     return F.timestamp_seconds((F.floor(F.unix_timestamp(c) / interval_seconds) * interval_seconds).cast("long"))
 
 
+def adhoc_filter(df: DataFrame, filters) -> DataFrame:
+    """Grafana ad-hoc filter macro ($adhoc, reference logs.json:106,164):
+    a list of ``(column, op, value)`` predicates injected into the panel's
+    WHERE clause. Operators are the set Grafana's ClickHouse datasource
+    emits for ad-hoc filters: ``=``, ``!=``, ``=~`` (LIKE), ``!~``
+    (NOT LIKE). Plain Column predicates — they stay inside whole-stage
+    codegen and push down to the parquet scan like any literal filter.
+    Unknown columns fail at plan time (AnalysisException), matching the
+    reference where a bad ad-hoc column is a ClickHouse error, never a
+    silently-empty panel."""
+    for col, op, value in filters:
+        c = F.col(col)
+        if op == "=":
+            df = df.filter(c == F.lit(value))
+        elif op == "!=":
+            df = df.filter(c != F.lit(value))
+        elif op == "=~":
+            df = df.filter(c.like(str(value)))
+        elif op == "!~":
+            df = df.filter(~c.like(str(value)))
+        else:
+            raise ValueError(f"unsupported ad-hoc filter operator {op!r}")
+    return df
+
+
 # --- the reference's own queries -------------------------------------------
 
 

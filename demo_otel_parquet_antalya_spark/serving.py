@@ -15,6 +15,11 @@ and serves
     GET  /panels/<name>     -> the reference's Grafana panel queries
                                (plans/facade.py q1..q6) over an ingested
                                logs warehouse; ?start=&end=&interval=&limit=
+                               plus repeated ?filter=col=value /
+                               col!=value / col=~pat / col!~pat params —
+                               the Grafana ad-hoc filter macro
+                               (logs.json:106,164) compiled through
+                               plans.facade.adhoc_filter
 
 Responses are JSON ``{"columns": [...], "rows": [[...]], "row_count": N,
 "truncated": bool}`` with timestamps/dates ISO-formatted, Decimals
@@ -24,20 +29,32 @@ Design notes (scale + safety):
 - READ-ONLY by construction: the statement must start with
   SELECT/WITH/VALUES/SHOW/DESCRIBE/EXPLAIN and, after string literals are
   stripped, must contain no mutation keyword (INSERT/UPDATE/DELETE/MERGE/
-  DROP/CREATE/ALTER/TRUNCATE). Defense-in-depth for a trusted-network
+  DROP/CREATE/ALTER/TRUNCATE) and no JVM-escape function
+  (reflect()/java_method() — arbitrary static-method calls from a plain
+  SELECT would break read-only even on a trusted network). This is a
+  denylist, not a parsed allowlist: defense-in-depth for a trusted-network
   dashboard port — not an auth boundary; put real authn/z in front of it
   exactly as the reference fronts ClickHouse with Grafana's auth.
 - ROW-CAPPED: every result is fetched through ``.limit(cap + 1)`` (default
   10k, per-request override DOWNWARD only), so a SELECT * over 100 TB
   costs one partition-ish of work under Spark's incremental collect, never
   a driver OOM; ``truncated`` tells the client the cap bit.
-- The session is shared and thread-safe; concurrent requests become
-  concurrent Spark jobs scheduled FIFO (or FAIR if the session is so
-  configured). Dashboard panels are sub-second shapes (BENCH_r*.json);
+- WORK-BOUNDED: each request runs in its own Spark job group with
+  ``interruptOnCancel=True`` and a deadline timer that cancels the group —
+  the row cap bounds what the driver collects, this bounds what the
+  cluster computes. A cancelled request answers 408.
+- FAIR-SHARED: requests tag themselves into the ``serving`` scheduler
+  pool; build the hosting session with ``serving_fair_conf()`` (FAIR mode
+  + a within-pool FAIR allocation) and dashboard panels keep getting
+  executor slices while a heavy ad-hoc query runs, instead of queueing
+  behind it FIFO. Dashboard panels are sub-second shapes (BENCH_r*.json);
   heavy analytics belong in batch jobs, not behind this port.
 - Stateless: run N replicas behind a balancer against the same warehouse,
-  like the receiver. Nothing is cached server-side beyond Spark's own
-  relation memoization (plans/tables.py).
+  like the receiver — each replica's ``start_sql_endpoint`` re-registers
+  the temp views in its OWN SparkSession at startup (views are
+  session-local state, recreated per replica, never shared). Nothing is
+  cached server-side beyond Spark's own relation memoization
+  (plans/tables.py).
 """
 
 from __future__ import annotations
@@ -49,6 +66,7 @@ import json
 import math
 import re
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
@@ -62,6 +80,12 @@ _ALLOWED_HEADS = ("select", "with", "values", "show", "describe", "explain")
 _MUTATORS = re.compile(
     r"\b(insert|update|delete|merge|drop|create|alter|truncate)\b", re.IGNORECASE
 )
+# Spark SQL's JVM-escape functions: reflect()/java_method() invoke arbitrary
+# static methods (e.g. java.lang.System.exit) from a plain SELECT, so a
+# head-keyword gate alone is not read-only. Blocked by name; the residual
+# limitation is that this stays a denylist, not a parsed function allowlist —
+# new escape hatches added to Spark would need adding here.
+_JVM_ESCAPES = re.compile(r"\b(reflect|java_method)\s*\(", re.IGNORECASE)
 _STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
 
 
@@ -71,8 +95,11 @@ def _reject_reason(sql: str) -> str | None:
         return "empty statement"
     if head[0].lower() not in _ALLOWED_HEADS:
         return f"read-only endpoint: statement must start with one of {_ALLOWED_HEADS}"
-    if _MUTATORS.search(_STRING_LITERAL.sub("''", sql)):
+    stripped = _STRING_LITERAL.sub("''", sql)
+    if _MUTATORS.search(stripped):
         return "read-only endpoint: mutation keywords are not allowed"
+    if _JVM_ESCAPES.search(stripped):
+        return "read-only endpoint: JVM reflection functions are not allowed"
     return None
 
 
@@ -108,10 +135,35 @@ def _df_payload(df, cap: int) -> dict:
     }
 
 
-def _panel_frame(logs, name: str, params: dict):
-    """Dispatch to the reference's dashboard queries (plans/facade.py)."""
+_ADHOC_RE = re.compile(r"^(\w+)\s*(=~|!~|!=|=)\s*(.*)$")
+
+
+def _parse_adhoc(raw_filters) -> list:
+    """``filter=col<op>value`` query params -> [(col, op, value)] for
+    plans.facade.adhoc_filter (the Grafana $adhoc macro, logs.json:106,164)."""
+    parsed = []
+    for raw in raw_filters:
+        m = _ADHOC_RE.match(raw)
+        if not m:
+            raise ValueError(
+                f"bad ad-hoc filter {raw!r}: expected col=value, col!=value, "
+                "col=~pattern, or col!~pattern"
+            )
+        parsed.append((m.group(1), m.group(2), m.group(3)))
+    return parsed
+
+
+class _RequestCancelled(Exception):
+    """A request's Spark jobs were cancelled at its deadline."""
+
+
+def _panel_frame(logs, name: str, params: dict, filters=()):
+    """Dispatch to the reference's dashboard queries (plans/facade.py),
+    with Grafana-style ad-hoc filters injected before the panel query."""
     from demo_otel_parquet_antalya_spark.plans import facade
 
+    if filters:
+        logs = facade.adhoc_filter(logs, filters)
     start = params.get("start")
     end = params.get("end")
     if name == "q1_projection":
@@ -139,6 +191,8 @@ class _SQLHandler(BaseHTTPRequestHandler):
     tables: tuple
     logs_dir: str | None = None
     row_cap: int = DEFAULT_ROW_CAP
+    request_timeout_s: float | None = 30.0
+    scheduler_pool: str = "serving"
 
     # quiet: the stdlib default logs every request to stderr
     def log_message(self, fmt, *args):  # noqa: D102
@@ -151,6 +205,48 @@ class _SQLHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _run_bounded(self, work):
+        """Run ``work()`` (plan build + collect) inside a per-request Spark
+        job group with a cancellation deadline.
+
+        Each HTTP request gets its own thread (ThreadingHTTPServer) and so
+        its own thread-local job group; a daemon Timer cancels the whole
+        group (``interruptOnCancel=True``) at the deadline, so a runaway
+        query stops CONSUMING cluster time — the row cap alone only bounded
+        what we collect, not what we compute. The request thread also tags
+        itself into the ``serving`` scheduler pool: under FAIR scheduling
+        (session built with serving_fair_conf()) dashboard panels keep
+        getting cluster slices while a heavy ad-hoc query runs, instead of
+        queueing behind it FIFO.
+        """
+        sc = self.spark.sparkContext
+        group = f"http-{uuid.uuid4().hex[:12]}"
+        sc.setLocalProperty("spark.scheduler.pool", self.scheduler_pool)
+        sc.setJobGroup(group, f"serving {self.path}", interruptOnCancel=True)
+        timed_out = threading.Event()
+        timer = None
+        if self.request_timeout_s:
+            def _cancel():
+                timed_out.set()
+                sc.cancelJobGroup(group)
+
+            timer = threading.Timer(self.request_timeout_s, _cancel)
+            timer.daemon = True
+            timer.start()
+        try:
+            return work()
+        except Exception as exc:
+            if timed_out.is_set():
+                raise _RequestCancelled(
+                    f"query cancelled after {self.request_timeout_s}s deadline"
+                ) from exc
+            raise
+        finally:
+            if timer is not None:
+                timer.cancel()
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.scheduler.pool", None)
 
     def do_GET(self):  # noqa: N802
         path, _, query = self.path.partition("?")
@@ -172,13 +268,23 @@ class _SQLHandler(BaseHTTPRequestHandler):
                 return
             import urllib.parse
 
-            params = {k: v[0] for k, v in urllib.parse.parse_qs(query).items()}
+            qs = urllib.parse.parse_qs(query)
+            params = {k: v[0] for k, v in qs.items()}
             try:
-                logs = self.spark.read.parquet(self.logs_dir)
-                frame = _panel_frame(logs, path[len("/panels/") :], params)
-                self._send(200, _df_payload(frame, self.row_cap))
+                filters = _parse_adhoc(qs.get("filter", []))
+
+                def work():
+                    logs = self.spark.read.parquet(self.logs_dir)
+                    frame = _panel_frame(
+                        logs, path[len("/panels/") :], params, filters
+                    )
+                    return _df_payload(frame, self.row_cap)
+
+                self._send(200, self._run_bounded(work))
             except KeyError as exc:
                 self._send(404, {"error": f"unknown panel {exc}"})
+            except _RequestCancelled as exc:
+                self._send(408, {"error": str(exc)})
             except Exception as exc:
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
             return
@@ -197,7 +303,12 @@ class _SQLHandler(BaseHTTPRequestHandler):
                     self._send(400, {"error": reason})
                     return
                 cap = min(int(req.get("limit", self.row_cap)), self.row_cap)
-                self._send(200, _df_payload(self.spark.sql(sql), cap))
+                self._send(
+                    200,
+                    self._run_bounded(
+                        lambda: _df_payload(self.spark.sql(sql), cap)
+                    ),
+                )
                 return
             if path.startswith("/run/"):
                 from demo_otel_parquet_antalya_spark.plans import QUERIES
@@ -208,14 +319,51 @@ class _SQLHandler(BaseHTTPRequestHandler):
                     self._send(404, {"error": f"unknown query {name!r}"})
                     return
                 self._send(
-                    200, _df_payload(spec.build(self.spark, self.sf_dir), self.row_cap)
+                    200,
+                    self._run_bounded(
+                        lambda: _df_payload(
+                            spec.build(self.spark, self.sf_dir), self.row_cap
+                        )
+                    ),
                 )
                 return
             self._send(404, {"error": "unknown path"})
         except json.JSONDecodeError:
             self._send(400, {"error": "request body must be JSON"})
+        except _RequestCancelled as exc:
+            self._send(408, {"error": str(exc)})
         except Exception as exc:  # AnalysisException etc. -> client error
             self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+
+def serving_fair_conf(tmp_dir: str | None = None) -> dict:
+    """Spark conf for a session that will host the endpoint: FAIR scheduling
+    with a ``serving`` pool that is itself FAIR, so concurrent requests share
+    executor slices instead of queueing FIFO behind one heavy ad-hoc query.
+    Must be applied at session CREATION (scheduler mode is fixed at startup):
+
+        builder.config(map=serving_fair_conf())
+
+    Writes the pool allocation file (within-pool schedulingMode=FAIR — the
+    part plain ``spark.scheduler.mode=FAIR`` alone does not give you) to a
+    stable temp path and returns the two conf keys pointing at it."""
+    import os
+    import tempfile
+
+    xml = (
+        '<?xml version="1.0"?>\n'
+        "<allocations>\n"
+        '  <pool name="serving">\n'
+        "    <schedulingMode>FAIR</schedulingMode>\n"
+        "    <weight>1</weight>\n"
+        "    <minShare>0</minShare>\n"
+        "  </pool>\n"
+        "</allocations>\n"
+    )
+    path = os.path.join(tmp_dir or tempfile.gettempdir(), "spark_serving_fairscheduler.xml")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(xml)
+    return {"spark.scheduler.mode": "FAIR", "spark.scheduler.allocation.file": path}
 
 
 def start_sql_endpoint(
@@ -226,13 +374,19 @@ def start_sql_endpoint(
     tables: tuple = TESTDATA_TABLES,
     row_cap: int = DEFAULT_ROW_CAP,
     logs_dir: str | None = None,
+    request_timeout_s: float | None = 30.0,
+    scheduler_pool: str = "serving",
 ) -> ThreadingHTTPServer:
     """Register ``tables`` from ``sf_dir`` as temp views and serve the
     read-only SQL endpoint on (host, port) in a daemon thread. ``port=0``
     binds an ephemeral port (read it back from ``server.server_address``).
     ``logs_dir`` (optional) points at an ingested logs warehouse
     (streaming/ingest.py output) and enables the /panels/* dashboard
-    routes. Call ``server.shutdown()`` to stop."""
+    routes. Every request runs inside its own Spark job group and is
+    cancelled (jobs interrupted cluster-wide, not just the collect
+    abandoned) after ``request_timeout_s`` (None disables); requests run in
+    ``scheduler_pool`` — build the session with ``serving_fair_conf()`` to
+    make that pool FAIR. Call ``server.shutdown()`` to stop."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
@@ -245,6 +399,8 @@ def start_sql_endpoint(
             "tables": tuple(tables),
             "row_cap": row_cap,
             "logs_dir": logs_dir,
+            "request_timeout_s": request_timeout_s,
+            "scheduler_pool": scheduler_pool,
         },
     )
     server = ThreadingHTTPServer((host, port), handler)

@@ -158,3 +158,148 @@ def test_run_catalog_query_by_name(endpoint, spark):
     assert got["row_count"] == want
     code, err = _post_err(endpoint, "/run/no_such_query", {})
     assert code == 404
+
+
+def test_jvm_escape_functions_rejected(endpoint):
+    """reflect()/java_method() invoke arbitrary JVM statics from a plain
+    SELECT — the read-only gate must block them (ADVICE r6)."""
+    for sql in (
+        "SELECT reflect('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT java_method('java.lang.System', 'exit', 1)",
+        "SELECT 1 WHERE Reflect ('a','b') IS NULL",
+    ):
+        code, err = _post_err(endpoint, "/query", {"sql": sql})
+        assert code == 400 and "reflection" in err["error"], sql
+    # but the words as plain identifiers/data are not blocked
+    ok = _post(endpoint, "/query", {"sql": "SELECT 'reflect(x)' AS reflection"})
+    assert ok["rows"] == [["reflect(x)"]]
+
+
+@pytest.fixture(scope="module")
+def logs_endpoint(spark, tmp_path_factory):
+    """An endpoint over a small ingested logs warehouse, with a short
+    per-request deadline for the cancellation tests."""
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    tmp = tmp_path_factory.mktemp("serving_logs")
+    landing, wh = str(tmp / "landing"), str(tmp / "warehouse")
+    generate_files(landing, n_files=3, records_per_file=60)
+    run_ingest_once(spark, landing, wh, str(tmp / "ckpt"))
+    server = start_sql_endpoint(
+        spark, SF_DIR, row_cap=5000, logs_dir=wh, request_timeout_s=2.5
+    )
+    host, port = server.server_address
+    yield f"http://{host}:{port}", wh
+    server.shutdown()
+
+
+def test_adhoc_filter_panel_matches_direct(logs_endpoint, spark):
+    """Grafana's ad-hoc filter macro (reference logs.json:106,164) driven
+    end-to-end over HTTP: ?filter=col=value compiles through
+    plans.facade.adhoc_filter and must equal the direct DataFrame result."""
+    import urllib.parse
+
+    from demo_otel_parquet_antalya_spark.plans import facade
+
+    base, wh = logs_endpoint
+    logs = spark.read.parquet(wh)
+    svc = logs.select("service_name").first()[0]
+
+    q = urllib.parse.urlencode(
+        {"interval": 30, "filter": f"service_name={svc}"}
+    )
+    with urllib.request.urlopen(f"{base}/panels/q5_timeseries?{q}") as r:
+        got = json.loads(r.read())
+    want = facade.q5_timeseries(
+        facade.adhoc_filter(logs, [("service_name", "=", svc)]),
+        interval_seconds=30,
+    ).collect()
+    assert got["row_count"] == len(want) > 0
+    assert sorted(r_[2] for r_ in got["rows"]) == sorted(r_["value"] for r_ in want)
+    assert all(r_[1] == svc for r_ in got["rows"])
+
+    # negative + LIKE operators, multiple filters compose conjunctively
+    q = urllib.parse.urlencode(
+        [("filter", f"service_name!={svc}"), ("filter", "severity_text=~%")]
+    )
+    with urllib.request.urlopen(f"{base}/panels/q3_severity_counts?{q}") as r:
+        got = json.loads(r.read())
+    want_n = (
+        facade.q3_severity_counts(
+            facade.adhoc_filter(
+                logs,
+                [("service_name", "!=", svc), ("severity_text", "=~", "%")],
+            )
+        ).count()
+    )
+    assert got["row_count"] == want_n
+
+    # malformed filter and unknown column both answer 4xx, not 500
+    try:
+        urllib.request.urlopen(f"{base}/panels/q3_severity_counts?filter=;;;")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "ad-hoc" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")
+    try:
+        urllib.request.urlopen(
+            f"{base}/panels/q3_severity_counts?filter=no_such_col=x"
+        )
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    else:
+        raise AssertionError("expected 400")
+
+
+def test_runaway_query_cancelled_while_panel_stays_interactive(logs_endpoint):
+    """VERDICT r6 item 1: the row cap bounds collect size, not work — a
+    deliberately huge query must be CANCELLED at its deadline (job group
+    interrupt -> 408) while a concurrent dashboard panel, with 2 of 32
+    cores occupied by the runaway's tasks, stays interactive."""
+    import threading
+    import time
+
+    base, _wh = logs_endpoint
+    # warm the panel path once so the concurrent read measures steady state
+    urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=30").read()
+
+    # 1e11 increments over 2 explicit slices: >>deadline, but only 2 tasks,
+    # and Spark's range codegen checks task-kill per batch -> prompt cancel
+    slow_sql = "SELECT COUNT(*) AS n FROM range(0, 100000000000, 1, 2)"
+    result = {}
+
+    def run_slow():
+        t0 = time.monotonic()
+        try:
+            _post(base, "/query", {"sql": slow_sql})
+            result["code"] = 200
+        except urllib.error.HTTPError as e:
+            result["code"] = e.code
+            result["error"] = json.loads(e.read())["error"]
+        result["elapsed"] = time.monotonic() - t0
+
+    t = threading.Thread(target=run_slow)
+    t.start()
+    time.sleep(0.5)  # the runaway is now running on the cluster
+    t0 = time.monotonic()
+    with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=30") as r:
+        panel = json.loads(r.read())
+    panel_elapsed = time.monotonic() - t0
+    t.join(timeout=60)
+    assert not t.is_alive(), "runaway request never returned"
+    assert result["code"] == 408, result
+    assert "cancelled" in result["error"]
+    # cancelled at ~the 2.5s deadline, not run to completion (minutes)
+    assert 2.0 <= result["elapsed"] < 30.0, result["elapsed"]
+    assert panel["row_count"] > 0
+    assert panel_elapsed < 2.0, f"panel took {panel_elapsed:.2f}s under contention"
+
+
+def test_serving_fair_conf_writes_pool_allocation(tmp_path):
+    from demo_otel_parquet_antalya_spark.serving import serving_fair_conf
+
+    conf = serving_fair_conf(str(tmp_path))
+    assert conf["spark.scheduler.mode"] == "FAIR"
+    body = open(conf["spark.scheduler.allocation.file"], encoding="utf-8").read()
+    assert '<pool name="serving">' in body and "FAIR" in body
