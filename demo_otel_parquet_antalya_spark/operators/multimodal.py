@@ -1544,12 +1544,51 @@ def _build_vp8l_codec():
         # 256 literals at 9 (Kraft 0.5) + 16 length codes at 5 (0.5) = 1.0
         return [9] * 256 + [5] * 16 + [0] * 8
 
-    def encode_webp_lossless(arr) -> bytes:
+    def _predictor_residuals(px, mode: int):
+        """Forward predictor transform with a single ``mode`` for every
+        block: residual[y,x] = (pixel - pred) & 0xFF per channel, with the
+        spec edge rules (top-left seeds 0xFF000000, row 0 predicts from
+        left, column 0 from top) and the same last-column top-right
+        wraparound the decoder applies. Uses the decoder's own
+        ``_predict`` so forward and inverse share one implementation of
+        the mode arithmetic (pinned to spec by tests/test_webp_codec.py's
+        hand-computed golden vectors)."""
+        h, w = px.shape
+        res = np.empty_like(px)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = np.array([255, 0, 0, 0], np.int64)
+                elif y == 0:
+                    pred = _unpack(px[y, x - 1])
+                elif x == 0:
+                    pred = _unpack(px[y - 1, x])
+                else:
+                    tr = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
+                    pred = _predict(
+                        mode,
+                        _unpack(px[y, x - 1]),
+                        _unpack(px[y - 1, x]),
+                        _unpack(px[y - 1, x - 1]),
+                        _unpack(tr),
+                    )
+                res[y, x] = _pack((_unpack(px[y, x]) - pred) & 0xFF)
+        return res
+
+    def encode_webp_lossless(
+        arr, predictor_mode: int | None = None, subtract_green: bool = False
+    ) -> bytes:
         """Encode (h, w[, 3|4]) uint8 as a lossless WebP: one VP8L image,
-        no transforms, no color cache, full-alphabet canonical prefix
-        codes shipped via the code-length code, runs of identical pixels
-        emitted as distance-1 LZ77 references (plain distance codes).
-        Round-trips exactly through ``decode_webp``."""
+        no color cache, full-alphabet canonical prefix codes shipped via
+        the code-length code, runs of identical pixels emitted as
+        distance-1 LZ77 references (plain distance codes).
+
+        ``subtract_green=True`` applies the subtract-green transform
+        (ttype 2) and ``predictor_mode`` (0-13) the predictor transform
+        (ttype 0, one mode for all blocks, size_bits=3) — in that forward
+        order, so streams with REAL transform headers exercise the
+        decoder's inverse-transform paths end-to-end. Round-trips exactly
+        through ``decode_webp`` either way."""
         a = np.asarray(arr, dtype=np.uint8)
         if a.ndim == 2:
             a = np.stack([a] * 3, axis=-1)
@@ -1560,12 +1599,49 @@ def _build_vp8l_codec():
         h, w = a.shape[:2]
         if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
             raise ValueError("VP8L dimensions out of range")
+        if predictor_mode is not None and not (0 <= predictor_mode <= 13):
+            raise ValueError("VP8L predictor mode must be 0-13")
+        # (h, w) ARGB working image the forward transforms operate on
+        px2 = (
+            (a[..., 3].astype(np.int64) << 24)
+            | (a[..., 0].astype(np.int64) << 16)
+            | (a[..., 1].astype(np.int64) << 8)
+            | a[..., 2].astype(np.int64)
+        )
+        if subtract_green:
+            g = (px2 >> 8) & 0xFF
+            r = (((px2 >> 16) & 0xFF) - g) & 0xFF
+            b2 = ((px2 & 0xFF) - g) & 0xFF
+            px2 = (px2 & 0xFF00FF00) | (r << 16) | b2
+        if predictor_mode is not None:
+            px2 = _predictor_residuals(px2, predictor_mode)
         wr = _LsbWriter()
         wr.write(w - 1, 14)
         wr.write(h - 1, 14)
         wr.write(1 if (a[..., 3] != 255).any() else 0, 1)  # alpha hint
         wr.write(0, 3)  # version
-        wr.write(0, 1)  # no transform
+        # transform list, in forward application order (the decoder
+        # inverse-applies them in reverse stream order)
+        if subtract_green:
+            wr.write(1, 1)
+            wr.write(2, 2)  # ttype 2: no payload
+        if predictor_mode is not None:
+            wr.write(1, 1)
+            wr.write(0, 2)  # ttype 0: predictor
+            wr.write(0, 3)  # size_bits = 3 (8x8 blocks)
+            # constant-mode transform image: no cache, five single-symbol
+            # prefix codes (green carries the mode), zero bits per pixel
+            wr.write(0, 1)  # no color cache
+            wr.write(1, 1)  # green: simple code
+            wr.write(0, 1)  # one symbol
+            wr.write(1, 1)  # 8-bit symbol
+            wr.write(predictor_mode, 8)
+            for _ in range(4):  # r, b, a, dist: single symbol 0 (1-bit form)
+                wr.write(1, 1)
+                wr.write(0, 1)
+                wr.write(0, 1)
+                wr.write(0, 1)
+        wr.write(0, 1)  # end of transforms
         wr.write(0, 1)  # no color cache
         wr.write(0, 1)  # no meta prefix
         green_l = _green_code_lengths()
@@ -1577,21 +1653,22 @@ def _build_vp8l_codec():
         g_enc = _canonical_encode_map(green_l)
         b_enc = _canonical_encode_map(byte_l)
         d_enc = _canonical_encode_map(dist_l)
-        px = a.reshape(-1, 4)
+        px = px2.reshape(-1)
         n = len(px)
         i = 0
         while i < n:
-            r, g, b_, al = (int(px[i, k]) for k in range(4))
+            v = int(px[i])
+            al, r, g, b_ = (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF
             length, code = g_enc[g]
             wr.write_code(code, length)
-            for enc, v in ((b_enc, r), (b_enc, b_), (b_enc, al)):
-                length, code = enc[v]
+            for enc, ch in ((b_enc, r), (b_enc, b_), (b_enc, al)):
+                length, code = enc[ch]
                 wr.write_code(code, length)
             i += 1
             # RLE: run of pixels identical to the previous one -> one
             # (length, dist=1) reference per <=12 pixels (length sym < 16)
             run = 0
-            while i + run < n and (px[i + run] == px[i - 1]).all():
+            while i + run < n and px[i + run] == px[i - 1]:
                 run += 1
             while run > 0:
                 take = min(run, 12)
@@ -2919,6 +2996,53 @@ def synthesize_jpeg_media(
             if mixed and int(d) % 2 == 1:
                 return encode_jpeg_progressive(img)
             return encode_jpeg_baseline(img)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [synth(d) for d in pdf[id_col]],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, "media_id long, payload binary")
+
+
+def synthesize_webp_media(
+    ids: DataFrame, id_col: str = "doc_id", mixed: bool = True
+) -> DataFrame:
+    """(media_id, payload): a deterministic 16x16 gray lossless WebP per
+    input id, built from four constant 8x8 blocks with the SAME closed
+    form as ``synthesize_jpeg_media``:
+        v(d, k) = (d * 31 + k * 17) mod 256.
+    WebP lossless is exact, so a SQL oracle predicts the decoded pixel
+    stats from the closed form with no codec.
+
+    With ``mixed=True`` (default), odd ids encode THROUGH TRANSFORMS —
+    subtract-green plus the predictor transform with mode (d >> 1) mod 14,
+    so a 200-doc corpus exercises ALL 14 spatial predictor modes of the
+    VP8L inverse-transform path (including mode 13's C-truncation and the
+    last-column top-right wraparound) — while even ids stay plain
+    literal/LZ77 streams. The transform-present bit at payload byte 25
+    lets the oracle check the mix is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def synth(d):
+            d = int(d)
+            img = _np.empty((16, 16), dtype=_np.uint8)
+            for k in range(4):
+                by, bx = divmod(k, 2)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    d * 31 + k * 17
+                ) % 256
+            if mixed and d % 2 == 1:
+                return encode_webp_lossless(
+                    img, predictor_mode=(d >> 1) % 14, subtract_green=True
+                )
+            return encode_webp_lossless(img)
 
         for pdf in batches:
             yield _pd.DataFrame(

@@ -84,7 +84,6 @@ _DRIVER_WINDOW: tuple = (
     # they were built so no curation lag accrues (VERDICT r4 item "What's
     # wrong" #4) — each certifies a real pure-stdlib codec end-to-end
     "multimodal_audio_features",  # r5-in: WAV PCM decode, closed-form oracle
-    "multimodal_image_stats",  # r5-in: baseline-JPEG pixel decode
     "multimodal_video_frame_stats",  # r5-in: MJPEG-AVI demux + frame decode
     "graph_kcore_trade",  # r5-in: fixed-round k-core peeling
     "privacy_pii_scrub",  # r5-in: PII redaction, boundary-exact oracle
@@ -95,12 +94,20 @@ _DRIVER_WINDOW: tuple = (
     # r6-in (built this round, windowed this round - no curation lag)
     "multimodal_image_stats_mixed",  # r6-in: progressive SOF2 + baseline JPEG mix
     "privacy_pii_scrub_logs",  # r6-in: PII scrub inside log_attributes JSON
+    # r8-in (built this round, windowed this round — VERDICT r7 items 1+8):
+    # the VP8L transform-bearing decode chain; rotates out
+    # multimodal_image_stats, whose baseline-JPEG family stays represented
+    # by multimodal_image_stats_mixed and re-proven locally every run.
+    "multimodal_image_stats_webp",  # r8-in: VP8L all-14-predictor decode mix
 )
 
 # next-most-important — first in line if the driver window ever widens.
 # The leading block is the r4 rotation: all CORRECTNESS_r03-green, oracles
 # retained, re-proved locally by tests/test_queries_oracle.py every run.
 _SECOND_WINDOW: tuple = (
+    # r8 rotate-out (driver-green r5-r7; baseline-JPEG decode still in the
+    # window via multimodal_image_stats_mixed)
+    "multimodal_image_stats",
     # r6 rotate-outs (driver-green in r5; families still represented in
     # the driver window)
     "graph_hits_trade",

