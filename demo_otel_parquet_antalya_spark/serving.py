@@ -82,11 +82,31 @@ _MUTATORS = re.compile(
 )
 # Spark SQL's JVM-escape functions: reflect()/java_method() invoke arbitrary
 # static methods (e.g. java.lang.System.exit) from a plain SELECT, so a
-# head-keyword gate alone is not read-only. Blocked by name; the residual
-# limitation is that this stays a denylist, not a parsed function allowlist —
-# new escape hatches added to Spark would need adding here.
-_JVM_ESCAPES = re.compile(r"\b(reflect|java_method)\s*\(", re.IGNORECASE)
+# head-keyword gate alone is not read-only. Blocked as bare words (no paren
+# required — Spark accepts `reflect`/**/(...) with backquotes or comments
+# between name and paren, so matching the paren is bypassable, ADVICE r7);
+# a column ALIASED `reflect` is rejected too, an accepted false positive for
+# a defense-in-depth gate. The residual limitation is that this stays a
+# denylist, not a parsed function allowlist — new escape hatches added to
+# Spark would need adding here.
+_JVM_ESCAPES = re.compile(r"\b(reflect|java_method)\b", re.IGNORECASE)
 _STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
+_BLOCK_COMMENT = re.compile(r"/\*.*?\*/", re.DOTALL)
+_LINE_COMMENT = re.compile(r"--[^\n]*")
+
+
+def _scannable(sql: str) -> str:
+    """The statement with string literals emptied and comment bodies /
+    backquotes removed — the text the deny-regexes scan, so neither
+    `reflect`(...) nor reflect/**/(...) nor in-comment decoys slip past
+    the word-boundary matches. Strings are stripped FIRST so quoted data
+    never looks like code; an unterminated block comment conservatively
+    removes the rest of the statement (fail-closed for the scanner,
+    Spark's parser rejects it anyway)."""
+    stripped = _STRING_LITERAL.sub("''", sql)
+    stripped = _BLOCK_COMMENT.sub(" ", stripped)
+    stripped = _LINE_COMMENT.sub(" ", stripped)
+    return stripped.replace("`", " ")
 
 
 def _reject_reason(sql: str) -> str | None:
@@ -95,7 +115,7 @@ def _reject_reason(sql: str) -> str | None:
         return "empty statement"
     if head[0].lower() not in _ALLOWED_HEADS:
         return f"read-only endpoint: statement must start with one of {_ALLOWED_HEADS}"
-    stripped = _STRING_LITERAL.sub("''", sql)
+    stripped = _scannable(sql)
     if _MUTATORS.search(stripped):
         return "read-only endpoint: mutation keywords are not allowed"
     if _JVM_ESCAPES.search(stripped):
@@ -155,6 +175,23 @@ def _parse_adhoc(raw_filters) -> list:
 
 class _RequestCancelled(Exception):
     """A request's Spark jobs were cancelled at its deadline."""
+
+
+def _is_cancellation(exc: BaseException, group: str) -> bool:
+    """True when the exception chain reads like OUR job group's
+    cancellation: Spark's message is 'Job N cancelled part of cancelled
+    job group <group>' (py4j errors stringify with the full Java trace,
+    so the group id appears). The timer flag alone is not enough — an
+    unrelated failure can race the deadline (ADVICE r7)."""
+    seen = set()
+    cur: BaseException | None = exc
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        msg = str(cur)
+        if group in msg or "cancel" in msg.lower():
+            return True
+        cur = cur.__cause__ or cur.__context__
+    return False
 
 
 def _panel_frame(logs, name: str, params: dict, filters=()):
@@ -219,6 +256,17 @@ class _SQLHandler(BaseHTTPRequestHandler):
         (session built with serving_fair_conf()) dashboard panels keep
         getting cluster slices while a heavy ad-hoc query runs, instead of
         queueing behind it FIFO.
+
+        A 408 is answered only when the deadline timer fired AND the
+        exception looks like the group's cancellation (the group id or a
+        cancel marker in the exception chain) — an unrelated error racing
+        the timer still surfaces as the client error it is (ADVICE r7).
+        Known limitation: ``cancelJobGroup`` interrupts running JOBS; a
+        hang inside driver-side analysis/plan building (before any job is
+        submitted) is not cancellable this way and will hold the request
+        thread — the row cap and read-only gate bound what such a request
+        can ask for, and the HTTP server's thread-per-request model bounds
+        the blast radius to that one request.
         """
         sc = self.spark.sparkContext
         group = f"http-{uuid.uuid4().hex[:12]}"
@@ -237,7 +285,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
         try:
             return work()
         except Exception as exc:
-            if timed_out.is_set():
+            if timed_out.is_set() and _is_cancellation(exc, group):
                 raise _RequestCancelled(
                     f"query cancelled after {self.request_timeout_s}s deadline"
                 ) from exc
@@ -346,7 +394,9 @@ def serving_fair_conf(tmp_dir: str | None = None) -> dict:
 
     Writes the pool allocation file (within-pool schedulingMode=FAIR — the
     part plain ``spark.scheduler.mode=FAIR`` alone does not give you) to a
-    stable temp path and returns the two conf keys pointing at it."""
+    fresh mkstemp path — never a fixed name in the shared temp dir, which
+    collides across users and is a symlink-clobber target (ADVICE r7) —
+    and returns the two conf keys pointing at it."""
     import os
     import tempfile
 
@@ -360,8 +410,10 @@ def serving_fair_conf(tmp_dir: str | None = None) -> dict:
         "  </pool>\n"
         "</allocations>\n"
     )
-    path = os.path.join(tmp_dir or tempfile.gettempdir(), "spark_serving_fairscheduler.xml")
-    with open(path, "w", encoding="utf-8") as f:
+    fd, path = tempfile.mkstemp(
+        prefix="spark_serving_fairscheduler_", suffix=".xml", dir=tmp_dir
+    )
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
         f.write(xml)
     return {"spark.scheduler.mode": "FAIR", "spark.scheduler.allocation.file": path}
 

@@ -167,12 +167,66 @@ def test_jvm_escape_functions_rejected(endpoint):
         "SELECT reflect('java.lang.System', 'getProperty', 'user.dir')",
         "SELECT java_method('java.lang.System', 'exit', 1)",
         "SELECT 1 WHERE Reflect ('a','b') IS NULL",
+        # bypass spellings (ADVICE r7): Spark accepts backquoted function
+        # names and comments between the name and the paren
+        "SELECT `reflect`('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT reflect/**/('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT reflect -- c\n('java.lang.System', 'getProperty', 'a')",
+        "SELECT `java_method`/* x */('java.lang.System', 'exit', 1)",
+        "SELECT REFLECT",  # bare word: no paren needed to be suspicious
     ):
         code, err = _post_err(endpoint, "/query", {"sql": sql})
         assert code == 400 and "reflection" in err["error"], sql
-    # but the words as plain identifiers/data are not blocked
-    ok = _post(endpoint, "/query", {"sql": "SELECT 'reflect(x)' AS reflection"})
+    # but the words as plain string DATA are not blocked (strings are
+    # stripped before the scan; decoys inside comments are stripped too)
+    ok = _post(endpoint, "/query", {"sql": "SELECT 'reflect(x)' AS s"})
     assert ok["rows"] == [["reflect(x)"]]
+    ok = _post(endpoint, "/query", {"sql": "SELECT /* reflect */ 1 AS one"})
+    assert ok["rows"] == [[1]]
+
+
+def test_mutators_hidden_in_comments_still_rejected(endpoint):
+    """Comment stripping must not UNHIDE mutation text either way: a DROP
+    smuggled around comments is still caught by the bare-word scan."""
+    code, err = _post_err(
+        endpoint, "/query", {"sql": "SELECT 1; DROP/**/TABLE region"}
+    )
+    assert code == 400 and "mutation" in err["error"]
+
+
+def test_timeout_flag_alone_is_not_a_408():
+    """_run_bounded classifies 408 only when the exception chain looks
+    like OUR job group's cancellation — an unrelated error racing the
+    deadline timer stays a client error (ADVICE r7)."""
+    from demo_otel_parquet_antalya_spark.serving import _is_cancellation
+
+    group = "http-deadbeef1234"
+    assert _is_cancellation(
+        RuntimeError(f"Job 7 cancelled part of cancelled job group {group}"),
+        group,
+    )
+    chained = RuntimeError("collect failed")
+    chained.__cause__ = RuntimeError(f"cancellation of job group {group}")
+    assert _is_cancellation(chained, group)
+    assert not _is_cancellation(
+        ValueError("division by zero in panel arithmetic"), group
+    )
+
+
+def test_serving_fair_conf_paths_are_unique(tmp_path):
+    """The allocation file must be a fresh mkstemp path, not a fixed name
+    in the shared temp dir (multi-user collision / symlink clobber)."""
+    from demo_otel_parquet_antalya_spark.serving import serving_fair_conf
+
+    a = serving_fair_conf(str(tmp_path))
+    b = serving_fair_conf(str(tmp_path))
+    pa, pb = a["spark.scheduler.allocation.file"], b["spark.scheduler.allocation.file"]
+    assert pa != pb
+    for p in (pa, pb):
+        with open(p) as f:
+            body = f.read()
+        assert '<pool name="serving">' in body and "FAIR" in body
+    assert a["spark.scheduler.mode"] == "FAIR"
 
 
 @pytest.fixture(scope="module")
