@@ -209,17 +209,21 @@ def resize(media: DataFrame, width: int = 64, height: int = 64, decode_stub: boo
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8, decode_stub: bool = True) -> DataFrame:
     """Frame sampling: one binary payload -> N frame rows (1:N un-nesting).
 
-    MJPEG-AVI, animated GIF, and animated PNG payloads take the REAL
-    path: the RIFF/AVI demuxer yields each video frame's JPEG bytes
-    verbatim, ``decode_gif_frames`` yields composited canvas frames
-    re-encoded as standalone GIFs, and ``decode_apng_frames`` yields
-    alpha-composited RGBA canvases re-encoded as standalone PNGs — all
-    sampled evenly up to ``max_frames`` with ORIGINAL frame indices,
-    decodable downstream like any image payload.
-    Other formats
-    go through the declared stub ('frames' are fixed-stride byte windows)
-    with ``decode_stub=True``, or raise with ``decode_stub=False`` (the
-    honest codec slot for inter-frame-predicted formats).
+    MJPEG-AVI, uncompressed-DIB AVI, animated GIF, and animated PNG
+    payloads take the REAL path: the RIFF/AVI demuxer yields each MJPEG
+    frame's JPEG bytes verbatim and each BI_RGB 'DIB ' frame's pixels
+    re-encoded as a standalone PNG, ``decode_gif_frames`` yields
+    composited canvas frames re-encoded as standalone GIFs, and
+    ``decode_apng_frames`` yields alpha-composited RGBA canvases
+    re-encoded as standalone PNGs — all sampled evenly up to
+    ``max_frames`` with ORIGINAL frame indices, decodable downstream like
+    any image payload. Other formats go through the declared stub
+    ('frames' are fixed-stride byte windows) with ``decode_stub=True``,
+    or raise with ``decode_stub=False`` — inter-frame-predicted codecs
+    (H.264 et al.) are the RECORDED PERMANENT NON-GOAL: honest
+    motion-compensated decode needs a real video library, and every
+    intra-only coding a stdlib walker can honestly serve (MJPEG, DIB,
+    GIF, APNG) is now real.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,19 +236,36 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                     continue
                 b = bytes(payload)
                 if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    mark = len(ids)  # rollback point: degrade is per-PAYLOAD
                     try:
                         fr, _fps = decode_avi_frames(b)
+                        fmt = decode_avi_stream_format(b)
+                        dib = fmt[0] == b"\x00\x00\x00\x00"
                         n = len(fr)
                         take = min(max_frames, n)
                         for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
+                            # MJPEG chunks are already standalone JPEGs;
+                            # uncompressed DIB frames are pixel-decoded and
+                            # re-encoded as standalone PNGs (lossless) so
+                            # downstream stages decode them like any image.
+                            # Built BEFORE the id/idx appends so a decode
+                            # ValueError leaves the batch columns balanced.
+                            out = (
+                                encode_png(decode_avi_frame_pixels(fr[fi], fmt))
+                                if dib
+                                else fr[fi]
+                            )
                             ids.append(media_id)
                             idxs.append(fi)
-                            frames.append(fr[fi])
+                            frames.append(out)
                         continue
                     except ValueError:
                         if not decode_stub:
                             raise  # strict mode: surface the corrupt payload
-                        # else: fall through to the byte-window stub below
+                        # degrade the WHOLE payload to the stub: drop any
+                        # frames appended before the corrupt one so stub
+                        # windows never mix with partial real frames
+                        del ids[mark:], idxs[mark:], frames[mark:]
                 if b[:8] == PNG_SIGNATURE and is_apng(b):
                     # animated PNG: composited RGBA canvas frames, each
                     # sampled frame re-encoded as a standalone PNG. Same
@@ -287,8 +308,10 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                 if not decode_stub:
                     raise NotImplementedError(
                         "real frame sampling for other formats requires a "
-                        "video codec; plug it into this slot (MJPEG-AVI and "
-                        "animated GIF are handled)"
+                        "video codec; plug it into this slot (MJPEG-AVI, "
+                        "uncompressed-DIB AVI, animated GIF, and animated "
+                        "PNG are handled; inter-frame-predicted codecs are "
+                        "the recorded permanent non-goal)"
                     )
                 for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
                     ids.append(media_id)
@@ -3109,6 +3132,84 @@ def _build_avi_codec():
         body = b"AVI " + hdrl + movi + idx1
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
+    def encode_avi_dib(rgb_frames, fps: int, width: int, height: int) -> bytes:
+        """Pack uncompressed frames as a BI_RGB ('DIB ') AVI: each (h,w,3)
+        uint8 RGB frame stored as bottom-up BGR rows padded to 4-byte
+        stride in '00db' chunks — the classic device-independent-bitmap
+        video stream (biCompression=0). Intra-only like MJPEG: every frame
+        is self-contained, which is what keeps a pure-stdlib decoder
+        honest. Mirrors encode_avi_mjpeg's container layout."""
+        import numpy as np
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", kind + body)
+
+        stride = (width * 3 + 3) & ~3
+        payloads = []
+        for fr in rgb_frames:
+            a = np.asarray(fr, dtype=np.uint8)
+            if a.shape != (height, width, 3):
+                raise ValueError("DIB frame shape must be (height, width, 3)")
+            rows = np.zeros((height, stride), dtype=np.uint8)
+            rows[:, : width * 3] = a[::-1, :, ::-1].reshape(height, width * 3)
+            payloads.append(rows.tobytes())
+        n = len(payloads)
+        frame_bytes = stride * height
+        avih = struct.pack(
+            "<14I", 1_000_000 // max(fps, 1), frame_bytes * fps, 0, 0x10,
+            n, 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+        )
+        strh = (
+            b"vidsDIB "
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, max(fps, 1), 0, n, frame_bytes, 0, 0)
+            + struct.pack("<4h", 0, 0, width, height)
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, width, height, 1, 24, b"\x00\x00\x00\x00",
+            frame_bytes, 0, 0, 0, 0,
+        )
+        hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in payloads))
+        off, entries = 4, []
+        for p in payloads:
+            entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(p)))
+            off += 8 + len(p) + (len(p) & 1)
+        idx1 = chunk(b"idx1", b"".join(entries))
+        body = b"AVI " + hdrl + movi + idx1
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def decode_avi_stream_format(data: bytes):
+        """(compression, width, height, bit_count) of the first video
+        stream, from its strf BITMAPINFOHEADER: compression is the fourcc
+        (b'MJPG', ...) or b'\\x00'*4 for BI_RGB/DIB. ValueError on
+        non-AVI payloads; all-None when no video strf is present."""
+        b = bytes(data)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI payload")
+        found = [None, None, None, None]
+
+        def walk(start: int, end: int):
+            i = start
+            while i + 8 <= end and found[0] is None:
+                cid = b[i : i + 4]
+                clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                body_start, body_end = i + 8, min(i + 8 + clen, end)
+                if cid == b"LIST":
+                    walk(body_start + 4, body_end)
+                elif cid == b"strf" and clen >= 20:
+                    found[1] = int.from_bytes(b[body_start + 4 : body_start + 8], "little", signed=True)
+                    found[2] = int.from_bytes(b[body_start + 8 : body_start + 12], "little", signed=True)
+                    found[3] = int.from_bytes(b[body_start + 14 : body_start + 16], "little")
+                    found[0] = b[body_start + 16 : body_start + 20]
+                i += 8 + clen + (clen & 1)
+
+        walk(12, len(b))
+        return tuple(found)
+
     def decode_avi_frames(data: bytes):
         """(frames, fps): the raw JPEG payload of every video frame chunk
         ('00dc'/'00db', including inside 'rec ' groups), in stream order,
@@ -3146,10 +3247,64 @@ def _build_avi_codec():
             fps = 1_000_000 // us_per_frame
         return frames, fps
 
-    return encode_avi_mjpeg, decode_avi_frames
+    def decode_avi_frame_pixels(frame_bytes: bytes, fmt):
+        """One demuxed frame chunk -> pixels, given the stream's strf
+        ``fmt`` (from ``decode_avi_stream_format``): MJPG chunks through
+        the baseline-JPEG codec, BI_RGB 24-bit ('DIB ') chunks unpacked
+        from bottom-up 4-byte-aligned BGR rows to (h, w, 3) RGB. Both are
+        INTRA-only codings (each frame self-contained); inter-frame-
+        predicted codecs (H.264 et al.) raise ValueError — the declared
+        permanent non-goal, since honest motion-compensated decode needs
+        a real video library, not a stdlib walker."""
+        import numpy as np
+
+        comp, w, h, bits = fmt
+        if comp == b"\x00\x00\x00\x00" and None not in (w, h):
+            if bits != 24:
+                raise ValueError(f"only 24-bit BI_RGB DIB frames supported, got {bits}")
+            height = abs(h)
+            stride = (w * 3 + 3) & ~3
+            if len(frame_bytes) < stride * height:
+                raise ValueError("truncated DIB frame")
+            rows = np.frombuffer(frame_bytes[: stride * height], np.uint8).reshape(
+                height, stride
+            )[:, : w * 3].reshape(height, w, 3)
+            # bottom-up rows (positive biHeight), BGR order
+            return rows[:: -1 if h > 0 else 1, :, ::-1].copy()
+        if frame_bytes[:2] != b"\xff\xd8":
+            raise ValueError(
+                "unsupported AVI video coding (inter-frame-predicted codecs "
+                "are a declared non-goal; MJPG and 24-bit DIB are handled)"
+            )
+        return decode_jpeg(frame_bytes)
+
+    def decode_avi_video(data: bytes):
+        """(pixel_frames, fps): every video frame decoded to pixels via
+        ``decode_avi_frame_pixels`` (MJPG + 24-bit DIB; inter-frame codecs
+        raise). Samplers that pick a frame subset should demux with
+        ``decode_avi_frames`` and pixel-decode only the picked frames."""
+        frames, fps = decode_avi_frames(data)
+        fmt = decode_avi_stream_format(data)
+        return [decode_avi_frame_pixels(fb, fmt) for fb in frames], fps
+
+    return (
+        encode_avi_mjpeg,
+        encode_avi_dib,
+        decode_avi_frames,
+        decode_avi_stream_format,
+        decode_avi_frame_pixels,
+        decode_avi_video,
+    )
 
 
-encode_avi_mjpeg, decode_avi_frames = _build_avi_codec()
+(
+    encode_avi_mjpeg,
+    encode_avi_dib,
+    decode_avi_frames,
+    decode_avi_stream_format,
+    decode_avi_frame_pixels,
+    decode_avi_video,
+) = _build_avi_codec()
 
 
 VIDEO_FRAME_STAT_SCHEMA = (
@@ -3180,6 +3335,7 @@ def video_frame_stats(
                     continue
                 try:
                     frames, _fps = decode_avi_frames(bytes(payload))
+                    fmt = decode_avi_stream_format(bytes(payload))
                 except ValueError:
                     continue
                 n = len(frames)
@@ -3187,7 +3343,7 @@ def video_frame_stats(
                 picked = sorted({(k * n) // take for k in range(take)}) if take else []
                 for fi in picked:
                     try:
-                        img = decode_jpeg(frames[fi])
+                        img = decode_avi_frame_pixels(frames[fi], fmt)
                     except ValueError:
                         continue
                     plane = img.astype(_np.float64)
@@ -3212,7 +3368,7 @@ def video_frame_stats(
 
 
 def synthesize_avi_media(
-    ids: DataFrame, id_col: str = "doc_id", fps: int = 10
+    ids: DataFrame, id_col: str = "doc_id", fps: int = 10, mixed: bool = False
 ) -> DataFrame:
     """(media_id, payload): a deterministic MJPEG AVI per input id with
     n = 2 + (d mod 3) frames; frame f is the block-constant 16x16 JPEG
@@ -3222,24 +3378,35 @@ def synthesize_avi_media(
     recompute every sampled frame's pixel stats from the closed form with
     no codec — certifying container demux + frame pixel decode end-to-end
     (the video twin of ``synthesize_jpeg_media`` / ``synthesize_wav_media``).
-    """
+
+    With ``mixed=True``, odd ids pack the SAME closed-form frames as
+    uncompressed BI_RGB ('DIB ') streams (gray v -> RGB (v,v,v), lossless
+    by construction), so one oracle certifies both intra-only video
+    codings — MJPEG entropy decode and DIB row unpacking — at once."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
         import pandas as _pd
 
-        def frame(d, f):
+        def gray(d, f):
             img = _np.empty((16, 16), dtype=_np.uint8)
             for k in range(4):
                 by, bx = divmod(k, 2)
                 img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     int(d) * 31 + f * 97 + k * 17
                 ) % 256
-            return encode_jpeg_baseline(img)
+            return img
 
         def synth(d):
             n = 2 + (int(d) % 3)
-            return encode_avi_mjpeg([frame(d, f) for f in range(n)], fps, 16, 16)
+            if mixed and int(d) % 2 == 1:
+                return encode_avi_dib(
+                    [_np.stack([gray(d, f)] * 3, axis=-1) for f in range(n)],
+                    fps, 16, 16,
+                )
+            return encode_avi_mjpeg(
+                [encode_jpeg_baseline(gray(d, f)) for f in range(n)], fps, 16, 16
+            )
 
         for pdf in batches:
             yield _pd.DataFrame(

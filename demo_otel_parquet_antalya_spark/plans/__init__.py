@@ -84,7 +84,6 @@ _DRIVER_WINDOW: tuple = (
     # they were built so no curation lag accrues (VERDICT r4 item "What's
     # wrong" #4) — each certifies a real pure-stdlib codec end-to-end
     "multimodal_audio_features",  # r5-in: WAV PCM decode, closed-form oracle
-    "multimodal_video_frame_stats",  # r5-in: MJPEG-AVI demux + frame decode
     "graph_kcore_trade",  # r5-in: fixed-round k-core peeling
     "privacy_pii_scrub",  # r5-in: PII redaction, boundary-exact oracle
     # r6-in (VERDICT r5 item 1): the three late-r5 locally-green queries
@@ -99,15 +98,20 @@ _DRIVER_WINDOW: tuple = (
     # multimodal_image_stats, whose baseline-JPEG family stays represented
     # by multimodal_image_stats_mixed and re-proven locally every run.
     "multimodal_image_stats_webp",  # r8-in: VP8L all-14-predictor decode mix
+    # r8-in: MJPEG + uncompressed-DIB mixed AVI (strictly supersedes the
+    # MJPEG-only multimodal_video_frame_stats, rotated to the second
+    # window — its demux+JPEG path is a subset of the mixed query).
+    "multimodal_video_frame_stats_mixed",  # r8-in: intra-only video codings
 )
 
 # next-most-important — first in line if the driver window ever widens.
 # The leading block is the r4 rotation: all CORRECTNESS_r03-green, oracles
 # retained, re-proved locally by tests/test_queries_oracle.py every run.
 _SECOND_WINDOW: tuple = (
-    # r8 rotate-out (driver-green r5-r7; baseline-JPEG decode still in the
-    # window via multimodal_image_stats_mixed)
+    # r8 rotate-outs (driver-green r5-r7; both families still in the
+    # window via their strictly-wider mixed variants)
     "multimodal_image_stats",
+    "multimodal_video_frame_stats",
     # r6 rotate-outs (driver-green in r5; families still represented in
     # the driver window)
     "graph_hits_trade",

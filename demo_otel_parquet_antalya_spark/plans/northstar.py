@@ -665,6 +665,58 @@ def q_multimodal_video_frame_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_frame_stats_mixed",
+    # Same closed form as multimodal_video_frame_stats, but odd doc_ids
+    # pack the frames as uncompressed BI_RGB ('DIB ') streams instead of
+    # MJPEG (r8: the inter-frame-video decision — both INTRA-only codings
+    # are real, motion-compensated codecs are the recorded non-goal). DIB
+    # is lossless by construction, MJPEG constant blocks are exact under
+    # flat quantization, so one oracle certifies both decode paths; the
+    # `codec` column is read from the ACTUAL strh fourcc in the payload
+    # (fixed offset 112 in the synthesizer's container layout) and the
+    # oracle predicts it from id parity — the mix is real.
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64), "
+    "fr AS (SELECT doc_id, f FROM ids, LATERAL (SELECT unnest(range(0, "
+    "2 + doc_id % 3)) AS f) t), "
+    "px AS (SELECT doc_id, f, (doc_id * 31 + f * 97 + k * 17) % 256 AS v "
+    "FROM fr, LATERAL (SELECT unnest(range(0, 4)) AS k) u) "
+    "SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx, "
+    "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+    "ROUND(AVG(v), 6) AS mean_px, "
+    "CASE WHEN doc_id % 2 = 1 THEN 'DIB ' ELSE 'MJPG' END AS codec "
+    "FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx",
+    doc=(
+        "REAL uncompressed-video frame decode (VERDICT r7 item 3): a "
+        "mixed MJPEG/DIB AVI corpus is synthesized per doc_id, demuxed by "
+        "the pure-stdlib RIFF/AVI walker, and every sampled frame "
+        "pixel-decoded — MJPG chunks through the baseline-JPEG codec, "
+        "'DIB ' chunks unpacked from bottom-up 4-byte-aligned BGR rows "
+        "(operators/multimodal.py::decode_avi_frame_pixels). One payload "
+        "-> N frame rows in a single Arrow-batched mapInPandas pass, zero "
+        "shuffle. The DuckDB oracle recomputes each frame's pixel mean "
+        "from the closed form and predicts each payload's strh fourcc "
+        "from id parity — certifying both intra-only codings in one hash."
+    ),
+    tags=("northstar", "multimodal"),
+)
+def q_multimodal_video_frame_stats_mixed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(64)
+    media = multimodal.synthesize_avi_media(ids, mixed=True)
+    # strh fourcc: the synthesizer's fixed container layout puts it at
+    # 0-based offset 112 (Spark substring is 1-indexed -> position 113)
+    codecs = media.select(
+        "media_id",
+        F.expr("decode(substring(payload, 113, 4), 'US-ASCII')").alias("codec"),
+    )
+    return (
+        multimodal.video_frame_stats(media)
+        .join(F.broadcast(codecs), "media_id")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@register(
     "multimodal_classify",
     # Mixed-media corpus from closed forms on doc_id (doc_id%3 picks the
     # modality; each synthesizer's container parameters are closed-form),

@@ -8,8 +8,13 @@ import numpy as np
 import pytest
 
 from demo_otel_parquet_antalya_spark.operators.multimodal import (
+    decode_avi_frame_pixels,
     decode_avi_frames,
+    decode_avi_stream_format,
+    decode_avi_video,
     decode_jpeg,
+    decode_png,
+    encode_avi_dib,
     encode_avi_mjpeg,
     encode_jpeg_baseline,
     parse_video_headers,
@@ -83,6 +88,111 @@ def test_parse_video_headers_detects_avi(spark):
     assert r.n_tracks == 1
     assert r.duration_ms == 400  # 4 frames at 10 fps
     assert r.timescale is None
+
+
+def test_dib_round_trip_exact_across_strides():
+    """Uncompressed BI_RGB frames: bottom-up padded BGR rows must come
+    back pixel-exact — incl. widths whose 3-byte rows need 4-byte stride
+    padding (w=5 -> 15->16, w=6 -> 18->20)."""
+    rng = np.random.default_rng(21)
+    for w, h in [(5, 4), (6, 3), (16, 16), (1, 1)]:
+        frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(3)]
+        avi = encode_avi_dib(frames, fps=12, width=w, height=h)
+        comp, fw, fh, bits = decode_avi_stream_format(avi)
+        assert (comp, fw, fh, bits) == (b"\x00\x00\x00\x00", w, h, 24)
+        out, fps = decode_avi_video(avi)
+        assert fps == 12 and len(out) == 3
+        for o, f in zip(out, frames):
+            np.testing.assert_array_equal(o, f)
+
+
+def test_dib_frame_pixel_decode_is_per_frame():
+    """Samplers decode only picked frames: the per-frame entry point must
+    match the whole-stream decode, and truncated frames raise."""
+    rng = np.random.default_rng(22)
+    frames = [rng.integers(0, 256, (4, 6, 3), dtype=np.uint8) for _ in range(2)]
+    avi = encode_avi_dib(frames, fps=10, width=6, height=4)
+    raw, _fps = decode_avi_frames(avi)
+    fmt = decode_avi_stream_format(avi)
+    np.testing.assert_array_equal(decode_avi_frame_pixels(raw[1], fmt), frames[1])
+    with pytest.raises(ValueError, match="truncated DIB"):
+        decode_avi_frame_pixels(raw[1][:-8], fmt)
+    # inter-frame-predicted codings stay the declared refusal
+    h264ish = (b"H264", 16, 16, 24)
+    with pytest.raises(ValueError, match="inter-frame"):
+        decode_avi_frame_pixels(b"\x00\x00\x00\x01\x67" * 8, h264ish)
+
+
+def test_video_frame_stats_handles_dib(spark):
+    """DIB is lossless, so per-frame means are exact with no quantization
+    caveat at all."""
+    frames = [
+        np.full((16, 16, 3), 40, np.uint8),
+        np.full((16, 16, 3), 200, np.uint8),
+    ]
+    avi = encode_avi_dib(frames, fps=10, width=16, height=16)
+    df = spark.createDataFrame([(1, bytearray(avi))], "media_id long, payload binary")
+    rows = {(r.media_id, r.frame_idx): r for r in video_frame_stats(df).collect()}
+    assert rows[(1, 0)].mean_px == 40.0 and rows[(1, 1)].mean_px == 200.0
+    assert (rows[(1, 0)].width, rows[(1, 0)].height) == (16, 16)
+
+
+def test_sample_frames_reencodes_dib_as_png(spark):
+    """Sampled DIB frames come back as standalone PNGs (lossless) with
+    original indices, decodable downstream like any image payload."""
+    rng = np.random.default_rng(23)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(5)]
+    avi = encode_avi_dib(frames, fps=5, width=8, height=8)
+    df = spark.createDataFrame([(1, bytearray(avi))], "media_id long, payload binary")
+    got = {r.frame_idx: bytes(r.frame) for r in sample_frames(df, max_frames=2).collect()}
+    assert set(got) == {0, 2}
+    for fi, png in got.items():
+        np.testing.assert_array_equal(decode_png(png), frames[fi])
+
+
+def test_sample_frames_strict_mode_raises_on_corrupt_payloads(spark):
+    """decode_stub=False is strict: a corrupt AVI payload fails the task
+    instead of silently degrading to byte windows (ADVICE r7: this
+    semantic changed in r7 from skip to raise and was untested). Stub
+    mode on the SAME payload degrades per-payload, quarantine-style."""
+    frames = [np.full((8, 8, 3), v, np.uint8) for v in (10, 20)]
+    avi = bytearray(encode_avi_dib(frames, fps=5, width=8, height=8))
+    # truncate inside the SECOND movi frame chunk's body (the later
+    # b"00db" hits are idx1 entries): the demux walk still yields the
+    # chunk (bounded by end), but its DIB rows are short
+    cut = bytes(avi[: avi.index(b"00db", avi.index(b"00db") + 1) + 12])
+    df = spark.createDataFrame([(1, bytearray(cut))], "media_id long, payload binary")
+    # stub mode: degrades to byte windows, the task survives
+    assert sample_frames(df, max_frames=8, decode_stub=True).count() >= 1
+    with pytest.raises(Exception, match="truncated DIB"):
+        sample_frames(df, max_frames=8, decode_stub=False).collect()
+
+
+def test_synthesized_mixed_avi_covers_both_codecs(spark):
+    """mixed=True: odd ids pack DIB, even ids MJPEG — both decode to the
+    same closed form, and the strh fourcc at offset 112 tells them apart
+    (the bit the oracle checks)."""
+    ids = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in synthesize_avi_media(ids, mixed=True).collect()
+    }
+    assert payloads[2][112:116] == b"MJPG"
+    assert payloads[3][112:116] == b"DIB "
+    for d, payload in payloads.items():
+        frames, _fps = decode_avi_video(payload)
+        assert len(frames) == 2 + (d % 3)
+        for f, img in enumerate(frames):
+            plane = img.astype(np.float64)
+            if plane.ndim == 3:
+                plane = plane.mean(axis=2)
+            want = np.empty((16, 16), dtype=np.float64)
+            for k in range(4):
+                by, bx = divmod(k, 2)
+                want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    d * 31 + f * 97 + k * 17
+                ) % 256
+            np.testing.assert_array_equal(plane, want)
 
 
 def test_synthesized_avi_matches_closed_form(spark):
