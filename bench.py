@@ -126,6 +126,21 @@ def main() -> None:
         max((max(p) - min(p)) / min(p) for p in runs.values() if min(p) > 0), 3
     )
 
+    # Loadavg gate RE-CHECK before the ingest measurement (VERDICT r6 item
+    # 2a / r7 item 4): by this point the query suite itself has loaded the
+    # box, and the r6 ingest halving (44k -> 20k logs/s, proved
+    # environmental by r7's recovery) happened exactly here. Give the
+    # machine a bounded window to settle and stamp the ingest-specific
+    # contention state separately from the suite-start gate.
+    ingest_load = os.getloadavg()[0]
+    waited = 0.0
+    ingest_gate = max(gate, 4.0)  # the suite just ran; 2.0 is unreachable
+    while ingest_load > ingest_gate and waited < 120.0:
+        time.sleep(10.0)
+        waited += 10.0
+        ingest_load = os.getloadavg()[0]
+    ingest_contended = ingest_load > ingest_gate
+
     ingest_rate = bench_ingest(spark)
 
     total = round(sum(timings.values()), 3)
@@ -147,6 +162,8 @@ def main() -> None:
                 "loadavg_start": round(load_start, 2),
                 "contended": contended,
                 "ingest_logs_per_sec": ingest_rate,
+                "ingest_loadavg_start": round(ingest_load, 2),
+                "ingest_contended": ingest_contended,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Measure dashboard-panel latency through the SQL-over-HTTP endpoint
+against a synthesized logs warehouse of a chosen size (VERDICT r7 item 5:
+replace SCALE.md's argued serving posture with measured numbers).
+
+    python tools/bench_serving.py [n_logs] [work_dir]
+
+Builds (or reuses, if work_dir already holds a warehouse for the same
+n_logs) an OTLP landing -> exactly-once ingest -> partitioned warehouse,
+maintains the 30 s/service_name rollup snapshot, starts the endpoint, and
+times each /panels/* route over HTTP (median + p90 of `reps` requests),
+plus the rollup-backed Q5 read for the raw-vs-rollup contrast. Prints ONE
+JSON line. Only writes under work_dir (default under /tmp).
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import statistics
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RECORDS_PER_FILE = 4000
+
+
+def _gen_shard(args) -> None:
+    shard_dir, n_files, records, seed, base_ns = args
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+
+    generate_files(shard_dir, n_files=n_files, records_per_file=records,
+                   seed=seed, base_ns=base_ns)
+
+
+def build_warehouse(spark, work: str, n_logs: int) -> tuple[str, str]:
+    """landing (parallel generation across CPUs) -> warehouse + rollup."""
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+    from demo_otel_parquet_antalya_spark.streaming.rollup import incremental_rollup
+
+    landing = os.path.join(work, "landing")
+    warehouse = os.path.join(work, "warehouse")
+    rollup = os.path.join(work, "rollup")
+    stamp = os.path.join(work, f"built_{n_logs}")
+    if os.path.exists(stamp):
+        return warehouse, rollup
+    n_files = max(1, n_logs // RECORDS_PER_FILE)
+    shards = min(multiprocessing.cpu_count(), n_files)
+    per_shard = n_files // shards
+    extra = n_files % shards
+    jobs = []
+    start_file = 0
+    for s in range(shards):
+        cnt = per_shard + (1 if s < extra else 0)
+        if not cnt:
+            continue
+        jobs.append((
+            os.path.join(landing, f"shard={s:03d}"), cnt, RECORDS_PER_FILE,
+            42 + s, 1_700_000_000_000_000_000 + start_file * 60_000_000_000,
+        ))
+        start_file += cnt
+    t0 = time.perf_counter()
+    with multiprocessing.Pool(shards) as pool:
+        pool.map(_gen_shard, jobs)
+    gen_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    # the landing layout is shard=NNN subdirs; the file stream discovers
+    # them via the glob
+    run_ingest_once(spark, os.path.join(landing, "*"), warehouse,
+                    os.path.join(work, "ckpt"))
+    ingest_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    logs_schema = spark.read.parquet(warehouse).schema
+    q = incremental_rollup(
+        spark.readStream.schema(logs_schema).parquet(warehouse),
+        rollup, os.path.join(work, "rollup_ckpt"),
+        bucket="30 seconds", ts_col="timestamp", dim_col="service_name",
+    )
+    q.awaitTermination()
+    rollup_s = time.perf_counter() - t0
+    print(json.dumps({"built": n_logs, "gen_s": round(gen_s, 1),
+                      "ingest_s": round(ingest_s, 1),
+                      "rollup_s": round(rollup_s, 1)}), file=sys.stderr)
+    open(stamp, "w").close()
+    return warehouse, rollup
+
+
+def _time_http(url: str, reps: int) -> dict:
+    lat = []
+    rows = 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(url, timeout=600) as r:
+            body = json.load(r)
+        lat.append(time.perf_counter() - t0)
+        rows = body.get("row_count", 0)
+    lat.sort()
+    return {
+        "median_s": round(statistics.median(lat), 3),
+        "p90_s": round(lat[max(0, int(len(lat) * 0.9) - 1)], 3),
+        "rows": rows,
+    }
+
+
+def main() -> None:
+    n_logs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    work = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/bench_serving_{n_logs}"
+    reps = int(os.environ.get("SPARK_GRAFT_SERVING_REPS", "5"))
+    os.makedirs(work, exist_ok=True)
+
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.serving import start_sql_endpoint
+    from demo_otel_parquet_antalya_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_serving_{n_logs}")
+    warehouse, rollup = build_warehouse(spark, work, n_logs)
+
+    server = start_sql_endpoint(
+        spark, "/root/testdata/sf0.001", port=0, logs_dir=warehouse,
+        request_timeout_s=600.0,
+    )
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+
+    panels = {
+        "q1_projection": "/panels/q1_projection",
+        "q2_recent_logs": "/panels/q2_recent_logs?limit=10",
+        "q3_severity_counts": "/panels/q3_severity_counts",
+        "q5_timeseries_raw": "/panels/q5_timeseries?interval=30",
+        "q6_log_panel": "/panels/q6_log_panel?limit=1000",
+        "q6_adhoc_filtered": "/panels/q6_log_panel?limit=1000&filter=severity_text=ERROR",
+    }
+    results = {}
+    for name, path in panels.items():
+        results[name] = _time_http(base + path, reps)
+
+    # rollup-backed Q5 (the production routing for the time-series panel):
+    # same work a rollup-serving replica does — read the snapshot, collect
+    lat = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rows = facade.q5_timeseries_from_rollup(spark, rollup).limit(10_001).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    results["q5_timeseries_rollup"] = {
+        "median_s": round(statistics.median(lat), 3),
+        "p90_s": round(lat[max(0, int(len(lat) * 0.9) - 1)], 3),
+        "rows": len(rows),
+    }
+
+    raw_rows = spark.read.parquet(warehouse).count()
+    server.shutdown()
+    print(json.dumps({
+        "metric": "serving_panel_latency",
+        "n_logs": raw_rows,
+        "reps": reps,
+        "panels": results,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }))
+
+
+if __name__ == "__main__":
+    main()
