@@ -1080,20 +1080,26 @@ def _build_vp8l_codec():
     _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
     class _LsbBits:
-        """LSB-first bit reader (VP8L's bit order — the opposite of JPEG)."""
+        """LSB-first bit reader (VP8L's bit order — the opposite of JPEG).
+        O(1)-amortized accumulator, the same idiom as the GIF LZW reader's
+        hot path (one shift/mask per read instead of a per-bit loop)."""
 
         def __init__(self, data: bytes):
             self.d = data
-            self.pos = 0  # absolute bit position
+            self.i = 0  # next byte to load
+            self.acc = 0
+            self.n = 0  # bits buffered in acc
 
         def read(self, n: int) -> int:
-            v = 0
-            for k in range(n):
-                byte_i = (self.pos + k) >> 3
-                if byte_i >= len(self.d):
+            while self.n < n:
+                if self.i >= len(self.d):
                     raise ValueError("VP8L bitstream truncated")
-                v |= ((self.d[byte_i] >> ((self.pos + k) & 7)) & 1) << k
-            self.pos += n
+                self.acc |= self.d[self.i] << self.n
+                self.i += 1
+                self.n += 8
+            v = self.acc & ((1 << n) - 1)
+            self.acc >>= n
+            self.n -= n
             return v
 
     def _canonical_codes(lengths):
