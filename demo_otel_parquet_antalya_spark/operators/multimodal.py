@@ -1277,14 +1277,22 @@ def _build_vp8l_codec():
         return out.reshape(h, w)
 
     # ---- inverse transforms ------------------------------------------------
+    # Per-pixel work runs on plain Python int 4-tuples (a, r, g, b): the
+    # loops are inherently sequential (left/top dependencies), and scalar
+    # int ops are ~10x cheaper than per-pixel numpy array construction.
 
     def _avg2(a, b):
-        return (a + b) // 2
+        return ((a[0] + b[0]) >> 1, (a[1] + b[1]) >> 1,
+                (a[2] + b[2]) >> 1, (a[3] + b[3]) >> 1)
+
+    def _clip4(t):
+        return (min(255, max(0, t[0])), min(255, max(0, t[1])),
+                min(255, max(0, t[2])), min(255, max(0, t[3])))
 
     def _predict(mode, left, top, topleft, topright):
-        """One of the 14 predictor modes, per-channel uint8 vectors."""
+        """One of the 14 predictor modes, per-channel (a,r,g,b) int tuples."""
         if mode == 0:
-            return np.array([255, 0, 0, 0], np.int64)
+            return (255, 0, 0, 0)
         if mode == 1:
             return left
         if mode == 2:
@@ -1306,20 +1314,25 @@ def _build_vp8l_codec():
         if mode == 10:
             return _avg2(_avg2(left, topleft), _avg2(top, topright))
         if mode == 11:  # select
-            p = left + top - topleft
-            pl = np.abs(p - left).sum()
-            pt = np.abs(p - top).sum()
+            pl = pt = 0
+            for lc, tc, tlc in zip(left, top, topleft):
+                p = lc + tc - tlc
+                pl += abs(p - lc)
+                pt += abs(p - tc)
             return left if pl < pt else top
         if mode == 12:  # clamp-add-subtract-full
-            return np.clip(left + top - topleft, 0, 255)
+            return _clip4(tuple(lc + tc - tlc for lc, tc, tlc in zip(left, top, topleft)))
         if mode == 13:  # clamp-add-subtract-half
-            clamp = np.clip(_avg2(left, top), 0, 255)
             # libwebp computes (clamp - topleft) / 2 in C, which truncates
             # toward zero — Python's // floors, differing by 1 for negative
             # odd deltas, so emulate C truncation explicitly.
-            d = clamp - topleft
-            half = np.where(d < 0, -((-d) // 2), d // 2)
-            return np.clip(clamp + half, 0, 255)
+            out = []
+            for lc, tc, tlc in zip(left, top, topleft):
+                c = min(255, max(0, (lc + tc) >> 1))
+                d = c - tlc
+                half = -((-d) // 2) if d < 0 else d // 2
+                out.append(min(255, max(0, c + half)))
+            return tuple(out)
         raise ValueError(f"invalid VP8L predictor mode {mode}")
 
     def _apply_inverse_transforms(argb, transforms, w, h):
@@ -1335,57 +1348,71 @@ def _build_vp8l_codec():
                 ).astype(np.uint32)
             elif ttype == 0:  # predictor
                 size_bits, timg = tdata
-                px = argb.astype(np.int64)
+                px = [[int(v) for v in row] for row in argb.tolist()]
+                tlist = timg.tolist()
                 for y in range(h):
+                    row = px[y]
+                    prev = px[y - 1] if y else None
+                    mode_row = tlist[y >> size_bits]
                     for x in range(w):
                         if x == 0 and y == 0:
-                            pred = np.array([255, 0, 0, 0], np.int64)
+                            pred = (255, 0, 0, 0)
                         elif y == 0:
-                            pred = _unpack(px[y, x - 1])
+                            pred = _unpack(row[x - 1])
                         elif x == 0:
-                            pred = _unpack(px[y - 1, x])
+                            pred = _unpack(prev[x])
                         else:
-                            mode = int((timg[y >> size_bits, x >> size_bits] >> 8) & 0xFF)
+                            mode = (mode_row[x >> size_bits] >> 8) & 0xFF
                             # Top-right for the last column wraps to the
                             # CURRENT row's leftmost pixel (the contiguous
                             # buffer wraparound in libwebp: top[w] == row[0],
                             # already reconstructed since x=0 precedes x=w-1).
-                            tr = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
+                            tr = prev[x + 1] if x + 1 < w else row[0]
                             pred = _predict(
                                 mode,
-                                _unpack(px[y, x - 1]),
-                                _unpack(px[y - 1, x]),
-                                _unpack(px[y - 1, x - 1]),
+                                _unpack(row[x - 1]),
+                                _unpack(prev[x]),
+                                _unpack(prev[x - 1]),
                                 _unpack(tr),
                             )
-                        cur = _unpack(px[y, x])
-                        px[y, x] = _pack((cur + pred) & 0xFF)
-                argb = px.astype(np.uint32)
+                        cur = row[x]
+                        row[x] = (
+                            (((cur >> 24) + pred[0] & 0xFF) << 24)
+                            | ((((cur >> 16) & 0xFF) + pred[1] & 0xFF) << 16)
+                            | ((((cur >> 8) & 0xFF) + pred[2] & 0xFF) << 8)
+                            | ((cur & 0xFF) + pred[3] & 0xFF)
+                        )
+                argb = np.array(px, dtype=np.uint32)
             elif ttype == 1:  # cross-color
                 size_bits, timg = tdata
-                px = argb.astype(np.int64)
+                px = [[int(v) for v in row] for row in argb.tolist()]
+                tlist = timg.tolist()
                 for y in range(h):
+                    row = px[y]
+                    t_row = tlist[y >> size_bits]
                     for x in range(w):
-                        t = int(timg[y >> size_bits, x >> size_bits])
+                        t = t_row[x >> size_bits]
                         g2r = _i8(t & 0xFF)
                         g2b = _i8((t >> 8) & 0xFF)
                         r2b = _i8((t >> 16) & 0xFF)
-                        v = int(px[y, x])
+                        v = row[x]
                         a, r, g, b = (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF
                         r = (r + ((g2r * _i8s(g)) >> 5)) & 0xFF
                         b = (b + ((g2b * _i8s(g)) >> 5)) & 0xFF
                         b = (b + ((r2b * _i8s(r)) >> 5)) & 0xFF
-                        px[y, x] = (a << 24) | (r << 16) | (g << 8) | b
-                argb = px.astype(np.uint32)
+                        row[x] = (a << 24) | (r << 16) | (g << 8) | b
+                argb = np.array(px, dtype=np.uint32)
             elif ttype == 3:  # color indexing
                 palette, width_bits, orig_w = tdata
                 if width_bits:
                     xsub = 1 << width_bits
                     bits_pp = 8 >> width_bits
+                    packed_rows = argb.tolist()
                     flat = np.zeros((h, orig_w), dtype=np.uint32)
                     for y in range(h):
+                        prow = packed_rows[y]
                         for x in range(orig_w):
-                            packed = int((argb[y, x >> width_bits] >> 8) & 0xFF)
+                            packed = (prow[x >> width_bits] >> 8) & 0xFF
                             shift = (x % xsub) * bits_pp
                             idx = (packed >> shift) & ((1 << bits_pp) - 1)
                             if idx >= len(palette):
@@ -1403,9 +1430,7 @@ def _build_vp8l_codec():
 
     def _unpack(v):
         v = int(v)
-        return np.array(
-            [(v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], np.int64
-        )
+        return ((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
 
     def _pack(ch):
         return (int(ch[0]) << 24) | (int(ch[1]) << 16) | (int(ch[2]) << 8) | int(ch[3])
@@ -1583,26 +1608,30 @@ def _build_vp8l_codec():
         the mode arithmetic (pinned to spec by tests/test_webp_codec.py's
         hand-computed golden vectors)."""
         h, w = px.shape
-        res = np.empty_like(px)
+        rows = [[int(v) for v in row] for row in px.tolist()]
+        res = [[0] * w for _ in range(h)]
         for y in range(h):
+            row = rows[y]
+            prev = rows[y - 1] if y else None
             for x in range(w):
                 if x == 0 and y == 0:
-                    pred = np.array([255, 0, 0, 0], np.int64)
+                    pred = (255, 0, 0, 0)
                 elif y == 0:
-                    pred = _unpack(px[y, x - 1])
+                    pred = _unpack(row[x - 1])
                 elif x == 0:
-                    pred = _unpack(px[y - 1, x])
+                    pred = _unpack(prev[x])
                 else:
-                    tr = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
+                    tr = prev[x + 1] if x + 1 < w else row[0]
                     pred = _predict(
                         mode,
-                        _unpack(px[y, x - 1]),
-                        _unpack(px[y - 1, x]),
-                        _unpack(px[y - 1, x - 1]),
+                        _unpack(row[x - 1]),
+                        _unpack(prev[x]),
+                        _unpack(prev[x - 1]),
                         _unpack(tr),
                     )
-                res[y, x] = _pack((_unpack(px[y, x]) - pred) & 0xFF)
-        return res
+                cur = _unpack(row[x])
+                res[y][x] = _pack(tuple((c - p) & 0xFF for c, p in zip(cur, pred)))
+        return np.array(res, dtype=np.int64)
 
     def encode_webp_lossless(
         arr, predictor_mode: int | None = None, subtract_green: bool = False
