@@ -19,7 +19,14 @@ and serves
                                col!=value / col=~pat / col!~pat params —
                                the Grafana ad-hoc filter macro
                                (logs.json:106,164) compiled through
-                               plans.facade.adhoc_filter
+                               plans.facade.adhoc_filter. When the
+                               endpoint was started with ``rollup_dir``,
+                               ?source=rollup serves the time-series
+                               panel from the continuously-maintained
+                               rollup snapshot — O(visible buckets) per
+                               refresh instead of O(raw rows), the
+                               production routing SCALE.md measures
+                               (flat latency at 100x the raw volume)
 
 Responses are JSON ``{"columns": [...], "rows": [[...]], "row_count": N,
 "truncated": bool}`` with timestamps/dates ISO-formatted, Decimals
@@ -227,6 +234,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
     sf_dir: str
     tables: tuple
     logs_dir: str | None = None
+    rollup_dir: str | None = None
     row_cap: int = DEFAULT_ROW_CAP
     request_timeout_s: float | None = 30.0
     scheduler_pool: str = "serving"
@@ -320,12 +328,34 @@ class _SQLHandler(BaseHTTPRequestHandler):
             params = {k: v[0] for k, v in qs.items()}
             try:
                 filters = _parse_adhoc(qs.get("filter", []))
+                name = path[len("/panels/") :]
 
                 def work():
+                    if name == "q5_timeseries" and params.get("source") == "rollup":
+                        # the production routing: the time-series panel
+                        # reads the maintained (bucket, dimension) snapshot
+                        # — O(visible buckets) per refresh, flat at any raw
+                        # volume (SCALE.md's measured table)
+                        if self.rollup_dir is None:
+                            raise ValueError(
+                                "no rollup configured for this endpoint "
+                                "(start_sql_endpoint(..., rollup_dir=...))"
+                            )
+                        if filters:
+                            raise ValueError(
+                                "ad-hoc filters apply to raw logs; the "
+                                "rollup panel serves the maintained "
+                                "(bucket, dimension) grain only"
+                            )
+                        from demo_otel_parquet_antalya_spark.plans import facade
+
+                        frame = facade.q5_timeseries_from_rollup(
+                            self.spark, self.rollup_dir,
+                            params.get("start"), params.get("end"),
+                        )
+                        return _df_payload(frame, self.row_cap)
                     logs = self.spark.read.parquet(self.logs_dir)
-                    frame = _panel_frame(
-                        logs, path[len("/panels/") :], params, filters
-                    )
+                    frame = _panel_frame(logs, name, params, filters)
                     return _df_payload(frame, self.row_cap)
 
                 self._send(200, self._run_bounded(work))
@@ -426,6 +456,7 @@ def start_sql_endpoint(
     tables: tuple = TESTDATA_TABLES,
     row_cap: int = DEFAULT_ROW_CAP,
     logs_dir: str | None = None,
+    rollup_dir: str | None = None,
     request_timeout_s: float | None = 30.0,
     scheduler_pool: str = "serving",
 ) -> ThreadingHTTPServer:
@@ -434,7 +465,10 @@ def start_sql_endpoint(
     binds an ephemeral port (read it back from ``server.server_address``).
     ``logs_dir`` (optional) points at an ingested logs warehouse
     (streaming/ingest.py output) and enables the /panels/* dashboard
-    routes. Every request runs inside its own Spark job group and is
+    routes; ``rollup_dir`` (optional) points at the continuously-
+    maintained time-series rollup (streaming/rollup.py) and enables
+    ``/panels/q5_timeseries?source=rollup`` — the O(buckets) production
+    routing. Every request runs inside its own Spark job group and is
     cancelled (jobs interrupted cluster-wide, not just the collect
     abandoned) after ``request_timeout_s`` (None disables); requests run in
     ``scheduler_pool`` — build the session with ``serving_fair_conf()`` to
@@ -451,6 +485,7 @@ def start_sql_endpoint(
             "tables": tuple(tables),
             "row_cap": row_cap,
             "logs_dir": logs_dir,
+            "rollup_dir": rollup_dir,
             "request_timeout_s": request_timeout_s,
             "scheduler_pool": scheduler_pool,
         },

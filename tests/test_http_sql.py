@@ -231,21 +231,73 @@ def test_serving_fair_conf_paths_are_unique(tmp_path):
 
 @pytest.fixture(scope="module")
 def logs_endpoint(spark, tmp_path_factory):
-    """An endpoint over a small ingested logs warehouse, with a short
-    per-request deadline for the cancellation tests."""
+    """An endpoint over a small ingested logs warehouse + its maintained
+    30 s/service rollup, with a short per-request deadline for the
+    cancellation tests."""
     from demo_otel_parquet_antalya_spark.sources.generator import generate_files
     from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+    from demo_otel_parquet_antalya_spark.streaming.rollup import incremental_rollup
 
     tmp = tmp_path_factory.mktemp("serving_logs")
     landing, wh = str(tmp / "landing"), str(tmp / "warehouse")
     generate_files(landing, n_files=3, records_per_file=60)
     run_ingest_once(spark, landing, wh, str(tmp / "ckpt"))
+    rollup = str(tmp / "rollup")
+    q = incremental_rollup(
+        spark.readStream.schema(spark.read.parquet(wh).schema).parquet(wh),
+        rollup, str(tmp / "rollup_ckpt"),
+        bucket="30 seconds", ts_col="timestamp", dim_col="service_name",
+    )
+    q.awaitTermination()
     server = start_sql_endpoint(
-        spark, SF_DIR, row_cap=5000, logs_dir=wh, request_timeout_s=2.5
+        spark, SF_DIR, row_cap=5000, logs_dir=wh, rollup_dir=rollup,
+        request_timeout_s=2.5,
     )
     host, port = server.server_address
     yield f"http://{host}:{port}", wh
     server.shutdown()
+
+
+def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
+    """?source=rollup routes the time-series panel through the maintained
+    (bucket, service) snapshot — values must equal the raw-scan panel
+    (the O(buckets) production routing SCALE.md measures as flat at 100x
+    the raw volume)."""
+    base, _wh = logs_endpoint
+    with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=30") as r:
+        raw = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?source=rollup"
+    ) as r:
+        routed = json.loads(r.read())
+    assert routed["row_count"] == raw["row_count"] > 0
+    assert sorted(map(tuple, routed["rows"])) == sorted(map(tuple, raw["rows"]))
+    # ad-hoc filters apply to raw logs, not the pre-aggregated grain
+    try:
+        urllib.request.urlopen(
+            f"{base}/panels/q5_timeseries?source=rollup&filter=severity_text=ERROR"
+        )
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "rollup" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")
+
+
+def test_rollup_source_without_rollup_dir_is_a_client_error(spark):
+    server = start_sql_endpoint(
+        spark, SF_DIR, logs_dir="/nonexistent", rollup_dir=None
+    )
+    host, port = server.server_address
+    try:
+        urllib.request.urlopen(
+            f"http://{host}:{port}/panels/q5_timeseries?source=rollup"
+        )
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "no rollup configured" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")
+    finally:
+        server.shutdown()
 
 
 def test_adhoc_filter_panel_matches_direct(logs_endpoint, spark):

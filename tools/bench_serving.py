@@ -111,7 +111,6 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SERVING_REPS", "5"))
     os.makedirs(work, exist_ok=True)
 
-    from demo_otel_parquet_antalya_spark.plans import facade
     from demo_otel_parquet_antalya_spark.serving import start_sql_endpoint
     from demo_otel_parquet_antalya_spark.session import get_spark
 
@@ -120,7 +119,7 @@ def main() -> None:
 
     server = start_sql_endpoint(
         spark, "/root/testdata/sf0.001", port=0, logs_dir=warehouse,
-        request_timeout_s=600.0,
+        rollup_dir=rollup, request_timeout_s=600.0,
     )
     host, port = server.server_address
     base = f"http://{host}:{port}"
@@ -132,24 +131,13 @@ def main() -> None:
         "q5_timeseries_raw": "/panels/q5_timeseries?interval=30",
         "q6_log_panel": "/panels/q6_log_panel?limit=1000",
         "q6_adhoc_filtered": "/panels/q6_log_panel?limit=1000&filter=severity_text=ERROR",
+        # the production routing: the time-series panel served from the
+        # maintained rollup snapshot, over the SAME HTTP path as raw
+        "q5_timeseries_rollup": "/panels/q5_timeseries?source=rollup",
     }
     results = {}
     for name, path in panels.items():
         results[name] = _time_http(base + path, reps)
-
-    # rollup-backed Q5 (the production routing for the time-series panel):
-    # same work a rollup-serving replica does — read the snapshot, collect
-    lat = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        rows = facade.q5_timeseries_from_rollup(spark, rollup).limit(10_001).collect()
-        lat.append(time.perf_counter() - t0)
-    lat.sort()
-    results["q5_timeseries_rollup"] = {
-        "median_s": round(statistics.median(lat), 3),
-        "p90_s": round(lat[max(0, int(len(lat) * 0.9) - 1)], 3),
-        "rows": len(rows),
-    }
 
     raw_rows = spark.read.parquet(warehouse).count()
     server.shutdown()
