@@ -1228,6 +1228,20 @@ def _build_vp8l_codec():
             d = _read_prefix_code(bits, 40)
             groups.append((g, r, b, a, d))
         cache = [0] * cache_size
+        # Constant-image fast path: when every code is a 0-bit single
+        # symbol and the green symbol is a literal, each pixel consumes
+        # ZERO input bits — the loop below would spin w*h times reading
+        # nothing (our own encoder's constant-mode transform images decode
+        # exactly this way, and it is also the decompression-bomb shape a
+        # hostile payload uses). Fill directly instead.
+        if meta is None and all(c.single is not None for c in groups[0]):
+            cg0, cr0, cb0, ca0, _cd0 = groups[0]
+            if cg0.single < 256:
+                px = (
+                    (ca0.single << 24) | (cr0.single << 16)
+                    | (cg0.single << 8) | cb0.single
+                )
+                return np.full((h, w), px, dtype=np.uint32)
         out = np.zeros(w * h, dtype=np.uint32)
         pos = 0
         n = w * h
@@ -1441,13 +1455,20 @@ def _build_vp8l_codec():
     def _i8s(v):
         return v - 256 if v >= 128 else v
 
-    def decode_webp(data: bytes):
+    def decode_webp(data: bytes, max_pixels: int = 1 << 24):
         """Decode a lossless WebP (VP8L) payload to (h, w, 4) RGBA uint8.
 
         Lossy VP8 and the extended VP8X container raise ValueError — the
         declared scope is the lossless coding the paired encoder emits
         plus spec features (transforms, cache, meta prefix, LZ77) real
-        encoders use, with 2D distance codes the one named refusal."""
+        encoders use, with 2D distance codes the one named refusal.
+
+        ``max_pixels`` (default 16.7M — a 4096x4096 canvas) bounds the
+        declared w*h before any allocation or decode work: VP8L is a
+        lossless coding where a few bytes can legally declare a 16384^2
+        image, which in a pure-Python decoder is a decompression bomb.
+        Oversized declarations raise ValueError (the per-payload degrade
+        contract quarantines them)."""
         b = bytes(data)
         if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
             raise ValueError("not a WebP payload")
@@ -1461,6 +1482,11 @@ def _build_vp8l_codec():
         bits = _LsbBits(payload[1:])
         w = bits.read(14) + 1
         h = bits.read(14) + 1
+        if w * h > max_pixels:
+            raise ValueError(
+                f"VP8L image {w}x{h} exceeds max_pixels={max_pixels} "
+                "(decompression-bomb guard)"
+            )
         bits.read(1)  # alpha hint
         if bits.read(3) != 0:
             raise ValueError("unknown VP8L version")

@@ -803,6 +803,65 @@ def test_non_vp8l_chunks_and_garbage_raise():
         decode_webp(bytes(bad_version))
 
 
+@settings(max_examples=80, deadline=None)
+@given(seed=st.integers(0, 2**31), nbytes=st.integers(0, 200))
+def test_random_bitstream_fuzz_never_crashes(seed, nbytes):
+    """Arbitrary junk after a valid small-dims VP8L header must either
+    decode to a well-formed RGBA array or raise ValueError — never hang,
+    never escape with a different exception type."""
+    rng = np.random.default_rng(seed)
+    w = _Writer()
+    width, height = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+    w.u(width - 1, 14)
+    w.u(height - 1, 14)
+    w.u(0, 1)
+    w.u(0, 3)
+    body = b"\x2f" + w.tobytes()[:4] + bytes(
+        rng.integers(0, 256, nbytes, dtype=np.uint8)
+    )
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBPVP8L"
+        + struct.pack("<I", len(body)) + body
+    )
+    try:
+        out = decode_webp(payload)
+    except ValueError:
+        return
+    assert out.shape == (height, width, 4) and out.dtype == np.uint8
+
+
+def test_decompression_bomb_guard():
+    """A few bytes can legally declare a 16384x16384 canvas; the guard
+    must refuse it BEFORE any decode work, and a caller that knows better
+    can raise the ceiling."""
+    w = _Writer()
+    w.u(16383, 14)
+    w.u(16383, 14)
+    w.u(0, 1)
+    w.u(0, 3)
+    body = b"\x2f" + w.tobytes()
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBPVP8L"
+        + struct.pack("<I", len(body)) + body
+    )
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_webp(payload)
+    # raising the ceiling re-enters the decoder (and then fails on the
+    # truncated stream, proving the guard was the only gate)
+    with pytest.raises(ValueError, match="truncated|prefix|empty"):
+        decode_webp(payload, max_pixels=1 << 28)
+
+
+def test_constant_image_fast_path_is_exact():
+    """All-single-symbol codes consume zero bits per pixel; the fast path
+    must fill the constant image identically to what the token loop would
+    produce (pinned against a 2-symbol stream of the same constant)."""
+    pix = _argb(255, 7, 8, 9)
+    fast = _literal_stream(6, 4, [[pix] * 6] * 4)  # single-symbol codes
+    out = decode_webp(fast)
+    assert _rgba(out) == [[(7, 8, 9, 255)] * 6] * 4
+
+
 def test_backward_reference_out_of_range_raises():
     tokens = [("lit", _argb(255, 1, 1, 1)), ("copy", 1, 130)]  # dist 10 > pos 1
 
