@@ -701,7 +701,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def _build_png_codec():
-    def decode_png(data: bytes):
+    def decode_png(data: bytes, max_pixels: int = 1 << 24):
         """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA)
         to a numpy uint8 array of shape (height, width, channels).
 
@@ -710,6 +710,12 @@ def _build_png_codec():
         Up, Average, Paeth) vectorized across each row in numpy. Palette,
         16-bit, and Adam7-interlaced images raise ValueError — they are
         declared out of scope for the stdlib codec, not silently mis-decoded.
+
+        Decompression-bomb guarded: declared dimensions above ``max_pixels``
+        raise before any allocation, the inflate is BOUNDED to the expected
+        scanline bytes (a 40-byte zlib bomb cannot expand past it), and
+        malformed zlib streams surface as ValueError (the per-payload
+        degrade contract), never a bare zlib.error.
         """
         import struct
         import zlib
@@ -740,10 +746,22 @@ def _build_png_codec():
                 f"stdlib PNG codec supports 8-bit non-interlaced gray/RGB/RGBA; "
                 f"got depth={bit_depth} color_type={color_type} interlace={interlace}"
             )
+        if width * height > max_pixels:
+            raise ValueError(
+                f"PNG image {width}x{height} exceeds max_pixels={max_pixels} "
+                "(decompression-bomb guard)"
+            )
         ch = _PNG_CHANNELS[color_type]
-        raw = zlib.decompress(bytes(idat))
         stride = width * ch
-        if len(raw) != height * (stride + 1):
+        expected = height * (stride + 1)
+        # bounded inflate: ask for at most expected+1 bytes so an overlong
+        # stream is detected without materializing it; zlib errors become
+        # ValueError per the degrade contract
+        try:
+            raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+        except zlib.error as exc:
+            raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+        if len(raw) != expected:
             raise ValueError("PNG IDAT payload has wrong length")
         img = np.empty((height, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.uint8)
@@ -948,6 +966,11 @@ def _build_apng_codec():
         sw, sh, depth, color_type, _c, _f, interlace = ihdr
         if depth != 8 or interlace != 0:
             raise ValueError("stdlib APNG codec supports 8-bit non-interlaced")
+        if sw * sh > 1 << 24:
+            raise ValueError(
+                f"APNG canvas {sw}x{sh} exceeds max_pixels={1 << 24} "
+                "(decompression-bomb guard)"
+            )
         frames_meta = []
         if idat_fctl is not None:
             frames_meta.append((idat_fctl, idat_parts))
@@ -2120,7 +2143,7 @@ def _build_jpeg_codec():
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
-    def decode_jpeg(data: bytes):
+    def decode_jpeg(data: bytes, max_pixels: int = 1 << 24):
         """Decode a baseline sequential (SOF0) or progressive (SOF2) 8-bit
         JPEG to a numpy uint8 array of shape (height, width) for grayscale
         or (height, width, 3) RGB (BT.601 conversion, chroma upsampled by
@@ -2128,7 +2151,11 @@ def _build_jpeg_codec():
         T.81 Annex G successive-approximation model: interleaved DC
         first/refinement scans, non-interleaved AC first/refinement scans
         with EOB-run coding, coefficients accumulated across scans and
-        reconstructed once at EOI."""
+        reconstructed once at EOI. Declared dimensions above ``max_pixels``
+        raise before any coefficient allocation (a ~200-byte file can
+        legally declare a 65535x65535 frame — a decompression bomb for
+        the progressive EOB-run path, whose skipped blocks cost no input
+        bytes)."""
         b = bytes(data)
         if b[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG payload")
@@ -2184,6 +2211,11 @@ def _build_jpeg_codec():
                     raise ValueError("only 8-bit precision supported")
                 if h == 0 or w == 0 or nc == 0 or len(seg) < 6 + 3 * nc:
                     raise ValueError("invalid JPEG frame header")
+                if h * w > max_pixels:
+                    raise ValueError(
+                        f"JPEG image {w}x{h} exceeds max_pixels={max_pixels} "
+                        "(decompression-bomb guard)"
+                    )
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
@@ -3496,11 +3528,17 @@ def synthesize_avi_media(
 def _build_gif_codec():
     import numpy as np
 
-    def _lzw_decode(data: bytes, mcs: int) -> list:
+    def _lzw_decode(data: bytes, mcs: int, limit: int | None = None) -> list:
+        """``limit`` bounds the EMITTED byte count (the caller's declared
+        pixel budget): LZW can legally expand ~4096x, so without it a
+        ~1 MB crafted stream inflates to gigabytes. Decoding stops once
+        the budget is met (trailing codes are tolerated, same as an
+        early end code)."""
         clear, end = 1 << mcs, (1 << mcs) + 1
         table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
         size = mcs + 1
         out = []
+        emitted = 0
         prev = None
         # LSB-first accumulator: codes slice off the low bits in O(1)
         # Python ops instead of a per-bit loop (the decoder's hot path)
@@ -3537,6 +3575,9 @@ def _build_gif_codec():
             else:
                 raise ValueError("corrupt GIF LZW stream")
             out.append(entry)
+            emitted += len(entry)
+            if limit is not None and emitted >= limit:
+                break
             prev = entry
             if len(table) == (1 << size) and size < 12:
                 size += 1
@@ -3587,11 +3628,14 @@ def _build_gif_codec():
             body.append(acc & 0xFF)
         return bytes(body)
 
-    def decode_gif(data: bytes):
+    def decode_gif(data: bytes, max_pixels: int = 1 << 24):
         """Decode the FIRST image of a GIF87a/89a payload to a numpy uint8
         RGB array of shape (height, width, 3) — full LZW decompression,
         local/global palettes, interlace supported. Animated GIFs decode
-        their first frame; malformed streams raise ValueError."""
+        their first frame; malformed streams raise ValueError.
+        Decompression-bomb guarded: declared dimensions above
+        ``max_pixels`` raise before allocation, and the LZW inflate is
+        bounded to the declared pixel count."""
         b = bytes(data)
         if b[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF payload")
@@ -3614,6 +3658,11 @@ def _build_gif_codec():
             elif blk == 0x2C:  # image descriptor
                 w = int.from_bytes(b[i + 5 : i + 7], "little")
                 h = int.from_bytes(b[i + 7 : i + 9], "little")
+                if w * h > max_pixels:
+                    raise ValueError(
+                        f"GIF image {w}x{h} exceeds max_pixels={max_pixels} "
+                        "(decompression-bomb guard)"
+                    )
                 ipacked = b[i + 9]
                 i += 10
                 pal = global_pal
@@ -3630,10 +3679,12 @@ def _build_gif_codec():
                     lzw.extend(b[i + 1 : i + 1 + b[i]])
                     i += 1 + b[i]
                 idx = np.frombuffer(
-                    b"".join(_lzw_decode(bytes(lzw), mcs)), np.uint8
+                    b"".join(_lzw_decode(bytes(lzw), mcs, limit=w * h)), np.uint8
                 )
                 if len(idx) < w * h:
                     raise ValueError("GIF pixel data truncated")
+                if len(idx) and int(idx.max()) >= len(pal):
+                    raise ValueError("GIF palette index out of range")
                 img = idx[: w * h].reshape(h, w)
                 if ipacked & 0x40:  # interlaced: 4-pass row shuffle
                     rows = np.empty(h, dtype=np.int64)
@@ -3679,7 +3730,7 @@ def _build_gif_codec():
         out.extend(b"\x00\x3b")
         return bytes(out)
 
-    def decode_gif_frames(data: bytes):
+    def decode_gif_frames(data: bytes, max_pixels: int = 1 << 24):
         """Decode EVERY frame of a (possibly animated) GIF to full-canvas
         RGB arrays: image blocks composite onto the logical screen at
         their (left, top) rects per the disposal model — method 0/1
@@ -3704,6 +3755,11 @@ def _build_gif_codec():
             raise ValueError("GIF header truncated")
         sw = int.from_bytes(b[6:8], "little")
         sh = int.from_bytes(b[8:10], "little")
+        if sw * sh > max_pixels:
+            raise ValueError(
+                f"GIF logical screen {sw}x{sh} exceeds max_pixels="
+                f"{max_pixels} (decompression-bomb guard)"
+            )
         packed = b[10]
         bg_idx = b[11]
         i = 13
@@ -3738,6 +3794,10 @@ def _build_gif_codec():
                 top = int.from_bytes(b[i + 3 : i + 5], "little")
                 w = int.from_bytes(b[i + 5 : i + 7], "little")
                 h = int.from_bytes(b[i + 7 : i + 9], "little")
+                # bound BEFORE the LZW inflate (the later rect-fits-screen
+                # check would come too late to stop a crafted expansion)
+                if top + h > sh or left + w > sw:
+                    raise ValueError("GIF frame rect exceeds the logical screen")
                 ipacked = b[i + 9]
                 i += 10
                 pal = global_pal
@@ -3754,9 +3814,13 @@ def _build_gif_codec():
                     lzw.extend(b[i + 1 : i + 1 + b[i]])
                     i += 1 + b[i]
                 i += 1  # block terminator
-                idx = np.frombuffer(b"".join(_lzw_decode(bytes(lzw), mcs)), np.uint8)
+                idx = np.frombuffer(
+                    b"".join(_lzw_decode(bytes(lzw), mcs, limit=w * h)), np.uint8
+                )
                 if len(idx) < w * h:
                     raise ValueError("GIF pixel data truncated")
+                if len(idx) and int(idx.max()) >= len(pal):
+                    raise ValueError("GIF palette index out of range")
                 patch = idx[: w * h].reshape(h, w)
                 if ipacked & 0x40:
                     rows = np.empty(h, dtype=np.int64)

@@ -219,3 +219,55 @@ def test_sample_frames_routes_animated_gif(spark):
     np.testing.assert_array_equal(
         decode_gif(got[2]), np.full((8, 8, 3), 30, dtype=np.uint8)
     )
+
+
+def test_decompression_bomb_guards():
+    """Declared-dims and LZW-expansion bombs: a ~1 MB LZW stream can
+    legally inflate ~4096x, and 16-bit dims allow 4.3G-pixel canvases —
+    both bounded before allocation."""
+    import struct
+
+    from demo_otel_parquet_antalya_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+    )
+
+    hdr = b"GIF87a" + struct.pack("<HH", 60000, 60000) + bytes([0xF0, 0, 0]) + b"\x00" * 6
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 60000, 60000) + b"\x00\x02\x01\x00\x00\x3b"
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_gif(hdr + desc)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_gif_frames(hdr + desc)
+    # LZW output is capped at the declared pixel budget: a stream that
+    # would expand past w*h stops there instead of inflating unbounded
+    img = np.zeros((4, 4), dtype=np.uint8)
+    ok = encode_gif(img)
+    np.testing.assert_array_equal(decode_gif(ok), np.zeros((4, 4, 3), np.uint8))
+
+
+def test_palette_index_overflow_is_a_value_error():
+    """A corrupt GIF whose LZW indices exceed the palette must raise
+    ValueError (degrade contract), not escape as a numpy IndexError."""
+    import struct
+
+    from demo_otel_parquet_antalya_spark.operators.multimodal import decode_gif
+
+    # 2-entry palette but mcs=7 so LZW emits index 100
+    payload = bytearray(b"GIF87a")
+    payload += struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)  # 2-entry global palette
+    payload += b"\x01\x02\x03\x04\x05\x06"
+    payload += struct.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+    payload.append(7)  # mcs 7: alphabet 0..127
+    # LZW stream emitting literal 100: clear(128) then 100 then end(129), 8-bit codes
+    acc, n, body = 0, 0, bytearray()
+    for code in (128, 100, 129):
+        acc |= code << n
+        n += 8
+        while n >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    payload.append(len(body))
+    payload += bytes(body) + b"\x00\x3b"
+    with pytest.raises(ValueError, match="palette index"):
+        decode_gif(bytes(payload))

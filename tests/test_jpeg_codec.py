@@ -109,3 +109,21 @@ def test_restart_intervals_round_trip():
         withrst = encode_jpeg_baseline(img, restart_interval=interval)
         assert b"\xff\xdd" in withrst and b"\xff\xd0" in withrst
         np.testing.assert_array_equal(decode_jpeg(withrst), plain)
+
+
+def test_decompression_bomb_guard():
+    """A ~200-byte JPEG can declare a 65535x65535 frame; the guard must
+    refuse before any coefficient allocation."""
+    import struct
+
+    from demo_otel_parquet_antalya_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    small = bytearray(encode_jpeg_baseline(np.zeros((16, 16), np.uint8)))
+    sof = small.find(b"\xff\xc0")
+    assert sof > 0
+    small[sof + 5 : sof + 9] = struct.pack(">HH", 65000, 65000)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_jpeg(bytes(small))

@@ -166,3 +166,35 @@ def test_codec_ships_by_value_not_by_module_reference():
         env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ""},
     )
     assert proc.returncode == 0 and "OK" in proc.stdout, proc.stderr
+
+
+def test_decompression_bomb_guards():
+    """A tiny payload can declare a huge canvas (32-bit IHDR dims) or
+    carry a zlib bomb in IDAT; both must raise ValueError BEFORE big
+    allocations — and malformed zlib data must surface as ValueError
+    (the per-payload degrade contract), never a bare zlib.error."""
+    import struct
+    import zlib
+
+    from demo_otel_parquet_antalya_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 100k x 100k gray: 40-ish bytes, 10G declared pixels
+    huge = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_png(huge + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+    # zlib bomb: 2x2 declared, IDAT inflates to ~1 MB — bounded inflate
+    # detects the overlong stream without materializing it
+    bomb = zlib.compress(b"\x00" * 1_000_000)
+    small = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="wrong length"):
+        decode_png(small + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    # malformed zlib stream -> ValueError, not zlib.error
+    with pytest.raises(ValueError, match="inflate failed"):
+        decode_png(small + chunk(b"IDAT", b"\xff\xff\xff\xff") + chunk(b"IEND", b""))
