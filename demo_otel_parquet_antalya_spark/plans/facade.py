@@ -16,13 +16,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _partition_hour_ts() -> Column:
+    """The hour-start timestamp a warehouse partition covers, rebuilt from
+    its year/month/day/hour PARTITION columns — a deterministic expression
+    over partition attributes only, so Catalyst evaluates it against the
+    directory listing (PartitionFilters) and prunes whole hour directories
+    before any file is opened."""
+    return F.to_timestamp(
+        F.format_string("%04d-%02d-%02d %02d:00:00", "year", "month", "day", "hour")
+    )
+
+
 def time_filter(df: DataFrame, start=None, end=None, col: str = "timestamp") -> DataFrame:
     """Grafana $timeFilter macro: closed time-range predicate on the time column
-    (reference logs.json:115-116; B6)."""
+    (reference logs.json:115-116; B6).
+
+    Over the partitioned warehouse layout (year/month/day/hour columns
+    present) the same bounds are ALSO derived as partition-column
+    predicates: a partition's hour-start must be >= hour-trunc(start) and
+    <= end, which is implied by the row predicate, so results are
+    identical — but the scan prunes the non-matching hour DIRECTORIES
+    instead of reading every file's footer. At 100 TB this is the
+    difference between a dashboard time window costing O(window) and
+    O(history); plan-guarded by tests/test_plan_quality.py."""
+    has_parts = {"year", "month", "day", "hour"} <= set(df.columns)
     if start is not None:
         df = df.filter(F.col(col) >= F.lit(start))
+        if has_parts:
+            df = df.filter(
+                _partition_hour_ts() >= F.date_trunc("hour", F.lit(start))
+            )
     if end is not None:
         df = df.filter(F.col(col) <= F.lit(end))
+        if has_parts:
+            df = df.filter(_partition_hour_ts() <= F.lit(end))
     return df
 
 
@@ -75,6 +102,100 @@ def q2_recent_logs(logs: DataFrame, limit: int = 10) -> DataFrame:
         .orderBy(F.col("timestamp").desc())
         .limit(limit)
     )
+
+
+def _parse_hour_path(path: str):
+    """.../service_name=S/year=Y/month=M/day=D/hour=H -> (Y, M, D, H) or
+    None for non-partition debris."""
+    parts = path.rstrip("/").split("/")
+    try:
+        vals = dict(p.split("=", 1) for p in parts[-4:] if "=" in p)
+        return (
+            int(vals["year"]), int(vals["month"]), int(vals["day"]), int(vals["hour"])
+        )
+    except (ValueError, KeyError):
+        return None
+
+
+def list_partition_hours(spark, logs_dir: str) -> list:
+    """``[((year, month, day, hour), [concrete hour-dir paths]), ...]``
+    newest first, from the DIRECTORY LISTING alone (the Hive layout
+    ``service_name=*/year=*/month=*/day=*/hour=*``) — no file footers, no
+    data read. Local paths walk with os.scandir (one syscall per dir);
+    remote Hadoop filesystems (hdfs/s3a) fall back to one FS glob with a
+    single string round-trip per hour directory — either way this is the
+    metadata a 'recent logs' panel needs to avoid listing, let alone
+    scanning, the history."""
+    import os
+
+    hours: dict = {}
+    local = None
+    if "://" not in logs_dir:
+        local = logs_dir
+    elif logs_dir.startswith("file:"):
+        local = logs_dir.split(":", 1)[1].lstrip("/")
+        local = "/" + local
+    if local is not None and os.path.isdir(local):
+        def subdirs(p):
+            try:
+                return [e.path for e in os.scandir(p) if e.is_dir() and "=" in e.name]
+            except OSError:
+                return []
+
+        for svc in subdirs(local):
+            for y in subdirs(svc):
+                for m in subdirs(y):
+                    for d in subdirs(m):
+                        for h in subdirs(d):
+                            t = _parse_hour_path(h)
+                            if t is not None:
+                                hours.setdefault(t, []).append(h)
+    else:
+        jvm = spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(logs_dir)
+        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        glob = jvm.org.apache.hadoop.fs.Path(
+            logs_dir.rstrip("/") + "/*/year=*/month=*/day=*/hour=*"
+        )
+        for st in fs.globStatus(glob) or []:
+            p = st.getPath().toString()
+            t = _parse_hour_path(p)
+            if t is not None:
+                hours.setdefault(t, []).append(p)
+    return sorted(hours.items(), reverse=True)
+
+
+def q2_recent_logs_pruned(
+    spark, logs_dir: str, limit: int = 10, filters=()
+) -> DataFrame:
+    """Q2 with TAIL PRUNING: 'newest N logs' must never scan history — the
+    plain Q2 is a TakeOrderedAndProject over the WHOLE warehouse,
+    O(history) per dashboard refresh, and even a partition-FILTERED read
+    of the root path re-LISTS every file in the warehouse first. This
+    variant lists the partition directories (no data read), then reads
+    ONLY the newest K hour directories by path (``basePath`` keeps the
+    partition columns), widening K (1 -> 4x -> ...) only if those hours
+    hold fewer than ``limit`` rows — so the steady-state refresh lists
+    and reads one hour directory regardless of warehouse size. Ad-hoc
+    ``filters`` apply BEFORE the widening count, so filtered results stay
+    complete. Results are value-identical to ``q2_recent_logs`` (pytest +
+    HTTP equality)."""
+    hours = list_partition_hours(spark, logs_dir)
+    if not hours:
+        return q2_recent_logs(
+            adhoc_filter(spark.read.parquet(logs_dir), filters), limit
+        )
+    k = 1
+    while True:
+        paths = [p for _t, dirs in hours[:k] for p in dirs]
+        sub = spark.read.option("basePath", logs_dir).parquet(*paths)
+        cand = q2_recent_logs(adhoc_filter(sub, filters), limit)
+        rows = cand.take(limit)  # ONE job per widening step: the rows are
+        # both the widening decision and the result (a top-N panel is tiny
+        # by construction, so returning a local frame is free)
+        if k >= len(hours) or len(rows) >= limit:
+            return spark.createDataFrame(rows, cand.schema)
+        k *= 4
 
 
 def q3_severity_counts(logs: DataFrame) -> DataFrame:

@@ -354,6 +354,20 @@ class _SQLHandler(BaseHTTPRequestHandler):
                             params.get("start"), params.get("end"),
                         )
                         return _df_payload(frame, self.row_cap)
+                    if name == "q2_recent_logs" and params.get("source") == "pruned":
+                        # tail pruning: 'newest N' lists and reads the
+                        # newest hour directories ONLY (widening if they
+                        # hold fewer than N rows), never the whole
+                        # history — ad-hoc filters apply before the
+                        # widening count so filtered results stay complete
+                        from demo_otel_parquet_antalya_spark.plans import facade
+
+                        frame = facade.q2_recent_logs_pruned(
+                            self.spark, self.logs_dir,
+                            limit=int(params.get("limit", 10)),
+                            filters=filters,
+                        )
+                        return _df_payload(frame, self.row_cap)
                     logs = self.spark.read.parquet(self.logs_dir)
                     frame = _panel_frame(logs, name, params, filters)
                     return _df_payload(frame, self.row_cap)

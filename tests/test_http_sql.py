@@ -283,6 +283,88 @@ def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
         raise AssertionError("expected 400")
 
 
+def test_q2_pruned_matches_raw_over_http(logs_endpoint):
+    """?source=pruned serves 'newest N' from the newest hour directories
+    (tail pruning) — values must equal the full-scan Q2, with and without
+    an ad-hoc filter (filters apply before the widening count, so
+    filtered results stay complete)."""
+    base, _wh = logs_endpoint
+    # cold first use can brush the fixture's deliberately-short 2.5 s
+    # cancellation deadline on a loaded box; warm both routes once
+    for path in ("/panels/q2_recent_logs?limit=1",
+                 "/panels/q2_recent_logs?limit=1&source=pruned"):
+        try:
+            urllib.request.urlopen(base + path).read()
+        except urllib.error.HTTPError:
+            pass
+    with urllib.request.urlopen(f"{base}/panels/q2_recent_logs?limit=10") as r:
+        raw = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q2_recent_logs?limit=10&source=pruned"
+    ) as r:
+        pruned = json.loads(r.read())
+    assert pruned["row_count"] == raw["row_count"] == 10
+    assert sorted(map(tuple, pruned["rows"])) == sorted(map(tuple, raw["rows"]))
+    svc = raw["rows"][0][1]
+    q = f"limit=5&source=pruned&filter=service_name={svc}"
+    with urllib.request.urlopen(f"{base}/panels/q2_recent_logs?{q}") as r:
+        filt = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q2_recent_logs?limit=5&filter=service_name={svc}"
+    ) as r:
+        want = json.loads(r.read())
+    assert sorted(map(tuple, filt["rows"])) == sorted(map(tuple, want["rows"]))
+
+
+def test_time_filter_prunes_partition_directories(logs_endpoint, spark):
+    """The $timeFilter macro must reach the scan as PARTITION filters
+    (directory pruning), not only row-group stats — the O(window) vs
+    O(history) difference at warehouse scale."""
+    from demo_otel_parquet_antalya_spark.plans import facade
+
+    _base, wh = logs_endpoint
+    logs = spark.read.parquet(wh)
+    lo = logs.selectExpr("min(timestamp) AS m").first()[0]
+    df = facade.q5_timeseries(logs, lo, lo)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "PartitionFilters: []" not in pf[0]
+    # and the derived predicates never change values (implied by the row
+    # predicate): full-range query equals the unfiltered aggregate
+    hi = logs.selectExpr("max(timestamp) AS m").first()[0]
+    full = facade.q5_timeseries(logs, lo, hi).count()
+    assert full == facade.q5_timeseries(logs).count() > 0
+
+
+def test_q2_pruned_widens_until_enough_rows(spark, tmp_path):
+    """A limit larger than the newest hour's row count forces the
+    widening loop across hour partitions; values must equal full-scan Q2
+    as multisets."""
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    landing, wh = str(tmp_path / "l"), str(tmp_path / "wh")
+    # two batches two hours apart -> at least two hour partitions
+    generate_files(landing, n_files=2, records_per_file=30)
+    generate_files(
+        str(tmp_path / "l2"), n_files=2, records_per_file=30,
+        base_ns=1_700_000_000_000_000_000 + 2 * 3600 * 1_000_000_000,
+    )
+    import shutil
+
+    for f in (tmp_path / "l2").iterdir():
+        shutil.move(str(f), landing + "/x_" + f.name)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "c"))
+    logs = spark.read.parquet(wh)
+    assert len(facade.list_partition_hours(spark, wh)) >= 2
+    want = sorted(tuple(r) for r in facade.q2_recent_logs(logs, 90).collect())
+    got = sorted(
+        tuple(r) for r in facade.q2_recent_logs_pruned(spark, wh, 90).collect()
+    )
+    assert got == want and len(got) == 90
+
+
 def test_rollup_source_without_rollup_dir_is_a_client_error(spark):
     server = start_sql_endpoint(
         spark, SF_DIR, logs_dir="/nonexistent", rollup_dir=None

@@ -73,6 +73,22 @@ def build_warehouse(spark, work: str, n_logs: int) -> tuple[str, str]:
                     os.path.join(work, "ckpt"))
     ingest_s = time.perf_counter() - t0
     t0 = time.perf_counter()
+    # micro-batch ingest leaves ~4k-row files; compact to the target row
+    # size BEFORE serving (the repo's own maintenance operator — this also
+    # measures compaction at the chosen scale)
+    from demo_otel_parquet_antalya_spark.schema import PARTITION_COLUMNS
+    from demo_otel_parquet_antalya_spark.sources.compaction import compact
+
+    rewritten = compact(spark, warehouse, list(PARTITION_COLUMNS))
+    # the streaming sink's _spark_metadata manifest references the
+    # pre-compaction files — stale by construction once files are
+    # rewritten; drop it so reads list the compacted layout (its
+    # exactly-once purpose was consumed by this build's single ingest)
+    import shutil
+
+    shutil.rmtree(os.path.join(warehouse, "_spark_metadata"), ignore_errors=True)
+    compact_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     logs_schema = spark.read.parquet(warehouse).schema
     q = incremental_rollup(
         spark.readStream.schema(logs_schema).parquet(warehouse),
@@ -83,6 +99,8 @@ def build_warehouse(spark, work: str, n_logs: int) -> tuple[str, str]:
     rollup_s = time.perf_counter() - t0
     print(json.dumps({"built": n_logs, "gen_s": round(gen_s, 1),
                       "ingest_s": round(ingest_s, 1),
+                      "compacted_partitions": rewritten,
+                      "compact_s": round(compact_s, 1),
                       "rollup_s": round(rollup_s, 1)}), file=sys.stderr)
     open(stamp, "w").close()
     return warehouse, rollup
@@ -127,6 +145,8 @@ def main() -> None:
     panels = {
         "q1_projection": "/panels/q1_projection",
         "q2_recent_logs": "/panels/q2_recent_logs?limit=10",
+        # tail pruning: newest-N reads the newest hour directories only
+        "q2_recent_pruned": "/panels/q2_recent_logs?limit=10&source=pruned",
         "q3_severity_counts": "/panels/q3_severity_counts",
         "q5_timeseries_raw": "/panels/q5_timeseries?interval=30",
         "q6_log_panel": "/panels/q6_log_panel?limit=1000",
