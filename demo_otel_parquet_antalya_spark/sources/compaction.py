@@ -132,6 +132,24 @@ def compact_partitions(
     return done
 
 
+def drop_streaming_manifest(root: str) -> bool:
+    """Remove a streaming file sink's ``_spark_metadata`` manifest under
+    ``root`` (returns whether one existed). REQUIRED after compacting a
+    warehouse the streaming sink wrote: ``spark.read`` of such a root goes
+    through the manifest (MetadataLogFileIndex), which still references
+    the pre-compaction files — reads fail with FileNotFoundException once
+    they are rewritten. The manifest's exactly-once purpose is the SINK's
+    (dedup of replayed micro-batches at write time); after an external
+    rewrite it is stale by construction, and dropping it switches reads
+    to directory listing over the compacted layout. The ingest
+    checkpoint (driver side) is untouched — incremental ingest continues
+    appending new files normally."""
+    path = os.path.join(root, "_spark_metadata")
+    existed = os.path.isdir(path)
+    shutil.rmtree(path, ignore_errors=True)
+    return existed
+
+
 def compact(
     spark: SparkSession,
     root: str,
@@ -139,8 +157,15 @@ def compact(
     target_rows_per_file: int = 200_000,
     min_excess_files: int = 2,
 ) -> int:
-    """plan + execute in one call; returns partitions rewritten."""
+    """plan + execute in one call; returns partitions rewritten. If the
+    warehouse was written by the STREAMING sink and anything was
+    rewritten, the stale ``_spark_metadata`` manifest is dropped too
+    (see ``drop_streaming_manifest``) — otherwise post-compaction reads
+    resolve deleted files."""
     targets = plan_compaction(
         spark, root, partition_cols, target_rows_per_file, min_excess_files
     )
-    return compact_partitions(spark, root, targets)
+    rewritten = compact_partitions(spark, root, targets)
+    if rewritten:
+        drop_streaming_manifest(root)
+    return rewritten

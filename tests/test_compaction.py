@@ -72,3 +72,28 @@ def test_steady_state_is_noop(spark, tmp_path):
     compact_partitions(spark, root, compact_targets)
     # second pass: nothing left to do
     assert plan_compaction(spark, root, ["k"], target_rows_per_file=10_000) == []
+
+
+def test_streaming_sink_manifest_dropped_after_compaction(spark, tmp_path):
+    """A streaming-sink warehouse reads through its _spark_metadata
+    manifest; compaction rewrites the files it references, so compact()
+    must drop it — otherwise every post-compaction read fails resolving
+    deleted files. Rows must be preserved across the whole sequence."""
+    from demo_otel_parquet_antalya_spark.sources.compaction import compact
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    landing, wh = str(tmp_path / "l"), str(tmp_path / "wh")
+    generate_files(landing, n_files=6, records_per_file=80)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "c"))
+    assert os.path.isdir(os.path.join(wh, "_spark_metadata"))
+    before = spark.read.parquet(wh).count()
+    from demo_otel_parquet_antalya_spark.schema import PARTITION_COLUMNS
+
+    rewritten = compact(
+        spark, wh, list(PARTITION_COLUMNS), target_rows_per_file=10_000,
+        min_excess_files=1,
+    )
+    assert rewritten > 0
+    assert not os.path.isdir(os.path.join(wh, "_spark_metadata"))
+    assert spark.read.parquet(wh).count() == before

@@ -80,13 +80,6 @@ def build_warehouse(spark, work: str, n_logs: int) -> tuple[str, str]:
     from demo_otel_parquet_antalya_spark.sources.compaction import compact
 
     rewritten = compact(spark, warehouse, list(PARTITION_COLUMNS))
-    # the streaming sink's _spark_metadata manifest references the
-    # pre-compaction files — stale by construction once files are
-    # rewritten; drop it so reads list the compacted layout (its
-    # exactly-once purpose was consumed by this build's single ingest)
-    import shutil
-
-    shutil.rmtree(os.path.join(warehouse, "_spark_metadata"), ignore_errors=True)
     compact_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     logs_schema = spark.read.parquet(warehouse).schema
