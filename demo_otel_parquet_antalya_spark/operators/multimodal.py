@@ -270,19 +270,22 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                     # animated PNG: composited RGBA canvas frames, each
                     # sampled frame re-encoded as a standalone PNG. Same
                     # per-payload degrade contract as GIF/AVI below.
+                    mark = len(ids)
                     try:
                         canvases, _delays = decode_apng_frames(b)
                         n = len(canvases)
                         take = min(max_frames, n)
                         for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
+                            out = encode_png(canvases[fi])  # before appends
                             ids.append(media_id)
                             idxs.append(fi)
-                            frames.append(encode_png(canvases[fi]))
+                            frames.append(out)
                         continue
                     except ValueError:
                         if not decode_stub:
                             raise  # strict mode: surface the corrupt payload
-                        # else: fall through to the byte-window stub below
+                        # whole-payload degrade: keep batch columns balanced
+                        del ids[mark:], idxs[mark:], frames[mark:]
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     # animated GIF: composited canvas frames, each sampled
                     # frame re-encoded as a standalone single-frame GIF so
@@ -292,19 +295,25 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                     # byte-window stub (strict mode re-raises), never fail
                     # the Spark task in stub mode —
                     # same quarantine-friendly contract as resize/stats.
+                    mark = len(ids)
                     try:
                         canvases, _delays = decode_gif_frames(b)
                         n = len(canvases)
                         take = min(max_frames, n)
                         for fi in (sorted({(k * n) // take for k in range(take)}) if take else []):
+                            # encode BEFORE the appends: a composited canvas
+                            # can exceed 256 colors and make encode_gif
+                            # raise mid-payload — columns must stay balanced
+                            out = encode_gif(canvases[fi])
                             ids.append(media_id)
                             idxs.append(fi)
-                            frames.append(encode_gif(canvases[fi]))
+                            frames.append(out)
                         continue
                     except ValueError:
                         if not decode_stub:
                             raise  # strict mode: surface the corrupt payload
-                        # else: fall through to the byte-window stub below
+                        # whole-payload degrade: keep batch columns balanced
+                        del ids[mark:], idxs[mark:], frames[mark:]
                 if not decode_stub:
                     raise NotImplementedError(
                         "real frame sampling for other formats requires a "
@@ -3276,14 +3285,17 @@ def _build_avi_codec():
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
     def decode_avi_stream_format(data: bytes):
-        """(compression, width, height, bit_count) of the first video
-        stream, from its strf BITMAPINFOHEADER: compression is the fourcc
-        (b'MJPG', ...) or b'\\x00'*4 for BI_RGB/DIB. ValueError on
-        non-AVI payloads; all-None when no video strf is present."""
+        """(compression, width, height, bit_count) of the first VIDEO
+        stream — the strf BITMAPINFOHEADER of the strl whose strh says
+        'vids' (an audio-first AVI's WAVEFORMATEX strf must not be
+        misread as video format): compression is the fourcc (b'MJPG',
+        ...) or b'\\x00'*4 for BI_RGB/DIB. ValueError on non-AVI
+        payloads; all-None when no video strf is present."""
         b = bytes(data)
         if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
             raise ValueError("not a RIFF/AVI payload")
         found = [None, None, None, None]
+        cur_type = [None]  # last strh's stream type within the walk
 
         def walk(start: int, end: int):
             i = start
@@ -3293,7 +3305,9 @@ def _build_avi_codec():
                 body_start, body_end = i + 8, min(i + 8 + clen, end)
                 if cid == b"LIST":
                     walk(body_start + 4, body_end)
-                elif cid == b"strf" and clen >= 20:
+                elif cid == b"strh" and clen >= 4:
+                    cur_type[0] = b[body_start : body_start + 4]
+                elif cid == b"strf" and clen >= 20 and cur_type[0] == b"vids":
                     found[1] = int.from_bytes(b[body_start + 4 : body_start + 8], "little", signed=True)
                     found[2] = int.from_bytes(b[body_start + 8 : body_start + 12], "little", signed=True)
                     found[3] = int.from_bytes(b[body_start + 14 : body_start + 16], "little")

@@ -97,23 +97,50 @@ _MUTATORS = re.compile(
 # denylist, not a parsed function allowlist — new escape hatches added to
 # Spark would need adding here.
 _JVM_ESCAPES = re.compile(r"\b(reflect|java_method)\b", re.IGNORECASE)
-_STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
-_BLOCK_COMMENT = re.compile(r"/\*.*?\*/", re.DOTALL)
-_LINE_COMMENT = re.compile(r"--[^\n]*")
 
 
 def _scannable(sql: str) -> str:
-    """The statement with string literals emptied and comment bodies /
-    backquotes removed — the text the deny-regexes scan, so neither
-    `reflect`(...) nor reflect/**/(...) nor in-comment decoys slip past
-    the word-boundary matches. Strings are stripped FIRST so quoted data
-    never looks like code; an unterminated block comment conservatively
-    removes the rest of the statement (fail-closed for the scanner,
-    Spark's parser rejects it anyway)."""
-    stripped = _STRING_LITERAL.sub("''", sql)
-    stripped = _BLOCK_COMMENT.sub(" ", stripped)
-    stripped = _LINE_COMMENT.sub(" ", stripped)
-    return stripped.replace("`", " ")
+    """The statement's CODE text only: string-literal contents and comment
+    bodies removed, backquotes blanked — the text the deny-regexes scan,
+    so neither `reflect`(...) nor reflect/**/(...) nor in-comment decoys
+    slip past the word-boundary matches. A single left-to-right scan
+    tracks string/comment state the way Spark's lexer does (regex-pass
+    ordering is not sound here: stripping strings first lets a quote
+    INSIDE a comment swallow following code — `-- 'x` then
+    reflect('...') on the next line — and stripping comments first lets
+    `--` inside a string swallow the string's tail)."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal ('' is the escaped quote)
+            i += 1
+            while i < n:
+                if sql[i] == "'" and i + 1 < n and sql[i + 1] == "'":
+                    i += 2
+                elif sql[i] == "'":
+                    i += 1
+                    break
+                else:
+                    i += 1
+            out.append("''")
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":  # line comment
+            while i < n and sql[i] != "\n":
+                i += 1
+            out.append(" ")
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":  # block comment
+            i += 2
+            while i + 1 < n and not (sql[i] == "*" and sql[i + 1] == "/"):
+                i += 1
+            i = min(i + 2, n)  # unterminated: rest of statement is comment
+            out.append(" ")
+        elif c == "`":
+            out.append(" ")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _reject_reason(sql: str) -> str | None:
@@ -185,17 +212,18 @@ class _RequestCancelled(Exception):
 
 
 def _is_cancellation(exc: BaseException, group: str) -> bool:
-    """True when the exception chain reads like OUR job group's
-    cancellation: Spark's message is 'Job N cancelled part of cancelled
-    job group <group>' (py4j errors stringify with the full Java trace,
-    so the group id appears). The timer flag alone is not enough — an
-    unrelated failure can race the deadline (ADVICE r7)."""
+    """True when the exception chain references OUR job group id: Spark's
+    cancellation message is 'Job N cancelled part of cancelled job group
+    <group>' and py4j errors stringify with the full Java trace, so the
+    unique group id appears. The timer flag alone is not enough — an
+    unrelated failure can race the deadline (ADVICE r7) — and a generic
+    'cancel' substring match is not either (a query mentioning a table
+    named 'cancellations' would misclassify as 408)."""
     seen = set()
     cur: BaseException | None = exc
     while cur is not None and id(cur) not in seen:
         seen.add(id(cur))
-        msg = str(cur)
-        if group in msg or "cancel" in msg.lower():
+        if group in str(cur):
             return True
         cur = cur.__cause__ or cur.__context__
     return False
@@ -235,6 +263,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
     tables: tuple
     logs_dir: str | None = None
     rollup_dir: str | None = None
+    rollup_interval_s: int = 30
     row_cap: int = DEFAULT_ROW_CAP
     request_timeout_s: float | None = 30.0
     scheduler_pool: str = "serving"
@@ -347,6 +376,16 @@ class _SQLHandler(BaseHTTPRequestHandler):
                                 "rollup panel serves the maintained "
                                 "(bucket, dimension) grain only"
                             )
+                        want = int(params.get("interval", self.rollup_interval_s))
+                        if want != self.rollup_interval_s:
+                            # grain mismatches are an ERROR, never silently
+                            # wrong numbers (the facade's stated contract)
+                            raise ValueError(
+                                f"rollup is maintained at "
+                                f"{self.rollup_interval_s}s buckets; "
+                                f"interval={want} must be served from raw "
+                                "(drop source=rollup) or a matching rollup"
+                            )
                         from demo_otel_parquet_antalya_spark.plans import facade
 
                         frame = facade.q5_timeseries_from_rollup(
@@ -362,9 +401,12 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         # widening count so filtered results stay complete
                         from demo_otel_parquet_antalya_spark.plans import facade
 
+                        # clamp BEFORE the pruned path: its widening probe
+                        # take()s `limit` rows to the driver, so a client
+                        # limit must never exceed the endpoint's row cap
                         frame = facade.q2_recent_logs_pruned(
                             self.spark, self.logs_dir,
-                            limit=int(params.get("limit", 10)),
+                            limit=min(int(params.get("limit", 10)), self.row_cap),
                             filters=filters,
                         )
                         return _df_payload(frame, self.row_cap)
@@ -471,6 +513,7 @@ def start_sql_endpoint(
     row_cap: int = DEFAULT_ROW_CAP,
     logs_dir: str | None = None,
     rollup_dir: str | None = None,
+    rollup_interval_s: int = 30,
     request_timeout_s: float | None = 30.0,
     scheduler_pool: str = "serving",
 ) -> ThreadingHTTPServer:
@@ -482,7 +525,9 @@ def start_sql_endpoint(
     routes; ``rollup_dir`` (optional) points at the continuously-
     maintained time-series rollup (streaming/rollup.py) and enables
     ``/panels/q5_timeseries?source=rollup`` — the O(buckets) production
-    routing. Every request runs inside its own Spark job group and is
+    routing, maintained at ``rollup_interval_s`` buckets (a request
+    asking for a different interval is rejected with 400 rather than
+    served silently-wrong grain). Every request runs inside its own Spark job group and is
     cancelled (jobs interrupted cluster-wide, not just the collect
     abandoned) after ``request_timeout_s`` (None disables); requests run in
     ``scheduler_pool`` — build the session with ``serving_fair_conf()`` to
@@ -500,6 +545,7 @@ def start_sql_endpoint(
             "row_cap": row_cap,
             "logs_dir": logs_dir,
             "rollup_dir": rollup_dir,
+            "rollup_interval_s": rollup_interval_s,
             "request_timeout_s": request_timeout_s,
             "scheduler_pool": scheduler_pool,
         },

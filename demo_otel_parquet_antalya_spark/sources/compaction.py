@@ -132,21 +132,42 @@ def compact_partitions(
     return done
 
 
-def drop_streaming_manifest(root: str) -> bool:
+def _manifest_path(spark: SparkSession, root: str):
+    """(hadoop_fs, hadoop_path) of ``root/_spark_metadata`` — Hadoop FS so
+    hdfs:///s3a:// roots work exactly like local ones (a local-only
+    os.path check would silently no-op on remote warehouses)."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/_spark_metadata")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def has_streaming_manifest(spark: SparkSession, root: str) -> bool:
+    fs, path = _manifest_path(spark, root)
+    return bool(fs.exists(path))
+
+
+def finalize_streaming_warehouse(spark: SparkSession, root: str) -> bool:
     """Remove a streaming file sink's ``_spark_metadata`` manifest under
-    ``root`` (returns whether one existed). REQUIRED after compacting a
-    warehouse the streaming sink wrote: ``spark.read`` of such a root goes
-    through the manifest (MetadataLogFileIndex), which still references
-    the pre-compaction files — reads fail with FileNotFoundException once
-    they are rewritten. The manifest's exactly-once purpose is the SINK's
-    (dedup of replayed micro-batches at write time); after an external
-    rewrite it is stale by construction, and dropping it switches reads
-    to directory listing over the compacted layout. The ingest
-    checkpoint (driver side) is untouched — incremental ingest continues
-    appending new files normally."""
-    path = os.path.join(root, "_spark_metadata")
-    existed = os.path.isdir(path)
-    shutil.rmtree(path, ignore_errors=True)
+    ``root`` (returns whether one existed), converting the root to a
+    plain listed warehouse. REQUIRED after compacting a sink-written
+    warehouse: ``spark.read`` of such a root goes through the manifest
+    (MetadataLogFileIndex), which still references the pre-compaction
+    files — reads fail with FileNotFoundException once they are
+    rewritten.
+
+    FINALIZE means finalize: the SAME streaming query must not write this
+    root again. Its next micro-batch would recreate ``_spark_metadata``
+    containing only that batch's files, and manifest-routed reads would
+    then silently LOSE all prior (compacted) history — worse than the
+    read failure this removes. For a continuously-ingesting pipeline,
+    compact into a NEW root and flip the catalog pointer instead
+    (sources/registry.py's register-don't-rewrite), or point the sink at
+    a fresh root going forward."""
+    fs, path = _manifest_path(spark, root)
+    existed = bool(fs.exists(path))
+    if existed:
+        fs.delete(path, True)
     return existed
 
 
@@ -156,16 +177,34 @@ def compact(
     partition_cols: list[str],
     target_rows_per_file: int = 200_000,
     min_excess_files: int = 2,
+    finalize_streaming: bool = False,
 ) -> int:
-    """plan + execute in one call; returns partitions rewritten. If the
-    warehouse was written by the STREAMING sink and anything was
-    rewritten, the stale ``_spark_metadata`` manifest is dropped too
-    (see ``drop_streaming_manifest``) — otherwise post-compaction reads
-    resolve deleted files."""
+    """plan + execute in one call; returns partitions rewritten.
+
+    A warehouse written by the STREAMING sink carries a
+    ``_spark_metadata`` manifest that pins the exact pre-compaction file
+    set — rewriting files under it breaks manifest-routed reads, and
+    merely dropping it breaks them WORSE later if the sink keeps writing
+    (see ``finalize_streaming_warehouse``). So on a sink-written root
+    this refuses by default; pass ``finalize_streaming=True`` to rewrite
+    AND finalize (drop the manifest) when the root will no longer be
+    written by that streaming query. Live pipelines should compact into
+    a new root + catalog flip instead."""
+    if has_streaming_manifest(spark, root):
+        if not finalize_streaming:
+            raise ValueError(
+                "root was written by a streaming sink (_spark_metadata "
+                "present): in-place compaction invalidates the manifest. "
+                "Pass finalize_streaming=True if this streaming query is "
+                "done writing here, or compact into a new root and flip "
+                "the catalog pointer (sources/registry.py)."
+            )
+    else:
+        finalize_streaming = False
     targets = plan_compaction(
         spark, root, partition_cols, target_rows_per_file, min_excess_files
     )
     rewritten = compact_partitions(spark, root, targets)
-    if rewritten:
-        drop_streaming_manifest(root)
+    if rewritten and finalize_streaming:
+        finalize_streaming_warehouse(spark, root)
     return rewritten

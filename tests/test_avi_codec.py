@@ -168,6 +168,42 @@ def test_sample_frames_strict_mode_raises_on_corrupt_payloads(spark):
         sample_frames(df, max_frames=8, decode_stub=False).collect()
 
 
+def test_audio_first_avi_reads_the_video_strf():
+    """Legal RIFF ordering can put the audio strl BEFORE the video strl;
+    the format sniff must skip the audio WAVEFORMATEX strf (>= 20 bytes)
+    and return the 'vids' stream's BITMAPINFOHEADER."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    frames = [np.full((4, 4, 3), v, np.uint8) for v in (10, 20)]
+    dib = encode_avi_dib(frames, fps=5, width=4, height=4)
+    # audio strl: strh 'auds' + a 30-byte WAVEFORMATEX-ish strf whose
+    # bytes at the BITMAPINFOHEADER offsets are garbage
+    audio_strh = b"auds\x00\x00\x00\x00" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 16000, 0, 100, 4, 0, 0) + struct.pack("<4h", 0, 0, 0, 0)
+    audio_strf = struct.pack("<HHIIHHH", 1, 1, 16000, 32000, 2, 16, 0) + b"\x00" * 12
+    audio_strl = lst(b"strl", chunk(b"strh", audio_strh) + chunk(b"strf", audio_strf))
+    # splice the audio strl INSIDE the hdrl list, before the video strl
+    hdrl_kind = dib.index(b"hdrl")
+    strl_at = dib.index(b"LIST", hdrl_kind)  # video strl header
+    patched = bytearray(dib)
+    patched[strl_at:strl_at] = audio_strl
+    # fix the hdrl LIST length and the RIFF length
+    hdrl_len_at = hdrl_kind - 4
+    old_len = int.from_bytes(patched[hdrl_len_at:hdrl_kind], "little")
+    patched[hdrl_len_at:hdrl_kind] = struct.pack("<I", old_len + len(audio_strl))
+    patched[4:8] = struct.pack("<I", int.from_bytes(patched[4:8], "little") + len(audio_strl))
+    comp, w, h, bits = decode_avi_stream_format(bytes(patched))
+    assert (comp, w, h, bits) == (b"\x00\x00\x00\x00", 4, 4, 24)
+    out, _fps = decode_avi_video(bytes(patched))
+    np.testing.assert_array_equal(out[0], frames[0])
+
+
 def test_synthesized_mixed_avi_covers_both_codecs(spark):
     """mixed=True: odd ids pack DIB, even ids MJPEG — both decode to the
     same closed form, and the strh fourcc at offset 112 tells them apart

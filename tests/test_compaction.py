@@ -90,9 +90,16 @@ def test_streaming_sink_manifest_dropped_after_compaction(spark, tmp_path):
     before = spark.read.parquet(wh).count()
     from demo_otel_parquet_antalya_spark.schema import PARTITION_COLUMNS
 
+    # a live streaming root is refused by default (dropping the
+    # manifest under a still-writing sink would silently lose history)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="streaming sink"):
+        compact(spark, wh, list(PARTITION_COLUMNS), target_rows_per_file=10_000,
+                min_excess_files=1)
     rewritten = compact(
         spark, wh, list(PARTITION_COLUMNS), target_rows_per_file=10_000,
-        min_excess_files=1,
+        min_excess_files=1, finalize_streaming=True,
     )
     assert rewritten > 0
     assert not os.path.isdir(os.path.join(wh, "_spark_metadata"))

@@ -174,6 +174,10 @@ def test_jvm_escape_functions_rejected(endpoint):
         "SELECT reflect -- c\n('java.lang.System', 'getProperty', 'a')",
         "SELECT `java_method`/* x */('java.lang.System', 'exit', 1)",
         "SELECT REFLECT",  # bare word: no paren needed to be suspicious
+        # a quote INSIDE a comment must not swallow the following code
+        # (regex-pass ordering bug: string-strip-first deleted `reflect(`)
+        "SELECT -- 'x\n reflect('java.lang.System', 'getProperty', 'a')",
+        "SELECT /* ' */ reflect('java.lang.System', 'getProperty', 'a')",
     ):
         code, err = _post_err(endpoint, "/query", {"sql": sql})
         assert code == 400 and "reflection" in err["error"], sql
@@ -188,10 +192,15 @@ def test_jvm_escape_functions_rejected(endpoint):
 def test_mutators_hidden_in_comments_still_rejected(endpoint):
     """Comment stripping must not UNHIDE mutation text either way: a DROP
     smuggled around comments is still caught by the bare-word scan."""
-    code, err = _post_err(
-        endpoint, "/query", {"sql": "SELECT 1; DROP/**/TABLE region"}
-    )
-    assert code == 400 and "mutation" in err["error"]
+    for sql in (
+        "SELECT 1; DROP/**/TABLE region",
+        "SELECT 1; -- 'x\n DROP TABLE region",  # quote-in-comment trick
+    ):
+        code, err = _post_err(endpoint, "/query", {"sql": sql})
+        assert code == 400 and "mutation" in err["error"], sql
+    # but comment markers INSIDE string data stay data
+    ok = _post(endpoint, "/query", {"sql": "SELECT 'a--b' AS s, '/*' AS t"})
+    assert ok["rows"] == [["a--b", "/*"]]
 
 
 def test_timeout_flag_alone_is_not_a_408():
@@ -210,6 +219,10 @@ def test_timeout_flag_alone_is_not_a_408():
     assert _is_cancellation(chained, group)
     assert not _is_cancellation(
         ValueError("division by zero in panel arithmetic"), group
+    )
+    # the word 'cancel' WITHOUT our group id is not our cancellation
+    assert not _is_cancellation(
+        RuntimeError("Table or view not found: cancellations"), group
     )
 
 
@@ -264,6 +277,14 @@ def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
     (the O(buckets) production routing SCALE.md measures as flat at 100x
     the raw volume)."""
     base, _wh = logs_endpoint
+    # cold first use can brush the fixture's deliberately-short 2.5 s
+    # cancellation deadline on a loaded box; warm both routes once
+    for path in ("/panels/q5_timeseries?interval=30",
+                 "/panels/q5_timeseries?source=rollup"):
+        try:
+            urllib.request.urlopen(base + path).read()
+        except urllib.error.HTTPError:
+            pass
     with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=30") as r:
         raw = json.loads(r.read())
     with urllib.request.urlopen(
@@ -279,6 +300,16 @@ def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
         )
     except urllib.error.HTTPError as e:
         assert e.code == 400 and "rollup" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")
+    # grain mismatches are an ERROR, never silently wrong numbers: the
+    # rollup is maintained at 30 s buckets, interval=60 must be refused
+    try:
+        urllib.request.urlopen(
+            f"{base}/panels/q5_timeseries?source=rollup&interval=60"
+        )
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "30s buckets" in json.loads(e.read())["error"]
     else:
         raise AssertionError("expected 400")
 
@@ -314,6 +345,13 @@ def test_q2_pruned_matches_raw_over_http(logs_endpoint):
     ) as r:
         want = json.loads(r.read())
     assert sorted(map(tuple, filt["rows"])) == sorted(map(tuple, want["rows"]))
+    # a huge client limit is clamped to the endpoint's row cap before the
+    # pruned route's driver-side take() (no driver bomb, no error)
+    with urllib.request.urlopen(
+        f"{base}/panels/q2_recent_logs?limit=999999999&source=pruned"
+    ) as r:
+        capped = json.loads(r.read())
+    assert capped["row_count"] <= 5000  # the fixture's row_cap
 
 
 def test_time_filter_prunes_partition_directories(logs_endpoint, spark):

@@ -79,7 +79,10 @@ def build_warehouse(spark, work: str, n_logs: int) -> tuple[str, str]:
     from demo_otel_parquet_antalya_spark.schema import PARTITION_COLUMNS
     from demo_otel_parquet_antalya_spark.sources.compaction import compact
 
-    rewritten = compact(spark, warehouse, list(PARTITION_COLUMNS))
+    # this build's single ingest is done writing -> finalize is correct
+    rewritten = compact(
+        spark, warehouse, list(PARTITION_COLUMNS), finalize_streaming=True
+    )
     compact_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     logs_schema = spark.read.parquet(warehouse).schema
