@@ -138,8 +138,21 @@ def main() -> None:
     host, port = server.server_address
     base = f"http://{host}:{port}"
 
+    # the Grafana case: a dashboard window over the newest hour — must
+    # prune partition DIRECTORIES via facade.time_filter's derived
+    # predicates, so its cost tracks the window, not the history
+    hi = spark.read.parquet(warehouse).selectExpr("max(timestamp) AS m").first()[0]
+    import datetime
+    import urllib.parse
+
+    lo = hi - datetime.timedelta(hours=1)
+    window = urllib.parse.urlencode(
+        {"interval": 30, "start": lo.isoformat(sep=" "), "end": hi.isoformat(sep=" ")}
+    )
+
     panels = {
         "q1_projection": "/panels/q1_projection",
+        "q5_windowed_1h": f"/panels/q5_timeseries?{window}",
         "q2_recent_logs": "/panels/q2_recent_logs?limit=10",
         # tail pruning: newest-N reads the newest hour directories only
         "q2_recent_pruned": "/panels/q2_recent_logs?limit=10&source=pruned",
