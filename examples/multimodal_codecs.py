@@ -1,23 +1,29 @@
 #!/usr/bin/env python
-"""Round-5 multimodal codec tier, end to end — every decode step real.
+"""The multimodal codec tier, end to end — every decode step real.
 
     python examples/multimodal_codecs.py
 
-The five pure-stdlib codecs (no PIL / torchaudio / ffmpeg anywhere):
+The pure-stdlib codecs (no PIL / torchaudio / ffmpeg anywhere):
 
 1. PNG    — zlib inflate + per-spec scanline unfilter (lossless).
-2. JPEG   — baseline SOF0: canonical Huffman, dequant, orthonormal IDCT,
-            chroma upsampling, BT.601 (near-lossless at flat quant).
+2. JPEG   — baseline SOF0 + progressive SOF2: canonical Huffman, dequant,
+            orthonormal IDCT, chroma upsampling, BT.601.
 3. GIF    — full LZW (variable widths, 12-bit cap), palettes, deinterlace
-            (lossless).
+            (lossless); APNG/GIF animations composite per spec.
 4. WAV    — RIFF chunk walk + PCM 8/16/32-bit / float32 sample decode.
-5. AVI    — MJPEG demux: every frame chunk is a standalone JPEG.
+5. AVI    — MJPEG demux (every frame chunk a standalone JPEG) and
+            uncompressed BI_RGB 'DIB ' row unpacking (r8).
+6. WebP   — lossless VP8L (r8): LSB-first prefix codes, color cache,
+            LZ77, and all four inverse transforms (14 predictor modes,
+            cross-color, subtract-green, color indexing).
 
 Each chain is ALSO certified against a DuckDB oracle by the registered
-queries (`multimodal_image_stats`, `multimodal_audio_features`,
-`multimodal_video_frame_stats`): payloads are synthesized from closed
-forms on doc_id, so SQL recomputes the decoded features with no codec —
-a value match proves the encode->decode chain sample/pixel-exactly.
+queries (`multimodal_image_stats_mixed`, `multimodal_image_stats_webp`,
+`multimodal_audio_features`, `multimodal_video_frame_stats_mixed`):
+payloads are synthesized from closed forms on doc_id, so SQL recomputes
+the decoded features with no codec — a value match proves the
+encode->decode chain sample/pixel-exactly. All decoders are
+decompression-bomb bounded (max_pixels + bounded inflate).
 """
 
 from __future__ import annotations
@@ -51,6 +57,13 @@ def main() -> None:
         (3, bytearray(mm.encode_gif(gray))),
         (4, bytearray(mm.encode_wav_pcm16(pcm, 16000))),
         (5, bytearray(mm.encode_avi_mjpeg(frames, fps=10, width=16, height=16))),
+        # r8: transform-bearing lossless WebP (subtract-green + predictor)
+        (6, bytearray(mm.encode_webp_lossless(img, predictor_mode=7,
+                                              subtract_green=True))),
+        # r8: uncompressed BI_RGB video — lossless frames, no JPEG
+        (7, bytearray(mm.encode_avi_dib(
+            [np.full((16, 16, 3), 30 * (f + 1), np.uint8) for f in range(3)],
+            fps=10, width=16, height=16))),
     ]
     media = spark.createDataFrame(rows, "media_id long, payload binary")
 
@@ -59,13 +72,13 @@ def main() -> None:
     mm.parse_audio_headers(media).show()
     mm.parse_video_headers(media).show()
 
-    print("== pixel stats (PNG + JPEG + GIF decode to pixels) ==")
+    print("== pixel stats (PNG + JPEG + GIF + WebP decode to pixels) ==")
     mm.image_pixel_stats(media).show()
 
     print("== audio features (WAV PCM sample decode) ==")
     mm.audio_features(media).show()
 
-    print("== video frame stats (AVI demux + per-frame JPEG decode) ==")
+    print("== video frame stats (MJPEG + DIB AVI frame decode) ==")
     mm.video_frame_stats(media).show()
 
     print("== resize (each image format re-encoded in its own format) ==")
