@@ -240,7 +240,8 @@ def q6_log_panel(logs: DataFrame, start=None, end=None, limit: int = 1000) -> Da
 
 
 def q5_timeseries_from_rollup(
-    spark, rollup_dir: str, start=None, end=None
+    spark, rollup_dir: str, start=None, end=None,
+    interval_seconds: int | None = None, base_interval_s: int = 30,
 ) -> DataFrame:
     """Q5 served from the continuously-maintained rollup
     (``streaming/rollup.py``) instead of raw parquet: the dashboard read is
@@ -249,9 +250,13 @@ def q5_timeseries_from_rollup(
     refresh). Valid for bucket-aligned ranges, which is exactly what
     Grafana requests; equivalence with the raw-scan Q5 is pytest-proven.
 
-    The rollup snapshot must have been maintained at the SAME (bucket,
-    dimension) grain the panel asks for — grain mismatches are a schema
-    error here, never silent wrong numbers.
+    Counts are re-aggregable, so any ``interval_seconds`` that is a
+    MULTIPLE of the maintained ``base_interval_s`` is served EXACTLY by
+    re-bucketing the snapshot (floor each base bucket to the coarser
+    interval, sum the counts) — a zoomed-out Grafana panel still costs
+    O(base buckets), never a raw rescan. A non-multiple interval raises
+    ValueError: that grain genuinely is not derivable from the snapshot,
+    and grain mismatches are an error here, never silent wrong numbers.
     """
     from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
 
@@ -264,4 +269,18 @@ def q5_timeseries_from_rollup(
         df = df.filter(F.col("t") >= F.lit(start))
     if end is not None:
         df = df.filter(F.col("t") <= F.lit(end))
+    if interval_seconds is not None and interval_seconds != base_interval_s:
+        if interval_seconds <= 0 or interval_seconds % base_interval_s:
+            raise ValueError(
+                f"rollup is maintained at {base_interval_s}s buckets; "
+                f"interval={interval_seconds} is not a multiple — serve "
+                "from raw or a matching rollup"
+            )
+        df = (
+            df.groupBy(
+                time_bucket("t", interval_seconds).alias("t"),
+                "series",
+            )
+            .agg(F.sum("value").alias("value"))
+        )
     return df.orderBy("t", "series")

@@ -376,21 +376,19 @@ class _SQLHandler(BaseHTTPRequestHandler):
                                 "rollup panel serves the maintained "
                                 "(bucket, dimension) grain only"
                             )
-                        want = int(params.get("interval", self.rollup_interval_s))
-                        if want != self.rollup_interval_s:
-                            # grain mismatches are an ERROR, never silently
-                            # wrong numbers (the facade's stated contract)
-                            raise ValueError(
-                                f"rollup is maintained at "
-                                f"{self.rollup_interval_s}s buckets; "
-                                f"interval={want} must be served from raw "
-                                "(drop source=rollup) or a matching rollup"
-                            )
                         from demo_otel_parquet_antalya_spark.plans import facade
 
+                        # any multiple of the maintained grain is served
+                        # EXACTLY by re-aggregating the snapshot (counts
+                        # re-aggregate); non-multiples raise -> 400, never
+                        # silently wrong numbers
                         frame = facade.q5_timeseries_from_rollup(
                             self.spark, self.rollup_dir,
                             params.get("start"), params.get("end"),
+                            interval_seconds=int(
+                                params.get("interval", self.rollup_interval_s)
+                            ),
+                            base_interval_s=self.rollup_interval_s,
                         )
                         return _df_payload(frame, self.row_cap)
                     if name == "q2_recent_logs" and params.get("source") == "pruned":

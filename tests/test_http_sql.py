@@ -302,14 +302,23 @@ def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
         assert e.code == 400 and "rollup" in json.loads(e.read())["error"]
     else:
         raise AssertionError("expected 400")
-    # grain mismatches are an ERROR, never silently wrong numbers: the
-    # rollup is maintained at 30 s buckets, interval=60 must be refused
+    # counts re-aggregate: a MULTIPLE of the maintained 30 s grain is
+    # served exactly by re-bucketing the snapshot...
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?source=rollup&interval=60"
+    ) as r:
+        routed60 = json.loads(r.read())
+    with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=60") as r:
+        raw60 = json.loads(r.read())
+    assert routed60["row_count"] == raw60["row_count"] > 0
+    assert sorted(map(tuple, routed60["rows"])) == sorted(map(tuple, raw60["rows"]))
+    # ...while a NON-multiple grain is an error, never silently wrong
     try:
         urllib.request.urlopen(
-            f"{base}/panels/q5_timeseries?source=rollup&interval=60"
+            f"{base}/panels/q5_timeseries?source=rollup&interval=45"
         )
     except urllib.error.HTTPError as e:
-        assert e.code == 400 and "30s buckets" in json.loads(e.read())["error"]
+        assert e.code == 400 and "not a multiple" in json.loads(e.read())["error"]
     else:
         raise AssertionError("expected 400")
 
