@@ -255,9 +255,20 @@ def q5_timeseries_from_rollup(
     re-bucketing the snapshot (floor each base bucket to the coarser
     interval, sum the counts) — a zoomed-out Grafana panel still costs
     O(base buckets), never a raw rescan. A non-multiple interval raises
-    ValueError: that grain genuinely is not derivable from the snapshot,
-    and grain mismatches are an error here, never silent wrong numbers.
+    ValueError BEFORE any snapshot I/O, and the re-aggregation carries a
+    per-row assertion that every snapshot bucket really is aligned to
+    ``base_interval_s`` — a caller passing the wrong claimed grain gets a
+    runtime error, not silently mis-binned counts (the snapshot's true
+    grain is whatever ``incremental_rollup`` was maintained with; the two
+    must be wired together, as serving.py's ``rollup_interval_s`` does).
     """
+    rebucket = interval_seconds is not None and interval_seconds != base_interval_s
+    if rebucket and (interval_seconds <= 0 or interval_seconds % base_interval_s):
+        raise ValueError(
+            f"rollup is maintained at {base_interval_s}s buckets; "
+            f"interval={interval_seconds} is not a multiple — serve "
+            "from raw or a matching rollup"
+        )
     from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
 
     df = read_rollup(spark, rollup_dir).select(
@@ -269,18 +280,24 @@ def q5_timeseries_from_rollup(
         df = df.filter(F.col("t") >= F.lit(start))
     if end is not None:
         df = df.filter(F.col("t") <= F.lit(end))
-    if interval_seconds is not None and interval_seconds != base_interval_s:
-        if interval_seconds <= 0 or interval_seconds % base_interval_s:
-            raise ValueError(
-                f"rollup is maintained at {base_interval_s}s buckets; "
-                f"interval={interval_seconds} is not a multiple — serve "
-                "from raw or a matching rollup"
-            )
+    if rebucket:
+        # summed expression raises IN the same job if any snapshot bucket
+        # is not aligned to the claimed base grain (zero cost when aligned)
+        guarded = F.when(
+            F.unix_timestamp("t") % base_interval_s != 0,
+            F.raise_error(
+                F.lit(
+                    f"rollup snapshot bucket not aligned to the claimed "
+                    f"{base_interval_s}s grain — re-aggregation would "
+                    "mis-bin counts; pass the maintained grain"
+                )
+            ),
+        ).otherwise(F.col("value"))
         df = (
             df.groupBy(
                 time_bucket("t", interval_seconds).alias("t"),
                 "series",
             )
-            .agg(F.sum("value").alias("value"))
+            .agg(F.sum(guarded).alias("value"))
         )
     return df.orderBy("t", "series")
