@@ -3180,6 +3180,101 @@ def synthesize_webp_media(
     return ids.select(id_col).mapInPandas(run, "media_id long, payload binary")
 
 
+def synthesize_image_media_crossformat(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(media_id, payload): a CROSS-FORMAT duplicate-class corpus for
+    image dedup. The picture is the block-constant 16x16 closed form
+        v(d, k) = (d * 31 + k * 17) mod 256,
+    which depends on d only through d mod 256 — so ids sharing a residue
+    class are the SAME picture — while the container format alternates
+    with (d >> 8) & 1: lossless WebP (through the subtract-green +
+    predictor transforms) on even pages, baseline JPEG on odd pages
+    (block-constant images survive flat-quant JPEG exactly). Duplicate
+    classes therefore SPAN formats: exact pixel dedup must see through
+    the container to group them, and a SQL oracle predicts the groups
+    from doc_id % 256 with no codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def synth(d):
+            d = int(d)
+            img = _np.empty((16, 16), dtype=_np.uint8)
+            for k in range(4):
+                by, bx = divmod(k, 2)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    d * 31 + k * 17
+                ) % 256
+            if (d >> 8) & 1:
+                return encode_jpeg_baseline(img)
+            return encode_webp_lossless(
+                img, predictor_mode=d % 14, subtract_green=True
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [synth(d) for d in pdf[id_col]],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, "media_id long, payload binary")
+
+
+def synthesize_image_media_neardup(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(media_id, payload): a NEAR-duplicate pair corpus for perceptual
+    hashing. Even ids carry a gradient-rich 16x16 base image
+        v(d, x, y) = (d * 31 + 7x + 13y + 3xy) mod 256;
+    odd ids carry the PREVIOUS even id's image with a small 4x4 patch
+    brightened (+16) — a near-duplicate, not an exact one. Encoded as
+    PNG (lossless), so the perceptual distance is entirely the edit's.
+
+    The base pixels come from an xorshift-multiply avalanche hash of
+    (base, y, x) — decorrelated noise, so DIFFERENT base images have
+    near-random dHashes (measured min cross-pair hamming 16 over 150
+    bases) while the patch can only touch the 6 dHash comparisons whose
+    sampled pixels fall inside it (twin hamming <= 6 STRUCTURALLY,
+    measured <= 4). Near-dup search at radius 6 over this corpus
+    therefore has a crisp, SQL-predictable answer: exactly the
+    (even, odd) twin pairs — which is what makes the perceptual-hash
+    chain oracle-certifiable end to end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        mask = (1 << 32) - 1
+
+        def synth(d):
+            d = int(d)
+            base = d - (d & 1)
+            x = _np.arange(16, dtype=_np.int64)[None, :]
+            y = _np.arange(16, dtype=_np.int64)[:, None]
+            h = (base * 4096 + y * 16 + x) & mask
+            h = ((h ^ (h >> 16)) * 0x45D9F3B) & mask
+            h = ((h ^ (h >> 16)) * 0x45D9F3B) & mask
+            img = ((h ^ (h >> 16)) & 0xFF).astype(_np.uint8)
+            if d & 1:
+                img = img.copy()
+                img[6:10, 6:10] = (img[6:10, 6:10].astype(_np.int64) + 16) % 256
+            return encode_png(img)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [synth(d) for d in pdf[id_col]],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, "media_id long, payload binary")
+
+
 # ---------------------------------------------------------------------------
 # Real MJPEG-in-AVI video codec — pure stdlib, no video libraries.
 # Closes the LAST declared multimodal stub slot: AVI is a RIFF container

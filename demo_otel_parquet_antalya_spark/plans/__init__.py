@@ -62,7 +62,6 @@ _DRIVER_WINDOW: tuple = (
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_jaccard_ppjoin",  # r4-in: prefix-filtered exact Jaccard
-    "dedup_line_level",  # r4-in: RefinedWeb line dedup
     # north-star: similarity / fingerprints / linkage
     "similarity_cosine_topk",
     "er_golden_records",  # r4-in: survivorship over linkage clusters
@@ -85,7 +84,6 @@ _DRIVER_WINDOW: tuple = (
     # wrong" #4) — each certifies a real pure-stdlib codec end-to-end
     "multimodal_audio_features",  # r5-in: WAV PCM decode, closed-form oracle
     "graph_kcore_trade",  # r5-in: fixed-round k-core peeling
-    "privacy_pii_scrub",  # r5-in: PII redaction, boundary-exact oracle
     # r6-in (VERDICT r5 item 1): the three late-r5 locally-green queries
     "graph_communities_neardup",  # r6-in: label-propagation communities
     "timeseries_ewma_smoothing",  # r6-in: EWMA over pre-bucketed minutes
@@ -102,16 +100,26 @@ _DRIVER_WINDOW: tuple = (
     # MJPEG-only multimodal_video_frame_stats, rotated to the second
     # window — its demux+JPEG path is a subset of the mixed query).
     "multimodal_video_frame_stats_mixed",  # r8-in: intra-only video codings
+    # r8-in (late): the IMAGE dedup tier (operators/image_dedup.py),
+    # windowed the round it was built; rotates out dedup_line_level
+    # (text-dedup family keeps 3 window reps) and privacy_pii_scrub
+    # (privacy family keeps the richer privacy_pii_scrub_logs).
+    "multimodal_dedup_exact_pixels",  # r8-in: cross-format exact image dedup
+    "multimodal_dedup_phash_neardup",  # r8-in: dHash + pigeonhole hamming join
 )
 
 # next-most-important — first in line if the driver window ever widens.
 # The leading block is the r4 rotation: all CORRECTNESS_r03-green, oracles
 # retained, re-proved locally by tests/test_queries_oracle.py every run.
 _SECOND_WINDOW: tuple = (
-    # r8 rotate-outs (driver-green r5-r7; both families still in the
-    # window via their strictly-wider mixed variants)
+    # r8 rotate-outs (driver-green r5-r7; every family still represented
+    # in the window — image/video stats by their strictly-wider mixed
+    # variants, text dedup by minhash/clusters/ppjoin, privacy by the
+    # richer scrub_logs)
     "multimodal_image_stats",
     "multimodal_video_frame_stats",
+    "dedup_line_level",
+    "privacy_pii_scrub",
     # r6 rotate-outs (driver-green in r5; families still represented in
     # the driver window)
     "graph_hits_trade",

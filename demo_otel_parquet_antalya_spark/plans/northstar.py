@@ -625,6 +625,101 @@ def q_multimodal_image_stats_webp(spark, sf_dir):
 
 
 @register(
+    "multimodal_dedup_exact_pixels",
+    # The synthesizer's picture depends on doc_id only through
+    # doc_id % 256 (v(d,k) = (d*31 + k*17) % 256), while the CONTAINER
+    # alternates with (d >> 8) & 1 — lossless WebP (transform-bearing)
+    # vs baseline JPEG (block-constant = exact under flat quant). The
+    # oracle predicts the duplicate groups from the residue class alone:
+    # a value match proves exact image dedup SEES THROUGH the container
+    # (decode -> canonical gray plane -> md5 groups the same picture
+    # across two different codecs).
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 600) "
+    "SELECT doc_id AS media_id, "
+    "CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 256) AS BIGINT) AS group_min, "
+    "CAST(COUNT(*) OVER (PARTITION BY doc_id % 256) AS BIGINT) AS group_size "
+    "FROM ids ORDER BY media_id",
+    doc=(
+        "EXACT image dedup across container formats (the image twin of "
+        "dedup_exact_stats): a cross-format duplicate-class corpus (same "
+        "picture stored as transform-bearing lossless WebP on even pages "
+        "and baseline JPEG on odd pages) is decoded to the canonical "
+        "gray plane and md5-fingerprinted in one Arrow-batched "
+        "mapInPandas pass (operators/image_dedup.py::"
+        "image_pixel_fingerprint, O(pixels) per row), then grouped by "
+        "fingerprint — one shuffle keyed on the hash, the exact-dedup "
+        "plan shape. The DuckDB oracle predicts every group from "
+        "doc_id % 256 with no codec: the value hash certifies that two "
+        "DIFFERENT codecs decode the same picture to the same pixels "
+        "and that the grouping is exact."
+    ),
+    tags=("northstar", "multimodal", "dedup"),
+)
+def q_multimodal_dedup_exact_pixels(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import image_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(600)
+    fp = image_dedup.image_pixel_fingerprint(
+        multimodal.synthesize_image_media_crossformat(ids)
+    )
+    w = W.partitionBy("pixel_md5")
+    return (
+        fp.select(
+            "media_id",
+            F.min("media_id").over(w).alias("group_min"),
+            F.count("*").over(w).alias("group_size"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "multimodal_dedup_phash_neardup",
+    # The near-dup synthesizer makes the answer SQL-predictable: base
+    # images are avalanche-hash noise (measured min cross-pair dHash
+    # hamming 16), each odd id is its even predecessor with a 4x4 patch
+    # brightened, and the patch can only touch the 6 dHash comparisons
+    # whose sampled pixels fall inside it — so at radius 6 the near-dup
+    # pairs are EXACTLY the (even, odd) twins, which the oracle emits
+    # with no codec and no hash.
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 300) "
+    "SELECT a.doc_id AS a_id, b.doc_id AS b_id "
+    "FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1 "
+    "WHERE a.doc_id % 2 = 0 ORDER BY a_id",
+    doc=(
+        "PERCEPTUAL image near-dup search (the image twin of "
+        "dedup_minhash_lsh): PNG payloads are decoded and difference-"
+        "hashed (operators/image_dedup.py::image_dhash — 64 gradient-"
+        "sign bits over the deterministic 9x8 resample) in one "
+        "Arrow-batched pass, then self-joined within hamming radius 6 "
+        "via PIGEONHOLE banding (7 disjoint bit bands; hamming <= 6 "
+        "guarantees a band collision, so candidate generation is an "
+        "equi-join on short keys — the SimHash blocking idiom — and the "
+        "exact bit_count(XOR) verify runs JVM-side on the candidate "
+        "sliver only). The corpus is constructed so the radius-6 answer "
+        "is exactly the synthesized twin pairs; the oracle predicts them "
+        "from id parity, certifying decode -> dHash -> banded join -> "
+        "hamming verify end to end."
+    ),
+    tags=("northstar", "multimodal", "dedup"),
+)
+def q_multimodal_dedup_phash_neardup(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.operators import image_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").orderBy("doc_id").limit(300)
+    hashes = image_dedup.image_dhash(
+        multimodal.synthesize_image_media_neardup(ids)
+    )
+    return (
+        image_dedup.near_dup_image_pairs(hashes, max_hamming=6)
+        .select("a_id", "b_id")
+        .orderBy("a_id")
+    )
+
+
+@register(
     "multimodal_video_frame_stats",
     # The oracle replays the AVI synthesizer's CLOSED-FORM frame blocks
     # block k of frame f of doc d = (d*31 + f*97 + k*17) % 256, with
