@@ -89,6 +89,19 @@ def main() -> None:
         "media_id", "frame_idx"
     ).show()
 
+    print("== image dedup (r8): exact cross-format + perceptual dHash ==")
+    from demo_otel_parquet_antalya_spark.operators import image_dedup as idd
+
+    dup_rows = [
+        (10, bytearray(mm.encode_png(gray))),
+        (11, bytearray(mm.encode_webp_lossless(gray))),  # same picture!
+        (12, bytearray(mm.encode_gif(gray))),            # same picture!
+        (13, bytearray(mm.encode_png(img))),             # different
+    ]
+    dups = spark.createDataFrame(dup_rows, "media_id long, payload binary")
+    idd.image_pixel_fingerprint(dups).show(truncate=12)
+    idd.near_dup_image_pairs(idd.image_dhash(dups), max_hamming=6).show()
+
     spark.stop()
 
 
