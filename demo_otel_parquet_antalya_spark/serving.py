@@ -35,13 +35,20 @@ stringified, and binary base64-encoded.
 Design notes (scale + safety):
 - READ-ONLY by construction: the statement must start with
   SELECT/WITH/VALUES/SHOW/DESCRIBE/EXPLAIN and, after string literals are
-  stripped, must contain no mutation keyword (INSERT/UPDATE/DELETE/MERGE/
-  DROP/CREATE/ALTER/TRUNCATE) and no JVM-escape function
-  (reflect()/java_method() — arbitrary static-method calls from a plain
-  SELECT would break read-only even on a trusted network). This is a
-  denylist, not a parsed allowlist: defense-in-depth for a trusted-network
-  dashboard port — not an auth boundary; put real authn/z in front of it
-  exactly as the reference fronts ClickHouse with Grafana's auth.
+  stripped (by a scanner that mirrors the session's ACTUAL lexer modes —
+  single- AND double-quoted literals, backslash escapes per
+  spark.sql.parser.escapedStringLiterals, double-quote-as-identifier per
+  spark.sql.ansi.doubleQuotedIdentifiers — ADVICE r8 showed a
+  defaults-divergent scan is a bypass), must contain no mutation keyword
+  (INSERT/UPDATE/DELETE/MERGE/DROP/CREATE/ALTER/TRUNCATE) and no
+  JVM-escape function (reflect()/java_method() — arbitrary static-method
+  calls from a plain SELECT would break read-only even on a trusted
+  network). A second, scanner-independent layer PARSES the statement and
+  walks the logical plan's UnresolvedFunction names for the same escapes.
+  Still a denylist, not a parsed allowlist: defense-in-depth for a
+  trusted-network dashboard port — not an auth boundary; put real authn/z
+  in front of it exactly as the reference fronts ClickHouse with
+  Grafana's auth.
 - ROW-CAPPED: every result is fetched through ``.limit(cap + 1)`` (default
   10k, per-request override DOWNWARD only), so a SELECT * over 100 TB
   costs one partition-ish of work under Spark's incremental collect, never
@@ -99,31 +106,86 @@ _MUTATORS = re.compile(
 _JVM_ESCAPES = re.compile(r"\b(reflect|java_method)\b", re.IGNORECASE)
 
 
-def _scannable(sql: str) -> str:
+def _scannable(
+    sql: str,
+    *,
+    backslash_escapes: bool = True,
+    double_quoted_identifiers: bool = False,
+) -> str:
     """The statement's CODE text only: string-literal contents and comment
-    bodies removed, backquotes blanked — the text the deny-regexes scan,
-    so neither `reflect`(...) nor reflect/**/(...) nor in-comment decoys
-    slip past the word-boundary matches. A single left-to-right scan
-    tracks string/comment state the way Spark's lexer does (regex-pass
-    ordering is not sound here: stripping strings first lets a quote
-    INSIDE a comment swallow following code — `-- 'x` then
-    reflect('...') on the next line — and stripping comments first lets
-    `--` inside a string swallow the string's tail)."""
+    bodies removed, quoted-identifier contents kept but de-quoted — the
+    text the deny-regexes scan, so neither `reflect`(...) nor
+    reflect/**/(...) nor in-comment decoys slip past the word-boundary
+    matches. A single left-to-right scan tracks string/comment state the
+    way Spark's lexer does (regex-pass ordering is not sound here:
+    stripping strings first lets a quote INSIDE a comment swallow
+    following code, and stripping comments first lets ``--`` inside a
+    string swallow the string's tail).
+
+    Lexer fidelity matters — any divergence desynchronizes the scan and
+    hides code inside what we think is a string (ADVICE r8 demonstrated
+    exactly that with ``SELECT "a'", reflect(...)``), so this mirrors
+    Spark's modes explicitly:
+
+    - ``"..."`` is a STRING literal by default
+      (spark.sql.ansi.doubleQuotedIdentifiers=false even under ANSI mode)
+      and is blanked like ``'...'``; with ``double_quoted_identifiers``
+      it is an identifier and its body is kept (de-quoted) so an
+      identifier spelled ``reflect`` still trips the deny regex — same
+      conservative false-positive policy as backquotes.
+    - ``backslash_escapes`` mirrors spark.sql.parser.escapedStringLiterals
+      (default false = backslash escapes ACTIVE): when active, ``\\'`` /
+      ``\\"`` / ``\\\\`` inside a literal do not close it; when the
+      session runs with escapedStringLiterals=true, backslash is an
+      ordinary character and ``'\\'`` is a complete string.
+    - Backquoted identifiers are consumed to their closing backquote
+      (a doubled backquote is the escaped backquote) as one token, with
+      quote/backslash characters inside blanked — a quote inside an
+      identifier must not flip the scanner into string mode.
+    """
     out = []
     i, n = 0, len(sql)
+
+    def consume_quoted(j: int, quote: str, escapes: bool) -> int:
+        """Index just past the literal/identifier opened at ``j`` (which
+        points AT the opening quote). Doubled-quote always escapes;
+        backslash escapes only when ``escapes``. Unterminated: end."""
+        j += 1
+        while j < n:
+            c = sql[j]
+            if escapes and c == "\\" and j + 1 < n:
+                j += 2
+            elif c == quote and j + 1 < n and sql[j + 1] == quote:
+                j += 2
+            elif c == quote:
+                return j + 1
+            else:
+                j += 1
+        return n
+
     while i < n:
         c = sql[i]
-        if c == "'":  # string literal ('' is the escaped quote)
-            i += 1
-            while i < n:
-                if sql[i] == "'" and i + 1 < n and sql[i + 1] == "'":
-                    i += 2
-                elif sql[i] == "'":
-                    i += 1
-                    break
-                else:
-                    i += 1
+        if c == "'":  # string literal: blank the body
+            i = consume_quoted(i, "'", backslash_escapes)
             out.append("''")
+        elif c == '"':
+            end = consume_quoted(
+                i, '"', backslash_escapes and not double_quoted_identifiers
+            )
+            if double_quoted_identifiers:
+                # identifier: keep the body (de-quoted, quotes/backslashes
+                # blanked) so deny-words inside it still match
+                body = sql[i + 1 : max(i + 1, end - 1)]
+                out.append(
+                    " "
+                    + "".join(
+                        " " if ch in "'\"`\\" else ch for ch in body
+                    )
+                    + " "
+                )
+            else:
+                out.append("''")  # string literal, same as '...'
+            i = end
         elif c == "-" and i + 1 < n and sql[i + 1] == "-":  # line comment
             while i < n and sql[i] != "\n":
                 i += 1
@@ -134,25 +196,78 @@ def _scannable(sql: str) -> str:
                 i += 1
             i = min(i + 2, n)  # unterminated: rest of statement is comment
             out.append(" ")
-        elif c == "`":
-            out.append(" ")
-            i += 1
+        elif c == "`":  # backquoted identifier: one token, body kept
+            end = consume_quoted(i, "`", False)
+            body = sql[i + 1 : max(i + 1, end - 1)]
+            out.append(
+                " " + "".join(" " if ch in "'\"`\\" else ch for ch in body) + " "
+            )
+            i = end
         else:
             out.append(c)
             i += 1
     return "".join(out)
 
 
-def _reject_reason(sql: str) -> str | None:
+def _denied_parsed_functions(spark, sql: str) -> list[str]:
+    """Denied function names found by PARSING the statement — the layer that
+    does not depend on scanner/lexer agreement at all (ADVICE r8's fix of
+    record). One py4j call parses, one serializes the logical plan tree to
+    JSON; the walk then collects every UnresolvedFunction /
+    UnresolvedTableValuedFunction name. Literal VALUES live in separate
+    JSON fields, so a string containing the word 'reflect' can never
+    false-positive here. Parse errors and toJSON gaps return [] — the
+    statement will fail in spark.sql with the same error, and the text
+    gate has already run."""
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        nodes = json.loads(plan.toJSON())
+    except Exception:
+        return []
+    denied: list[str] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            cls = str(node.get("class", ""))
+            if cls.endswith("UnresolvedFunction") or cls.endswith(
+                "UnresolvedTableValuedFunction"
+            ):
+                parts = str(node.get("nameParts") or node.get("name") or "")
+                last = parts.strip("[]").split(",")[-1].strip().lower()
+                if last in ("reflect", "java_method"):
+                    denied.append(last)
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(nodes)
+    return denied
+
+
+def _reject_reason(sql: str, spark=None) -> str | None:
     head = sql.lstrip().split(None, 1)
     if not head:
         return "empty statement"
     if head[0].lower() not in _ALLOWED_HEADS:
         return f"read-only endpoint: statement must start with one of {_ALLOWED_HEADS}"
-    stripped = _scannable(sql)
+    if spark is not None:
+        # scan in the session's actual lexer modes, not assumed defaults
+        esc = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        dqi = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+        stripped = _scannable(
+            sql,
+            backslash_escapes=esc.lower() != "true",
+            double_quoted_identifiers=dqi.lower() == "true",
+        )
+    else:
+        stripped = _scannable(sql)
     if _MUTATORS.search(stripped):
         return "read-only endpoint: mutation keywords are not allowed"
     if _JVM_ESCAPES.search(stripped):
+        return "read-only endpoint: JVM reflection functions are not allowed"
+    if spark is not None and _denied_parsed_functions(spark, sql):
         return "read-only endpoint: JVM reflection functions are not allowed"
     return None
 
@@ -430,7 +545,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
             if path == "/query":
                 req = json.loads(raw or b"{}")
                 sql = req.get("sql", "")
-                reason = _reject_reason(sql)
+                reason = _reject_reason(sql, self.spark)
                 if reason:
                     self._send(400, {"error": reason})
                     return

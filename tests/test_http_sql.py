@@ -189,6 +189,83 @@ def test_jvm_escape_functions_rejected(endpoint):
     assert ok["rows"] == [[1]]
 
 
+def test_lexer_desync_bypasses_rejected(endpoint):
+    """ADVICE r8: the scanner must lex exactly like Spark does, or a quote
+    the scanner mis-classifies desynchronizes it and hides code inside
+    what it thinks is a string. Spark's defaults (ANSI on, 4.1.2): "..."
+    is a STRING literal, and backslash escapes are active inside
+    literals. Both desyncs were demonstrated live-executing reflect()."""
+    for sql in (
+        # the advisor's exact payload: "a'" is a complete double-quoted
+        # string; a scanner ignorant of " sees an open '-literal swallow
+        # `, reflect(` and misses the call
+        "SELECT \"a'\", reflect('java.lang.System','getProperty','user.dir')",
+        # backslash desync: '\'' is the one-char string ' — a scanner that
+        # treats \ as ordinary sees '' (empty) then an opening quote, and
+        # the reflect call lands inside the phantom string
+        "SELECT '\\'', reflect('java.lang.System','getProperty','user.dir')",
+        # a quote inside a backquoted identifier must not open string mode
+        "SELECT `a'b`, reflect('java.lang.System','getProperty','a') FROM region",
+        # same desyncs aimed at the mutation scan
+        "SELECT \"a'\"; DROP TABLE region",
+    ):
+        code, err = _post_err(endpoint, "/query", {"sql": sql})
+        assert code == 400 and "read-only" in err["error"], sql
+    # and the fixed scanner must NOT false-positive on legitimate
+    # double-quoted / escaped strings containing suspicious words
+    ok = _post(endpoint, "/query", {"sql": 'SELECT "it\'s a DROP decoy" AS s'})
+    assert ok["rows"] == [["it's a DROP decoy"]]
+    ok = _post(endpoint, "/query", {"sql": "SELECT 'a\\'reflect(b)' AS s"})
+    assert ok["rows"] == [["a'reflect(b)"]]
+
+
+def test_scannable_honors_session_lexer_modes():
+    """_scannable is parameterized by the session's actual lexer config:
+    spark.sql.parser.escapedStringLiterals flips backslash handling, and
+    spark.sql.ansi.doubleQuotedIdentifiers flips "..." between string
+    (blanked) and identifier (kept, so deny-words in it still match)."""
+    from demo_otel_parquet_antalya_spark.serving import _scannable
+
+    # default modes: escapes active, "..." is a string
+    s = _scannable("SELECT \"a'\", reflect('x')")
+    assert "reflect" in s
+    s = _scannable("SELECT '\\'', reflect('x')")
+    assert "reflect" in s and "x" not in s
+    # escapedStringLiterals=true: backslash is ordinary, so '\' is a
+    # complete string and the reflect after it is code
+    s = _scannable("SELECT '\\', reflect('x')", backslash_escapes=False)
+    assert "reflect" in s
+    # ...while under default escapes that same text is one open literal
+    # (conservative: nothing after it is treated as code)
+    s = _scannable("SELECT '\\', reflect('x')")
+    assert "reflect" not in s
+    # doubleQuotedIdentifiers=true: the body is an identifier and KEPT
+    s = _scannable('SELECT "reflect"(1)', double_quoted_identifiers=True)
+    assert "reflect" in s
+    # ...but as a string (default) it is data and blanked
+    s = _scannable('SELECT "reflect" AS s')
+    assert "reflect" not in s
+
+
+def test_parsed_plan_gate_catches_unresolved_functions(spark):
+    """The scanner-independent layer: parse the statement, walk the logical
+    plan's UnresolvedFunction names (one py4j parse + one toJSON — no text
+    heuristics). String literals live in separate JSON fields, so data
+    containing 'reflect' never false-positives here."""
+    from demo_otel_parquet_antalya_spark.serving import _denied_parsed_functions
+
+    assert _denied_parsed_functions(
+        spark, "SELECT `reflect`('java.lang.String','valueOf',1)"
+    ) == ["reflect"]
+    assert _denied_parsed_functions(
+        spark, "SELECT upper(s) FROM t WHERE x IN (SELECT java_method('c') FROM u)"
+    ) == ["java_method"]
+    assert _denied_parsed_functions(spark, "SELECT 'reflect(x)' AS s") == []
+    assert _denied_parsed_functions(spark, "SELECT upper('java_method') AS s") == []
+    # unparseable input is not this layer's problem (spark.sql re-raises)
+    assert _denied_parsed_functions(spark, "SELEC nope") == []
+
+
 def test_mutators_hidden_in_comments_still_rejected(endpoint):
     """Comment stripping must not UNHIDE mutation text either way: a DROP
     smuggled around comments is still caught by the bare-word scan."""
