@@ -27,7 +27,13 @@ def _partition_hour_ts() -> Column:
     )
 
 
-def time_filter(df: DataFrame, start=None, end=None, col: str = "timestamp") -> DataFrame:
+def time_filter(
+    df: DataFrame,
+    start=None,
+    end=None,
+    col: str = "timestamp",
+    partitioned_by: str = "timestamp",
+) -> DataFrame:
     """Grafana $timeFilter macro: closed time-range predicate on the time column
     (reference logs.json:115-116; B6).
 
@@ -38,8 +44,23 @@ def time_filter(df: DataFrame, start=None, end=None, col: str = "timestamp") -> 
     identical — but the scan prunes the non-matching hour DIRECTORIES
     instead of reading every file's footer. At 100 TB this is the
     difference between a dashboard time window costing O(window) and
-    O(history); plan-guarded by tests/test_plan_quality.py."""
-    has_parts = {"year", "month", "day", "hour"} <= set(df.columns)
+    O(history); plan-guarded by tests/test_plan_quality.py.
+
+    INVARIANT (``partitioned_by``, ADVICE r8): the derived predicates are
+    only valid when the filtered column IS the one the year/month/day/hour
+    layout was derived from (the ingest partitions on ``timestamp``,
+    streaming/ingest.py). Filtering any other time column (e.g.
+    ``observed_timestamp``) with the partition predicates attached would
+    silently DROP rows whose own hour differs from the partition hour, so
+    they are added only when ``col == partitioned_by``; a non-partitioned
+    column keeps exact semantics and merely loses directory pruning. If a
+    warehouse is partitioned by a different column, say so explicitly:
+    ``time_filter(df, s, e, col="observed_timestamp",
+    partitioned_by="observed_timestamp")``."""
+    has_parts = (
+        col == partitioned_by
+        and {"year", "month", "day", "hour"} <= set(df.columns)
+    )
     if start is not None:
         df = df.filter(F.col(col) >= F.lit(start))
         if has_parts:

@@ -78,6 +78,51 @@ def test_time_filter_bounds(spark, logs_view):
     assert len(rows) == min(in_range, 1000)
 
 
+def test_time_filter_non_partitioned_column_keeps_all_rows(spark):
+    """ADVICE r8: the derived year/month/day/hour partition predicates
+    encode the hour of the PARTITIONING column (timestamp). Filtering a
+    different time column on a frame that carries those columns must not
+    attach them — a row whose observed_timestamp falls in the window but
+    whose timestamp-hour partition does not would be silently dropped."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2023-11-14 22:30:00", "2023-11-15 01:00:00")],
+        "timestamp string, observed_timestamp string",
+    ).select(
+        F.to_timestamp("timestamp").alias("timestamp"),
+        F.to_timestamp("observed_timestamp").alias("observed_timestamp"),
+    ).withColumns(
+        {
+            "year": F.year("timestamp"),
+            "month": F.month("timestamp"),
+            "day": F.dayofmonth("timestamp"),
+            "hour": F.hour("timestamp"),
+        }
+    )
+    # window matches observed_timestamp (01:00) but NOT the partition hour
+    # (22:00 on the 14th) — exact semantics require the row to survive
+    got = facade.time_filter(
+        df, "2023-11-15 00:00:00", "2023-11-15 02:00:00", col="observed_timestamp"
+    )
+    assert got.count() == 1
+    # filtering the partitioning column itself still prunes (and matches)
+    assert facade.time_filter(df, "2023-11-15 00:00:00", None).count() == 0
+    assert facade.time_filter(df, "2023-11-14 22:00:00", None).count() == 1
+    # a warehouse partitioned by another column opts in explicitly
+    got = facade.time_filter(
+        df,
+        "2023-11-15 00:00:00",
+        None,
+        col="observed_timestamp",
+        partitioned_by="observed_timestamp",
+    )
+    # partition columns here encode timestamp's hour, so the opt-in with a
+    # mismatched layout drops the row — exactly the contract the parameter
+    # names: the caller asserts the layout derives from `partitioned_by`
+    assert got.count() == 0
+
+
 def test_translate_is_string_level():
     out = translate(Q5, interval_seconds=30)
     assert "$" not in out and "count()" not in out
