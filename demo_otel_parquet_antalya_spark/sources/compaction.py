@@ -190,21 +190,25 @@ def compact(
     AND finalize (drop the manifest) when the root will no longer be
     written by that streaming query. Live pipelines should compact into
     a new root + catalog flip instead."""
-    if has_streaming_manifest(spark, root):
-        if not finalize_streaming:
-            raise ValueError(
-                "root was written by a streaming sink (_spark_metadata "
-                "present): in-place compaction invalidates the manifest. "
-                "Pass finalize_streaming=True if this streaming query is "
-                "done writing here, or compact into a new root and flip "
-                "the catalog pointer (sources/registry.py)."
-            )
-    else:
-        finalize_streaming = False
+    if has_streaming_manifest(spark, root) and not finalize_streaming:
+        raise ValueError(
+            "root was written by a streaming sink (_spark_metadata "
+            "present): in-place compaction invalidates the manifest. "
+            "Pass finalize_streaming=True if this streaming query is "
+            "done writing here, or compact into a new root and flip "
+            "the catalog pointer (sources/registry.py)."
+        )
+    if finalize_streaming:
+        # Drop the manifest BEFORE rewriting (ADVICE r8): the caller has
+        # declared the sink finished, so manifest-routed reads of any
+        # post-compaction state are already invalid — and deleting it
+        # last meant a crash mid-compaction (or between rewrite and
+        # delete) left the manifest pinning already-deleted files,
+        # failing every read until someone manually finalized. Dropping
+        # first makes every crash point recoverable: reads list the
+        # directory directly and a re-run just resumes compacting.
+        finalize_streaming_warehouse(spark, root)
     targets = plan_compaction(
         spark, root, partition_cols, target_rows_per_file, min_excess_files
     )
-    rewritten = compact_partitions(spark, root, targets)
-    if rewritten and finalize_streaming:
-        finalize_streaming_warehouse(spark, root)
-    return rewritten
+    return compact_partitions(spark, root, targets)

@@ -97,6 +97,27 @@ def test_streaming_sink_manifest_dropped_after_compaction(spark, tmp_path):
     with _pytest.raises(ValueError, match="streaming sink"):
         compact(spark, wh, list(PARTITION_COLUMNS), target_rows_per_file=10_000,
                 min_excess_files=1)
+    # crash-safety ordering (ADVICE r8): the manifest is dropped BEFORE any
+    # rewrite, so a crash at any later point leaves a warehouse that reads
+    # by plain directory listing — never a manifest pinning deleted files
+    import demo_otel_parquet_antalya_spark.sources.compaction as _c
+
+    real_rewrite = _c.compact_partitions
+
+    def _crash(*a, **k):
+        raise RuntimeError("simulated crash mid-compaction")
+
+    _c.compact_partitions = _crash
+    try:
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            compact(spark, wh, list(PARTITION_COLUMNS),
+                    target_rows_per_file=10_000, min_excess_files=1,
+                    finalize_streaming=True)
+    finally:
+        _c.compact_partitions = real_rewrite
+    assert not os.path.isdir(os.path.join(wh, "_spark_metadata"))
+    assert spark.read.parquet(wh).count() == before  # reads still work
+    # a re-run (no manifest left; finalize flag now moot) just completes
     rewritten = compact(
         spark, wh, list(PARTITION_COLUMNS), target_rows_per_file=10_000,
         min_excess_files=1, finalize_streaming=True,
