@@ -61,7 +61,6 @@ _DRIVER_WINDOW: tuple = (
     # asymmetric containment)
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_jaccard_ppjoin",  # r4-in: prefix-filtered exact Jaccard
     # north-star: similarity / fingerprints / linkage
     "similarity_cosine_topk",
     "er_golden_records",  # r4-in: survivorship over linkage clusters
@@ -106,12 +105,21 @@ _DRIVER_WINDOW: tuple = (
     # (privacy family keeps the richer privacy_pii_scrub_logs).
     "multimodal_dedup_exact_pixels",  # r8-in: cross-format exact image dedup
     "multimodal_dedup_phash_neardup",  # r8-in: dHash + pigeonhole hamming join
+    # r9-in (built this round, windowed this round — standing window
+    # discipline): the proportional-exact-quota stratified sampler;
+    # rotates out dedup_jaccard_ppjoin (text-dedup keeps minhash_lsh +
+    # clusters + exact_substr_spans), which stays oracle-proven in the
+    # local suite every run.
+    "sample_stratified_exact",  # r9-in: proportional exact quotas per stratum
 )
 
 # next-most-important — first in line if the driver window ever widens.
 # The leading block is the r4 rotation: all CORRECTNESS_r03-green, oracles
 # retained, re-proved locally by tests/test_queries_oracle.py every run.
 _SECOND_WINDOW: tuple = (
+    # r9 rotate-out (driver-green r4-r8; text-dedup family still has three
+    # window reps — see the r9-in note in _DRIVER_WINDOW)
+    "dedup_jaccard_ppjoin",
     # r8 rotate-outs (driver-green r5-r7; every family still represented
     # in the window — image/video stats by their strictly-wider mixed
     # variants, text dedup by minhash/clusters/ppjoin, privacy by the

@@ -1978,6 +1978,59 @@ def q_shard_token_balanced(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Corpus sampling & curation (r9): the dataset-assembly steps between
+# dedup/quality and the writer — reproducible subsetting, stratified
+# splits, domain-mixture weighting, pre-tokenization chunking.
+# ===========================================================================
+
+
+@register(
+    "sample_stratified_exact",
+    "WITH q AS (SELECT lang, CAST(CEIL(COUNT(*) * 0.2) AS BIGINT) AS quota "
+    "FROM documents GROUP BY lang), "
+    "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+    "FROM documents) "
+    "SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk "
+    "FROM r JOIN q USING (lang) WHERE r.rk <= q.quota ORDER BY doc_id",
+    doc=(
+        "EXACT PROPORTIONAL stratified sampling: ceil(20%) of every "
+        "language stratum, not 20% in expectation — df.sampleBy() is "
+        "Bernoulli per stratum and misses small-stratum quotas exactly "
+        "where balance matters (the rare languages), and the existing "
+        "sample_per_stratum takes a CONSTANT k per stratum; this is the "
+        "third allocation: quotas computed FROM the stratum sizes and "
+        "joined back as a broadcast. Rows rank inside each stratum by a "
+        "seeded md5 of the key (uniform, deterministic, engine-portable); "
+        "membership is row_number <= quota. ONE shuffle on the stratum "
+        "key; the hash rank key is uniform so per-stratum order is never "
+        "skew-amplifying, and a giant stratum can swap row_number for the "
+        "two-pass prefix-rank (operators/stats.py) without changing "
+        "membership — the hash order is the contract, not the operator."
+    ),
+)
+def q_sample_stratified_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    quotas = docs.groupBy("lang").agg(
+        F.ceil(F.count("*") * 0.2).alias("quota")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", rk.cast("long"))
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "rk")
+        .orderBy("doc_id")
+    )
+
+
 # DuckDB-side winnowed fingerprint sets, identical to
 # operators.fingerprint.winnow_fingerprints (k=4 word grams, window=5):
 # md5 per gram, min per sliding window of 5 gram hashes, distinct per doc.

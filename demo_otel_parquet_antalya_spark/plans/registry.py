@@ -44,6 +44,11 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = "", tags: tuple = (), bench: bool = False):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        # a duplicate name would silently REPLACE the earlier query (and its
+        # oracle) everywhere — the registry, the driver window, bench — so
+        # refuse at import time, where the collision is one traceback away
+        if name in QUERIES:
+            raise ValueError(f"query {name!r} is already registered")
         QUERIES[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=doc, tags=tags, bench=bench)
         return fn
 
