@@ -266,6 +266,64 @@ def test_parsed_plan_gate_catches_unresolved_functions(spark):
     assert _denied_parsed_functions(spark, "SELEC nope") == []
 
 
+def test_gate_differential_fuzz(spark):
+    """Differential fuzz of the read-only gate: compose statements from
+    fragments whose intent is KNOWN by construction (evil calls included
+    as code vs. decoys confined to string literals / comments), and check
+    both directions — every statement carrying an evil fragment as code
+    is rejected, and every purely-benign statement that Spark can parse
+    is accepted (no false positives from scanner desync). This is the
+    property the hand-picked bypass cases instantiate; the fuzz walks the
+    cross product."""
+    import itertools
+
+    from demo_otel_parquet_antalya_spark.serving import _reject_reason
+
+    LITERALS = [
+        "'it''s'",
+        "'a\\'b'",
+        "\"dq'lit\"",
+        "'reflect(x)'",
+        '"DROP TABLE t"',
+        "'-- not a comment'",
+        "'/*'",
+    ]
+    BENIGN = [
+        "1",
+        "upper('x')",
+        "length('a''b')",
+        "`a'b`",
+        "trim(\"x'\")",
+    ]
+    EVIL = [
+        "reflect('java.lang.String','valueOf',1)",
+        "java_method('java.lang.String','valueOf',1)",
+        "`reflect`('java.lang.String','valueOf',1)",
+        "reflect/**/('java.lang.String','valueOf',1)",
+    ]
+    COMMENTS = ["", " -- tail'", " /* c ' reflect( */"]
+
+    def parses(sql):
+        try:
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+            return True
+        except Exception:
+            return False
+
+    checked_evil = checked_benign = 0
+    for lit, ben, com in itertools.product(LITERALS, BENIGN, COMMENTS):
+        benign_sql = f"SELECT {lit} AS a, {ben} AS b{com}"
+        if parses(benign_sql):
+            checked_benign += 1
+            assert _reject_reason(benign_sql, spark) is None, benign_sql
+        for evil in EVIL:
+            evil_sql = f"SELECT {lit} AS a, {ben} AS b, {evil} AS c{com}"
+            checked_evil += 1
+            assert _reject_reason(evil_sql, spark) is not None, evil_sql
+    # the cross product must actually have exercised both directions
+    assert checked_benign >= 80 and checked_evil >= 300
+
+
 def test_mutators_hidden_in_comments_still_rejected(endpoint):
     """Comment stripping must not UNHIDE mutation text either way: a DROP
     smuggled around comments is still caught by the bare-word scan."""
