@@ -142,9 +142,18 @@ def _scannable(
       (a doubled backquote is the escaped backquote) as one token, with
       quote/backslash characters inside blanked — a quote inside an
       identifier must not flip the scanner into string mode.
+    - ``r'...'`` / ``R"..."`` RAW strings and ``X'...'`` hex literals:
+      backslash is never an escape inside them regardless of the session
+      escape mode (Spark lexes the prefix before the parser sees it), so
+      ``r'\\'`` is a complete one-char string — a scanner that escapes the
+      backslash swallows the statement tail (the WITH...INSERT bypass
+      found while testing the r8 fix).
     """
     out = []
     i, n = 0, len(sql)
+
+    def is_ident(ch: str) -> bool:
+        return ch.isalnum() or ch in "_$"
 
     def consume_quoted(j: int, quote: str, escapes: bool) -> int:
         """Index just past the literal/identifier opened at ``j`` (which
@@ -165,7 +174,15 @@ def _scannable(
 
     while i < n:
         c = sql[i]
-        if c == "'":  # string literal: blank the body
+        if (
+            c in "rRxX"
+            and i + 1 < n
+            and sql[i + 1] in "'\""
+            and (i == 0 or not is_ident(sql[i - 1]))
+        ):  # raw / hex string literal: backslash is ordinary inside
+            i = consume_quoted(i + 1, sql[i + 1], False)
+            out.append("''")
+        elif c == "'":  # string literal: blank the body
             i = consume_quoted(i, "'", backslash_escapes)
             out.append("''")
         elif c == '"':
@@ -209,22 +226,38 @@ def _scannable(
     return "".join(out)
 
 
-def _denied_parsed_functions(spark, sql: str) -> list[str]:
-    """Denied function names found by PARSING the statement — the layer that
-    does not depend on scanner/lexer agreement at all (ADVICE r8's fix of
+# parse-time logical-plan classes that mutate state; simple-name PREFIXES
+# under catalyst.plans.logical (expressions like CreateNamedStruct live in
+# catalyst.expressions and are exempt by package). Covers
+# InsertIntoStatement, DeleteFromTable, UpdateTable, MergeIntoTable,
+# DropTable, CreateTable(AsSelect), AlterTable*, TruncateTable,
+# ReplaceTable(AsSelect) — i.e. the statements a CTE head can smuggle past
+# the head-keyword check (WITH ... INSERT parses; its top node is
+# UnresolvedWith, not the DML).
+_MUTATING_PLAN = re.compile(
+    r"^(Insert|Update|Delete|Merge|Drop|Create|Alter|Truncate|Replace)"
+)
+_LOGICAL_PKG = "org.apache.spark.sql.catalyst.plans.logical."
+
+
+def _parsed_reject(spark, sql: str) -> str | None:
+    """Reject reasons found by PARSING the statement — the layer that does
+    not depend on scanner/lexer agreement at all (ADVICE r8's fix of
     record). One py4j call parses, one serializes the logical plan tree to
     JSON; the walk then collects every UnresolvedFunction /
-    UnresolvedTableValuedFunction name. Literal VALUES live in separate
-    JSON fields, so a string containing the word 'reflect' can never
-    false-positive here. Parse errors and toJSON gaps return [] — the
-    statement will fail in spark.sql with the same error, and the text
-    gate has already run."""
+    UnresolvedTableValuedFunction name (denied: reflect/java_method) and
+    every mutating logical-plan class (denied: the DML/DDL statements a
+    ``WITH ... INSERT`` smuggles under an allowed head keyword). Literal
+    VALUES live in separate JSON fields, so a string containing the word
+    'reflect' or 'DROP' can never false-positive here. Parse errors and
+    toJSON gaps return None — the statement will fail in spark.sql with
+    the same error, and the text gate has already run."""
     try:
         plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
         nodes = json.loads(plan.toJSON())
     except Exception:
-        return []
-    denied: list[str] = []
+        return None
+    reasons: list[str] = []
 
     def walk(node):
         if isinstance(node, dict):
@@ -235,7 +268,16 @@ def _denied_parsed_functions(spark, sql: str) -> list[str]:
                 parts = str(node.get("nameParts") or node.get("name") or "")
                 last = parts.strip("[]").split(",")[-1].strip().lower()
                 if last in ("reflect", "java_method"):
-                    denied.append(last)
+                    reasons.append(
+                        "read-only endpoint: JVM reflection functions are "
+                        "not allowed"
+                    )
+            elif cls.startswith(_LOGICAL_PKG) and _MUTATING_PLAN.match(
+                cls[len(_LOGICAL_PKG):]
+            ):
+                reasons.append(
+                    "read-only endpoint: mutation statements are not allowed"
+                )
             for v in node.values():
                 walk(v)
         elif isinstance(node, list):
@@ -243,7 +285,7 @@ def _denied_parsed_functions(spark, sql: str) -> list[str]:
                 walk(v)
 
     walk(nodes)
-    return denied
+    return reasons[0] if reasons else None
 
 
 def _reject_reason(sql: str, spark=None) -> str | None:
@@ -267,8 +309,8 @@ def _reject_reason(sql: str, spark=None) -> str | None:
         return "read-only endpoint: mutation keywords are not allowed"
     if _JVM_ESCAPES.search(stripped):
         return "read-only endpoint: JVM reflection functions are not allowed"
-    if spark is not None and _denied_parsed_functions(spark, sql):
-        return "read-only endpoint: JVM reflection functions are not allowed"
+    if spark is not None:
+        return _parsed_reject(spark, sql)
     return None
 
 

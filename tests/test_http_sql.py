@@ -247,23 +247,65 @@ def test_scannable_honors_session_lexer_modes():
     assert "reflect" not in s
 
 
-def test_parsed_plan_gate_catches_unresolved_functions(spark):
+def test_parsed_plan_gate_catches_functions_and_statements(spark):
     """The scanner-independent layer: parse the statement, walk the logical
-    plan's UnresolvedFunction names (one py4j parse + one toJSON — no text
-    heuristics). String literals live in separate JSON fields, so data
-    containing 'reflect' never false-positives here."""
-    from demo_otel_parquet_antalya_spark.serving import _denied_parsed_functions
+    plan (one py4j parse + one toJSON — no text heuristics) for denied
+    function names AND mutating statement classes. String literals live in
+    separate JSON fields, so data containing 'reflect' or 'DROP' never
+    false-positives here."""
+    from demo_otel_parquet_antalya_spark.serving import _parsed_reject
 
-    assert _denied_parsed_functions(
+    assert "reflection" in _parsed_reject(
         spark, "SELECT `reflect`('java.lang.String','valueOf',1)"
-    ) == ["reflect"]
-    assert _denied_parsed_functions(
+    )
+    assert "reflection" in _parsed_reject(
         spark, "SELECT upper(s) FROM t WHERE x IN (SELECT java_method('c') FROM u)"
-    ) == ["java_method"]
-    assert _denied_parsed_functions(spark, "SELECT 'reflect(x)' AS s") == []
-    assert _denied_parsed_functions(spark, "SELECT upper('java_method') AS s") == []
+    )
+    # a CTE head smuggling DML: the top node is UnresolvedWith, the DML is
+    # a child — the walk must find it wherever it sits
+    assert "mutation" in _parsed_reject(
+        spark, "WITH x AS (SELECT 1 AS a) INSERT INTO tgt SELECT * FROM x"
+    )
+    assert _parsed_reject(spark, "SELECT 'reflect(x)' AS s") is None
+    assert _parsed_reject(spark, "SELECT upper('java_method') AS s") is None
+    assert _parsed_reject(spark, "SELECT 'please DROP nothing' AS s") is None
+    # expression classes named Create* (CreateNamedStruct etc.) are NOT
+    # mutations — package-scoped matching must let them through
+    assert _parsed_reject(
+        spark, "SELECT named_struct('a', 1) AS s, array(1, 2) AS t, map('k', 1) AS u"
+    ) is None
     # unparseable input is not this layer's problem (spark.sql re-raises)
-    assert _denied_parsed_functions(spark, "SELEC nope") == []
+    assert _parsed_reject(spark, "SELEC nope") is None
+
+
+def test_raw_string_desync_bypasses_rejected(endpoint):
+    """Spark lexes r'...'/R"..."/X'...' with NO backslash escapes (the
+    prefix wins over the session escape mode); a scanner that keeps
+    processing \\' inside them swallows the statement tail. Found live
+    while testing the r8 fix: a raw-string desync hid a CTE-smuggled
+    INSERT from the mutation scan, and the parse layer only checked
+    function names."""
+    for sql in (
+        # raw-string desync hiding a reflect call
+        "SELECT r'\\', reflect('java.lang.System','getProperty','user.dir')",
+        # raw-string desync hiding CTE-smuggled DML (executes if unrejected)
+        "WITH x AS (SELECT r'\\' AS a) INSERT INTO tgt SELECT * FROM x",
+        # plain CTE-smuggled DML, no desync needed: the bare-word scan
+        # catches it, and the parse layer must too
+        "WITH x AS (SELECT 1 AS a) INSERT INTO tgt SELECT * FROM x",
+        # capital prefix and double-quoted raw form
+        'SELECT R"\\", java_method(\'java.lang.System\',\'exit\',1)',
+    ):
+        code, err = _post_err(endpoint, "/query", {"sql": sql})
+        assert code == 400 and "read-only" in err["error"], sql
+    # benign raw/hex literals pass and keep their exact content
+    ok = _post(endpoint, "/query", {"sql": "SELECT r'a\\reflect(x)' AS s"})
+    assert ok["rows"] == [["a\\reflect(x)"]]
+    ok = _post(endpoint, "/query", {"sql": "SELECT hex(X'1C') AS s"})
+    assert ok["rows"] == [["1C"]]
+    # an identifier ENDING in r followed by a string is not a raw prefix
+    ok = _post(endpoint, "/query", {"sql": "SELECT 'x' yr FROM (SELECT 1)"})
+    assert ok["columns"] == ["yr"]
 
 
 def test_gate_differential_fuzz(spark):
@@ -287,6 +329,9 @@ def test_gate_differential_fuzz(spark):
         '"DROP TABLE t"',
         "'-- not a comment'",
         "'/*'",
+        "r'raw\\'",
+        'R"raw\\"',
+        "X'1C'",
     ]
     BENIGN = [
         "1",
