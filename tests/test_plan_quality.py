@@ -549,3 +549,15 @@ def test_graph_hits_only_one_row_broadcasts(spark):
     plan = plan_of(spark, "graph_hits_trade")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_stratified_exact_quota_join_broadcasts(spark):
+    """sample_stratified_exact: the per-stratum quota table (|strata| rows)
+    must broadcast into the ranked frame — a shuffle join here would
+    re-exchange the full corpus on lang a second time; and the per-stratum
+    ranking must be the single window pass, nothing Python-side."""
+    plan = plan_of(spark, "sample_stratified_exact")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "EvalPython" not in plan
