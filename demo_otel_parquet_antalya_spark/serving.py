@@ -155,6 +155,11 @@ def _scannable(
     def is_ident(ch: str) -> bool:
         return ch.isalnum() or ch in "_$"
 
+    def blank_ident(body: str) -> str:
+        # identifier body kept (so deny-words in it still match) with
+        # quote/backslash chars blanked — they must not re-enter the scan
+        return " " + "".join(" " if ch in "'\"`\\" else ch for ch in body) + " "
+
     def consume_quoted(j: int, quote: str, escapes: bool) -> int:
         """Index just past the literal/identifier opened at ``j`` (which
         points AT the opening quote). Doubled-quote always escapes;
@@ -190,16 +195,7 @@ def _scannable(
                 i, '"', backslash_escapes and not double_quoted_identifiers
             )
             if double_quoted_identifiers:
-                # identifier: keep the body (de-quoted, quotes/backslashes
-                # blanked) so deny-words inside it still match
-                body = sql[i + 1 : max(i + 1, end - 1)]
-                out.append(
-                    " "
-                    + "".join(
-                        " " if ch in "'\"`\\" else ch for ch in body
-                    )
-                    + " "
-                )
+                out.append(blank_ident(sql[i + 1 : max(i + 1, end - 1)]))
             else:
                 out.append("''")  # string literal, same as '...'
             i = end
@@ -215,10 +211,7 @@ def _scannable(
             out.append(" ")
         elif c == "`":  # backquoted identifier: one token, body kept
             end = consume_quoted(i, "`", False)
-            body = sql[i + 1 : max(i + 1, end - 1)]
-            out.append(
-                " " + "".join(" " if ch in "'\"`\\" else ch for ch in body) + " "
-            )
+            out.append(blank_ident(sql[i + 1 : max(i + 1, end - 1)]))
             i = end
         else:
             out.append(c)
@@ -226,16 +219,22 @@ def _scannable(
     return "".join(out)
 
 
-# parse-time logical-plan classes that mutate state; simple-name PREFIXES
-# under catalyst.plans.logical (expressions like CreateNamedStruct live in
-# catalyst.expressions and are exempt by package). Covers
+# parse-time logical-plan classes that break read-only; simple-name
+# PREFIXES under catalyst.plans.logical (expressions like CreateNamedStruct
+# live in catalyst.expressions and are exempt by package). Covers
 # InsertIntoStatement, DeleteFromTable, UpdateTable, MergeIntoTable,
 # DropTable, CreateTable(AsSelect), AlterTable*, TruncateTable,
-# ReplaceTable(AsSelect) — i.e. the statements a CTE head can smuggle past
-# the head-keyword check (WITH ... INSERT parses; its top node is
-# UnresolvedWith, not the DML).
+# ReplaceTable(AsSelect) — the statements a CTE head can smuggle past the
+# head-keyword check (WITH ... INSERT parses; its top node is
+# UnresolvedWith, not the DML) — plus ScriptTransformation: SELECT
+# TRANSFORM(...) USING 'cmd' hands rows to an ARBITRARY HOST SHELL COMMAND,
+# a strictly stronger escape than reflect() (found by self-review, verified
+# live — the text scan cannot block it because `transform` is also the
+# legitimate array HOF and `USING` appears in join syntax; the plan class
+# separates them exactly).
 _MUTATING_PLAN = re.compile(
-    r"^(Insert|Update|Delete|Merge|Drop|Create|Alter|Truncate|Replace)"
+    r"^(Insert|Update|Delete|Merge|Drop|Create|Alter|Truncate|Replace"
+    r"|ScriptTransformation)"
 )
 _LOGICAL_PKG = "org.apache.spark.sql.catalyst.plans.logical."
 
@@ -246,17 +245,25 @@ def _parsed_reject(spark, sql: str) -> str | None:
     record). One py4j call parses, one serializes the logical plan tree to
     JSON; the walk then collects every UnresolvedFunction /
     UnresolvedTableValuedFunction name (denied: reflect/java_method) and
-    every mutating logical-plan class (denied: the DML/DDL statements a
-    ``WITH ... INSERT`` smuggles under an allowed head keyword). Literal
-    VALUES live in separate JSON fields, so a string containing the word
-    'reflect' or 'DROP' can never false-positive here. Parse errors and
-    toJSON gaps return None — the statement will fail in spark.sql with
-    the same error, and the text gate has already run."""
+    every read-only-breaking logical-plan class (denied: the DML/DDL a
+    ``WITH ... INSERT`` smuggles under an allowed head keyword, and
+    TRANSFORM ... USING's shell execution). Literal VALUES live in
+    separate JSON fields, so a string containing the word 'reflect' or
+    'DROP' can never false-positive here. A PARSE error returns None —
+    the statement will fail in spark.sql with the same error, and the
+    text gate has already run. A plan that parses but cannot be
+    serialized for inspection is DENIED — on a read-only port an
+    unvalidatable statement fails closed, not open."""
     try:
         plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
-        nodes = json.loads(plan.toJSON())
     except Exception:
         return None
+    try:
+        nodes = json.loads(plan.toJSON())
+    except Exception:
+        return (
+            "read-only endpoint: statement plan could not be validated"
+        )
     reasons: list[str] = []
 
     def walk(node):
@@ -276,7 +283,8 @@ def _parsed_reject(spark, sql: str) -> str | None:
                 cls[len(_LOGICAL_PKG):]
             ):
                 reasons.append(
-                    "read-only endpoint: mutation statements are not allowed"
+                    "read-only endpoint: mutation / host-command statements "
+                    "are not allowed"
                 )
             for v in node.values():
                 walk(v)
@@ -288,23 +296,29 @@ def _parsed_reject(spark, sql: str) -> str | None:
     return reasons[0] if reasons else None
 
 
-def _reject_reason(sql: str, spark=None) -> str | None:
+def _lexer_modes(spark) -> dict:
+    """The session's lexer-mode flags for _scannable, read ONCE per
+    endpoint (two py4j conf round-trips): they cannot change through this
+    port — SET is blocked by the head-keyword gate — so per-request reads
+    would be pure latency on every panel refresh."""
+    esc = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    dqi = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+    return {
+        "backslash_escapes": esc.lower() != "true",
+        "double_quoted_identifiers": dqi.lower() == "true",
+    }
+
+
+def _reject_reason(sql: str, spark=None, modes: dict | None = None) -> str | None:
     head = sql.lstrip().split(None, 1)
     if not head:
         return "empty statement"
     if head[0].lower() not in _ALLOWED_HEADS:
         return f"read-only endpoint: statement must start with one of {_ALLOWED_HEADS}"
-    if spark is not None:
+    if modes is None and spark is not None:
         # scan in the session's actual lexer modes, not assumed defaults
-        esc = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
-        dqi = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", "false")
-        stripped = _scannable(
-            sql,
-            backslash_escapes=esc.lower() != "true",
-            double_quoted_identifiers=dqi.lower() == "true",
-        )
-    else:
-        stripped = _scannable(sql)
+        modes = _lexer_modes(spark)
+    stripped = _scannable(sql, **(modes or {}))
     if _MUTATORS.search(stripped):
         return "read-only endpoint: mutation keywords are not allowed"
     if _JVM_ESCAPES.search(stripped):
@@ -587,7 +601,9 @@ class _SQLHandler(BaseHTTPRequestHandler):
             if path == "/query":
                 req = json.loads(raw or b"{}")
                 sql = req.get("sql", "")
-                reason = _reject_reason(sql, self.spark)
+                reason = _reject_reason(
+                    sql, self.spark, getattr(self, "lexer_modes", None)
+                )
                 if reason:
                     self._send(400, {"error": reason})
                     return
@@ -695,6 +711,7 @@ def start_sql_endpoint(
         (_SQLHandler,),
         {
             "spark": spark,
+            "lexer_modes": _lexer_modes(spark),  # once, not per request
             "sf_dir": sf_dir,
             "tables": tuple(tables),
             "row_cap": row_cap,

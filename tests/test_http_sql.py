@@ -278,6 +278,33 @@ def test_parsed_plan_gate_catches_functions_and_statements(spark):
     assert _parsed_reject(spark, "SELEC nope") is None
 
 
+def test_script_transform_shell_execution_rejected(endpoint, spark, tmp_path):
+    """SELECT TRANSFORM(...) USING 'cmd' pipes rows through an ARBITRARY
+    HOST SHELL COMMAND — a strictly stronger escape than reflect() (found
+    by self-review, verified live: the command executed). The text scan
+    cannot block it (`transform` is also the legitimate array HOF and
+    `USING` appears in join syntax); the parse layer denies the
+    ScriptTransformation plan class exactly."""
+    canary = tmp_path / "gate_canary"
+    for sql in (
+        f"SELECT TRANSFORM(a) USING 'touch {canary}' AS (out STRING) "
+        "FROM (SELECT 1 AS a)",
+        # CTE wrapping must not hide the transform node from the walk
+        f"WITH x AS (SELECT 1 AS a) SELECT TRANSFORM(a) USING 'touch {canary}' "
+        "AS (out STRING) FROM x",
+    ):
+        code, err = _post_err(endpoint, "/query", {"sql": sql})
+        assert code == 400 and "read-only" in err["error"], sql
+    assert not canary.exists()  # the command must never have run
+    # the array HOF named transform stays legal — same word, different node
+    ok = _post(
+        endpoint,
+        "/query",
+        {"sql": "SELECT transform(array(1, 2), x -> x + 1) AS t"},
+    )
+    assert ok["rows"] == [[[2, 3]]]
+
+
 def test_raw_string_desync_bypasses_rejected(endpoint):
     """Spark lexes r'...'/R"..."/X'...' with NO backslash escapes (the
     prefix wins over the session escape mode); a scanner that keeps
