@@ -238,16 +238,29 @@ _MUTATING_PLAN = re.compile(
 )
 _LOGICAL_PKG = "org.apache.spark.sql.catalyst.plans.logical."
 
+# datasource short names that make `SELECT * FROM <format>.`<path>`` read
+# ARBITRARY HOST FILES (spark.sql.runSQLOnFiles defaults true) — an
+# exfiltration escape from a port that is supposed to serve the registered
+# views (found by self-review, verified live against /etc/hostname). A
+# relation is denied when its first name part is one of these AND it has a
+# path part, or when any part contains a path separator (no legal catalog
+# identifier does).
+_FILE_FORMATS = frozenset(
+    {"parquet", "orc", "json", "csv", "text", "binaryfile", "avro", "libsvm"}
+)
+
 
 def _parsed_reject(spark, sql: str) -> str | None:
     """Reject reasons found by PARSING the statement — the layer that does
     not depend on scanner/lexer agreement at all (ADVICE r8's fix of
     record). One py4j call parses, one serializes the logical plan tree to
     JSON; the walk then collects every UnresolvedFunction /
-    UnresolvedTableValuedFunction name (denied: reflect/java_method) and
+    UnresolvedTableValuedFunction name (denied: reflect/java_method),
     every read-only-breaking logical-plan class (denied: the DML/DDL a
     ``WITH ... INSERT`` smuggles under an allowed head keyword, and
-    TRANSFORM ... USING's shell execution). Literal VALUES live in
+    TRANSFORM ... USING's shell execution), and every direct file-path
+    relation (denied: ``FROM text.`/etc/...``` reads arbitrary host
+    files). Literal VALUES live in
     separate JSON fields, so a string containing the word 'reflect' or
     'DROP' can never false-positive here. A PARSE error returns None —
     the statement will fail in spark.sql with the same error, and the
@@ -286,6 +299,20 @@ def _parsed_reject(spark, sql: str) -> str | None:
                     "read-only endpoint: mutation / host-command statements "
                     "are not allowed"
                 )
+            elif cls.endswith("UnresolvedRelation"):
+                parts = [
+                    p.strip()
+                    for p in str(node.get("multipartIdentifier", ""))
+                    .strip("[]")
+                    .split(",")
+                ]
+                if (len(parts) > 1 and parts[0].lower() in _FILE_FORMATS) or any(
+                    "/" in p or "\\" in p for p in parts
+                ):
+                    reasons.append(
+                        "read-only endpoint: direct file-path relations are "
+                        "not allowed"
+                    )
             for v in node.values():
                 walk(v)
         elif isinstance(node, list):

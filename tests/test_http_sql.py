@@ -305,6 +305,30 @@ def test_script_transform_shell_execution_rejected(endpoint, spark, tmp_path):
     assert ok["rows"] == [[[2, 3]]]
 
 
+def test_direct_file_path_relations_rejected(endpoint):
+    """SELECT * FROM <format>.`<path>` reads ARBITRARY HOST FILES
+    (spark.sql.runSQLOnFiles defaults true) — an exfiltration escape from
+    a port meant to serve the registered views (found by self-review,
+    verified live against /etc/hostname before fixing). Denied at the
+    parse layer: format-named first part, or any path separator in a name
+    part (no legal catalog identifier has one)."""
+    for sql in (
+        "SELECT * FROM text.`/etc/hostname`",
+        "SELECT * FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`",
+        "SELECT * FROM binaryFile.`/etc`",
+        "WITH x AS (SELECT * FROM csv.`/etc/passwd`) SELECT * FROM x",
+        # relative path, still a file read
+        "SELECT * FROM json.`spark-warehouse`",
+    ):
+        code, err = _post_err(endpoint, "/query", {"sql": sql})
+        assert code == 400 and "file-path" in err["error"], sql
+    # registered views and TVFs stay legal
+    ok = _post(endpoint, "/query", {"sql": "SELECT COUNT(*) AS n FROM region"})
+    assert ok["rows"] == [[5]]
+    ok = _post(endpoint, "/query", {"sql": "SELECT * FROM range(3)"})
+    assert ok["row_count"] == 3
+
+
 def test_raw_string_desync_bypasses_rejected(endpoint):
     """Spark lexes r'...'/R"..."/X'...' with NO backslash escapes (the
     prefix wins over the session escape mode); a scanner that keeps
