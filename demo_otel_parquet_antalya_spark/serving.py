@@ -94,8 +94,9 @@ _ALLOWED_HEADS = ("select", "with", "values", "show", "describe", "explain")
 _MUTATORS = re.compile(
     r"\b(insert|update|delete|merge|drop|create|alter|truncate)\b", re.IGNORECASE
 )
-# Spark SQL's JVM-escape functions: reflect()/java_method() invoke arbitrary
-# static methods (e.g. java.lang.System.exit) from a plain SELECT, so a
+# Spark SQL's JVM-escape functions: reflect()/try_reflect()/java_method()
+# invoke arbitrary static methods (e.g. java.lang.System.exit) from a plain
+# SELECT (try_reflect is Spark 4's null-on-error spelling — same escape), so a
 # head-keyword gate alone is not read-only. Blocked as bare words (no paren
 # required — Spark accepts `reflect`/**/(...) with backquotes or comments
 # between name and paren, so matching the paren is bypassable, ADVICE r7);
@@ -103,7 +104,7 @@ _MUTATORS = re.compile(
 # a defense-in-depth gate. The residual limitation is that this stays a
 # denylist, not a parsed function allowlist — new escape hatches added to
 # Spark would need adding here.
-_JVM_ESCAPES = re.compile(r"\b(reflect|java_method)\b", re.IGNORECASE)
+_JVM_ESCAPES = re.compile(r"\b(reflect|try_reflect|java_method)\b", re.IGNORECASE)
 
 
 def _scannable(
@@ -287,7 +288,7 @@ def _parsed_reject(spark, sql: str) -> str | None:
             ):
                 parts = str(node.get("nameParts") or node.get("name") or "")
                 last = parts.strip("[]").split(",")[-1].strip().lower()
-                if last in ("reflect", "java_method"):
+                if last in ("reflect", "try_reflect", "java_method"):
                     reasons.append(
                         "read-only endpoint: JVM reflection functions are "
                         "not allowed"

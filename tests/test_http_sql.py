@@ -166,6 +166,9 @@ def test_jvm_escape_functions_rejected(endpoint):
     for sql in (
         "SELECT reflect('java.lang.System', 'getProperty', 'user.dir')",
         "SELECT java_method('java.lang.System', 'exit', 1)",
+        # Spark 4's null-on-error spelling is the same escape
+        "SELECT try_reflect('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT `try_reflect`('java.lang.System', 'getProperty', 'user.dir')",
         "SELECT 1 WHERE Reflect ('a','b') IS NULL",
         # bypass spellings (ADVICE r7): Spark accepts backquoted function
         # names and comments between the name and the paren
