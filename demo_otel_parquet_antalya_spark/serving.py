@@ -44,11 +44,15 @@ Design notes (scale + safety):
   JVM-escape function (reflect()/java_method() — arbitrary static-method
   calls from a plain SELECT would break read-only even on a trusted
   network). A second, scanner-independent layer PARSES the statement and
-  walks the logical plan's UnresolvedFunction names for the same escapes.
-  Still a denylist, not a parsed allowlist: defense-in-depth for a
-  trusted-network dashboard port — not an auth boundary; put real authn/z
-  in front of it exactly as the reference fronts ClickHouse with
-  Grafana's auth.
+  walks the logical plan for the same escapes plus the ones only a plan
+  can see: CTE-smuggled DML (WITH ... INSERT), TRANSFORM ... USING
+  (arbitrary host shell command), and direct file-path relations
+  (FROM text.`/etc/...` reads arbitrary host files) — each verified as a
+  live escape before being denied; a plan that parses but cannot be
+  serialized for inspection fails CLOSED. Still a denylist, not a parsed
+  allowlist: defense-in-depth for a trusted-network dashboard port — not
+  an auth boundary; put real authn/z in front of it exactly as the
+  reference fronts ClickHouse with Grafana's auth.
 - ROW-CAPPED: every result is fetched through ``.limit(cap + 1)`` (default
   10k, per-request override DOWNWARD only), so a SELECT * over 100 TB
   costs one partition-ish of work under Spark's incremental collect, never
