@@ -211,10 +211,19 @@ def _scannable(
                 i += 1
             out.append(" ")
         elif c == "/" and i + 1 < n and sql[i + 1] == "*":  # block comment
-            i += 2
-            while i + 1 < n and not (sql[i] == "*" and sql[i + 1] == "/"):
-                i += 1
-            i = min(i + 2, n)  # unterminated: rest of statement is comment
+            # Spark NESTS bracketed comments (SPARK-28880): /* a /* b */ c */
+            # is one comment — ending at the first */ would re-expose ` c */`
+            # as code and reject legitimate statements
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if i + 1 < n and sql[i] == "/" and sql[i + 1] == "*":
+                    depth, i = depth + 1, i + 2
+                elif i + 1 < n and sql[i] == "*" and sql[i + 1] == "/":
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+            if depth:
+                i = n  # unterminated: rest of statement is comment
             out.append(" ")
         elif c == "`":  # backquoted identifier: one token, body kept
             end = consume_quoted(i, "`", False)
@@ -306,6 +315,19 @@ def _parsed_reject(spark, sql: str) -> str | None:
                     "read-only endpoint: mutation / host-command statements "
                     "are not allowed"
                 )
+            elif "WithUnresolvedIdentifier" in cls:
+                # IDENTIFIER('...') defers name resolution past parse time
+                # (ExpressionWithUnresolvedIdentifier /
+                # PlanWithUnresolvedIdentifier), so the walk cannot see
+                # what it will become — IDENTIFIER('reflect')(...) and
+                # FROM IDENTIFIER('text.`/etc/x`') both live-executed
+                # (self-review, round 9). The name can be built from
+                # concatenation ('re' || 'flect'), so no string-level
+                # check is sound either: fail closed.
+                reasons.append(
+                    "read-only endpoint: dynamic IDENTIFIER clauses are "
+                    "not allowed"
+                )
             elif cls.endswith("UnresolvedRelation"):
                 parts = [
                     p.strip()
@@ -331,10 +353,13 @@ def _parsed_reject(spark, sql: str) -> str | None:
 
 
 def _lexer_modes(spark) -> dict:
-    """The session's lexer-mode flags for _scannable, read ONCE per
-    endpoint (two py4j conf round-trips): they cannot change through this
-    port — SET is blocked by the head-keyword gate — so per-request reads
-    would be pure latency on every panel refresh."""
+    """The session's lexer-mode flags for _scannable, read PER REQUEST:
+    SET is head-blocked on this port, but the SparkSession is shared — the
+    hosting app (or any job on the session) can flip
+    escapedStringLiterals/doubleQuotedIdentifiers out-of-band, and a
+    cached mode would desynchronize the scan from Spark's real lexer,
+    which is exactly the bypass class this gate closes. Measured cost:
+    ~0.2 ms per conf.get — noise next to the parse layer's ~3 ms."""
     esc = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
     dqi = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", "false")
     return {
@@ -635,9 +660,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
             if path == "/query":
                 req = json.loads(raw or b"{}")
                 sql = req.get("sql", "")
-                reason = _reject_reason(
-                    sql, self.spark, getattr(self, "lexer_modes", None)
-                )
+                reason = _reject_reason(sql, self.spark)
                 if reason:
                     self._send(400, {"error": reason})
                     return
@@ -745,7 +768,6 @@ def start_sql_endpoint(
         (_SQLHandler,),
         {
             "spark": spark,
-            "lexer_modes": _lexer_modes(spark),  # once, not per request
             "sf_dir": sf_dir,
             "tables": tuple(tables),
             "row_cap": row_cap,

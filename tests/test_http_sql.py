@@ -332,6 +332,47 @@ def test_direct_file_path_relations_rejected(endpoint):
     assert ok["row_count"] == 3
 
 
+def test_identifier_clause_rejected(endpoint):
+    """IDENTIFIER('...') defers name resolution past parse time, so the
+    plan walk cannot see what it becomes: IDENTIFIER('reflect')(...) and
+    FROM IDENTIFIER('text.`/etc/x`') both live-executed before this fix
+    (self-review r9), and the name can be built by concatenation
+    ('re' || 'flect'), so no string-level check is sound — dynamic
+    identifiers fail closed."""
+    for sql in (
+        "SELECT IDENTIFIER('reflect')('java.lang.System','getProperty','user.dir')",
+        "SELECT IDENTIFIER('re' || 'flect')('java.lang.System','getProperty','x')",
+        "SELECT * FROM IDENTIFIER('text.`/etc/hostname`')",
+        "WITH x AS (SELECT 1 AS a) SELECT IDENTIFIER('java_method')('a','b') FROM x",
+    ):
+        code, err = _post_err(endpoint, "/query", {"sql": sql})
+        assert code == 400 and "IDENTIFIER" in err["error"], sql
+    # the word as data or as a plain column name stays legal
+    ok = _post(endpoint, "/query", {"sql": "SELECT 'IDENTIFIER(x)' AS s"})
+    assert ok["rows"] == [["IDENTIFIER(x)"]]
+
+
+def test_nested_bracketed_comments_accepted(endpoint):
+    """Spark nests /* */ comments (SPARK-28880); a scanner that ends the
+    comment at the first */ re-exposes the tail as code and rejects
+    legitimate statements (found by self-review r9 — the desync was in
+    the safe direction, but a false 400 on a valid dashboard query is
+    still a gate bug)."""
+    ok = _post(
+        endpoint,
+        "/query",
+        {"sql": "SELECT /* note /* inner */ do not drop anything */ 1 AS one"},
+    )
+    assert ok["rows"] == [[1]]
+    # ...while an evil token after a REAL comment end is still caught
+    code, err = _post_err(
+        endpoint,
+        "/query",
+        {"sql": "SELECT /* c */ reflect('java.lang.System','getProperty','x')"},
+    )
+    assert code == 400
+
+
 def test_raw_string_desync_bypasses_rejected(endpoint):
     """Spark lexes r'...'/R"..."/X'...' with NO backslash escapes (the
     prefix wins over the session escape mode); a scanner that keeps
@@ -400,7 +441,7 @@ def test_gate_differential_fuzz(spark):
         "`reflect`('java.lang.String','valueOf',1)",
         "reflect/**/('java.lang.String','valueOf',1)",
     ]
-    COMMENTS = ["", " -- tail'", " /* c ' reflect( */"]
+    COMMENTS = ["", " -- tail'", " /* c ' reflect( */", " /* o /* i */ o' */"]
 
     def parses(sql):
         try:
