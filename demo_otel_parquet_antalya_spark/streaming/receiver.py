@@ -16,6 +16,13 @@ Design notes (scale):
 - At-least-once: a 200 response is returned only after the rename, so an
   acked record is durably on disk — matching the reference collector's
   delivery contract (SURVEY.md §2.A streaming notes).
+- Input is bounded and content-decoded at the door (r9): Content-Length
+  over the collector-default 20 MiB cap answers 413 before any read,
+  ``Content-Encoding: gzip`` is accepted (the OTLP/HTTP SHOULD; SDKs
+  default to it above a size threshold) through a decompressobj with an
+  output cap so a gzip bomb answers 413 rather than allocating, other
+  encodings answer 415, and a malformed Content-Length answers 400
+  instead of a traceback.
 """
 
 from __future__ import annotations
@@ -24,7 +31,15 @@ import os
 import tempfile
 import threading
 import uuid
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# Per-request body cap, matching the otel collector's default
+# max_request_body_size: without it a client-claimed Content-Length (or a
+# tiny gzip bomb) materializes arbitrary bytes in receiver memory — the
+# same decompression-bomb posture as the image codecs (declared-size
+# guard before allocation).
+MAX_BODY_BYTES = 20 * 1024 * 1024
 
 
 def write_landing_file(landing_dir: str, payload: bytes, suffix: str = ".json") -> str:
@@ -42,12 +57,48 @@ def write_landing_file(landing_dir: str, payload: bytes, suffix: str = ".json") 
 class _OTLPHandler(BaseHTTPRequestHandler):
     landing_dir: str = "."
 
+    def _read_body(self) -> bytes | None:
+        """The request body, bounded and content-decoded; None when an
+        error response has already been sent. OTLP/HTTP servers SHOULD
+        accept gzip request bodies (most SDKs default to it above a size
+        threshold) — decompression runs through a decompressobj with an
+        output cap so a gzip bomb answers 413, never an allocation."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self.send_error(400, "malformed Content-Length")
+            return None
+        if length > MAX_BODY_BYTES:
+            self.send_error(413, f"body exceeds {MAX_BODY_BYTES} bytes")
+            return None
+        body = self.rfile.read(length) if length > 0 else b""
+        enc = (self.headers.get("Content-Encoding") or "").strip().lower()
+        if enc in ("", "identity"):
+            return body
+        if enc != "gzip":
+            self.send_error(415, f"unsupported Content-Encoding {enc!r}")
+            return None
+        try:
+            d = zlib.decompressobj(wbits=31)  # gzip wrapper
+            out = d.decompress(body, MAX_BODY_BYTES)
+            if d.unconsumed_tail:  # more output than the cap: a bomb
+                self.send_error(413, "decompressed body exceeds cap")
+                return None
+            if not d.eof:  # ran out of input before the gzip trailer
+                self.send_error(400, "truncated gzip body")
+                return None
+        except zlib.error:
+            self.send_error(400, "malformed gzip body")
+            return None
+        return out
+
     def do_POST(self):  # noqa: N802 (stdlib naming)
         if self.path.rstrip("/") != "/v1/logs":
             self.send_error(404, "only /v1/logs is served")
             return
-        length = int(self.headers.get("Content-Length", 0))
-        body = self.rfile.read(length)
+        body = self._read_body()
+        if body is None:
+            return
         if not body:
             self.send_error(400, "empty body")
             return

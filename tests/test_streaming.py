@@ -58,6 +58,54 @@ def test_receiver_writes_landing_files(tmp_path):
     assert json.loads(files[0].read_bytes())["resourceLogs"]
 
 
+def test_receiver_bounds_and_decodes_input(tmp_path):
+    """The receiver's door checks (r9): gzip bodies accepted with a bomb
+    cap, oversized Content-Length answers 413 before any read, unknown
+    encodings 415, malformed Content-Length 400 — the same
+    declared-size-before-allocation posture as the image codecs."""
+    import gzip
+    import urllib.error
+    import urllib.request
+
+    from demo_otel_parquet_antalya_spark.streaming.receiver import MAX_BODY_BYTES
+
+    landing = str(tmp_path / "landing")
+    rx = OTLPReceiver(landing).start()
+
+    def post(body, headers):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{rx.port}/v1/logs", data=body,
+            headers={"Content-Type": "application/json", **headers},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    try:
+        # gzip JSON: lands with the exact DECOMPRESSED content
+        raw = _payload(7)
+        assert post(gzip.compress(raw), {"Content-Encoding": "gzip"}) == 200
+        files = sorted((tmp_path / "landing").glob("otlp-*.json"))
+        assert len(files) == 1 and files[0].read_bytes() == raw
+        # gzip bomb: tiny request, over-cap decompressed size -> 413
+        bomb = gzip.compress(b"\0" * (MAX_BODY_BYTES + 1))
+        assert len(bomb) < 1 << 21
+        assert post(bomb, {"Content-Encoding": "gzip"}) == 413
+        # truncated and malformed gzip -> 400
+        assert post(gzip.compress(raw)[:-5], {"Content-Encoding": "gzip"}) == 400
+        assert post(b"not gzip at all", {"Content-Encoding": "gzip"}) == 400
+        # unknown encoding -> 415; claimed oversize -> 413; bad length -> 400
+        assert post(raw, {"Content-Encoding": "br"}) == 415
+        assert post(raw, {"Content-Length": str(MAX_BODY_BYTES + 1)}) == 413
+        assert post(raw, {"Content-Length": "banana"}) == 400
+        # no new files landed from any rejected request
+        assert len(list((tmp_path / "landing").glob("otlp-*.json"))) == 1
+    finally:
+        rx.stop()
+
+
 def test_stream_batch_equivalence_and_incremental_restart(spark, tmp_path):
     landing = str(tmp_path / "landing")
     warehouse = str(tmp_path / "warehouse")
