@@ -57,40 +57,75 @@ def write_landing_file(landing_dir: str, payload: bytes, suffix: str = ".json") 
 class _OTLPHandler(BaseHTTPRequestHandler):
     landing_dir: str = "."
 
+    # socket timeout: handle_one_request turns it into a clean close, so
+    # a client that claims a length and stalls cannot pin a thread forever
+    timeout = 30
+
     def _read_body(self) -> bytes | None:
         """The request body, bounded and content-decoded; None when an
         error response has already been sent. OTLP/HTTP servers SHOULD
         accept gzip request bodies (most SDKs default to it above a size
         threshold) — decompression runs through a decompressobj with an
         output cap so a gzip bomb answers 413, never an allocation."""
+        if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+            # stdlib http.server does not dechunk; the honest answer is
+            # 411 (send Content-Length), not 400 "empty body"
+            self.send_error(411, "chunked bodies are not supported")
+            return None
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
             self.send_error(400, "malformed Content-Length")
             return None
         if length > MAX_BODY_BYTES:
+            # answer FIRST (the client reads the 413 whether or not it has
+            # finished sending), then drain a BOUNDED amount: closing with
+            # unread body bytes RSTs the connection and a client mid-send
+            # would see ECONNRESET instead of 413 and retry the same
+            # oversized export forever. The drain bound (and the socket
+            # timeout) keeps a lying Content-Length from pinning the
+            # thread; past the bound the close's RST is the best we can do.
             self.send_error(413, f"body exceeds {MAX_BODY_BYTES} bytes")
+            try:
+                remaining = min(length, 2 * MAX_BODY_BYTES)
+                while remaining > 0:
+                    got = self.rfile.read(min(65536, remaining))
+                    if not got:
+                        break
+                    remaining -= len(got)
+            except OSError:
+                pass  # client already gone / timed out: nothing to drain
             return None
         body = self.rfile.read(length) if length > 0 else b""
         enc = (self.headers.get("Content-Encoding") or "").strip().lower()
         if enc in ("", "identity"):
             return body
-        if enc != "gzip":
+        if enc not in ("gzip", "x-gzip"):  # RFC 9110: x-gzip == gzip
             self.send_error(415, f"unsupported Content-Encoding {enc!r}")
             return None
+        # gzip CODING is member concatenation (RFC 9110): loop members so a
+        # multi-member body (Go writer Reset, naive export concat) lands
+        # complete — stopping at the first member's eof would ack 200 and
+        # silently drop the rest, breaking the at-least-once contract
+        out = bytearray()
+        data = body
         try:
-            d = zlib.decompressobj(wbits=31)  # gzip wrapper
-            out = d.decompress(body, MAX_BODY_BYTES)
-            if d.unconsumed_tail:  # more output than the cap: a bomb
-                self.send_error(413, "decompressed body exceeds cap")
-                return None
-            if not d.eof:  # ran out of input before the gzip trailer
-                self.send_error(400, "truncated gzip body")
-                return None
+            while True:
+                d = zlib.decompressobj(wbits=31)  # gzip wrapper
+                out += d.decompress(data, MAX_BODY_BYTES + 1 - len(out))
+                if len(out) > MAX_BODY_BYTES or d.unconsumed_tail:
+                    self.send_error(413, "decompressed body exceeds cap")
+                    return None
+                if not d.eof:  # input ended before the gzip trailer
+                    self.send_error(400, "truncated gzip body")
+                    return None
+                if d.unused_data:
+                    data = d.unused_data  # next member (or garbage -> 400)
+                    continue
+                return bytes(out)
         except zlib.error:
             self.send_error(400, "malformed gzip body")
             return None
-        return out
 
     def do_POST(self):  # noqa: N802 (stdlib naming)
         if self.path.rstrip("/") != "/v1/logs":

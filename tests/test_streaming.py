@@ -96,12 +96,38 @@ def test_receiver_bounds_and_decodes_input(tmp_path):
         # truncated and malformed gzip -> 400
         assert post(gzip.compress(raw)[:-5], {"Content-Encoding": "gzip"}) == 400
         assert post(b"not gzip at all", {"Content-Encoding": "gzip"}) == 400
+        # multi-member gzip (RFC 9110 gzip coding is member concatenation,
+        # e.g. a Go writer Reset): the FULL concatenation must land —
+        # stopping at member one would ack 200 and silently drop the rest
+        raw2 = _payload(8)
+        assert post(
+            gzip.compress(raw) + gzip.compress(raw2), {"Content-Encoding": "gzip"}
+        ) == 200
+        newest = max(
+            (tmp_path / "landing").glob("otlp-*.json"), key=lambda p: p.stat().st_mtime
+        )
+        assert newest.read_bytes() == raw + raw2
+        # multi-member bomb still answers 413 (cap is on TOTAL output)
+        half = gzip.compress(b"\0" * (MAX_BODY_BYTES // 2 + 1))
+        assert post(half + half, {"Content-Encoding": "gzip"}) == 413
+        # trailing garbage after a valid member -> 400, not silent drop
+        assert post(
+            gzip.compress(raw) + b"trailing junk", {"Content-Encoding": "gzip"}
+        ) == 400
+        # x-gzip is gzip (RFC 9110 8.4.1.3)
+        assert post(gzip.compress(raw), {"Content-Encoding": "x-gzip"}) == 200
         # unknown encoding -> 415; claimed oversize -> 413; bad length -> 400
         assert post(raw, {"Content-Encoding": "br"}) == 415
         assert post(raw, {"Content-Length": str(MAX_BODY_BYTES + 1)}) == 413
         assert post(raw, {"Content-Length": "banana"}) == 400
-        # no new files landed from any rejected request
-        assert len(list((tmp_path / "landing").glob("otlp-*.json"))) == 1
+        # a REAL oversized body (not just a claimed header) gets a readable
+        # 413 back — the bounded drain keeps the socket from RSTing
+        big = b"x" * (MAX_BODY_BYTES + 2)
+        assert post(big, {}) == 413
+        # chunked transfer (no Content-Length) -> 411, not '400 empty body'
+        assert post(raw, {"Transfer-Encoding": "chunked"}) == 411
+        # rejected requests landed nothing beyond the three 200s above
+        assert len(list((tmp_path / "landing").glob("otlp-*.json"))) == 3
     finally:
         rx.stop()
 
