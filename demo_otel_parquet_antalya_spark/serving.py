@@ -335,13 +335,28 @@ def _parsed_reject(spark, sql: str) -> str | None:
                     .strip("[]")
                     .split(",")
                 ]
-                if (len(parts) > 1 and parts[0].lower() in _FILE_FORMATS) or any(
-                    "/" in p or "\\" in p for p in parts
-                ):
+                if any("/" in p or "\\" in p for p in parts):
                     reasons.append(
                         "read-only endpoint: direct file-path relations are "
                         "not allowed"
                     )
+                elif len(parts) == 2 and parts[0].lower() in _FILE_FORMATS:
+                    # format.`relative_path` and db_named_json.table parse
+                    # identically; Spark's file fallback only fires when
+                    # catalog resolution FAILS, so a relation that resolves
+                    # as a real table is exactly the legal case — deny only
+                    # when it would fall through to the file reader
+                    try:
+                        is_table = spark.catalog.tableExists(
+                            f"{parts[0]}.{parts[1]}"
+                        )
+                    except Exception:
+                        is_table = False
+                    if not is_table:
+                        reasons.append(
+                            "read-only endpoint: direct file-path relations "
+                            "are not allowed"
+                        )
             for v in node.values():
                 walk(v)
         elif isinstance(node, list):

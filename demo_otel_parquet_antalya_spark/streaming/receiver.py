@@ -61,6 +61,25 @@ class _OTLPHandler(BaseHTTPRequestHandler):
     # a client that claims a length and stalls cannot pin a thread forever
     timeout = 30
 
+    def _answer_and_drain(self, code: int, message: str, limit: int) -> None:
+        """Send the error FIRST (the client reads it whether or not it has
+        finished sending), then read and discard a BOUNDED amount of body:
+        closing with unread body bytes RSTs the connection and a client
+        mid-send would see ECONNRESET instead of the diagnosable status —
+        and retry the same bad export forever. The drain bound (and the
+        socket timeout) keeps a lying client from pinning the thread; past
+        the bound the close's RST is the best we can do."""
+        self.send_error(code, message)
+        try:
+            remaining = limit
+            while remaining > 0:
+                got = self.rfile.read(min(65536, remaining))
+                if not got:
+                    break
+                remaining -= len(got)
+        except OSError:
+            pass  # client already gone / timed out: nothing to drain
+
     def _read_body(self) -> bytes | None:
         """The request body, bounded and content-decoded; None when an
         error response has already been sent. OTLP/HTTP servers SHOULD
@@ -69,32 +88,23 @@ class _OTLPHandler(BaseHTTPRequestHandler):
         output cap so a gzip bomb answers 413, never an allocation."""
         if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
             # stdlib http.server does not dechunk; the honest answer is
-            # 411 (send Content-Length), not 400 "empty body"
-            self.send_error(411, "chunked bodies are not supported")
+            # 411 (send Content-Length), not 400 "empty body". Chunked has
+            # no declared length, so drain blind up to the cap.
+            self._answer_and_drain(
+                411, "chunked bodies are not supported", MAX_BODY_BYTES
+            )
             return None
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
-            self.send_error(400, "malformed Content-Length")
+            self._answer_and_drain(400, "malformed Content-Length", MAX_BODY_BYTES)
             return None
         if length > MAX_BODY_BYTES:
-            # answer FIRST (the client reads the 413 whether or not it has
-            # finished sending), then drain a BOUNDED amount: closing with
-            # unread body bytes RSTs the connection and a client mid-send
-            # would see ECONNRESET instead of 413 and retry the same
-            # oversized export forever. The drain bound (and the socket
-            # timeout) keeps a lying Content-Length from pinning the
-            # thread; past the bound the close's RST is the best we can do.
-            self.send_error(413, f"body exceeds {MAX_BODY_BYTES} bytes")
-            try:
-                remaining = min(length, 2 * MAX_BODY_BYTES)
-                while remaining > 0:
-                    got = self.rfile.read(min(65536, remaining))
-                    if not got:
-                        break
-                    remaining -= len(got)
-            except OSError:
-                pass  # client already gone / timed out: nothing to drain
+            self._answer_and_drain(
+                413,
+                f"body exceeds {MAX_BODY_BYTES} bytes",
+                min(length, 2 * MAX_BODY_BYTES),
+            )
             return None
         body = self.rfile.read(length) if length > 0 else b""
         enc = (self.headers.get("Content-Encoding") or "").strip().lower()

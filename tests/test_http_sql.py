@@ -332,6 +332,30 @@ def test_direct_file_path_relations_rejected(endpoint):
     assert ok["row_count"] == 3
 
 
+def test_catalog_database_named_like_a_format_stays_reachable(endpoint, spark):
+    """`json.events_t` (a real table in a database literally named json)
+    and `json.`somefile`` (a file read) parse to the SAME relation node —
+    Spark's file fallback only fires when catalog resolution fails, so
+    the gate mirrors that: a relation that resolves as a real catalog
+    table is legal, one that would fall through to the file reader is
+    denied (self-review r9: the first cut denied the whole database)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS json")
+    try:
+        spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+            "overwrite"
+        ).saveAsTable("json.events_t")
+        ok = _post(endpoint, "/query", {"sql": "SELECT COUNT(*) AS n FROM json.events_t"})
+        assert ok["rows"] == [[1]]
+        # a NON-table second part under a format-named first part is still
+        # the file fallback -> denied
+        code, err = _post_err(
+            endpoint, "/query", {"sql": "SELECT * FROM json.`no_such_table`"}
+        )
+        assert code == 400 and "file-path" in err["error"]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS json CASCADE")
+
+
 def test_identifier_clause_rejected(endpoint):
     """IDENTIFIER('...') defers name resolution past parse time, so the
     plan walk cannot see what it becomes: IDENTIFIER('reflect')(...) and
