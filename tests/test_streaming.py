@@ -282,3 +282,39 @@ def test_streaming_hopping_window_matches_batch(spark, tmp_path):
         for r in hopping(spark.read.schema(schema).json(src)).collect()
     }
     assert got == want and len(want) > 4
+
+
+def test_receiver_short_body_and_stall(tmp_path):
+    """Door checks shared via http_door (r10): a body shorter than its
+    declared Content-Length answers 400 (previously the truncated payload
+    LANDED and was acked 200 — an incomplete export must not count as
+    delivered), and a client stalled mid-body past the socket timeout
+    answers a best-effort 408 instead of a socketserver handle_error
+    traceback (ADVICE r9)."""
+    import socket
+
+    landing = str(tmp_path / "landing")
+    rx = OTLPReceiver(landing).start()
+    rx.server.RequestHandlerClass.timeout = 0.5
+    try:
+        # short body -> 400, nothing lands
+        s = socket.create_connection(("127.0.0.1", rx.port), timeout=10)
+        s.sendall(
+            b"POST /v1/logs HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 100\r\n\r\n0123456789"
+        )
+        s.shutdown(socket.SHUT_WR)
+        status = s.recv(4096).split(b"\r\n", 1)[0]
+        assert b" 400 " in status, status
+        s.close()
+        # mid-body stall -> 408 after the socket timeout, thread freed
+        s = socket.create_connection(("127.0.0.1", rx.port), timeout=10)
+        s.sendall(
+            b"POST /v1/logs HTTP/1.1\r\nHost: x\r\nContent-Length: 100\r\n\r\nabc"
+        )
+        status = s.recv(4096).split(b"\r\n", 1)[0]
+        assert b" 408 " in status, status
+        s.close()
+        assert list((tmp_path / "landing").glob("otlp-*.json")) == []
+    finally:
+        rx.stop()
