@@ -49,12 +49,21 @@ Design notes (scale + safety):
   (arbitrary host shell command), and direct file-path relations
   (FROM text.`/etc/...` reads arbitrary host files) — each verified as a
   live escape before being denied; a plan that parses but cannot be
-  serialized for inspection fails CLOSED. Still a denylist, not a parsed
-  allowlist: defense-in-depth for a trusted-network dashboard port — not
-  an auth boundary; put real authn/z in front of it exactly as the
-  reference fronts ClickHouse with Grafana's auth. Measured cost of the
-  whole gate on a dashboard-sized statement: ~4 ms median (~3 ms of it
-  the parse layer's parsePlan+toJSON), noise against sub-second panels.
+  serialized for inspection fails CLOSED. Since r10 the parse layer is
+  fail-closed end to end: function/TVF/generator names are ALLOWLISTED
+  against the session catalog (an unknown name — including a future
+  Spark escape hatch this code has never heard of — is denied, not
+  passed through), and a multi-part relation that does not resolve as a
+  real catalog table is denied as a potential file-path read, whatever
+  format name or datasource class its first part spells. The enumerated
+  denials that remain (the reflect family, the mutating plan classes,
+  dynamic IDENTIFIER) sit on top of those closed defaults. Still
+  defense-in-depth for a trusted-network dashboard port — not an auth
+  boundary; put real authn/z in front of it exactly as the reference
+  fronts ClickHouse with Grafana's auth. Measured cost of the whole gate
+  on a dashboard-sized statement: ~5 ms median warm (most of it the parse
+  layer's parsePlan+toJSON); allowlist hits are set lookups, a miss is
+  one ~3 ms functionExists call, memoized.
 - DOOR-BOUNDED (r10): POST bodies pass the same door checks as the OTLP
   receiver (``http_door.read_bounded_body``) — 1 MiB body cap (413),
   malformed Content-Length (400), chunked (411), short body (400),
@@ -93,6 +102,7 @@ import math
 import re
 import threading
 import uuid
+import weakref
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
@@ -121,9 +131,9 @@ _MUTATORS = re.compile(
 # required — Spark accepts `reflect`/**/(...) with backquotes or comments
 # between name and paren, so matching the paren is bypassable, ADVICE r7);
 # a column ALIASED `reflect` is rejected too, an accepted false positive for
-# a defense-in-depth gate. The residual limitation is that this stays a
-# denylist, not a parsed function allowlist — new escape hatches added to
-# Spark would need adding here.
+# a defense-in-depth gate. This TEXT layer is necessarily a denylist; the
+# parse layer below closes the new-escape-hatch gap with a catalog
+# allowlist (unknown function names are denied, r10).
 _JVM_ESCAPES = re.compile(r"\b(reflect|try_reflect|java_method)\b", re.IGNORECASE)
 
 
@@ -268,29 +278,75 @@ _MUTATING_PLAN = re.compile(
 )
 _LOGICAL_PKG = "org.apache.spark.sql.catalyst.plans.logical."
 
-# datasource short names that make `SELECT * FROM <format>.`<path>`` read
-# ARBITRARY HOST FILES (spark.sql.runSQLOnFiles defaults true) — an
-# exfiltration escape from a port that is supposed to serve the registered
-# views (found by self-review, verified live against /etc/hostname). A
-# relation is denied when its first name part is one of these AND it has a
-# path part, or when any part contains a path separator (no legal catalog
-# identifier does).
-_FILE_FORMATS = frozenset(
-    {"parquet", "orc", "json", "csv", "text", "binaryfile", "avro", "libsvm"}
+# The function-name layer is an ALLOWLIST since r10 (VERDICT r9 #3): a
+# parse-time function/TVF/generator name must EXIST in the session's
+# catalog (builtins + registered UDFs — functionExists covers all three
+# registries) AND not be in the tiny denied family. An unknown name — a
+# typo, or a future Spark escape hatch this code has never heard of —
+# is denied, not passed through to resolution: round 9's two self-review
+# passes each found live escapes the previous pass missed, so the
+# enumeration of escapes is the wrong thing to maintain.
+_DENIED_FUNCTIONS = frozenset({"reflect", "try_reflect", "java_method"})
+
+# names functionExists() already confirmed, per session — only POSITIVE
+# results are memoized, so a function registered after startup is picked
+# up on its first (cache-miss) use, while nothing un-registers silently
+# into an allow. WeakKey so a closed session's entry does not pin it.
+_KNOWN_FUNCTIONS: "weakref.WeakKeyDictionary[SparkSession, set]" = (
+    weakref.WeakKeyDictionary()
 )
+
+
+def _name_parts(raw) -> list[str]:
+    """Name parts from a toJSON node field. FunctionIdentifier serializes
+    as a dict; Seq[String] serializes as the STRING "[a, b]", which is
+    lossy — a comma inside a backquoted name part inflates the arity
+    (ADVICE r9). Every consumer therefore treats arity surprises as
+    fail-closed: the reconstructed name simply won't exist in the
+    catalog, and a nonexistent name is denied."""
+    if isinstance(raw, dict):  # FunctionIdentifier {catalog?, database?, funcName}
+        return [str(raw[k]) for k in ("catalog", "database", "funcName") if raw.get(k)]
+    return [p.strip() for p in str(raw).strip("[]").split(",") if p.strip()]
+
+
+def _quoted(parts: list[str]) -> str:
+    return ".".join("`" + p.replace("`", "``") + "`" for p in parts)
+
+
+def _function_allowed(spark, parts: list[str]) -> bool:
+    """Allowlist check for one parse-time function name: denied family
+    first (by LAST part, so `system.builtin.reflect` cannot launder the
+    name through qualification), then the session catalog. Steady-state
+    cost is a set lookup; a cache miss is one ~3 ms functionExists call."""
+    if not parts or parts[-1].lower() in _DENIED_FUNCTIONS:
+        return False
+    known = _KNOWN_FUNCTIONS.setdefault(spark, set())
+    name = _quoted(parts)
+    if name in known:
+        return True
+    try:
+        exists = spark.catalog.functionExists(name)
+    except Exception:
+        exists = False  # unresolvable spelling: fail closed
+    if exists:
+        known.add(name)
+    return exists
 
 
 def _parsed_reject(spark, sql: str) -> str | None:
     """Reject reasons found by PARSING the statement — the layer that does
     not depend on scanner/lexer agreement at all (ADVICE r8's fix of
     record). One py4j call parses, one serializes the logical plan tree to
-    JSON; the walk then collects every UnresolvedFunction /
-    UnresolvedTableValuedFunction name (denied: reflect/java_method),
-    every read-only-breaking logical-plan class (denied: the DML/DDL a
+    JSON; the walk then checks every UnresolvedFunction /
+    UnresolvedTableValuedFunction / UnresolvedGenerator name against the
+    session-catalog ALLOWLIST (the reflect family denied by name, any name
+    the catalog does not know denied fail-closed — r10, VERDICT r9 #3),
+    denies every read-only-breaking logical-plan class (the DML/DDL a
     ``WITH ... INSERT`` smuggles under an allowed head keyword, and
-    TRANSFORM ... USING's shell execution), and every direct file-path
-    relation (denied: ``FROM text.`/etc/...``` reads arbitrary host
-    files). Literal VALUES live in
+    TRANSFORM ... USING's shell execution), and requires every multi-part
+    relation to resolve as a real catalog table (``FROM text.`/etc/...```
+    and every other spelling of the runSQLOnFiles fallback read arbitrary
+    host files; unresolvable = denied). Literal VALUES live in
     separate JSON fields, so a string containing the word 'reflect' or
     'DROP' can never false-positive here. A PARSE error returns None —
     the statement will fail in spark.sql with the same error, and the
@@ -312,15 +368,26 @@ def _parsed_reject(spark, sql: str) -> str | None:
     def walk(node):
         if isinstance(node, dict):
             cls = str(node.get("class", ""))
-            if cls.endswith("UnresolvedFunction") or cls.endswith(
-                "UnresolvedTableValuedFunction"
+            if cls.endswith(
+                (
+                    "UnresolvedFunction",
+                    "UnresolvedTableValuedFunction",
+                    "UnresolvedGenerator",  # LATERAL VIEW f(...)
+                )
             ):
-                parts = str(node.get("nameParts") or node.get("name") or "")
-                last = parts.strip("[]").split(",")[-1].strip().lower()
-                if last in ("reflect", "try_reflect", "java_method"):
+                parts = _name_parts(node.get("nameParts") or node.get("name") or "")
+                last = parts[-1].lower() if parts else ""
+                if last in _DENIED_FUNCTIONS:
                     reasons.append(
                         "read-only endpoint: JVM reflection functions are "
                         "not allowed"
+                    )
+                elif not _function_allowed(spark, parts):
+                    reasons.append(
+                        "read-only endpoint: unknown function "
+                        f"{'.'.join(parts)!r} is not in the session catalog "
+                        "(functions are allowlisted; unknown names fail "
+                        "closed)"
                     )
             elif cls.startswith(_LOGICAL_PKG) and _MUTATING_PLAN.match(
                 cls[len(_LOGICAL_PKG):]
@@ -343,33 +410,36 @@ def _parsed_reject(spark, sql: str) -> str | None:
                     "not allowed"
                 )
             elif cls.endswith("UnresolvedRelation"):
-                parts = [
-                    p.strip()
-                    for p in str(node.get("multipartIdentifier", ""))
-                    .strip("[]")
-                    .split(",")
-                ]
+                parts = _name_parts(node.get("multipartIdentifier", ""))
                 if any("/" in p or "\\" in p for p in parts):
                     reasons.append(
                         "read-only endpoint: direct file-path relations are "
                         "not allowed"
                     )
-                elif len(parts) == 2 and parts[0].lower() in _FILE_FORMATS:
+                elif len(parts) >= 2:
                     # format.`relative_path` and db_named_json.table parse
-                    # identically; Spark's file fallback only fires when
-                    # catalog resolution FAILS, so a relation that resolves
-                    # as a real table is exactly the legal case — deny only
-                    # when it would fall through to the file reader
+                    # identically; Spark's file fallback (runSQLOnFiles,
+                    # default true) only fires when catalog resolution
+                    # FAILS, so the gate mirrors that exactly but FAIL
+                    # CLOSED (r10, ADVICE r9): a multi-part relation that
+                    # does not resolve as a real catalog table is denied —
+                    # whatever the first part spells (json, xml, a
+                    # fully-qualified datasource class name, a format
+                    # Spark has not shipped yet) and however the lossy
+                    # Seq-string parts split (a comma inside a backquoted
+                    # part inflates the arity; the inflated name simply
+                    # fails tableExists). A typo'd db.table gets this 400
+                    # instead of an AnalysisException — the accepted cost.
                     try:
-                        is_table = spark.catalog.tableExists(
-                            f"{parts[0]}.{parts[1]}"
-                        )
+                        is_table = spark.catalog.tableExists(_quoted(parts))
                     except Exception:
                         is_table = False
                     if not is_table:
                         reasons.append(
-                            "read-only endpoint: direct file-path relations "
-                            "are not allowed"
+                            "read-only endpoint: relation "
+                            f"{'.'.join(parts)!r} does not resolve in the "
+                            "catalog — direct file-path relations are not "
+                            "allowed"
                         )
             for v in node.values():
                 walk(v)

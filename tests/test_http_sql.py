@@ -313,8 +313,9 @@ def test_direct_file_path_relations_rejected(endpoint):
     (spark.sql.runSQLOnFiles defaults true) — an exfiltration escape from
     a port meant to serve the registered views (found by self-review,
     verified live against /etc/hostname before fixing). Denied at the
-    parse layer: format-named first part, or any path separator in a name
-    part (no legal catalog identifier has one)."""
+    parse layer: any path separator in a name part (no legal catalog
+    identifier has one), and since r10 any multi-part relation that does
+    not resolve as a real catalog table (fail-closed, no format list)."""
     for sql in (
         "SELECT * FROM text.`/etc/hostname`",
         "SELECT * FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`",
@@ -917,3 +918,64 @@ def test_post_door_short_body_and_stall(spark):
         s.close()
     finally:
         server.shutdown()
+
+
+def test_unknown_function_names_fail_closed(endpoint, spark):
+    """r10 (VERDICT r9 #3): the parse layer's function check is an
+    ALLOWLIST against the session catalog — an unknown name (a typo, or a
+    future Spark escape hatch this gate has never heard of) is denied by
+    the gate itself, never passed through to resolution. Scalar, TVF, and
+    LATERAL VIEW generator positions all route through the same check;
+    qualification cannot launder a denied name; a UDF registered after
+    endpoint startup is picked up live (only positive lookups are
+    memoized)."""
+    code, err = _post_err(
+        endpoint, "/query", {"sql": "SELECT definitely_not_a_function(1) AS x"}
+    )
+    assert code == 400 and "unknown function" in err["error"]
+    code, err = _post_err(endpoint, "/query", {"sql": "SELECT * FROM no_such_tvf(1)"})
+    assert code == 400 and "unknown function" in err["error"]
+    code, err = _post_err(
+        endpoint,
+        "/query",
+        {
+            "sql": "SELECT v FROM (SELECT array(1) AS a) t "
+            "LATERAL VIEW no_such_gen(a) e AS v"
+        },
+    )
+    assert code == 400 and "unknown function" in err["error"]
+    # the denied family stays denied under any qualification
+    code, err = _post_err(
+        endpoint,
+        "/query",
+        {"sql": "SELECT system.builtin.reflect('java.lang.String','valueOf',1) AS x"},
+    )
+    assert code == 400 and "read-only" in err["error"]
+    # a UDF registered AFTER startup is allowed on first use
+    spark.udf.register("r10_live_registered_udf", lambda x: x + 1, "int")
+    ok = _post(endpoint, "/query", {"sql": "SELECT r10_live_registered_udf(1) AS x"})
+    assert ok["rows"] == [[2]]
+
+
+def test_relation_gate_fails_closed_on_any_unresolved_multipart(endpoint):
+    """ADVICE r9 (both relation items): the file-path gate no longer
+    enumerates format names — ANY multi-part relation that does not
+    resolve as a real catalog table is denied, which closes the xml
+    format the old list omitted, fully-qualified datasource class names,
+    and the comma-in-backquoted-name arity trick that used to skip the
+    two-part check (toJSON stringifies Seqs, so `a,b` splits into two
+    pseudo-parts — the inflated name simply fails tableExists)."""
+    for sql in (
+        "SELECT * FROM xml.`somefile`",
+        "SELECT * FROM `org.apache.spark.sql.json`.`somefile`",
+        "SELECT * FROM text.`a,b`",
+        "SELECT * FROM nosuchdb.nosuchtable",
+    ):
+        code, err = _post_err(endpoint, "/query", {"sql": sql})
+        assert code == 400 and "file-path" in err["error"], sql
+    # single-part relations are untouched: registered views work, and an
+    # unknown one still surfaces as the analyzer's TABLE_OR_VIEW_NOT_FOUND
+    ok = _post(endpoint, "/query", {"sql": "SELECT COUNT(*) AS n FROM nation"})
+    assert ok["rows"] == [[25]]
+    code, err = _post_err(endpoint, "/query", {"sql": "SELECT * FROM no_such_view"})
+    assert code == 400 and "file-path" not in err["error"]
