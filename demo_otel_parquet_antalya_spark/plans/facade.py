@@ -263,6 +263,8 @@ def q6_log_panel(logs: DataFrame, start=None, end=None, limit: int = 1000) -> Da
 def q5_timeseries_from_rollup(
     spark, rollup_dir: str, start=None, end=None,
     interval_seconds: int | None = None, base_interval_s: int = 30,
+    dim_cols: tuple = ("event_type",), series_dim: str | None = None,
+    filters=(),
 ) -> DataFrame:
     """Q5 served from the continuously-maintained rollup
     (``streaming/rollup.py``) instead of raw parquet: the dashboard read is
@@ -282,6 +284,16 @@ def q5_timeseries_from_rollup(
     runtime error, not silently mis-binned counts (the snapshot's true
     grain is whatever ``incremental_rollup`` was maintained with; the two
     must be wired together, as serving.py's ``rollup_interval_s`` does).
+
+    Multi-dimension snapshots (r10): ``dim_cols`` is the tuple the rollup
+    is maintained with; ``series_dim`` (default: the first dimension) is
+    the one the panel series, and the other dimensions are summed out —
+    exact, counts re-aggregate. ``filters`` are Grafana ad-hoc
+    ``(col, op, value)`` predicates over MAINTAINED dimensions only,
+    applied to the snapshot before aggregation: filtering a dimension
+    column commutes with summing counts over the other dimensions, so the
+    result equals the raw-scan panel with the same filter. A filter on a
+    non-maintained column raises — serve that from raw.
     """
     rebucket = interval_seconds is not None and interval_seconds != base_interval_s
     if rebucket and (interval_seconds <= 0 or interval_seconds % base_interval_s):
@@ -292,9 +304,11 @@ def q5_timeseries_from_rollup(
         )
     from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
 
-    df = read_rollup(spark, rollup_dir).select(
+    series = series_dim or dim_cols[0]
+    df = _dim_filtered(read_rollup(spark, rollup_dir, dim_cols), dim_cols, filters)
+    df = df.select(
         F.col("bucket").alias("t"),
-        F.col("event_type").alias("series"),
+        F.col(series).alias("series"),
         F.col("n").alias("value"),
     )
     if start is not None:
@@ -314,11 +328,57 @@ def q5_timeseries_from_rollup(
                 )
             ),
         ).otherwise(F.col("value"))
-        df = (
-            df.groupBy(
-                time_bucket("t", interval_seconds).alias("t"),
-                "series",
-            )
-            .agg(F.sum(guarded).alias("value"))
+        df = df.groupBy(
+            time_bucket("t", interval_seconds).alias("t"), "series"
+        ).agg(F.sum(guarded).alias("value"))
+    elif len(dim_cols) > 1:
+        # non-series dimensions summed out at the maintained grain
+        df = df.groupBy("t", "series").agg(
+            F.sum("value").cast("long").alias("value")
         )
     return df.orderBy("t", "series")
+
+
+def _dim_filtered(snapshot: DataFrame, dim_cols: tuple, filters) -> DataFrame:
+    """Ad-hoc filters applied to a rollup snapshot — legal ONLY on
+    maintained dimension columns (where filtering commutes with the
+    count re-aggregation); anything else must be served from raw."""
+    bad = [c for c, _op, _v in filters if c not in dim_cols]
+    if bad:
+        raise ValueError(
+            f"ad-hoc filter column(s) {bad} are not maintained rollup "
+            f"dimensions {list(dim_cols)}; serve this filter from the raw "
+            "logs (no ?source=rollup)"
+        )
+    return adhoc_filter(snapshot, filters)
+
+
+def q3_severity_counts_from_rollup(
+    spark,
+    rollup_dir: str,
+    dim_cols: tuple = ("service_name", "severity_text"),
+    filters=(),
+) -> DataFrame:
+    """Q3 (severity count by service, README.md:120-123) served from the
+    maintained rollup instead of a full raw scan — the worst-growing
+    measured panel (8× at 100× data, SCALE.md) becomes O(snapshot rows):
+    sum the per-bucket counts over all buckets, grouped by the two
+    dimensions. Exact, not approximate — counts re-aggregate, and the
+    snapshot covers every ingested row (the rollup's foreachBatch
+    aggregates each batch in full; the watermark only bounds state the
+    batch aggregation never keeps). Requires a rollup maintained with
+    both dimensions (r10 multi-dim snapshots); ``filters`` follow the
+    same maintained-dimensions-only contract as the Q5 rollup route."""
+    need = {"service_name", "severity_text"}
+    if not need <= set(dim_cols):
+        raise ValueError(
+            f"q3 needs a rollup maintained over {sorted(need)}; this one "
+            f"has {list(dim_cols)}"
+        )
+    from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
+
+    snap = _dim_filtered(read_rollup(spark, rollup_dir, dim_cols), dim_cols, filters)
+    return (
+        snap.groupBy("service_name", "severity_text")
+        .agg(F.sum("n").cast("long").alias("count"))
+    )

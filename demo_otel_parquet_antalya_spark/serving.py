@@ -22,11 +22,13 @@ and serves
                                plans.facade.adhoc_filter. When the
                                endpoint was started with ``rollup_dir``,
                                ?source=rollup serves the time-series
-                               panel from the continuously-maintained
-                               rollup snapshot — O(visible buckets) per
-                               refresh instead of O(raw rows), the
-                               production routing SCALE.md measures
-                               (flat latency at 100x the raw volume)
+                               and severity-counts panels from the
+                               continuously-maintained rollup snapshot —
+                               O(snapshot rows) per refresh instead of
+                               O(raw rows), the production routing
+                               SCALE.md measures (flat latency at 100x
+                               the raw volume); ad-hoc filters on
+                               maintained dimensions apply exactly
 
 Responses are JSON ``{"columns": [...], "rows": [[...]], "row_count": N,
 "truncated": bool}`` with timestamps/dates ISO-formatted, Decimals
@@ -593,6 +595,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
     logs_dir: str | None = None
     rollup_dir: str | None = None
     rollup_interval_s: int = 30
+    rollup_dims: tuple = ("event_type",)
     row_cap: int = DEFAULT_ROW_CAP
     request_timeout_s: float | None = 30.0
     scheduler_pool: str = "serving"
@@ -694,24 +697,30 @@ class _SQLHandler(BaseHTTPRequestHandler):
                 name = path[len("/panels/") :]
 
                 def work():
-                    if name == "q5_timeseries" and params.get("source") == "rollup":
-                        # the production routing: the time-series panel
-                        # reads the maintained (bucket, dimension) snapshot
-                        # — O(visible buckets) per refresh, flat at any raw
-                        # volume (SCALE.md's measured table)
+                    if params.get("source") == "rollup" and name in (
+                        "q5_timeseries",
+                        "q3_severity_counts",
+                    ):
+                        # the production routing: these panels read the
+                        # maintained (bucket, dims) snapshot — O(snapshot
+                        # rows) per refresh, flat at any raw volume
+                        # (SCALE.md's measured table). Ad-hoc filters are
+                        # legal on MAINTAINED dimensions (they commute
+                        # with the count re-aggregation — exact); any
+                        # other column raises -> 400, serve it from raw.
                         if self.rollup_dir is None:
                             raise ValueError(
                                 "no rollup configured for this endpoint "
                                 "(start_sql_endpoint(..., rollup_dir=...))"
                             )
-                        if filters:
-                            raise ValueError(
-                                "ad-hoc filters apply to raw logs; the "
-                                "rollup panel serves the maintained "
-                                "(bucket, dimension) grain only"
-                            )
                         from demo_otel_parquet_antalya_spark.plans import facade
 
+                        if name == "q3_severity_counts":
+                            frame = facade.q3_severity_counts_from_rollup(
+                                self.spark, self.rollup_dir,
+                                dim_cols=self.rollup_dims, filters=filters,
+                            )
+                            return _df_payload(frame, self.row_cap)
                         # any multiple of the maintained grain is served
                         # EXACTLY by re-aggregating the snapshot (counts
                         # re-aggregate); non-multiples raise -> 400, never
@@ -723,6 +732,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                                 params.get("interval", self.rollup_interval_s)
                             ),
                             base_interval_s=self.rollup_interval_s,
+                            dim_cols=self.rollup_dims, filters=filters,
                         )
                         return _df_payload(frame, self.row_cap)
                     if name == "q2_recent_logs" and params.get("source") == "pruned":
@@ -852,6 +862,7 @@ def start_sql_endpoint(
     logs_dir: str | None = None,
     rollup_dir: str | None = None,
     rollup_interval_s: int = 30,
+    rollup_dims: tuple = ("event_type",),
     request_timeout_s: float | None = 30.0,
     scheduler_pool: str = "serving",
 ) -> ThreadingHTTPServer:
@@ -861,11 +872,17 @@ def start_sql_endpoint(
     ``logs_dir`` (optional) points at an ingested logs warehouse
     (streaming/ingest.py output) and enables the /panels/* dashboard
     routes; ``rollup_dir`` (optional) points at the continuously-
-    maintained time-series rollup (streaming/rollup.py) and enables
-    ``/panels/q5_timeseries?source=rollup`` — the O(buckets) production
-    routing, maintained at ``rollup_interval_s`` buckets (a request
-    asking for a different interval is rejected with 400 rather than
-    served silently-wrong grain). Every request runs inside its own Spark job group and is
+    maintained rollup (streaming/rollup.py) and enables
+    ``?source=rollup`` on the time-series AND severity-counts panels —
+    the O(snapshot rows) production routing, maintained at
+    ``rollup_interval_s`` buckets over the ``rollup_dims`` dimension
+    tuple (first dimension = the time-series panel's series; the q3
+    route needs service_name and severity_text maintained). A
+    non-multiple interval, a q3 against a rollup missing its
+    dimensions, or an ad-hoc filter on a non-maintained column is
+    rejected with 400 rather than served silently wrong; filters on
+    maintained dimensions apply to the snapshot exactly (they commute
+    with the count re-aggregation). Every request runs inside its own Spark job group and is
     cancelled (jobs interrupted cluster-wide, not just the collect
     abandoned) after ``request_timeout_s`` (None disables); requests run in
     ``scheduler_pool`` — build the session with ``serving_fair_conf()`` to
@@ -884,6 +901,7 @@ def start_sql_endpoint(
             "logs_dir": logs_dir,
             "rollup_dir": rollup_dir,
             "rollup_interval_s": rollup_interval_s,
+            "rollup_dims": tuple(rollup_dims),
             "request_timeout_s": request_timeout_s,
             "scheduler_pool": scheduler_pool,
         },

@@ -19,9 +19,20 @@ with Spark primitives:
 - readers list version dirs and read the max — one atomic-visibility
   listing, no pointer file to corrupt.
 
-Snapshot size is bounded by bucket-key cardinality (minutes x types),
-so the merge is broadcast-sized at any traffic volume; raw events are
-never re-read.
+Snapshot size is bounded by key cardinality — buckets × the product of
+the maintained dimension cardinalities — so the merge is broadcast-sized
+at any traffic volume; raw events are never re-read. One snapshot at the
+finest dashboard grain serves EVERY panel that is a re-aggregation of it
+(r10, VERDICT r9 #2): maintained at (bucket, service, severity), the
+time-series panel sums over severity and the severity-counts panel sums
+over buckets — both exact, because counts re-aggregate. The cardinality
+bound is the thing to watch when adding dimensions: services × severities
+(~tens × ~6) multiplies the per-bucket row count, and the per-batch
+snapshot rewrite is a ``coalesce(1)`` overwrite of that whole key space —
+fine at dashboard-dimension cardinalities (SCALE.md records the measured
+snapshot size and maintenance cost at 100×), wrong for a high-cardinality
+key like user_id (that is a different operator: partitioned state, not a
+single-file snapshot).
 """
 
 from __future__ import annotations
@@ -31,7 +42,18 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-ROLLUP_SCHEMA = "bucket timestamp, event_type string, n long"
+DEFAULT_DIMS = ("event_type",)
+
+
+def rollup_schema(dim_cols: tuple = DEFAULT_DIMS) -> str:
+    """The snapshot schema for a rollup maintained over ``dim_cols``."""
+    dims = ", ".join(f"{d} string" for d in dim_cols)
+    return f"bucket timestamp, {dims}, n long"
+
+
+# the original single-dimension contract (generic ``event_type`` name);
+# kept because existing snapshots and callers read through it
+ROLLUP_SCHEMA = rollup_schema()
 
 
 def _versions(spark: SparkSession, target_dir: str) -> list[int]:
@@ -47,12 +69,18 @@ def _versions(spark: SparkSession, target_dir: str) -> list[int]:
     return sorted(out)
 
 
-def read_rollup(spark: SparkSession, target_dir: str) -> DataFrame:
-    """Latest committed snapshot (empty frame if none yet)."""
+def read_rollup(
+    spark: SparkSession, target_dir: str, dim_cols: tuple = DEFAULT_DIMS
+) -> DataFrame:
+    """Latest committed snapshot (empty frame if none yet). ``dim_cols``
+    must be the tuple the rollup is MAINTAINED with (the snapshot's own
+    column names for a multi-dimension rollup; the generic ``event_type``
+    default for the single-dimension form)."""
     vs = _versions(spark, target_dir)
+    schema = rollup_schema(dim_cols)
     if not vs:
-        return spark.createDataFrame([], ROLLUP_SCHEMA)
-    return spark.read.schema(ROLLUP_SCHEMA).parquet(f"{target_dir}/v={vs[-1]}")
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(f"{target_dir}/v={vs[-1]}")
 
 
 def incremental_rollup(
@@ -62,20 +90,34 @@ def incremental_rollup(
     bucket: str = "1 minute",
     ts_col: str = "ts",
     dim_col: str = "event_type",
+    dim_cols: tuple | None = None,
     watermark_delay: str = "10 minutes",
 ):
     """Start the maintenance stream; returns the StreamingQuery.
 
-    ``events`` is a streaming DataFrame with event-time ``ts_col`` and a
-    dimension ``dim_col``.
+    ``events`` is a streaming DataFrame with event-time ``ts_col``.
+    Dimensions: pass ``dim_cols`` (a tuple of column names, r10) to
+    maintain a multi-dimension snapshot under the columns' OWN names —
+    the finest grain serves every coarser panel by exact re-aggregation.
+    The single ``dim_col`` form (stored under the generic name
+    ``event_type``) is the original contract and stays for existing
+    snapshots; readers must pass the matching ``dim_cols`` to
+    ``read_rollup``.
     """
+    if dim_cols is None:
+        dims = DEFAULT_DIMS
+        keys = [F.col(dim_col).alias("event_type")]
+    else:
+        dims = tuple(dim_cols)
+        keys = [F.col(d) for d in dims]
+    schema = rollup_schema(dims)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         inc = (
             batch_df.groupBy(
                 F.window(F.col(ts_col), bucket).getField("start").alias("bucket"),
-                F.col(dim_col).alias("event_type"),
+                *keys,
             )
             .agg(F.count("*").alias("n"))
         )
@@ -83,14 +125,14 @@ def incremental_rollup(
         # replayed batch merges the same base it did the first time
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         if prior_vs:
-            prior = spark.read.schema(ROLLUP_SCHEMA).parquet(f"{target_dir}/v={prior_vs[-1]}")
+            prior = spark.read.schema(schema).parquet(f"{target_dir}/v={prior_vs[-1]}")
             merged = (
                 prior.unionByName(inc)
-                .groupBy("bucket", "event_type")
+                .groupBy("bucket", *dims)
                 .agg(F.sum("n").cast("long").alias("n"))
             )
         else:
-            merged = inc.select("bucket", "event_type", F.col("n").cast("long"))
+            merged = inc.select("bucket", *dims, F.col("n").cast("long").alias("n"))
         merged.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")
 
     keyed = events.withWatermark(ts_col, watermark_delay)

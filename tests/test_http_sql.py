@@ -545,8 +545,9 @@ def test_serving_fair_conf_paths_are_unique(tmp_path):
 @pytest.fixture(scope="module")
 def logs_endpoint(spark, tmp_path_factory):
     """An endpoint over a small ingested logs warehouse + its maintained
-    30 s/service rollup, with a short per-request deadline for the
-    cancellation tests."""
+    30 s (service, severity) multi-dim rollup — the finest dashboard
+    grain, serving both the q5 and q3 rollup routes — with a short
+    per-request deadline for the cancellation tests."""
     from demo_otel_parquet_antalya_spark.sources.generator import generate_files
     from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
     from demo_otel_parquet_antalya_spark.streaming.rollup import incremental_rollup
@@ -559,11 +560,13 @@ def logs_endpoint(spark, tmp_path_factory):
     q = incremental_rollup(
         spark.readStream.schema(spark.read.parquet(wh).schema).parquet(wh),
         rollup, str(tmp / "rollup_ckpt"),
-        bucket="30 seconds", ts_col="timestamp", dim_col="service_name",
+        bucket="30 seconds", ts_col="timestamp",
+        dim_cols=("service_name", "severity_text"),
     )
     q.awaitTermination()
     server = start_sql_endpoint(
         spark, SF_DIR, row_cap=5000, logs_dir=wh, rollup_dir=rollup,
+        rollup_dims=("service_name", "severity_text"),
         request_timeout_s=2.5,
     )
     host, port = server.server_address
@@ -573,9 +576,10 @@ def logs_endpoint(spark, tmp_path_factory):
 
 def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
     """?source=rollup routes the time-series panel through the maintained
-    (bucket, service) snapshot — values must equal the raw-scan panel
-    (the O(buckets) production routing SCALE.md measures as flat at 100x
-    the raw volume)."""
+    (bucket, service, severity) snapshot (severity summed out — counts
+    re-aggregate) — values must equal the raw-scan panel (the O(buckets)
+    production routing SCALE.md measures as flat at 100x the raw
+    volume)."""
     base, _wh = logs_endpoint
     # cold first use can brush the fixture's deliberately-short 2.5 s
     # cancellation deadline on a loaded box; warm both routes once
@@ -593,13 +597,27 @@ def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
         routed = json.loads(r.read())
     assert routed["row_count"] == raw["row_count"] > 0
     assert sorted(map(tuple, routed["rows"])) == sorted(map(tuple, raw["rows"]))
-    # ad-hoc filters apply to raw logs, not the pre-aggregated grain
+    # ad-hoc filters on MAINTAINED dimensions apply to the snapshot
+    # exactly (filtering a dim column commutes with the count
+    # re-aggregation): routed == raw under the same filter
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?source=rollup&filter=severity_text=ERROR"
+    ) as r:
+        routed_f = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?interval=30&filter=severity_text=ERROR"
+    ) as r:
+        raw_f = json.loads(r.read())
+    assert routed_f["row_count"] == raw_f["row_count"] > 0
+    assert sorted(map(tuple, routed_f["rows"])) == sorted(map(tuple, raw_f["rows"]))
+    # ...while a filter on a NON-maintained column is a 400 (serve from
+    # raw), never a silently-wrong pre-aggregated answer
     try:
         urllib.request.urlopen(
-            f"{base}/panels/q5_timeseries?source=rollup&filter=severity_text=ERROR"
+            f"{base}/panels/q5_timeseries?source=rollup&filter=body=~%25x%25"
         )
     except urllib.error.HTTPError as e:
-        assert e.code == 400 and "rollup" in json.loads(e.read())["error"]
+        assert e.code == 400 and "dimensions" in json.loads(e.read())["error"]
     else:
         raise AssertionError("expected 400")
     # counts re-aggregate: a MULTIPLE of the maintained 30 s grain is
@@ -979,3 +997,52 @@ def test_relation_gate_fails_closed_on_any_unresolved_multipart(endpoint):
     assert ok["rows"] == [[25]]
     code, err = _post_err(endpoint, "/query", {"sql": "SELECT * FROM no_such_view"})
     assert code == 400 and "file-path" not in err["error"]
+
+
+def test_q3_served_from_rollup_matches_raw_over_http(logs_endpoint):
+    """?source=rollup routes the severity-counts panel — the worst-growing
+    measured panel (8x at 100x data, SCALE.md) — through the maintained
+    (bucket, service, severity) snapshot, summing over buckets: values
+    must equal the raw full-scan panel, with and without a
+    maintained-dimension ad-hoc filter (r10, VERDICT r9 #2)."""
+    base, _wh = logs_endpoint
+    # warm both routes once (cold first use can brush the fixture's
+    # deliberately-short 2.5 s cancellation deadline on a loaded box)
+    for path in ("/panels/q3_severity_counts",
+                 "/panels/q3_severity_counts?source=rollup"):
+        try:
+            urllib.request.urlopen(base + path).read()
+        except urllib.error.HTTPError:
+            pass
+    with urllib.request.urlopen(f"{base}/panels/q3_severity_counts") as r:
+        raw = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q3_severity_counts?source=rollup"
+    ) as r:
+        routed = json.loads(r.read())
+    assert routed["columns"] == raw["columns"] == [
+        "service_name", "severity_text", "count",
+    ]
+    assert routed["row_count"] == raw["row_count"] > 0
+    assert sorted(map(tuple, routed["rows"])) == sorted(map(tuple, raw["rows"]))
+    # a maintained-dimension filter applies to the snapshot exactly
+    svc = raw["rows"][0][0]
+    with urllib.request.urlopen(
+        f"{base}/panels/q3_severity_counts?filter=service_name={svc}"
+    ) as r:
+        raw_f = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q3_severity_counts?source=rollup&filter=service_name={svc}"
+    ) as r:
+        routed_f = json.loads(r.read())
+    assert routed_f["row_count"] == raw_f["row_count"] > 0
+    assert sorted(map(tuple, routed_f["rows"])) == sorted(map(tuple, raw_f["rows"]))
+    # a non-maintained column filter is a 400, never silently wrong
+    try:
+        urllib.request.urlopen(
+            f"{base}/panels/q3_severity_counts?source=rollup&filter=body=~%25x%25"
+        )
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "dimensions" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")

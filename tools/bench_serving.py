@@ -26,6 +26,8 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RECORDS_PER_FILE = 4000
+# the maintained rollup grain; first dim = the q5 panel's series
+ROLLUP_DIMS = ("service_name", "severity_text")
 
 
 def _gen_shard(args) -> None:
@@ -44,7 +46,10 @@ def build_warehouse(spark, work: str, n_logs: int) -> tuple[str, str]:
     landing = os.path.join(work, "landing")
     warehouse = os.path.join(work, "warehouse")
     rollup = os.path.join(work, "rollup")
-    stamp = os.path.join(work, f"built_{n_logs}")
+    # _md suffix: r10 switched the maintained rollup to the multi-dim
+    # (service, severity) grain — pre-r10 work dirs hold the old snapshot
+    # schema and must rebuild
+    stamp = os.path.join(work, f"built_{n_logs}_md")
     if os.path.exists(stamp):
         return warehouse, rollup
     n_files = max(1, n_logs // RECORDS_PER_FILE)
@@ -86,10 +91,14 @@ def build_warehouse(spark, work: str, n_logs: int) -> tuple[str, str]:
     compact_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     logs_schema = spark.read.parquet(warehouse).schema
+    # the finest dashboard grain: (bucket, service, severity) serves BOTH
+    # the q5 time-series (severity summed out) and the q3 severity-counts
+    # (buckets summed out) rollup routes from one maintained snapshot
     q = incremental_rollup(
         spark.readStream.schema(logs_schema).parquet(warehouse),
         rollup, os.path.join(work, "rollup_ckpt"),
-        bucket="30 seconds", ts_col="timestamp", dim_col="service_name",
+        bucket="30 seconds", ts_col="timestamp",
+        dim_cols=ROLLUP_DIMS,
     )
     q.awaitTermination()
     rollup_s = time.perf_counter() - t0
@@ -133,7 +142,7 @@ def main() -> None:
 
     server = start_sql_endpoint(
         spark, "/root/testdata/sf0.001", port=0, logs_dir=warehouse,
-        rollup_dir=rollup, request_timeout_s=600.0,
+        rollup_dir=rollup, rollup_dims=ROLLUP_DIMS, request_timeout_s=600.0,
     )
     host, port = server.server_address
     base = f"http://{host}:{port}"
@@ -160,19 +169,31 @@ def main() -> None:
         "q5_timeseries_raw": "/panels/q5_timeseries?interval=30",
         "q6_log_panel": "/panels/q6_log_panel?limit=1000",
         "q6_adhoc_filtered": "/panels/q6_log_panel?limit=1000&filter=severity_text=ERROR",
-        # the production routing: the time-series panel served from the
-        # maintained rollup snapshot, over the SAME HTTP path as raw
+        # the production routing: panels served from the maintained
+        # multi-dim rollup snapshot, over the SAME HTTP paths as raw
         "q5_timeseries_rollup": "/panels/q5_timeseries?source=rollup",
+        "q3_severity_rollup": "/panels/q3_severity_counts?source=rollup",
+        "q5_rollup_adhoc_sev": (
+            "/panels/q5_timeseries?source=rollup&filter=severity_text=ERROR"
+        ),
     }
     results = {}
     for name, path in panels.items():
         results[name] = _time_http(base + path, reps)
 
     raw_rows = spark.read.parquet(warehouse).count()
+    # snapshot growth check (VERDICT r9 #5): the per-batch rewrite is a
+    # coalesce(1) overwrite of the whole key space, so record its size —
+    # bounded by buckets x services x severities, NOT by raw volume
+    from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
+
+    rollup_rows = read_rollup(spark, rollup, ROLLUP_DIMS).count()
     server.shutdown()
     print(json.dumps({
         "metric": "serving_panel_latency",
         "n_logs": raw_rows,
+        "rollup_snapshot_rows": rollup_rows,
+        "rollup_dims": list(ROLLUP_DIMS),
         "reps": reps,
         "panels": results,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
