@@ -260,6 +260,54 @@ def q6_log_panel(logs: DataFrame, start=None, end=None, limit: int = 1000) -> Da
     )
 
 
+def _as_ts(v):
+    """Query-param time bound -> datetime (params arrive as ISO strings
+    over HTTP; direct callers may pass datetimes)."""
+    if v is None or isinstance(v, _dt.datetime):
+        return v
+    return _dt.datetime.fromisoformat(str(v))
+
+
+def q6_log_panel_pruned(
+    spark, logs_dir: str, start=None, end=None, limit: int = 1000, filters=()
+) -> DataFrame:
+    """Q6 with TAIL PRUNING from the OLDEST end (r10): the log panel is
+    'oldest N in the window' (logs.json:181 orders ascending, LIMIT 1000),
+    so its windowless form is a TakeOrderedAndProject over the WHOLE
+    warehouse — O(history) per refresh, 4× at 100× data by SCALE.md's
+    measurement. Mirror of ``q2_recent_logs_pruned`` with the direction
+    reversed: list the partition hour directories (no data read), keep
+    only hours inside the requested window (when one is given), read the
+    OLDEST K of them (``basePath`` keeps the partition columns), widening
+    K (1 -> 4x -> ...) while they hold fewer than ``limit`` rows — rows
+    in later hours are strictly newer, so the oldest-``limit`` within the
+    first K hours IS the global answer once K hours hold ``limit`` rows.
+    Ad-hoc ``filters`` and the exact ``time_filter`` bounds apply BEFORE
+    the widening count, so filtered/windowed results stay complete.
+    Value-identical to ``q6_log_panel`` (pytest + HTTP equality)."""
+    start, end = _as_ts(start), _as_ts(end)
+    hours = sorted(list_partition_hours(spark, logs_dir))  # oldest first
+    if start is not None:
+        floor = (start.year, start.month, start.day, start.hour)
+        hours = [h for h in hours if h[0] >= floor]
+    if end is not None:
+        ceil = (end.year, end.month, end.day, end.hour)
+        hours = [h for h in hours if h[0] <= ceil]
+    if not hours:
+        return q6_log_panel(
+            adhoc_filter(spark.read.parquet(logs_dir), filters), start, end, limit
+        )
+    k = 1
+    while True:
+        paths = [p for _t, dirs in hours[:k] for p in dirs]
+        sub = spark.read.option("basePath", logs_dir).parquet(*paths)
+        cand = q6_log_panel(adhoc_filter(sub, filters), start, end, limit)
+        rows = cand.take(limit)  # ONE job per widening step (see q2)
+        if k >= len(hours) or len(rows) >= limit:
+            return spark.createDataFrame(rows, cand.schema)
+        k *= 4
+
+
 def q5_timeseries_from_rollup(
     spark, rollup_dir: str, start=None, end=None,
     interval_seconds: int | None = None, base_interval_s: int = 30,

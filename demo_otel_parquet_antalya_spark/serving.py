@@ -752,6 +752,19 @@ class _SQLHandler(BaseHTTPRequestHandler):
                             filters=filters,
                         )
                         return _df_payload(frame, self.row_cap)
+                    if name == "q6_log_panel" and params.get("source") == "pruned":
+                        # same tail pruning from the OLDEST end: the log
+                        # panel is 'oldest N in the window' — read the
+                        # oldest in-window hour directories only (r10)
+                        from demo_otel_parquet_antalya_spark.plans import facade
+
+                        frame = facade.q6_log_panel_pruned(
+                            self.spark, self.logs_dir,
+                            params.get("start"), params.get("end"),
+                            limit=min(int(params.get("limit", 1000)), self.row_cap),
+                            filters=filters,
+                        )
+                        return _df_payload(frame, self.row_cap)
                     logs = self.spark.read.parquet(self.logs_dir)
                     frame = _panel_frame(logs, name, params, filters)
                     return _df_payload(frame, self.row_cap)

@@ -1046,3 +1046,81 @@ def test_q3_served_from_rollup_matches_raw_over_http(logs_endpoint):
         assert e.code == 400 and "dimensions" in json.loads(e.read())["error"]
     else:
         raise AssertionError("expected 400")
+
+
+def test_q6_pruned_matches_raw_over_http(logs_endpoint, spark):
+    """?source=pruned on the log panel serves 'oldest N' from the OLDEST
+    hour directories (tail pruning mirrored from q2, r10) — values must
+    equal the full-scan Q6 with no window, with a $timeFilter window, and
+    with an ad-hoc filter (both apply before the widening count)."""
+    base, wh = logs_endpoint
+    for path in ("/panels/q6_log_panel?limit=5",
+                 "/panels/q6_log_panel?limit=5&source=pruned"):
+        try:
+            urllib.request.urlopen(base + path).read()
+        except urllib.error.HTTPError:
+            pass
+    with urllib.request.urlopen(f"{base}/panels/q6_log_panel?limit=40") as r:
+        raw = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q6_log_panel?limit=40&source=pruned"
+    ) as r:
+        pruned = json.loads(r.read())
+    assert pruned["row_count"] == raw["row_count"] == 40
+    assert sorted(map(tuple, pruned["rows"])) == sorted(map(tuple, raw["rows"]))
+    # a $timeFilter window restricts the hour listing AND the row bounds
+    import datetime
+    from urllib.parse import urlencode
+
+    lo = spark.read.parquet(wh).selectExpr("min(timestamp) AS m").first()[0]
+    q = urlencode({
+        "limit": 25,
+        "start": lo.isoformat(sep=" "),
+        "end": (lo + datetime.timedelta(minutes=5)).isoformat(sep=" "),
+    })
+    with urllib.request.urlopen(f"{base}/panels/q6_log_panel?{q}") as r:
+        raw_w = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q6_log_panel?{q}&source=pruned"
+    ) as r:
+        pruned_w = json.loads(r.read())
+    assert pruned_w["row_count"] == raw_w["row_count"] > 0
+    assert sorted(map(tuple, pruned_w["rows"])) == sorted(map(tuple, raw_w["rows"]))
+    # ad-hoc filter applies before the widening count
+    svc = raw["rows"][0][2]
+    fq = f"limit=15&filter=service_name={svc}"
+    with urllib.request.urlopen(f"{base}/panels/q6_log_panel?{fq}") as r:
+        want = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q6_log_panel?{fq}&source=pruned"
+    ) as r:
+        filt = json.loads(r.read())
+    assert sorted(map(tuple, filt["rows"])) == sorted(map(tuple, want["rows"]))
+
+
+def test_q6_pruned_widens_until_enough_rows(spark, tmp_path):
+    """A limit larger than the oldest hour's row count forces the widening
+    loop across hour partitions; values must equal full-scan Q6 as
+    multisets."""
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    landing, wh = str(tmp_path / "l"), str(tmp_path / "wh")
+    generate_files(landing, n_files=2, records_per_file=30)
+    generate_files(
+        str(tmp_path / "l2"), n_files=2, records_per_file=30,
+        base_ns=1_700_000_000_000_000_000 + 2 * 3600 * 1_000_000_000,
+    )
+    import shutil
+
+    for f in (tmp_path / "l2").iterdir():
+        shutil.move(str(f), landing + "/x_" + f.name)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "c"))
+    logs = spark.read.parquet(wh)
+    assert len(facade.list_partition_hours(spark, wh)) >= 2
+    want = sorted(tuple(r) for r in facade.q6_log_panel(logs, limit=90).collect())
+    got = sorted(
+        tuple(r) for r in facade.q6_log_panel_pruned(spark, wh, limit=90).collect()
+    )
+    assert got == want and len(got) == 90

@@ -168,6 +168,9 @@ def main() -> None:
         "q3_severity_counts": "/panels/q3_severity_counts",
         "q5_timeseries_raw": "/panels/q5_timeseries?interval=30",
         "q6_log_panel": "/panels/q6_log_panel?limit=1000",
+        # tail pruning from the OLDEST end: oldest-N reads the oldest
+        # hour directories only
+        "q6_pruned": "/panels/q6_log_panel?limit=1000&source=pruned",
         "q6_adhoc_filtered": "/panels/q6_log_panel?limit=1000&filter=severity_text=ERROR",
         # the production routing: panels served from the maintained
         # multi-dim rollup snapshot, over the SAME HTTP paths as raw
