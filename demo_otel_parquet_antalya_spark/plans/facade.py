@@ -206,14 +206,29 @@ def q2_recent_logs_pruned(
         return q2_recent_logs(
             adhoc_filter(spark.read.parquet(logs_dir), filters), limit
         )
+    return _widened_take(
+        spark, logs_dir, hours, limit,
+        lambda sub: q2_recent_logs(adhoc_filter(sub, filters), limit),
+    )
+
+
+def _widened_take(spark, logs_dir: str, hours, limit: int, build) -> DataFrame:
+    """Shared widening probe for the tail-pruned panels (q2 newest-N, q6
+    oldest-N): read the first K hour directories of ``hours`` (``basePath``
+    keeps the partition columns), build the panel frame over them, take
+    its rows — ONE job per widening step; the rows are both the widening
+    decision and the result (a top-N panel is tiny by construction, so
+    returning a local frame is free) — and widen K (1 -> 4x) while the
+    hours hold fewer than ``limit`` rows. Correct because hour directories
+    partition event time: every row outside the first K hours sorts
+    strictly beyond them in the panel's direction, so once K hours hold
+    ``limit`` rows the local top-N IS the global one."""
     k = 1
     while True:
         paths = [p for _t, dirs in hours[:k] for p in dirs]
         sub = spark.read.option("basePath", logs_dir).parquet(*paths)
-        cand = q2_recent_logs(adhoc_filter(sub, filters), limit)
-        rows = cand.take(limit)  # ONE job per widening step: the rows are
-        # both the widening decision and the result (a top-N panel is tiny
-        # by construction, so returning a local frame is free)
+        cand = build(sub)
+        rows = cand.take(limit)
         if k >= len(hours) or len(rows) >= limit:
             return spark.createDataFrame(rows, cand.schema)
         k *= 4
@@ -260,12 +275,27 @@ def q6_log_panel(logs: DataFrame, start=None, end=None, limit: int = 1000) -> Da
     )
 
 
-def _as_ts(v):
-    """Query-param time bound -> datetime (params arrive as ISO strings
-    over HTTP; direct callers may pass datetimes)."""
-    if v is None or isinstance(v, _dt.datetime):
-        return v
-    return _dt.datetime.fromisoformat(str(v))
+def _session_naive(spark, v):
+    """A time bound as a NAIVE wall-clock in the SESSION timezone — the
+    clock the warehouse's year/month/day/hour partition columns were
+    derived in (streaming/ingest.py partitions on F.year(timestamp) etc.,
+    which evaluate in spark.sql.session.timeZone). Params arrive as ISO
+    strings over HTTP; direct callers may pass datetimes. A tz-AWARE
+    bound is converted to the session zone first: flooring its foreign
+    wall-clock fields would prune the wrong hour directories and silently
+    drop in-window rows (code-review r10, confirmed live with a +02:00
+    window over a UTC-partitioned warehouse). An unconvertible session
+    timezone raises rather than mis-pruning."""
+    if v is None:
+        return None
+    if not isinstance(v, _dt.datetime):
+        v = _dt.datetime.fromisoformat(str(v))
+    if v.tzinfo is not None:
+        from zoneinfo import ZoneInfo
+
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        v = v.astimezone(ZoneInfo(tz)).replace(tzinfo=None)
+    return v
 
 
 def q6_log_panel_pruned(
@@ -285,7 +315,7 @@ def q6_log_panel_pruned(
     Ad-hoc ``filters`` and the exact ``time_filter`` bounds apply BEFORE
     the widening count, so filtered/windowed results stay complete.
     Value-identical to ``q6_log_panel`` (pytest + HTTP equality)."""
-    start, end = _as_ts(start), _as_ts(end)
+    start, end = _session_naive(spark, start), _session_naive(spark, end)
     hours = sorted(list_partition_hours(spark, logs_dir))  # oldest first
     if start is not None:
         floor = (start.year, start.month, start.day, start.hour)
@@ -297,15 +327,10 @@ def q6_log_panel_pruned(
         return q6_log_panel(
             adhoc_filter(spark.read.parquet(logs_dir), filters), start, end, limit
         )
-    k = 1
-    while True:
-        paths = [p for _t, dirs in hours[:k] for p in dirs]
-        sub = spark.read.option("basePath", logs_dir).parquet(*paths)
-        cand = q6_log_panel(adhoc_filter(sub, filters), start, end, limit)
-        rows = cand.take(limit)  # ONE job per widening step (see q2)
-        if k >= len(hours) or len(rows) >= limit:
-            return spark.createDataFrame(rows, cand.schema)
-        k *= 4
+    return _widened_take(
+        spark, logs_dir, hours, limit,
+        lambda sub: q6_log_panel(adhoc_filter(sub, filters), start, end, limit),
+    )
 
 
 def q5_timeseries_from_rollup(

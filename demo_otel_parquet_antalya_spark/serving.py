@@ -611,11 +611,28 @@ class _SQLHandler(BaseHTTPRequestHandler):
 
     def _send(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode("utf-8")
+        self._responded = True
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _answer_error(self, code: int, payload: dict) -> None:
+        """Error answer that cannot corrupt an already-started response:
+        a slow READER can trip the socket timeout mid-200-payload (the
+        write raises TimeoutError, an OSError, out of ``_send``), and
+        appending a second response there would interleave status-line
+        and headers into the truncated JSON. If the response already
+        started — or the error write itself fails — close the connection
+        instead (code-review r10)."""
+        if getattr(self, "_responded", False):
+            self.close_connection = True
+            return
+        try:
+            self._send(code, payload)
+        except OSError:
+            self.close_connection = True
 
     def _run_bounded(self, work):
         """Run ``work()`` (plan build + collect) inside a per-request Spark
@@ -671,6 +688,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
             sc.setLocalProperty("spark.scheduler.pool", None)
 
     def do_GET(self):  # noqa: N802
+        self._responded = False  # per request: handlers are reused keep-alive
         path, _, query = self.path.partition("?")
         path = path.rstrip("/")
         if path == "/health":
@@ -771,15 +789,16 @@ class _SQLHandler(BaseHTTPRequestHandler):
 
                 self._send(200, self._run_bounded(work))
             except KeyError as exc:
-                self._send(404, {"error": f"unknown panel {exc}"})
+                self._answer_error(404, {"error": f"unknown panel {exc}"})
             except _RequestCancelled as exc:
-                self._send(408, {"error": str(exc)})
+                self._answer_error(408, {"error": str(exc)})
             except Exception as exc:
-                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+                self._answer_error(400, {"error": f"{type(exc).__name__}: {exc}"})
             return
         self._send(404, {"error": "unknown path"})
 
     def do_POST(self):  # noqa: N802
+        self._responded = False  # per request: handlers are reused keep-alive
         # door checks BEFORE the body is trusted (shared with the OTLP
         # receiver, http_door.py): cap 413, malformed Content-Length 400,
         # chunked 411, short body 400, mid-body stall 408, gzip accepted
@@ -824,11 +843,11 @@ class _SQLHandler(BaseHTTPRequestHandler):
                 return
             self._send(404, {"error": "unknown path"})
         except json.JSONDecodeError:
-            self._send(400, {"error": "request body must be JSON"})
+            self._answer_error(400, {"error": "request body must be JSON"})
         except _RequestCancelled as exc:
-            self._send(408, {"error": str(exc)})
+            self._answer_error(408, {"error": str(exc)})
         except Exception as exc:  # AnalysisException etc. -> client error
-            self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+            self._answer_error(400, {"error": f"{type(exc).__name__}: {exc}"})
 
 
 def serving_fair_conf(tmp_dir: str | None = None) -> dict:

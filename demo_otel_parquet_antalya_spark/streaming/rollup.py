@@ -46,7 +46,11 @@ DEFAULT_DIMS = ("event_type",)
 
 
 def rollup_schema(dim_cols: tuple = DEFAULT_DIMS) -> str:
-    """The snapshot schema for a rollup maintained over ``dim_cols``."""
+    """The snapshot schema for a rollup maintained over ``dim_cols``.
+    Dimensions are declared ``string`` — dashboard dimensions (service,
+    severity, event type) are strings; maintaining a non-string dimension
+    would fail loudly at read time with a parquet type mismatch, not
+    silently coerce."""
     dims = ", ".join(f"{d} string" for d in dim_cols)
     return f"bucket timestamp, {dims}, n long"
 
@@ -75,12 +79,29 @@ def read_rollup(
     """Latest committed snapshot (empty frame if none yet). ``dim_cols``
     must be the tuple the rollup is MAINTAINED with (the snapshot's own
     column names for a multi-dimension rollup; the generic ``event_type``
-    default for the single-dimension form)."""
+    default for the single-dimension form) — VALIDATED against the
+    snapshot's actual columns, because schema-on-read would fill a
+    mis-claimed dimension with NULLs and the panel would serve silently
+    wrong all-null groups instead of the promised error (code-review r10,
+    confirmed live with a single-dim snapshot read as two-dim)."""
     vs = _versions(spark, target_dir)
-    schema = rollup_schema(dim_cols)
     if not vs:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(f"{target_dir}/v={vs[-1]}")
+        return spark.createDataFrame([], rollup_schema(dim_cols))
+    return _read_version(spark, target_dir, vs[-1], dim_cols)
+
+
+def _read_version(
+    spark: SparkSession, target_dir: str, version: int, dim_cols: tuple
+) -> DataFrame:
+    snap = spark.read.parquet(f"{target_dir}/v={version}")
+    want = ["bucket", *dim_cols, "n"]
+    if set(snap.columns) != set(want):
+        raise ValueError(
+            f"rollup snapshot at {target_dir!r} has columns "
+            f"{sorted(snap.columns)}, not the claimed {sorted(want)} — "
+            "pass the dim_cols the rollup is maintained with"
+        )
+    return snap.select(*want)
 
 
 def incremental_rollup(
@@ -110,7 +131,6 @@ def incremental_rollup(
     else:
         dims = tuple(dim_cols)
         keys = [F.col(d) for d in dims]
-    schema = rollup_schema(dims)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -122,10 +142,13 @@ def incremental_rollup(
             .agg(F.count("*").alias("n"))
         )
         # merge with the snapshot strictly BEFORE this batch id, so a
-        # replayed batch merges the same base it did the first time
+        # replayed batch merges the same base it did the first time;
+        # _read_version validates the prior snapshot's columns, so a
+        # maintenance stream restarted with DIFFERENT dims over an old
+        # target_dir fails loudly instead of merging NULL dimensions
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         if prior_vs:
-            prior = spark.read.schema(schema).parquet(f"{target_dir}/v={prior_vs[-1]}")
+            prior = _read_version(spark, target_dir, prior_vs[-1], dims)
             merged = (
                 prior.unionByName(inc)
                 .groupBy("bucket", *dims)

@@ -1124,3 +1124,90 @@ def test_q6_pruned_widens_until_enough_rows(spark, tmp_path):
         tuple(r) for r in facade.q6_log_panel_pruned(spark, wh, limit=90).collect()
     )
     assert got == want and len(got) == 90
+
+
+def test_q6_pruned_handles_tz_aware_window(spark, tmp_path):
+    """A $timeFilter window expressed with a UTC-offset timezone must
+    prune by the SESSION-zone wall clock the partition directories were
+    derived in — flooring the foreign wall-clock dropped in-window hour
+    directories and returned silently incomplete results (code-review
+    r10, confirmed live with a +02:00 window over a UTC warehouse)."""
+    import datetime
+
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    landing, wh = str(tmp_path / "l"), str(tmp_path / "wh")
+    generate_files(landing, n_files=2, records_per_file=30)
+    generate_files(
+        str(tmp_path / "l2"), n_files=2, records_per_file=30,
+        base_ns=1_700_000_000_000_000_000 + 2 * 3600 * 1_000_000_000,
+    )
+    import shutil
+
+    for f in (tmp_path / "l2").iterdir():
+        shutil.move(str(f), landing + "/x_" + f.name)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "c"))
+    logs = spark.read.parquet(wh)
+    lo, hi = logs.selectExpr("min(timestamp)", "max(timestamp)").first()
+    tz = datetime.timezone(datetime.timedelta(hours=2))
+    # the whole range, expressed as +02:00 instants
+    start = lo.replace(tzinfo=datetime.timezone.utc).astimezone(tz)
+    end = hi.replace(tzinfo=datetime.timezone.utc).astimezone(tz)
+    want = sorted(
+        tuple(r)
+        for r in facade.q6_log_panel(logs, start, end, limit=120).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in facade.q6_log_panel_pruned(
+            spark, wh, start.isoformat(), end.isoformat(), limit=120
+        ).collect()
+    )
+    assert got == want and len(got) == 120
+
+
+def test_mid_payload_timeout_does_not_corrupt_response(spark):
+    """A reader slow enough to trip the socket timeout mid-200-payload
+    must get a clean close of the truncated stream — NOT a second
+    'HTTP/1.1 400' response interleaved into the JSON body (code-review
+    r10) — and the endpoint must keep serving new connections."""
+    import socket
+    import time
+
+    server = start_sql_endpoint(spark, SF_DIR, row_cap=10_000)
+    server.RequestHandlerClass.timeout = 0.5
+    host, port = server.server_address
+    try:
+        # ~50 MB payload so the response write outlives every socket buffer
+        body = json.dumps(
+            {"sql": "SELECT repeat('x', 100000) AS s FROM range(500)"}
+        ).encode()
+        s = socket.create_connection((host, port), timeout=30)
+        s.sendall(
+            b"POST /query HTTP/1.1\r\nHost: x\r\nContent-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        first = s.recv(1024)  # the 200 status line arrives...
+        assert b" 200 " in first.split(b"\r\n", 1)[0]
+        time.sleep(2.0)  # ...then stall past the 0.5 s socket timeout
+        tail = b""
+        try:
+            while True:
+                got = s.recv(1 << 20)
+                if not got:
+                    break
+                tail += got
+                if len(tail) > 200 * (1 << 20):
+                    break
+        except OSError:
+            pass  # RST from the close is acceptable; corruption is not
+        assert b"HTTP/1.1 400" not in tail  # no interleaved second response
+        s.close()
+        # the endpoint still serves new connections afterwards
+        ok = _post(f"http://{host}:{port}", "/query", {"sql": "SELECT 1 AS one"})
+        assert ok["rows"] == [[1]]
+    finally:
+        server.shutdown()

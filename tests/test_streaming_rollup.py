@@ -195,3 +195,32 @@ def test_multidim_rollup_matches_batch_and_serves_q3_and_q5(spark, tmp_path):
         facade.q5_timeseries_from_rollup(
             spark, target, dim_cols=dims, filters=[("body", "=~", "%x%")]
         )
+
+
+def test_read_rollup_rejects_mismatched_dims(spark, tmp_path):
+    """Claiming the wrong dimension tuple must raise, not serve NULLs:
+    parquet schema-on-read fills a mis-claimed column with NULL, so a
+    single-dim snapshot read as two-dim would produce silently-wrong
+    all-null groups (code-review r10, confirmed live before the fix)."""
+    import pytest
+
+    rows = [(1, 0, "click"), (2, 10, "view")]
+    src = str(tmp_path / "events")
+    _write(src, "b1.json", rows)
+    target = str(tmp_path / "rollup")
+    q = incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    # correct claim reads fine
+    assert read_rollup(spark, target, ("event_type",)).count() > 0
+    # wrong claim raises with both column sets named
+    with pytest.raises(ValueError, match="maintained with"):
+        read_rollup(spark, target, ("service_name", "severity_text")).count()
+    # ...and the facade route propagates it (serving answers 400)
+    from demo_otel_parquet_antalya_spark.plans import facade
+
+    with pytest.raises(ValueError):
+        facade.q3_severity_counts_from_rollup(
+            spark, target, ("service_name", "severity_text")
+        ).count()
