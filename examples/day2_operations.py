@@ -54,14 +54,18 @@ def main() -> None:
     land = f"{work}/flat"
     logs.write.parquet(land)
     stream = spark.readStream.schema(logs.schema).parquet(land)
+    dims = ("service_name", "severity_text")  # finest dashboard grain
     incremental_rollup(
         stream, f"{work}/rollup", f"{work}/ckpt",
-        bucket="30 seconds", ts_col="timestamp", dim_col="service_name",
+        bucket="30 seconds", ts_col="timestamp", dim_cols=dims,
     ).awaitTermination()
-    routed = facade.q5_timeseries_from_rollup(spark, f"{work}/rollup")
+    routed = facade.q5_timeseries_from_rollup(spark, f"{work}/rollup", dim_cols=dims)
     raw = facade.q5_timeseries(read_logs(spark, wh), interval_seconds=30)
     assert sorted(map(tuple, routed.collect())) == sorted(map(tuple, raw.collect()))
-    print(f"routed read == raw scan ({routed.count()} buckets), no raw rescan")
+    routed3 = facade.q3_severity_counts_from_rollup(spark, f"{work}/rollup", dims)
+    raw3 = facade.q3_severity_counts(read_logs(spark, wh))
+    assert sorted(map(tuple, routed3.collect())) == sorted(map(tuple, raw3.collect()))
+    print(f"routed q5+q3 == raw scans ({routed.count()} buckets), no raw rescan")
 
     print("\n== 3. small files -> compaction ==")
     part_cols = ["service_name", "year", "month", "day", "hour"]

@@ -465,6 +465,9 @@ def test_gate_differential_fuzz(spark):
         "java_method('java.lang.String','valueOf',1)",
         "`reflect`('java.lang.String','valueOf',1)",
         "reflect/**/('java.lang.String','valueOf',1)",
+        # not an escape per se, but the r10 allowlist contract: a function
+        # name the session catalog has never heard of fails CLOSED
+        "never_registered_fn_r10(1)",
     ]
     COMMENTS = ["", " -- tail'", " /* c ' reflect( */", " /* o /* i */ o' */"]
 
