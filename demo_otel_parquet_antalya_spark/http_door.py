@@ -48,8 +48,17 @@ def answer_and_drain(
     handler: BaseHTTPRequestHandler, code: int, message: str, limit: int
 ) -> None:
     """Send the error response FIRST, then read and discard a BOUNDED
-    amount of request body (see module docstring for why this order)."""
-    handler.send_error(code, message)
+    amount of request body (see module docstring for why this order).
+    The send itself is guarded: a client that RSTs without reading makes
+    the error write raise (BrokenPipeError et al.), and both callers
+    invoke the door outside any try — unguarded, every such connection
+    would print the socketserver handle_error traceback this module
+    exists to eliminate (code-review r10, pass 2)."""
+    try:
+        handler.send_error(code, message)
+    except OSError:
+        handler.close_connection = True
+        return  # client gone: nothing to drain either
     try:
         remaining = limit
         while remaining > 0:
@@ -118,7 +127,7 @@ def read_bounded_body(
     if enc in ("", "identity"):
         return body
     if not accept_gzip or enc not in ("gzip", "x-gzip"):  # RFC 9110: x-gzip==gzip
-        handler.send_error(415, f"unsupported Content-Encoding {enc!r}")
+        _answer_best_effort(handler, 415, f"unsupported Content-Encoding {enc!r}")
         return None
     # gzip CODING is member concatenation (RFC 9110): loop members so a
     # multi-member body (Go writer Reset, naive export concat) lands
@@ -131,15 +140,15 @@ def read_bounded_body(
             d = zlib.decompressobj(wbits=31)  # gzip wrapper
             out += d.decompress(data, max_body_bytes + 1 - len(out))
             if len(out) > max_body_bytes or d.unconsumed_tail:
-                handler.send_error(413, "decompressed body exceeds cap")
+                _answer_best_effort(handler, 413, "decompressed body exceeds cap")
                 return None
             if not d.eof:  # input ended before the gzip trailer
-                handler.send_error(400, "truncated gzip body")
+                _answer_best_effort(handler, 400, "truncated gzip body")
                 return None
             if d.unused_data:
                 data = d.unused_data  # next member (or garbage -> 400)
                 continue
             return bytes(out)
     except zlib.error:
-        handler.send_error(400, "malformed gzip body")
+        _answer_best_effort(handler, 400, "malformed gzip body")
         return None

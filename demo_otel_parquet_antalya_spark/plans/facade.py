@@ -21,9 +21,20 @@ def _partition_hour_ts() -> Column:
     its year/month/day/hour PARTITION columns — a deterministic expression
     over partition attributes only, so Catalyst evaluates it against the
     directory listing (PartitionFilters) and prunes whole hour directories
-    before any file is opened."""
-    return F.to_timestamp(
-        F.format_string("%04d-%02d-%02d %02d:00:00", "year", "month", "day", "hour")
+    before any file is opened.
+
+    NULL-safe by construction (code-review r10, pass 2 fallout): rows in
+    ``__HIVE_DEFAULT_PARTITION__`` directories carry NULL partition
+    columns, and the previous ``to_timestamp(format_string(...))`` form
+    rendered them as the literal string 'null-null-null null:00:00',
+    which ANSI-mode to_timestamp rejects with DateTimeException — any
+    windowed panel over a warehouse holding null-timestamp rows crashed
+    instead of filtering them. ``make_timestamp`` propagates NULL, so
+    those rows simply fail the derived predicate, exactly as they already
+    fail the row predicate."""
+    return F.make_timestamp(
+        F.col("year"), F.col("month"), F.col("day"), F.col("hour"),
+        F.lit(0), F.lit(0),
     )
 
 
@@ -138,18 +149,29 @@ def _parse_hour_path(path: str):
         return None
 
 
-def list_partition_hours(spark, logs_dir: str) -> list:
-    """``[((year, month, day, hour), [concrete hour-dir paths]), ...]``
-    newest first, from the DIRECTORY LISTING alone (the Hive layout
-    ``service_name=*/year=*/month=*/day=*/hour=*``) — no file footers, no
-    data read. Local paths walk with os.scandir (one syscall per dir);
-    remote Hadoop filesystems (hdfs/s3a) fall back to one FS glob with a
-    single string round-trip per hour directory — either way this is the
-    metadata a 'recent logs' panel needs to avoid listing, let alone
-    scanning, the history."""
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hour_dir_entries(spark, logs_dir: str) -> list:
+    """``[(hour-dir path, (y, m, d, h) or None), ...]`` for every
+    hour-depth directory in the Hive layout, from the DIRECTORY LISTING
+    alone — no file footers, no data read. ``None`` marks an
+    ``hour=__HIVE_DEFAULT_PARTITION__`` directory: rows whose timestamp
+    is NULL partition there, and the pruned panel routes must account for
+    them (NULLS FIRST in the ascending log panel, NULLS LAST in the
+    descending recent-logs panel) or silently diverge from the raw scans
+    (code-review r10, pass 2). Local paths walk with os.scandir (one
+    syscall per dir); remote Hadoop filesystems (hdfs/s3a) fall back to
+    one FS glob with a single string round-trip per hour directory."""
     import os
 
-    hours: dict = {}
+    def entry(path):
+        t = _parse_hour_path(path)
+        if t is not None:
+            return (path, t)
+        return (path, None) if _NULL_PART in path else None
+
+    out = []
     local = None
     if "://" not in logs_dir:
         local = logs_dir
@@ -168,9 +190,9 @@ def list_partition_hours(spark, logs_dir: str) -> list:
                 for m in subdirs(y):
                     for d in subdirs(m):
                         for h in subdirs(d):
-                            t = _parse_hour_path(h)
-                            if t is not None:
-                                hours.setdefault(t, []).append(h)
+                            e = entry(h)
+                            if e is not None:
+                                out.append(e)
     else:
         jvm = spark.sparkContext._jvm
         root = jvm.org.apache.hadoop.fs.Path(logs_dir)
@@ -179,11 +201,30 @@ def list_partition_hours(spark, logs_dir: str) -> list:
             logs_dir.rstrip("/") + "/*/year=*/month=*/day=*/hour=*"
         )
         for st in fs.globStatus(glob) or []:
-            p = st.getPath().toString()
-            t = _parse_hour_path(p)
-            if t is not None:
-                hours.setdefault(t, []).append(p)
+            e = entry(st.getPath().toString())
+            if e is not None:
+                out.append(e)
+    return out
+
+
+def list_partition_hours(spark, logs_dir: str) -> list:
+    """``[((year, month, day, hour), [concrete hour-dir paths]), ...]``
+    newest first, from the directory listing alone (see
+    ``_hour_dir_entries``) — the metadata a 'recent logs' panel needs to
+    avoid listing, let alone scanning, the history. NULL-timestamp
+    (``__HIVE_DEFAULT_PARTITION__``) directories are NOT in this list;
+    the pruned routes fetch them via ``null_hour_dirs``."""
+    hours: dict = {}
+    for path, t in _hour_dir_entries(spark, logs_dir):
+        if t is not None:
+            hours.setdefault(t, []).append(path)
     return sorted(hours.items(), reverse=True)
+
+
+def null_hour_dirs(spark, logs_dir: str) -> list:
+    """Hour directories holding NULL-timestamp rows (the Hive default
+    partition)."""
+    return [p for p, t in _hour_dir_entries(spark, logs_dir) if t is None]
 
 
 def q2_recent_logs_pruned(
@@ -199,20 +240,36 @@ def q2_recent_logs_pruned(
     hold fewer than ``limit`` rows — so the steady-state refresh lists
     and reads one hour directory regardless of warehouse size. Ad-hoc
     ``filters`` apply BEFORE the widening count, so filtered results stay
-    complete. Results are value-identical to ``q2_recent_logs`` (pytest +
-    HTTP equality)."""
-    hours = list_partition_hours(spark, logs_dir)
-    if not hours:
+    complete. NULL-timestamp rows sort LAST in the descending order, so
+    their (Hive default) partition directories join the probe only when
+    the timestamped hours run out. Results are value-identical to
+    ``q2_recent_logs`` (pytest + HTTP equality)."""
+    entries = _hour_dir_entries(spark, logs_dir)
+    hours = sorted(_group_hours(entries).items(), reverse=True)  # newest first
+    nulls = [p for p, t in entries if t is None]
+    if not hours and not nulls:
         return q2_recent_logs(
             adhoc_filter(spark.read.parquet(logs_dir), filters), limit
         )
     return _widened_take(
         spark, logs_dir, hours, limit,
         lambda sub: q2_recent_logs(adhoc_filter(sub, filters), limit),
+        tail_paths=nulls,
     )
 
 
-def _widened_take(spark, logs_dir: str, hours, limit: int, build) -> DataFrame:
+def _group_hours(entries) -> dict:
+    hours: dict = {}
+    for path, t in entries:
+        if t is not None:
+            hours.setdefault(t, []).append(path)
+    return hours
+
+
+def _widened_take(
+    spark, logs_dir: str, hours, limit: int, build,
+    lead_paths=(), tail_paths=(),
+) -> DataFrame:
     """Shared widening probe for the tail-pruned panels (q2 newest-N, q6
     oldest-N): read the first K hour directories of ``hours`` (``basePath``
     keeps the partition columns), build the panel frame over them, take
@@ -222,14 +279,25 @@ def _widened_take(spark, logs_dir: str, hours, limit: int, build) -> DataFrame:
     hours hold fewer than ``limit`` rows. Correct because hour directories
     partition event time: every row outside the first K hours sorts
     strictly beyond them in the panel's direction, so once K hours hold
-    ``limit`` rows the local top-N IS the global one."""
+    ``limit`` rows the local top-N IS the global one.
+
+    NULL-timestamp directories break that time ordering, so the caller
+    places them by the panel's null ordering: ``lead_paths`` join EVERY
+    probe (q6 ascends, NULLS FIRST — null rows legitimately belong to any
+    top-N), ``tail_paths`` join only the exhausted final probe (q2
+    descends, NULLS LAST — null rows enter only when the timestamped rows
+    run out; probing them earlier could return null rows ahead of unread
+    older timestamped ones)."""
     k = 1
     while True:
-        paths = [p for _t, dirs in hours[:k] for p in dirs]
+        exhausted = k >= len(hours)
+        paths = [*lead_paths, *(p for _t, dirs in hours[:k] for p in dirs)]
+        if exhausted and tail_paths:
+            paths += list(tail_paths)
         sub = spark.read.option("basePath", logs_dir).parquet(*paths)
         cand = build(sub)
         rows = cand.take(limit)
-        if k >= len(hours) or len(rows) >= limit:
+        if exhausted or len(rows) >= limit:
             return spark.createDataFrame(rows, cand.schema)
         k *= 4
 
@@ -314,22 +382,37 @@ def q6_log_panel_pruned(
     first K hours IS the global answer once K hours hold ``limit`` rows.
     Ad-hoc ``filters`` and the exact ``time_filter`` bounds apply BEFORE
     the widening count, so filtered/windowed results stay complete.
-    Value-identical to ``q6_log_panel`` (pytest + HTTP equality)."""
+    NULL-timestamp rows sort FIRST in the ascending windowless form, so
+    their (Hive default) partition directories join every probe; a window
+    excludes them on both routes (``time_filter``'s closed-range
+    predicates drop NULLs). Value-identical to ``q6_log_panel`` (pytest +
+    HTTP equality)."""
     start, end = _session_naive(spark, start), _session_naive(spark, end)
-    hours = sorted(list_partition_hours(spark, logs_dir))  # oldest first
+    entries = _hour_dir_entries(spark, logs_dir)
+    all_hours = sorted(_group_hours(entries).items())  # oldest first
+    windowed = start is not None or end is not None
+    nulls = [] if windowed else [p for p, t in entries if t is None]
+    hours = all_hours
     if start is not None:
         floor = (start.year, start.month, start.day, start.hour)
         hours = [h for h in hours if h[0] >= floor]
     if end is not None:
         ceil = (end.year, end.month, end.day, end.hour)
         hours = [h for h in hours if h[0] <= ceil]
-    if not hours:
+    if not all_hours and not nulls:
+        # no Hive layout at all: only the full read can answer
         return q6_log_panel(
             adhoc_filter(spark.read.parquet(logs_dir), filters), start, end, limit
         )
+    if not hours and not nulls:
+        # the window excludes EVERY partition hour: the listing already
+        # proves the answer empty — probe ONE directory for the schema
+        # instead of falling back to an O(history) full-warehouse read
+        hours = all_hours[:1]
     return _widened_take(
         spark, logs_dir, hours, limit,
         lambda sub: q6_log_panel(adhoc_filter(sub, filters), start, end, limit),
+        lead_paths=nulls,
     )
 
 
@@ -359,9 +442,11 @@ def q5_timeseries_from_rollup(
     must be wired together, as serving.py's ``rollup_interval_s`` does).
 
     Multi-dimension snapshots (r10): ``dim_cols`` is the tuple the rollup
-    is maintained with; ``series_dim`` (default: the first dimension) is
-    the one the panel series, and the other dimensions are summed out —
-    exact, counts re-aggregate. ``filters`` are Grafana ad-hoc
+    is maintained with; ``series_dim`` is the one the panel series, and
+    the other dimensions are summed out — exact, counts re-aggregate.
+    Default series: ``service_name`` when maintained (Q5's own contract),
+    else the sole dimension of a single-dim rollup, else an error — never
+    a tuple-position guess. ``filters`` are Grafana ad-hoc
     ``(col, op, value)`` predicates over MAINTAINED dimensions only,
     applied to the snapshot before aggregation: filtering a dimension
     column commutes with summing counts over the other dimensions, so the
@@ -377,7 +462,29 @@ def q5_timeseries_from_rollup(
         )
     from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
 
-    series = series_dim or dim_cols[0]
+    # Q5's series is service_name (logs.json:123 'service_name as series')
+    # — the panel's contract, not a tuple-position accident. Default to it
+    # when maintained; fall back to the single dimension of a legacy
+    # generic-name rollup; anything else must be named explicitly, or the
+    # panel would silently serve a different series depending on how the
+    # caller happened to ORDER rollup_dims (code-review r10, pass 2).
+    if series_dim is None:
+        if "service_name" in dim_cols:
+            series_dim = "service_name"
+        elif len(dim_cols) == 1:
+            series_dim = dim_cols[0]
+        else:
+            raise ValueError(
+                f"q5's series is service_name, which this rollup "
+                f"({list(dim_cols)}) does not maintain — pass series_dim "
+                "explicitly to serve a different series"
+            )
+    elif series_dim not in dim_cols:
+        raise ValueError(
+            f"series_dim {series_dim!r} is not a maintained dimension "
+            f"{list(dim_cols)}"
+        )
+    series = series_dim
     df = _dim_filtered(read_rollup(spark, rollup_dir, dim_cols), dim_cols, filters)
     df = df.select(
         F.col("bucket").alias("t"),

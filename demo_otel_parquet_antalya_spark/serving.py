@@ -297,6 +297,13 @@ _DENIED_FUNCTIONS = frozenset({"reflect", "try_reflect", "java_method"})
 _KNOWN_FUNCTIONS: "weakref.WeakKeyDictionary[SparkSession, set]" = (
     weakref.WeakKeyDictionary()
 )
+# same contract for multi-part relations the catalog confirmed: positive-
+# only (a dropped table then passes the gate but still fails resolution
+# in spark.sql — the gate is an escape filter, not an ACL), so repeated
+# KNOWN relations cost a set lookup, not a ~3 ms tableExists each
+_KNOWN_TABLES: "weakref.WeakKeyDictionary[SparkSession, set]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _name_parts(raw) -> list[str]:
@@ -368,6 +375,14 @@ def _parsed_reject(spark, sql: str) -> str | None:
     reasons: list[str] = []
 
     def walk(node):
+        if reasons:
+            return  # first reason wins and is all the caller reports —
+            # early exit also BOUNDS the catalog lookups: without it a
+            # statement repeating an unknown name thousands of times
+            # would pay a ~3 ms functionExists/tableExists miss per
+            # occurrence OUTSIDE the request deadline (_reject_reason
+            # runs before _run_bounded), pinning the thread for minutes
+            # on one <=1 MiB body (code-review r10, pass 2)
         if isinstance(node, dict):
             cls = str(node.get("class", ""))
             if cls.endswith(
@@ -432,10 +447,17 @@ def _parsed_reject(spark, sql: str) -> str | None:
                     # part inflates the arity; the inflated name simply
                     # fails tableExists). A typo'd db.table gets this 400
                     # instead of an AnalysisException — the accepted cost.
-                    try:
-                        is_table = spark.catalog.tableExists(_quoted(parts))
-                    except Exception:
-                        is_table = False
+                    known = _KNOWN_TABLES.setdefault(spark, set())
+                    name = _quoted(parts)
+                    if name in known:
+                        is_table = True
+                    else:
+                        try:
+                            is_table = spark.catalog.tableExists(name)
+                        except Exception:
+                            is_table = False
+                        if is_table:
+                            known.add(name)
                     if not is_table:
                         reasons.append(
                             "read-only endpoint: relation "
@@ -908,7 +930,8 @@ def start_sql_endpoint(
     ``?source=rollup`` on the time-series AND severity-counts panels —
     the O(snapshot rows) production routing, maintained at
     ``rollup_interval_s`` buckets over the ``rollup_dims`` dimension
-    tuple (first dimension = the time-series panel's series; the q3
+    tuple (the time-series panel's series is service_name when
+    maintained, else the sole dimension of a single-dim rollup; the q3
     route needs service_name and severity_text maintained). A
     non-multiple interval, a q3 against a rollup missing its
     dimensions, or an ad-hoc filter on a non-maintained column is

@@ -47,10 +47,13 @@ DEFAULT_DIMS = ("event_type",)
 
 def rollup_schema(dim_cols: tuple = DEFAULT_DIMS) -> str:
     """The snapshot schema for a rollup maintained over ``dim_cols``.
-    Dimensions are declared ``string`` — dashboard dimensions (service,
-    severity, event type) are strings; maintaining a non-string dimension
-    would fail loudly at read time with a parquet type mismatch, not
-    silently coerce."""
+    Dimensions are ``string`` BY CONTRACT: the maintenance stream casts
+    every dimension to string at write (dashboard dimensions — service,
+    severity, event type — already are; an int-ish dimension like an
+    http status groups identically through its string form), and
+    ``_read_version`` validates the stored types, so the empty-snapshot
+    frame, the committed snapshots, and every reader agree on one typing
+    regardless of the source column's type."""
     dims = ", ".join(f"{d} string" for d in dim_cols)
     return f"bucket timestamp, {dims}, n long"
 
@@ -101,6 +104,16 @@ def _read_version(
             f"{sorted(snap.columns)}, not the claimed {sorted(want)} — "
             "pass the dim_cols the rollup is maintained with"
         )
+    wrong = [
+        f.name for f in snap.schema.fields
+        if f.name in dim_cols and f.dataType.simpleString() != "string"
+    ]
+    if wrong:
+        raise ValueError(
+            f"rollup snapshot dimensions {wrong} are not string-typed — "
+            "this snapshot was not written by incremental_rollup's "
+            "string-dimension contract"
+        )
     return snap.select(*want)
 
 
@@ -127,10 +140,14 @@ def incremental_rollup(
     """
     if dim_cols is None:
         dims = DEFAULT_DIMS
-        keys = [F.col(dim_col).alias("event_type")]
+        keys = [F.col(dim_col).cast("string").alias("event_type")]
     else:
         dims = tuple(dim_cols)
-        keys = [F.col(d) for d in dims]
+        # cast, not assume: the snapshot contract types dimensions string
+        # (rollup_schema), and the empty-snapshot frame already does — a
+        # non-string source column would otherwise commit a snapshot that
+        # type-checks differently from the pre-commit empty frame
+        keys = [F.col(d).cast("string").alias(d) for d in dims]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -1214,3 +1214,116 @@ def test_mid_payload_timeout_does_not_corrupt_response(spark):
         assert ok["rows"] == [[1]]
     finally:
         server.shutdown()
+
+
+def test_pruned_routes_include_null_timestamp_partitions(spark, tmp_path):
+    """Rows with NULL timestamps land under __HIVE_DEFAULT_PARTITION__
+    hour directories, which the hour listing used to drop entirely — the
+    windowless pruned panels silently diverged from their raw scans
+    (NULLS FIRST in the ascending log panel, NULLS LAST in the descending
+    recent-logs panel). Null dirs now join every q6 probe and q2's
+    exhausted final probe; a $timeFilter window excludes them on both
+    routes (code-review r10, pass 2)."""
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json
+    from demo_otel_parquet_antalya_spark.sources.parquet_sink import write_logs
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "otlp")
+    generate_files(d, n_files=2, records_per_file=20)
+    logs = ingest_otlp_json(spark, d)
+    # 3 null-timestamp rows alongside the 40 timestamped ones
+    nulled = logs.limit(3).withColumn(
+        "timestamp", F.lit(None).cast("timestamp")
+    )
+    wh = str(tmp_path / "wh")
+    write_logs(logs.unionByName(nulled), wh)
+    assert facade.null_hour_dirs(spark, wh), "null rows must land in default dirs"
+    full = spark.read.parquet(wh)
+    total = full.count()
+
+    def norm(rows):  # null-safe multiset compare
+        return sorted(
+            (tuple((x is None, str(x)) for x in r) for r in rows)
+        )
+
+    # q6 windowless: nulls sort FIRST — pruned == raw over the full set
+    want6 = norm(facade.q6_log_panel(full, limit=total).collect())
+    got6 = norm(facade.q6_log_panel_pruned(spark, wh, limit=total).collect())
+    assert got6 == want6 and len(got6) == total
+    # q2: nulls sort LAST — pruned == raw over the full set
+    want2 = norm(facade.q2_recent_logs(full, total).collect())
+    got2 = norm(facade.q2_recent_logs_pruned(spark, wh, total).collect())
+    assert got2 == want2 and len(got2) == total
+    # a window excludes nulls on BOTH routes (closed-range predicates)
+    lo, hi = full.selectExpr("min(timestamp)", "max(timestamp)").first()
+    wantw = sorted(
+        tuple(r)
+        for r in facade.q6_log_panel(full, lo, hi, limit=total).collect()
+    )
+    gotw = sorted(
+        tuple(r)
+        for r in facade.q6_log_panel_pruned(
+            spark, wh, lo, hi, limit=total
+        ).collect()
+    )
+    assert gotw == wantw and len(gotw) == total - 3
+    # a window that excludes every partition hour returns empty from the
+    # listing alone (schema intact), never an O(history) full fallback
+    import datetime
+
+    old = lo - datetime.timedelta(days=400)
+    empty = facade.q6_log_panel_pruned(
+        spark, wh, old, old + datetime.timedelta(hours=1), limit=10
+    )
+    assert empty.count() == 0
+    assert empty.columns == [
+        "log_time", "message", "service_name", "scope_name", "severity_text",
+    ]
+
+
+def test_gate_catalog_lookups_are_bounded(endpoint, spark):
+    """The parse gate runs BEFORE the request deadline, so its catalog
+    lookups must be bounded: the walk early-exits on the first reason
+    (a statement repeating an unknown name thousands of times costs ONE
+    functionExists miss, not one per occurrence), and resolved multi-part
+    relations are memoized like functions (code-review r10, pass 2)."""
+    from demo_otel_parquet_antalya_spark.serving import (
+        _KNOWN_TABLES,
+        _reject_reason,
+    )
+
+    calls = {"fn": 0, "tbl": 0}
+    catalog = spark.catalog
+    real_fn, real_tbl = catalog.functionExists, catalog.tableExists
+
+    def count_fn(name):
+        calls["fn"] += 1
+        return real_fn(name)
+
+    def count_tbl(name):
+        calls["tbl"] += 1
+        return real_tbl(name)
+
+    catalog.functionExists, catalog.tableExists = count_fn, count_tbl
+    try:
+        many = ", ".join(f"nope_fn_{i}(1)" for i in range(200))
+        assert _reject_reason(f"SELECT {many}", spark) is not None
+        assert calls["fn"] == 1, calls  # early exit after the first miss
+        # a known multi-part relation costs one lookup, then memoizes
+        spark.sql("CREATE DATABASE IF NOT EXISTS memo_db")
+        spark.createDataFrame([(1,)], "a long").write.mode(
+            "overwrite"
+        ).saveAsTable("memo_db.t")
+        _KNOWN_TABLES.pop(spark, None)
+        calls["tbl"] = 0
+        sql = "SELECT * FROM memo_db.t JOIN memo_db.t x ON 1=1"
+        assert _reject_reason(sql, spark) is None
+        first = calls["tbl"]
+        assert first >= 1
+        assert _reject_reason(sql, spark) is None
+        assert calls["tbl"] == first, "second statement must hit the memo"
+    finally:
+        catalog.functionExists, catalog.tableExists = real_fn, real_tbl
+        spark.sql("DROP DATABASE IF EXISTS memo_db CASCADE")

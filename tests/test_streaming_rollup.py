@@ -224,3 +224,64 @@ def test_read_rollup_rejects_mismatched_dims(spark, tmp_path):
         facade.q3_severity_counts_from_rollup(
             spark, target, ("service_name", "severity_text")
         ).count()
+
+
+def test_q5_series_is_service_name_regardless_of_dim_order(spark, tmp_path):
+    """The q5 panel's series is service_name by contract (logs.json), not
+    whatever happens to be first in rollup_dims — a reversed tuple used
+    to silently serve severity as the series (code-review r10, pass 2)."""
+    import pytest
+
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json
+
+    d = tmp_path / "otlp"
+    generate_files(str(d), n_files=2, records_per_file=40)
+    logs = ingest_otlp_json(spark, str(d))
+    land = str(tmp_path / "land")
+    logs.write.parquet(land)
+    dims = ("severity_text", "service_name")  # deliberately reversed
+    q = incremental_rollup(
+        spark.readStream.schema(logs.schema).parquet(land),
+        str(tmp_path / "rollup"), str(tmp_path / "ckpt"),
+        bucket="30 seconds", ts_col="timestamp", dim_cols=dims,
+    )
+    q.awaitTermination()
+    routed = facade.q5_timeseries_from_rollup(
+        spark, str(tmp_path / "rollup"), dim_cols=dims
+    )
+    raw = facade.q5_timeseries(spark.read.parquet(land), interval_seconds=30)
+    assert sorted(tuple(r) for r in routed.collect()) == sorted(
+        tuple(r) for r in raw.collect()
+    )
+    # a multi-dim rollup without service_name cannot guess a series
+    with pytest.raises(ValueError, match="service_name"):
+        facade.q5_timeseries_from_rollup(
+            spark, str(tmp_path / "rollup"),
+            dim_cols=("severity_text", "scope_name"),
+        )
+    # an explicit series must be a maintained dimension
+    with pytest.raises(ValueError, match="maintained"):
+        facade.q5_timeseries_from_rollup(
+            spark, str(tmp_path / "rollup"), dim_cols=dims, series_dim="body"
+        )
+
+
+def test_rollup_dims_are_strings_by_contract(spark, tmp_path):
+    """A non-string dimension is cast to string at write, so committed
+    snapshots, the empty-snapshot frame, and every reader agree on one
+    typing (the read also validates stored types, so a foreign-written
+    int-dim snapshot is rejected loudly)."""
+    rows = [(1, 0, "click"), (2, 10, "view")]
+    src = str(tmp_path / "events")
+    _write(src, "b1.json", rows)
+    target = str(tmp_path / "rollup")
+    q = incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target,
+        str(tmp_path / "ckpt"), dim_cols=("user_id",),  # bigint source
+    )
+    q.awaitTermination()
+    snap = read_rollup(spark, target, ("user_id",))
+    assert dict(snap.dtypes)["user_id"] == "string"
+    assert {r.user_id for r in snap.collect()} == {"1", "2"}
