@@ -70,12 +70,15 @@ def answer_and_drain(
         pass  # client already gone / timed out: nothing to drain
 
 
-def _answer_best_effort(
+def answer_best_effort(
     handler: BaseHTTPRequestHandler, code: int, message: str
 ) -> None:
     """Answer on a connection that may already be dead (stalled/closed
     client): the send itself can raise, and there is no body left worth
-    draining — close instead of reusing a desynchronized connection."""
+    draining — close instead of reusing a desynchronized connection.
+    Public because the surfaces' OWN post-door error answers (the
+    receiver's 404/protobuf 400s, after the body is fully read) have the
+    same dead-client exposure (code-review r10, pass 3)."""
     try:
         handler.send_error(code, message)
     except OSError:
@@ -114,12 +117,12 @@ def read_bounded_body(
     except OSError:
         # socket.timeout from a client stalled mid-body: free the thread
         # with a diagnosable status instead of a handle_error traceback
-        _answer_best_effort(handler, 408, "timed out reading request body")
+        answer_best_effort(handler, 408, "timed out reading request body")
         return None
     if len(body) < length:
         # client closed before sending its declared length: an incomplete
         # payload must never be processed (or acked) as if complete
-        _answer_best_effort(
+        answer_best_effort(
             handler, 400, "request body shorter than Content-Length"
         )
         return None
@@ -127,7 +130,7 @@ def read_bounded_body(
     if enc in ("", "identity"):
         return body
     if not accept_gzip or enc not in ("gzip", "x-gzip"):  # RFC 9110: x-gzip==gzip
-        _answer_best_effort(handler, 415, f"unsupported Content-Encoding {enc!r}")
+        answer_best_effort(handler, 415, f"unsupported Content-Encoding {enc!r}")
         return None
     # gzip CODING is member concatenation (RFC 9110): loop members so a
     # multi-member body (Go writer Reset, naive export concat) lands
@@ -140,15 +143,15 @@ def read_bounded_body(
             d = zlib.decompressobj(wbits=31)  # gzip wrapper
             out += d.decompress(data, max_body_bytes + 1 - len(out))
             if len(out) > max_body_bytes or d.unconsumed_tail:
-                _answer_best_effort(handler, 413, "decompressed body exceeds cap")
+                answer_best_effort(handler, 413, "decompressed body exceeds cap")
                 return None
             if not d.eof:  # input ended before the gzip trailer
-                _answer_best_effort(handler, 400, "truncated gzip body")
+                answer_best_effort(handler, 400, "truncated gzip body")
                 return None
             if d.unused_data:
                 data = d.unused_data  # next member (or garbage -> 400)
                 continue
             return bytes(out)
     except zlib.error:
-        _answer_best_effort(handler, 400, "malformed gzip body")
+        answer_best_effort(handler, 400, "malformed gzip body")
         return None

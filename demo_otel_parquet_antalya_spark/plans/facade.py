@@ -214,11 +214,9 @@ def list_partition_hours(spark, logs_dir: str) -> list:
     avoid listing, let alone scanning, the history. NULL-timestamp
     (``__HIVE_DEFAULT_PARTITION__``) directories are NOT in this list;
     the pruned routes fetch them via ``null_hour_dirs``."""
-    hours: dict = {}
-    for path, t in _hour_dir_entries(spark, logs_dir):
-        if t is not None:
-            hours.setdefault(t, []).append(path)
-    return sorted(hours.items(), reverse=True)
+    return sorted(
+        _group_hours(_hour_dir_entries(spark, logs_dir)).items(), reverse=True
+    )
 
 
 def null_hour_dirs(spark, logs_dir: str) -> list:

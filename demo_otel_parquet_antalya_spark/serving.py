@@ -297,13 +297,14 @@ _DENIED_FUNCTIONS = frozenset({"reflect", "try_reflect", "java_method"})
 _KNOWN_FUNCTIONS: "weakref.WeakKeyDictionary[SparkSession, set]" = (
     weakref.WeakKeyDictionary()
 )
-# same contract for multi-part relations the catalog confirmed: positive-
-# only (a dropped table then passes the gate but still fails resolution
-# in spark.sql — the gate is an escape filter, not an ACL), so repeated
-# KNOWN relations cost a set lookup, not a ~3 ms tableExists each
-_KNOWN_TABLES: "weakref.WeakKeyDictionary[SparkSession, set]" = (
-    weakref.WeakKeyDictionary()
-)
+# NOTE: relations get NO cross-statement memo, deliberately (code-review
+# r10, pass 3): for functions a stale positive is safe (an unregistered
+# function then fails resolution with an error), but for relations failed
+# catalog resolution is exactly what TRIGGERS the runSQLOnFiles file
+# fallback — memoizing `parquet.t` across statements would let a later
+# DROP turn the same statement into a host-file read the un-memoized
+# check denies. Repetition WITHIN one statement (the unbounded-lookup
+# vector) is bounded by a per-call memo in _parsed_reject instead.
 
 
 def _name_parts(raw) -> list[str]:
@@ -373,6 +374,7 @@ def _parsed_reject(spark, sql: str) -> str | None:
             "read-only endpoint: statement plan could not be validated"
         )
     reasons: list[str] = []
+    seen_tables: dict = {}  # per-STATEMENT relation memo (see note above)
 
     def walk(node):
         if reasons:
@@ -447,17 +449,15 @@ def _parsed_reject(spark, sql: str) -> str | None:
                     # part inflates the arity; the inflated name simply
                     # fails tableExists). A typo'd db.table gets this 400
                     # instead of an AnalysisException — the accepted cost.
-                    known = _KNOWN_TABLES.setdefault(spark, set())
                     name = _quoted(parts)
-                    if name in known:
-                        is_table = True
+                    if name in seen_tables:
+                        is_table = seen_tables[name]
                     else:
                         try:
                             is_table = spark.catalog.tableExists(name)
                         except Exception:
                             is_table = False
-                        if is_table:
-                            known.add(name)
+                        seen_tables[name] = is_table
                     if not is_table:
                         reasons.append(
                             "read-only endpoint: relation "
@@ -632,29 +632,35 @@ class _SQLHandler(BaseHTTPRequestHandler):
         pass
 
     def _send(self, code: int, payload: dict) -> None:
+        """Serialize-then-send; never raises on a dead client. The write
+        side can raise OSError (client RST'd, or a slow reader tripping
+        the socket timeout mid-payload) — swallowing it here means no
+        caller ever tracebacks through socketserver's handle_error and
+        no except-branch ever appends a second response to a partial one
+        (code-review r10, passes 2+3). JSON serialization errors still
+        raise: those are server bugs, not client behavior."""
         body = json.dumps(payload).encode("utf-8")
         self._responded = True
-        self.send_response(code)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        try:
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        except OSError:
+            self.close_connection = True
 
     def _answer_error(self, code: int, payload: dict) -> None:
         """Error answer that cannot corrupt an already-started response:
-        a slow READER can trip the socket timeout mid-200-payload (the
-        write raises TimeoutError, an OSError, out of ``_send``), and
-        appending a second response there would interleave status-line
-        and headers into the truncated JSON. If the response already
-        started — or the error write itself fails — close the connection
-        instead (code-review r10)."""
+        if the 200 already began (e.g. a slow reader tripped the socket
+        timeout mid-payload and a later failure reached the except
+        branch), appending a second response would interleave status-line
+        and headers into the truncated JSON — close instead
+        (code-review r10)."""
         if getattr(self, "_responded", False):
             self.close_connection = True
             return
-        try:
-            self._send(code, payload)
-        except OSError:
-            self.close_connection = True
+        self._send(code, payload)
 
     def _run_bounded(self, work):
         """Run ``work()`` (plan build + collect) inside a per-request Spark

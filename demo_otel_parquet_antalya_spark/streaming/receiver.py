@@ -36,7 +36,10 @@ import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from demo_otel_parquet_antalya_spark.http_door import read_bounded_body
+from demo_otel_parquet_antalya_spark.http_door import (
+    answer_best_effort,
+    read_bounded_body,
+)
 
 # Per-request body cap, matching the otel collector's default
 # max_request_body_size: without it a client-claimed Content-Length (or a
@@ -69,13 +72,13 @@ class _OTLPHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802 (stdlib naming)
         if self.path.rstrip("/") != "/v1/logs":
-            self.send_error(404, "only /v1/logs is served")
+            answer_best_effort(self, 404, "only /v1/logs is served")
             return
         body = read_bounded_body(self, MAX_BODY_BYTES)
         if body is None:
             return
         if not body:
-            self.send_error(400, "empty body")
+            answer_best_effort(self, 400, "empty body")
             return
         # Real OTLP SDKs default to protobuf on /v1/logs. Decode it at the
         # door into the canonical JSON envelope so the landing directory —
@@ -98,28 +101,38 @@ class _OTLPHandler(BaseHTTPRequestHandler):
             try:
                 envelope = decode_export_logs_request(body)
             except Exception:
-                self.send_error(400, "malformed OTLP protobuf payload")
+                answer_best_effort(self, 400, "malformed OTLP protobuf payload")
                 return
             # Wire-valid bytes that decode to no resourceLogs (unknown-field-
             # only garbage, or a zero-record export) would flatten to zero rows
             # and vanish silently — reject so they stay observable instead of
             # slipping past the quarantine path that verbatim JSON junk hits.
             if not envelope.get("resourceLogs"):
-                self.send_error(400, "decoded OTLP envelope has no resourceLogs")
+                answer_best_effort(
+                    self, 400, "decoded OTLP envelope has no resourceLogs"
+                )
                 return
             body = json.dumps(envelope).encode("utf-8")
         write_landing_file(self.landing_dir, body)
-        self.send_response(200)
-        if is_proto:
-            # OTLP/HTTP mirrors the request encoding in the success response;
-            # an empty ExportLogsServiceResponse encodes to zero protobuf bytes.
-            self.send_header("Content-Type", "application/x-protobuf")
-            self.send_header("Content-Length", "0")
-            self.end_headers()
-        else:
-            self.send_header("Content-Type", "application/json")
-            self.end_headers()
-            self.wfile.write(b"{}")  # OTLP success response is an empty partial-success object
+        # the payload is durably landed either way; a client that vanished
+        # before reading its 200 must not traceback through handle_error.
+        # (It may retry and land the same export again — exactly the
+        # duplicate the at-least-once contract already permits.)
+        try:
+            self.send_response(200)
+            if is_proto:
+                # OTLP/HTTP mirrors the request encoding in the success
+                # response; an empty ExportLogsServiceResponse encodes to
+                # zero protobuf bytes.
+                self.send_header("Content-Type", "application/x-protobuf")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            else:
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(b"{}")  # empty partial-success object
+        except OSError:
+            self.close_connection = True
 
     def log_message(self, *args):  # silence default stderr chatter
         pass

@@ -51,9 +51,11 @@ def rollup_schema(dim_cols: tuple = DEFAULT_DIMS) -> str:
     every dimension to string at write (dashboard dimensions — service,
     severity, event type — already are; an int-ish dimension like an
     http status groups identically through its string form), and
-    ``_read_version`` validates the stored types, so the empty-snapshot
-    frame, the committed snapshots, and every reader agree on one typing
-    regardless of the source column's type."""
+    ``_read_version`` casts stored dimensions to string at read (a no-op
+    on contract-written snapshots, a self-healing migration for
+    pre-contract ones written from a non-string column), so the
+    empty-snapshot frame, the committed snapshots, and every reader
+    agree on one typing regardless of the source column's type."""
     dims = ", ".join(f"{d} string" for d in dim_cols)
     return f"bucket timestamp, {dims}, n long"
 
@@ -104,17 +106,17 @@ def _read_version(
             f"{sorted(snap.columns)}, not the claimed {sorted(want)} — "
             "pass the dim_cols the rollup is maintained with"
         )
-    wrong = [
-        f.name for f in snap.schema.fields
-        if f.name in dim_cols and f.dataType.simpleString() != "string"
-    ]
-    if wrong:
-        raise ValueError(
-            f"rollup snapshot dimensions {wrong} are not string-typed — "
-            "this snapshot was not written by incremental_rollup's "
-            "string-dimension contract"
-        )
-    return snap.select(*want)
+    # cast dims rather than reject: raising would permanently brick a
+    # snapshot this library itself wrote before the string-dim contract
+    # (the maintenance merge reads the prior version through here too, so
+    # the restarted stream would fail every batch); the cast is a no-op
+    # on contract-written snapshots and a self-healing migration for the
+    # rest (code-review r10, pass 3)
+    return snap.select(
+        "bucket",
+        *[F.col(d).cast("string").alias(d) for d in dim_cols],
+        F.col("n").cast("long").alias("n"),
+    )
 
 
 def incremental_rollup(

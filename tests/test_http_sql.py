@@ -1287,12 +1287,12 @@ def test_gate_catalog_lookups_are_bounded(endpoint, spark):
     """The parse gate runs BEFORE the request deadline, so its catalog
     lookups must be bounded: the walk early-exits on the first reason
     (a statement repeating an unknown name thousands of times costs ONE
-    functionExists miss, not one per occurrence), and resolved multi-part
-    relations are memoized like functions (code-review r10, pass 2)."""
-    from demo_otel_parquet_antalya_spark.serving import (
-        _KNOWN_TABLES,
-        _reject_reason,
-    )
+    functionExists miss, not one per occurrence), and multi-part
+    relations are memoized WITHIN a statement only — a cross-statement
+    memo would let a DROP turn a once-legal statement into a
+    runSQLOnFiles host-file read, since failed catalog resolution is
+    exactly what triggers that fallback (code-review r10, passes 2+3)."""
+    from demo_otel_parquet_antalya_spark.serving import _reject_reason
 
     calls = {"fn": 0, "tbl": 0}
     catalog = spark.catalog
@@ -1311,19 +1311,23 @@ def test_gate_catalog_lookups_are_bounded(endpoint, spark):
         many = ", ".join(f"nope_fn_{i}(1)" for i in range(200))
         assert _reject_reason(f"SELECT {many}", spark) is not None
         assert calls["fn"] == 1, calls  # early exit after the first miss
-        # a known multi-part relation costs one lookup, then memoizes
+        # a repeated relation costs ONE lookup within a statement...
         spark.sql("CREATE DATABASE IF NOT EXISTS memo_db")
         spark.createDataFrame([(1,)], "a long").write.mode(
             "overwrite"
         ).saveAsTable("memo_db.t")
-        _KNOWN_TABLES.pop(spark, None)
         calls["tbl"] = 0
         sql = "SELECT * FROM memo_db.t JOIN memo_db.t x ON 1=1"
         assert _reject_reason(sql, spark) is None
-        first = calls["tbl"]
-        assert first >= 1
+        assert calls["tbl"] == 1, calls
+        # ...but is re-checked on the NEXT statement, so a DROP cannot
+        # leave a stale allow behind (the stale allow would be a host-
+        # file read, not an error — runSQLOnFiles fires on catalog miss)
         assert _reject_reason(sql, spark) is None
-        assert calls["tbl"] == first, "second statement must hit the memo"
+        assert calls["tbl"] == 2, calls
+        spark.sql("DROP TABLE memo_db.t")
+        reason = _reject_reason(sql, spark)
+        assert reason is not None and "file-path" in reason
     finally:
         catalog.functionExists, catalog.tableExists = real_fn, real_tbl
         spark.sql("DROP DATABASE IF EXISTS memo_db CASCADE")

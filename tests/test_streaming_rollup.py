@@ -271,8 +271,10 @@ def test_q5_series_is_service_name_regardless_of_dim_order(spark, tmp_path):
 def test_rollup_dims_are_strings_by_contract(spark, tmp_path):
     """A non-string dimension is cast to string at write, so committed
     snapshots, the empty-snapshot frame, and every reader agree on one
-    typing (the read also validates stored types, so a foreign-written
-    int-dim snapshot is rejected loudly)."""
+    typing; a PRE-CONTRACT snapshot that stored an int dimension is cast
+    at read (self-healing migration), never rejected — raising would
+    brick the restarted maintenance stream, whose merge reads the prior
+    version through the same path (code-review r10, pass 3)."""
     rows = [(1, 0, "click"), (2, 10, "view")]
     src = str(tmp_path / "events")
     _write(src, "b1.json", rows)
@@ -285,3 +287,15 @@ def test_rollup_dims_are_strings_by_contract(spark, tmp_path):
     snap = read_rollup(spark, target, ("user_id",))
     assert dict(snap.dtypes)["user_id"] == "string"
     assert {r.user_id for r in snap.collect()} == {"1", "2"}
+    # pre-contract snapshot: int-typed dim on disk reads back as string
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", 7, 3)], "bucket string, user_id int, n int"
+    ).selectExpr(
+        "CAST(bucket AS timestamp) AS bucket", "user_id", "CAST(n AS int) AS n"
+    ).write.parquet(f"{legacy}/v=0")
+    open(f"{legacy}/v=0/_SUCCESS", "a").close()
+    migrated = read_rollup(spark, legacy, ("user_id",))
+    assert dict(migrated.dtypes)["user_id"] == "string"
+    assert dict(migrated.dtypes)["n"] == "bigint"
+    assert [tuple(r)[1:] for r in migrated.collect()] == [("7", 3)]
