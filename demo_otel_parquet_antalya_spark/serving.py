@@ -305,6 +305,12 @@ _KNOWN_FUNCTIONS: "weakref.WeakKeyDictionary[SparkSession, set]" = (
 # DROP turn the same statement into a host-file read the un-memoized
 # check denies. Repetition WITHIN one statement (the unbounded-lookup
 # vector) is bounded by a per-call memo in _parsed_reject instead.
+# Even un-memoized, a gate-then-execute race remains (a DROP between
+# tableExists and spark.sql), so the endpoint ALSO closes the class at
+# the mechanism: start_sql_endpoint sets spark.sql.runSQLOnFiles=false
+# on the hosting session and each /query re-asserts it (pass 4) — the
+# gate denial is then defense-in-depth over an execution path that no
+# longer exists, unless the host explicitly opts out.
 
 
 def _name_parts(raw) -> list[str]:
@@ -621,6 +627,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
     row_cap: int = DEFAULT_ROW_CAP
     request_timeout_s: float | None = 30.0
     scheduler_pool: str = "serving"
+    disable_sql_on_files: bool = True
 
     # socket timeout: a client that claims a length and stalls must not
     # pin a request thread forever — read_bounded_body turns the
@@ -651,12 +658,13 @@ class _SQLHandler(BaseHTTPRequestHandler):
             self.close_connection = True
 
     def _answer_error(self, code: int, payload: dict) -> None:
-        """Error answer that cannot corrupt an already-started response:
-        if the 200 already began (e.g. a slow reader tripped the socket
-        timeout mid-payload and a later failure reached the except
-        branch), appending a second response would interleave status-line
-        and headers into the truncated JSON — close instead
-        (code-review r10)."""
+        """Error answer that cannot corrupt an already-started response.
+        Belt-and-braces today: ``_send`` swallows its own write errors, so
+        with the current handler bodies no except branch can run after a
+        partial 200 — the guard exists for future code that emits bytes
+        before reaching an except branch, where appending a second
+        response would interleave status-line and headers into the
+        truncated JSON (code-review r10)."""
         if getattr(self, "_responded", False):
             self.close_connection = True
             return
@@ -840,6 +848,11 @@ class _SQLHandler(BaseHTTPRequestHandler):
             if path == "/query":
                 req = json.loads(raw or b"{}")
                 sql = req.get("sql", "")
+                if self.disable_sql_on_files:
+                    # re-assert per request (~0.2 ms): the shared session's
+                    # conf can be flipped out-of-band, and this single conf
+                    # is what turns "catalog miss" into "host file read"
+                    self.spark.conf.set("spark.sql.runSQLOnFiles", "false")
                 reason = _reject_reason(sql, self.spark)
                 if reason:
                     self._send(400, {"error": reason})
@@ -925,6 +938,7 @@ def start_sql_endpoint(
     rollup_dims: tuple = ("event_type",),
     request_timeout_s: float | None = 30.0,
     scheduler_pool: str = "serving",
+    disable_sql_on_files: bool = True,
 ) -> ThreadingHTTPServer:
     """Register ``tables`` from ``sf_dir`` as temp views and serve the
     read-only SQL endpoint on (host, port) in a daemon thread. ``port=0``
@@ -947,7 +961,16 @@ def start_sql_endpoint(
     cancelled (jobs interrupted cluster-wide, not just the collect
     abandoned) after ``request_timeout_s`` (None disables); requests run in
     ``scheduler_pool`` — build the session with ``serving_fair_conf()`` to
-    make that pool FAIR. Call ``server.shutdown()`` to stop."""
+    make that pool FAIR. ``disable_sql_on_files`` (default True) sets
+    ``spark.sql.runSQLOnFiles=false`` on the hosting session (re-asserted
+    per /query): it is the conf that turns a catalog miss into a host
+    FILE read, the gate's relation check only mirrors it with a
+    gate-then-execute race window, and no host-app DataFrame read
+    (``spark.read.*``) depends on it — pass False only if the host
+    genuinely runs ``FROM format.`path``` SQL on this session and accepts
+    the serving port's exposure. Call ``server.shutdown()`` to stop."""
+    if disable_sql_on_files:
+        spark.conf.set("spark.sql.runSQLOnFiles", "false")
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
@@ -965,6 +988,7 @@ def start_sql_endpoint(
             "rollup_dims": tuple(rollup_dims),
             "request_timeout_s": request_timeout_s,
             "scheduler_pool": scheduler_pool,
+            "disable_sql_on_files": disable_sql_on_files,
         },
     )
     server = ThreadingHTTPServer((host, port), handler)

@@ -37,6 +37,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from demo_otel_parquet_antalya_spark.http_door import (
+    answer_and_drain,
     answer_best_effort,
     read_bounded_body,
 )
@@ -72,7 +73,10 @@ class _OTLPHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802 (stdlib naming)
         if self.path.rstrip("/") != "/v1/logs":
-            answer_best_effort(self, 404, "only /v1/logs is served")
+            # the one error answered BEFORE any body read: drain bounded so
+            # a mid-send client reads the 404 instead of an ECONNRESET
+            # retry loop (the module's answer-first-then-drain contract)
+            answer_and_drain(self, 404, "only /v1/logs is served", MAX_BODY_BYTES)
             return
         body = read_bounded_body(self, MAX_BODY_BYTES)
         if body is None:

@@ -106,12 +106,25 @@ def _read_version(
             f"{sorted(snap.columns)}, not the claimed {sorted(want)} — "
             "pass the dim_cols the rollup is maintained with"
         )
-    # cast dims rather than reject: raising would permanently brick a
-    # snapshot this library itself wrote before the string-dim contract
-    # (the maintenance merge reads the prior version through here too, so
-    # the restarted stream would fail every batch); the cast is a no-op
-    # on contract-written snapshots and a self-healing migration for the
-    # rest (code-review r10, pass 3)
+    # bucket/n types ARE validated — any snapshot this library ever wrote
+    # has a timestamp bucket and an integral n, so a mismatch means the
+    # directory holds some other tool's parquet, and casting would turn
+    # its n into silent NULL counts that the merge writes forward into
+    # every later version (code-review r10, pass 4)
+    types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    if types["bucket"] != "timestamp" or types["n"] not in (
+        "tinyint", "smallint", "int", "bigint",
+    ):
+        raise ValueError(
+            f"rollup snapshot at {target_dir!r} has bucket:{types['bucket']}"
+            f" / n:{types['n']} — not a snapshot this rollup wrote"
+        )
+    # DIMS are cast rather than rejected: raising would permanently brick
+    # a snapshot written before the string-dim contract (the maintenance
+    # merge reads the prior version through here too, so the restarted
+    # stream would fail every batch); stringification is total, so the
+    # cast is a no-op on contract snapshots and a lossless migration
+    # otherwise (code-review r10, pass 3)
     return snap.select(
         "bucket",
         *[F.col(d).cast("string").alias(d) for d in dim_cols],

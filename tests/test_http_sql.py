@@ -1331,3 +1331,38 @@ def test_gate_catalog_lookups_are_bounded(endpoint, spark):
     finally:
         catalog.functionExists, catalog.tableExists = real_fn, real_tbl
         spark.sql("DROP DATABASE IF EXISTS memo_db CASCADE")
+
+
+def test_sql_on_files_disabled_at_the_mechanism(spark):
+    """The gate's relation check mirrors Spark's resolution order but has
+    an inherent gate-then-execute race (a DROP between tableExists and
+    spark.sql re-opens the file fallback). start_sql_endpoint therefore
+    closes the CLASS: runSQLOnFiles=false on the hosting session,
+    re-asserted per /query, so a catalog miss is an error again, never a
+    host-file read (code-review r10, pass 4). Opt-out honored."""
+    server = start_sql_endpoint(spark, SF_DIR, row_cap=10)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        assert spark.conf.get("spark.sql.runSQLOnFiles") == "false"
+        # an out-of-band flip is re-asserted by the next /query
+        spark.conf.set("spark.sql.runSQLOnFiles", "true")
+        ok = _post(base, "/query", {"sql": "SELECT 1 AS one"})
+        assert ok["rows"] == [[1]]
+        assert spark.conf.get("spark.sql.runSQLOnFiles") == "false"
+        # mechanism check: even WITHOUT the gate, the session now errors
+        # on a file-path relation instead of reading the host file
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND"):
+            spark.sql("SELECT * FROM text.`/etc/hostname`").collect()
+    finally:
+        server.shutdown()
+    # explicit opt-out leaves the conf alone
+    spark.conf.set("spark.sql.runSQLOnFiles", "true")
+    server = start_sql_endpoint(spark, SF_DIR, row_cap=10, disable_sql_on_files=False)
+    try:
+        assert spark.conf.get("spark.sql.runSQLOnFiles") == "true"
+    finally:
+        server.shutdown()
+        spark.conf.set("spark.sql.runSQLOnFiles", "false")

@@ -50,6 +50,10 @@ def test_receiver_writes_landing_files(tmp_path):
         assert _post(rx.port, _payload(1)) == 200
         assert _post(rx.port, b"", path="/v1/logs") == 400
         assert _post(rx.port, _payload(2), path="/v1/metrics") == 404
+        # the 404 is answered before any body read and then drains bounded,
+        # so a mid-send client READS it (no ECONNRESET retry loop) even
+        # with a large body in flight (code-review r10, pass 4)
+        assert _post(rx.port, b"x" * (1 << 20), path="/v1/metrics") == 404
     finally:
         rx.stop()
     files = sorted((tmp_path / "landing").glob("otlp-*.json"))

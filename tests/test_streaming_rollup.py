@@ -299,3 +299,21 @@ def test_rollup_dims_are_strings_by_contract(spark, tmp_path):
     assert dict(migrated.dtypes)["user_id"] == "string"
     assert dict(migrated.dtypes)["n"] == "bigint"
     assert [tuple(r)[1:] for r in migrated.collect()] == [("7", 3)]
+
+
+def test_read_rollup_rejects_foreign_snapshot_types(spark, tmp_path):
+    """Dims self-heal by casting, but bucket/n types ARE validated: a
+    directory holding some other tool's parquet with the right column
+    names and wrong types must fail loudly — casting its n would produce
+    silent NULL counts that the maintenance merge writes forward into
+    every later version (code-review r10, pass 4)."""
+    import pytest
+
+    foreign = str(tmp_path / "foreign")
+    spark.createDataFrame(
+        [("2024-01-01", "a", "not_a_count")],
+        "bucket string, event_type string, n string",
+    ).write.parquet(f"{foreign}/v=0")
+    open(f"{foreign}/v=0/_SUCCESS", "a").close()
+    with pytest.raises(ValueError, match="not a snapshot this rollup wrote"):
+        read_rollup(spark, foreign, ("event_type",)).count()
