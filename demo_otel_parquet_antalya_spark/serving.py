@@ -308,9 +308,11 @@ _KNOWN_FUNCTIONS: "weakref.WeakKeyDictionary[SparkSession, set]" = (
 # Even un-memoized, a gate-then-execute race remains (a DROP between
 # tableExists and spark.sql), so the endpoint ALSO closes the class at
 # the mechanism: start_sql_endpoint sets spark.sql.runSQLOnFiles=false
-# on the hosting session and each /query re-asserts it (pass 4) — the
-# gate denial is then defense-in-depth over an execution path that no
-# longer exists, unless the host explicitly opts out.
+# on the hosting session and each /query re-asserts it immediately
+# before execution (pass 4/5) — the residual exposure is a host that
+# actively flips the conf back during Spark's own resolution of this
+# very statement; a host that needs SQL-on-files should opt out
+# explicitly rather than toggle.
 
 
 def _name_parts(raw) -> list[str]:
@@ -848,22 +850,25 @@ class _SQLHandler(BaseHTTPRequestHandler):
             if path == "/query":
                 req = json.loads(raw or b"{}")
                 sql = req.get("sql", "")
-                if self.disable_sql_on_files:
-                    # re-assert per request (~0.2 ms): the shared session's
-                    # conf can be flipped out-of-band, and this single conf
-                    # is what turns "catalog miss" into "host file read"
-                    self.spark.conf.set("spark.sql.runSQLOnFiles", "false")
                 reason = _reject_reason(sql, self.spark)
                 if reason:
                     self._send(400, {"error": reason})
                     return
                 cap = min(int(req.get("limit", self.row_cap)), self.row_cap)
-                self._send(
-                    200,
-                    self._run_bounded(
-                        lambda: _df_payload(self.spark.sql(sql), cap)
-                    ),
-                )
+
+                def run_gated():
+                    if self.disable_sql_on_files:
+                        # re-assert IMMEDIATELY before execution (~0.2 ms):
+                        # the shared session's conf can be flipped
+                        # out-of-band, and this single conf is what turns
+                        # "catalog miss" into "host file read" — asserting
+                        # any earlier (e.g. before the gate) maximizes the
+                        # flip window instead of shrinking it to Spark's
+                        # own resolution time (code-review r10, pass 5)
+                        self.spark.conf.set("spark.sql.runSQLOnFiles", "false")
+                    return _df_payload(self.spark.sql(sql), cap)
+
+                self._send(200, self._run_bounded(run_gated))
                 return
             if path.startswith("/run/"):
                 from demo_otel_parquet_antalya_spark.plans import QUERIES

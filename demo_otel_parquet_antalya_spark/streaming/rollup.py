@@ -112,7 +112,10 @@ def _read_version(
     # its n into silent NULL counts that the merge writes forward into
     # every later version (code-review r10, pass 4)
     types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
-    if types["bucket"] != "timestamp" or types["n"] not in (
+    # ntz accepted: F.window() yields timestamp_ntz when the event-time
+    # column is TIMESTAMP_NTZ, and this library wrote such snapshots
+    # (code-review r10, pass 5 — rejecting them would brick the stream)
+    if types["bucket"] not in ("timestamp", "timestamp_ntz") or types["n"] not in (
         "tinyint", "smallint", "int", "bigint",
     ):
         raise ValueError(

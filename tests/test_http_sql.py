@@ -1358,6 +1358,8 @@ def test_sql_on_files_disabled_at_the_mechanism(spark):
             spark.sql("SELECT * FROM text.`/etc/hostname`").collect()
     finally:
         server.shutdown()
+        # never leak a flipped conf into the shared session fixture
+        spark.conf.set("spark.sql.runSQLOnFiles", "false")
     # explicit opt-out leaves the conf alone
     spark.conf.set("spark.sql.runSQLOnFiles", "true")
     server = start_sql_endpoint(spark, SF_DIR, row_cap=10, disable_sql_on_files=False)
