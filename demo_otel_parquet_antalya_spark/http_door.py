@@ -44,6 +44,27 @@ import zlib
 from http.server import BaseHTTPRequestHandler
 
 
+def drain_limit(handler: BaseHTTPRequestHandler, max_body_bytes: int) -> int:
+    """How much unread request body is WORTH draining before close (the
+    drain exists so a mid-send client reads the error instead of an
+    ECONNRESET retry loop): the DECLARED length when one exists (bounded
+    by the cap — a conforming mid-send client sends exactly that much and
+    the reads return as its bytes arrive), the cap for a chunked sender
+    (no declared length exists; a silent probe holding the socket open is
+    bounded by the socket timeout), and ZERO when the declaration is
+    garbage — an untrustworthy declaration never earns a blocking read,
+    so a zero-body probe with a junk Content-Length returns instantly
+    instead of pinning a thread until the timeout (code-review r10,
+    passes 5-6)."""
+    if "chunked" in (handler.headers.get("Transfer-Encoding") or "").lower():
+        return max_body_bytes
+    try:
+        declared = int(handler.headers.get("Content-Length", 0))
+    except ValueError:
+        return 0
+    return min(max(declared, 0), max_body_bytes)
+
+
 def answer_and_drain(
     handler: BaseHTTPRequestHandler, code: int, message: str, limit: int
 ) -> None:
@@ -102,7 +123,9 @@ def read_bounded_body(
     try:
         length = int(handler.headers.get("Content-Length", 0))
     except ValueError:
-        answer_and_drain(handler, 400, "malformed Content-Length", max_body_bytes)
+        # garbage declaration: nothing trustworthy to drain (drain_limit
+        # rationale) — answer and close
+        answer_and_drain(handler, 400, "malformed Content-Length", 0)
         return None
     if length > max_body_bytes:
         answer_and_drain(

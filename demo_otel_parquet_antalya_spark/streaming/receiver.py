@@ -39,6 +39,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from demo_otel_parquet_antalya_spark.http_door import (
     answer_and_drain,
     answer_best_effort,
+    drain_limit,
     read_bounded_body,
 )
 
@@ -73,18 +74,14 @@ class _OTLPHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802 (stdlib naming)
         if self.path.rstrip("/") != "/v1/logs":
-            # the one error answered BEFORE any body read: drain bounded by
-            # the DECLARED length (never more than the cap) so a mid-send
-            # client reads the 404 instead of an ECONNRESET retry loop,
-            # while a zero-body probe returns instantly instead of blocking
-            # a thread on the socket timeout (code-review r10, pass 5)
-            try:
-                declared = int(self.headers.get("Content-Length", 0))
-            except ValueError:
-                declared = MAX_BODY_BYTES
+            # the one error answered BEFORE any body read: drain by the
+            # shared drain_limit policy (declared length, chunked cap,
+            # zero for garbage declarations) so a mid-send client reads
+            # the 404 instead of an ECONNRESET retry loop while a junk
+            # probe returns instantly (code-review r10, passes 5-6)
             answer_and_drain(
                 self, 404, "only /v1/logs is served",
-                min(max(declared, 0), MAX_BODY_BYTES),
+                drain_limit(self, MAX_BODY_BYTES),
             )
             return
         body = read_bounded_body(self, MAX_BODY_BYTES)

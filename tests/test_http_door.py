@@ -65,3 +65,22 @@ def test_door_error_sends_never_raise_on_dead_clients():
     h = _DeadClientHandler({}, b"xyz")
     answer_and_drain(h, 413, "too big", 3)  # must not raise
     assert h.close_connection
+
+
+def test_drain_limit_policy():
+    """The shared drain bound: declared length when trustworthy (capped),
+    the cap for chunked (no declared length exists), ZERO for a garbage
+    declaration — an untrustworthy declaration never earns a blocking
+    read, so a junk-header probe cannot pin a handler thread until the
+    socket timeout (code-review r10, passes 5-6)."""
+    from demo_otel_parquet_antalya_spark.http_door import drain_limit
+
+    def h(headers):
+        return _DeadClientHandler(headers)
+
+    assert drain_limit(h({}), 1000) == 0
+    assert drain_limit(h({"Content-Length": "300"}), 1000) == 300
+    assert drain_limit(h({"Content-Length": "5000"}), 1000) == 1000
+    assert drain_limit(h({"Content-Length": "-5"}), 1000) == 0
+    assert drain_limit(h({"Content-Length": "banana"}), 1000) == 0
+    assert drain_limit(h({"Transfer-Encoding": "chunked"}), 1000) == 1000

@@ -1340,6 +1340,7 @@ def test_sql_on_files_disabled_at_the_mechanism(spark):
     closes the CLASS: runSQLOnFiles=false on the hosting session,
     re-asserted per /query, so a catalog miss is an error again, never a
     host-file read (code-review r10, pass 4). Opt-out honored."""
+    prev = spark.conf.get("spark.sql.runSQLOnFiles", "true")
     server = start_sql_endpoint(spark, SF_DIR, row_cap=10)
     host, port = server.server_address
     base = f"http://{host}:{port}"
@@ -1358,8 +1359,9 @@ def test_sql_on_files_disabled_at_the_mechanism(spark):
             spark.sql("SELECT * FROM text.`/etc/hostname`").collect()
     finally:
         server.shutdown()
-        # never leak a flipped conf into the shared session fixture
-        spark.conf.set("spark.sql.runSQLOnFiles", "false")
+        # restore the PRE-TEST value — forcing either constant here would
+        # leak this test's choice into the shared session fixture
+        spark.conf.set("spark.sql.runSQLOnFiles", prev)
     # explicit opt-out leaves the conf alone
     spark.conf.set("spark.sql.runSQLOnFiles", "true")
     server = start_sql_endpoint(spark, SF_DIR, row_cap=10, disable_sql_on_files=False)
@@ -1367,4 +1369,4 @@ def test_sql_on_files_disabled_at_the_mechanism(spark):
         assert spark.conf.get("spark.sql.runSQLOnFiles") == "true"
     finally:
         server.shutdown()
-        spark.conf.set("spark.sql.runSQLOnFiles", "false")
+        spark.conf.set("spark.sql.runSQLOnFiles", prev)

@@ -322,3 +322,29 @@ def test_receiver_short_body_and_stall(tmp_path):
         assert list((tmp_path / "landing").glob("otlp-*.json")) == []
     finally:
         rx.stop()
+
+
+def test_junk_header_probes_answer_instantly(tmp_path):
+    """A zero-body probe with a garbage Content-Length (to the 404 path
+    or the door's 400 path) must be answered without any blocking drain —
+    before the drain_limit policy it pinned a handler thread until the
+    30 s socket timeout (code-review r10, passes 5-6)."""
+    import socket
+    import time
+
+    rx = OTLPReceiver(str(tmp_path / "landing")).start()
+    try:
+        for path, want in ((b"/v1/metrics", b" 404 "), (b"/v1/logs", b" 400 ")):
+            s = socket.create_connection(("127.0.0.1", rx.port), timeout=10)
+            t0 = time.monotonic()
+            s.sendall(
+                b"POST " + path + b" HTTP/1.1\r\nHost: x\r\n"
+                b"Content-Length: zzz\r\n\r\n"
+            )  # no body follows; socket stays open
+            status = s.recv(4096).split(b"\r\n", 1)[0]
+            elapsed = time.monotonic() - t0
+            assert want in status, status
+            assert elapsed < 5.0, f"drain blocked {elapsed:.1f}s on {path}"
+            s.close()
+    finally:
+        rx.stop()

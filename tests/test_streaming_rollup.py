@@ -317,3 +317,21 @@ def test_read_rollup_rejects_foreign_snapshot_types(spark, tmp_path):
     open(f"{foreign}/v=0/_SUCCESS", "a").close()
     with pytest.raises(ValueError, match="not a snapshot this rollup wrote"):
         read_rollup(spark, foreign, ("event_type",)).count()
+
+
+def test_read_rollup_accepts_ntz_buckets(spark, tmp_path):
+    """F.window() yields timestamp_ntz when the event-time column is
+    TIMESTAMP_NTZ, so snapshots this library wrote under an ntz session
+    carry ntz buckets — the foreign-snapshot type validation must accept
+    them or a restarted maintenance stream bricks on its own output
+    (code-review r10, pass 5)."""
+    ntz = str(tmp_path / "ntz")
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", "click", 2)],
+        "bucket string, event_type string, n long",
+    ).selectExpr(
+        "CAST(bucket AS timestamp_ntz) AS bucket", "event_type", "n"
+    ).write.parquet(f"{ntz}/v=0")
+    open(f"{ntz}/v=0/_SUCCESS", "a").close()
+    snap = read_rollup(spark, ntz, ("event_type",))
+    assert [(r.event_type, r.n) for r in snap.collect()] == [("click", 2)]
