@@ -50,8 +50,11 @@ def drain_limit(handler: BaseHTTPRequestHandler, max_body_bytes: int) -> int:
     ECONNRESET retry loop): the DECLARED length when one exists (bounded
     by the cap — a conforming mid-send client sends exactly that much and
     the reads return as its bytes arrive), the cap for a chunked sender
-    (no declared length exists; a silent probe holding the socket open is
-    bounded by the socket timeout), and ZERO when the declaration is
+    (no declared length exists; the DELIBERATE trade-off is that a silent
+    chunked probe pins its handler thread until the socket timeout — a
+    bounded cost ThreadingHTTPServer absorbs — because draining nothing
+    would RST every real mid-chunk client before it could read its
+    error), and ZERO when the declaration is
     garbage — an untrustworthy declaration never earns a blocking read,
     so a zero-body probe with a junk Content-Length returns instantly
     instead of pinning a thread until the timeout (code-review r10,
@@ -117,15 +120,17 @@ def read_bounded_body(
     is the module docstring; callers just ``return`` on ``None``."""
     if "chunked" in (handler.headers.get("Transfer-Encoding") or "").lower():
         answer_and_drain(
-            handler, 411, "chunked bodies are not supported", max_body_bytes
+            handler, 411, "chunked bodies are not supported",
+            drain_limit(handler, max_body_bytes),
         )
         return None
     try:
         length = int(handler.headers.get("Content-Length", 0))
     except ValueError:
-        # garbage declaration: nothing trustworthy to drain (drain_limit
-        # rationale) — answer and close
-        answer_and_drain(handler, 400, "malformed Content-Length", 0)
+        answer_and_drain(
+            handler, 400, "malformed Content-Length",
+            drain_limit(handler, max_body_bytes),  # = 0: garbage declaration
+        )
         return None
     if length > max_body_bytes:
         answer_and_drain(
