@@ -561,3 +561,60 @@ def test_stratified_exact_quota_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert "EvalPython" not in plan
+
+
+def test_rollup_routes_never_touch_the_raw_warehouse(spark, tmp_path):
+    """The O(snapshot rows) claim at the PLAN level (r10): the q5 and q3
+    rollup routes must scan ONLY the snapshot directory — the raw logs
+    warehouse path must not appear anywhere in their physical plans, and
+    there must be no Python eval and no sort-merge join (the snapshot
+    re-aggregation is one small hash aggregate)."""
+    import contextlib
+    import io
+
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.sources.otlp import ingest_otlp_json
+    from demo_otel_parquet_antalya_spark.streaming.rollup import incremental_rollup
+
+    d = str(tmp_path / "otlp")
+    generate_files(d, n_files=2, records_per_file=40)
+    logs = ingest_otlp_json(spark, d)
+    wh = str(tmp_path / "WAREHOUSE_MARKER")
+    logs.write.parquet(wh)
+    dims = ("service_name", "severity_text")
+    q = incremental_rollup(
+        spark.readStream.schema(logs.schema).parquet(wh),
+        str(tmp_path / "rollup"), str(tmp_path / "ckpt"),
+        bucket="30 seconds", ts_col="timestamp", dim_cols=dims,
+    )
+    q.awaitTermination()
+
+    def plan_text(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    frames = {
+        "q3": facade.q3_severity_counts_from_rollup(
+            spark, str(tmp_path / "rollup"), dims
+        ),
+        "q5": facade.q5_timeseries_from_rollup(
+            spark, str(tmp_path / "rollup"), dim_cols=dims
+        ),
+        "q5_rebucket": facade.q5_timeseries_from_rollup(
+            spark, str(tmp_path / "rollup"), dim_cols=dims, interval_seconds=60
+        ),
+        "q3_filtered": facade.q3_severity_counts_from_rollup(
+            spark, str(tmp_path / "rollup"), dims,
+            filters=[("severity_text", "=", "ERROR")],
+        ),
+    }
+    for name, df in frames.items():
+        plan = plan_text(df)
+        assert "WAREHOUSE_MARKER" not in plan, name   # snapshot only, never raw
+        assert "rollup" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
