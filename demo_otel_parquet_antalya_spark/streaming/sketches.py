@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
+from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    _commit_snapshot,
+    _versions,
+)
 
 SKETCH_SCHEMA = "hour timestamp, hll binary, kll binary"
 
@@ -62,8 +65,11 @@ def incremental_sketches(
     user_col: str = "user_id",
     value_col: str = "value",
     watermark_delay: str = "10 minutes",
+    retain_versions: int | None = 3,
 ):
-    """Start the sketch-maintenance stream; returns the StreamingQuery."""
+    """Start the sketch-maintenance stream; returns the StreamingQuery.
+    ``retain_versions`` vacuums all but the newest N snapshot versions
+    after each commit (rollup.vacuum_versions' replay-safety rule)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -83,7 +89,7 @@ def incremental_sketches(
             )
         else:
             merged = inc
-        merged.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")
+        _commit_snapshot(merged, target_dir, batch_id, retain_versions)
 
     keyed = events.withWatermark(ts_col, watermark_delay)
     return (
@@ -156,8 +162,10 @@ def incremental_m4(
     id_col: str = "event_id",
     value_col: str = "value",
     watermark_delay: str = "10 minutes",
+    retain_versions: int | None = 3,
 ):
-    """Maintain the M4 dashboard reduction continuously; returns the query."""
+    """Maintain the M4 dashboard reduction continuously; returns the
+    query. ``retain_versions`` as in ``incremental_sketches``."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -170,7 +178,7 @@ def incremental_m4(
             merged = _m4_merge(prior.unionByName(inc))
         else:
             merged = inc
-        merged.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")
+        _commit_snapshot(merged, target_dir, batch_id, retain_versions)
 
     keyed = events.withWatermark(ts_col, watermark_delay)
     return (

@@ -154,3 +154,42 @@ def test_stream_m4_equals_batch_m4(spark, tmp_path):
         for r in _m4_batch(raw, "ts", "event_id", "value").collect()
     }
     assert got == want and len(got) >= 2
+
+
+def test_sketch_retention_bounds_versions(spark, tmp_path):
+    """r11: the sketch maintenance stream inherits the rollup layout's
+    retention — retain_versions bounds the version-dir count while the
+    surviving snapshot still answers from ALL batches (states merge,
+    never truncate)."""
+    import os
+
+    from demo_otel_parquet_antalya_spark.streaming import rollup as R
+
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "sk")
+    rows = [(i * 7, i % 40, float(i % 97)) for i in range(90)]
+    for i in range(3):
+        _write(src, f"b{i}.json", rows[30 * i : 30 * (i + 1)])
+        q = incremental_sketches(
+            spark.readStream.schema(SCHEMA).json(src),
+            target, str(tmp_path / "ckpt"), retain_versions=2,
+        )
+        q.awaitTermination()
+    vs = R._versions(spark, target)
+    assert len(vs) <= 2
+    assert sorted(os.listdir(target)) == [f"v={v}" for v in vs]
+    got = {
+        str(r.hour): r.approx_users
+        for r in sketch_estimates(read_sketches(spark, target)).collect()
+    }
+    raw = spark.read.schema(SCHEMA).json(src)
+    want = {
+        str(r.hour): r.users
+        for r in raw.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    # HLL at this cardinality is exact in practice; allow sketch error
+    assert set(got) == set(want)
+    for h, users in want.items():
+        assert abs(got[h] - users) <= max(2, int(0.05 * users))
