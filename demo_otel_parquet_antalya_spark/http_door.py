@@ -43,24 +43,31 @@ from __future__ import annotations
 import zlib
 from http.server import BaseHTTPRequestHandler
 
+# drain window for a chunked sender (no declared length exists): enough
+# for a conforming mid-chunk client to flush its current send window and
+# read the 411, NOT the surface cap — at the receiver's 20 MiB cap a
+# burst of chunked probes could each hold a handler thread for up to the
+# cap's worth of 64 KiB reads; 64 KiB bounds that to one read beyond the
+# socket buffer while still preventing the RST-before-status (ADVICE r10)
+CHUNKED_DRAIN_BYTES = 65536
+
 
 def drain_limit(handler: BaseHTTPRequestHandler, max_body_bytes: int) -> int:
     """How much unread request body is WORTH draining before close (the
     drain exists so a mid-send client reads the error instead of an
     ECONNRESET retry loop): the DECLARED length when one exists (bounded
     by the cap — a conforming mid-send client sends exactly that much and
-    the reads return as its bytes arrive), the cap for a chunked sender
-    (no declared length exists; the DELIBERATE trade-off is that a silent
-    chunked probe pins its handler thread until the socket timeout — a
-    bounded cost ThreadingHTTPServer absorbs — because draining nothing
-    would RST every real mid-chunk client before it could read its
-    error), and ZERO when the declaration is
+    the reads return as its bytes arrive), a small FIXED window for a
+    chunked sender (no declared length exists; a silent chunked probe
+    still blocks one read until the socket timeout, but the drain no
+    longer extends that by up to the surface cap — ADVICE r10), and ZERO
+    when the declaration is
     garbage — an untrustworthy declaration never earns a blocking read,
     so a zero-body probe with a junk Content-Length returns instantly
     instead of pinning a thread until the timeout (code-review r10,
     passes 5-6)."""
     if "chunked" in (handler.headers.get("Transfer-Encoding") or "").lower():
-        return max_body_bytes
+        return min(max_body_bytes, CHUNKED_DRAIN_BYTES)
     try:
         declared = int(handler.headers.get("Content-Length", 0))
     except ValueError:

@@ -19,16 +19,19 @@ and serves
                                col!=value / col=~pat / col!~pat params —
                                the Grafana ad-hoc filter macro
                                (logs.json:106,164) compiled through
-                               plans.facade.adhoc_filter. When the
-                               endpoint was started with ``rollup_dir``,
-                               ?source=rollup serves the time-series
-                               and severity-counts panels from the
-                               continuously-maintained rollup snapshot —
-                               O(snapshot rows) per refresh instead of
-                               O(raw rows), the production routing
-                               SCALE.md measures (flat latency at 100x
-                               the raw volume); ad-hoc filters on
-                               maintained dimensions apply exactly
+                               plans.facade.adhoc_filter. Panels route
+                               to their flat production path BY DEFAULT
+                               (r11): q5/q3 from the continuously-
+                               maintained rollup snapshot when the
+                               endpoint was started with ``rollup_dir``
+                               — O(snapshot rows) per refresh instead
+                               of O(raw rows), the routing SCALE.md
+                               measures flat at 100x — and q2/q6 from
+                               the partition-pruned tail reads;
+                               incompatible requests fall back to the
+                               raw scan, ?source=rollup/pruned/raw
+                               forces a route, and the payload's
+                               ``source`` field names the route used
 
 Responses are JSON ``{"columns": [...], "rows": [[...]], "row_count": N,
 "truncated": bool}`` with timestamps/dates ISO-formatted, Decimals
@@ -100,6 +103,7 @@ import base64
 import datetime
 import decimal
 import json
+import logging
 import math
 import re
 import threading
@@ -112,6 +116,8 @@ from pyspark.sql import SparkSession
 from demo_otel_parquet_antalya_spark.http_door import read_bounded_body
 from demo_otel_parquet_antalya_spark.plans.tables import load_table
 from demo_otel_parquet_antalya_spark.schema import TESTDATA_TABLES
+
+_LOG = logging.getLogger(__name__)
 
 DEFAULT_ROW_CAP = 10_000
 
@@ -538,16 +544,28 @@ def _jsonable(v):
     return str(v)
 
 
-def _df_payload(df, cap: int) -> dict:
+def _df_payload(df, cap: int, source: str | None = None) -> dict:
     rows = df.limit(cap + 1).collect()
     truncated = len(rows) > cap
     rows = rows[:cap]
-    return {
+    out = {
         "columns": df.columns,
         "rows": [[_jsonable(v) for v in row] for row in rows],
         "row_count": len(rows),
         "truncated": truncated,
     }
+    if source is not None:
+        # panels report which route served them ("rollup"/"pruned"/"raw")
+        # so the r11 auto-routing is observable: a client — or a test —
+        # can tell a production-routed answer from a raw-scan fallback
+        out["source"] = source
+    return out
+
+
+# panels with a flat production route (served by default when the
+# endpoint is configured for it — see work() in do_GET)
+_ROLLUP_PANELS = ("q5_timeseries", "q3_severity_counts")
+_PRUNED_PANELS = ("q2_recent_logs", "q6_log_panel")
 
 
 _ADHOC_RE = re.compile(r"^(\w+)\s*(=~|!~|!=|=)\s*(.*)$")
@@ -630,6 +648,9 @@ class _SQLHandler(BaseHTTPRequestHandler):
     request_timeout_s: float | None = 30.0
     scheduler_pool: str = "serving"
     disable_sql_on_files: bool = True
+    # one-time flag for the runSQLOnFiles flip warning (ADVICE r10) —
+    # set on the per-endpoint bound subclass, not the shared base
+    _warned_sql_on_files: bool = False
 
     # socket timeout: a client that claims a length and stalls must not
     # pin a request thread forever — read_bounded_body turns the
@@ -752,53 +773,56 @@ class _SQLHandler(BaseHTTPRequestHandler):
                 filters = _parse_adhoc(qs.get("filter", []))
                 name = path[len("/panels/") :]
 
-                def work():
-                    if params.get("source") == "rollup" and name in (
-                        "q5_timeseries",
-                        "q3_severity_counts",
-                    ):
-                        # the production routing: these panels read the
-                        # maintained (bucket, dims) snapshot — O(snapshot
-                        # rows) per refresh, flat at any raw volume
-                        # (SCALE.md's measured table). Ad-hoc filters are
-                        # legal on MAINTAINED dimensions (they commute
-                        # with the count re-aggregation — exact); any
-                        # other column raises -> 400, serve it from raw.
-                        if self.rollup_dir is None:
-                            raise ValueError(
-                                "no rollup configured for this endpoint "
-                                "(start_sql_endpoint(..., rollup_dir=...))"
-                            )
-                        from demo_otel_parquet_antalya_spark.plans import facade
+                def rollup_route():
+                    # the production routing: these panels read the
+                    # maintained (bucket, dims) snapshot — O(snapshot
+                    # rows) per refresh, flat at any raw volume
+                    # (SCALE.md's measured table). Ad-hoc filters are
+                    # legal on MAINTAINED dimensions (they commute
+                    # with the count re-aggregation — exact); any
+                    # other column raises (explicit: 400; auto: raw).
+                    if name not in _ROLLUP_PANELS:
+                        raise ValueError(f"panel {name!r} has no rollup route")
+                    if self.rollup_dir is None:
+                        raise ValueError(
+                            "no rollup configured for this endpoint "
+                            "(start_sql_endpoint(..., rollup_dir=...))"
+                        )
+                    from demo_otel_parquet_antalya_spark.plans import facade
 
-                        if name == "q3_severity_counts":
-                            frame = facade.q3_severity_counts_from_rollup(
-                                self.spark, self.rollup_dir,
-                                dim_cols=self.rollup_dims, filters=filters,
-                            )
-                            return _df_payload(frame, self.row_cap)
-                        # any multiple of the maintained grain is served
-                        # EXACTLY by re-aggregating the snapshot (counts
-                        # re-aggregate); non-multiples raise -> 400, never
-                        # silently wrong numbers
-                        frame = facade.q5_timeseries_from_rollup(
+                    if name == "q3_severity_counts":
+                        frame = facade.q3_severity_counts_from_rollup(
                             self.spark, self.rollup_dir,
-                            params.get("start"), params.get("end"),
-                            interval_seconds=int(
-                                params.get("interval", self.rollup_interval_s)
-                            ),
-                            base_interval_s=self.rollup_interval_s,
                             dim_cols=self.rollup_dims, filters=filters,
                         )
-                        return _df_payload(frame, self.row_cap)
-                    if name == "q2_recent_logs" and params.get("source") == "pruned":
-                        # tail pruning: 'newest N' lists and reads the
-                        # newest hour directories ONLY (widening if they
-                        # hold fewer than N rows), never the whole
-                        # history — ad-hoc filters apply before the
-                        # widening count so filtered results stay complete
-                        from demo_otel_parquet_antalya_spark.plans import facade
+                        return _df_payload(frame, self.row_cap, source="rollup")
+                    # any multiple of the maintained grain is served
+                    # EXACTLY by re-aggregating the snapshot (counts
+                    # re-aggregate); non-multiples raise — never
+                    # silently wrong numbers
+                    frame = facade.q5_timeseries_from_rollup(
+                        self.spark, self.rollup_dir,
+                        params.get("start"), params.get("end"),
+                        interval_seconds=int(
+                            params.get("interval", self.rollup_interval_s)
+                        ),
+                        base_interval_s=self.rollup_interval_s,
+                        dim_cols=self.rollup_dims, filters=filters,
+                    )
+                    return _df_payload(frame, self.row_cap, source="rollup")
 
+                def pruned_route():
+                    # tail pruning: 'newest N' (q2) / 'oldest N in the
+                    # window' (q6) lists and reads the boundary hour
+                    # directories ONLY (widening if they hold fewer than
+                    # N rows), never the whole history — ad-hoc filters
+                    # apply before the widening count so filtered
+                    # results stay complete
+                    if name not in _PRUNED_PANELS:
+                        raise ValueError(f"panel {name!r} has no pruned route")
+                    from demo_otel_parquet_antalya_spark.plans import facade
+
+                    if name == "q2_recent_logs":
                         # clamp BEFORE the pruned path: its widening probe
                         # take()s `limit` rows to the driver, so a client
                         # limit must never exceed the endpoint's row cap
@@ -807,23 +831,51 @@ class _SQLHandler(BaseHTTPRequestHandler):
                             limit=min(int(params.get("limit", 10)), self.row_cap),
                             filters=filters,
                         )
-                        return _df_payload(frame, self.row_cap)
-                    if name == "q6_log_panel" and params.get("source") == "pruned":
-                        # same tail pruning from the OLDEST end: the log
-                        # panel is 'oldest N in the window' — read the
-                        # oldest in-window hour directories only (r10)
-                        from demo_otel_parquet_antalya_spark.plans import facade
-
+                    else:
                         frame = facade.q6_log_panel_pruned(
                             self.spark, self.logs_dir,
                             params.get("start"), params.get("end"),
                             limit=min(int(params.get("limit", 1000)), self.row_cap),
                             filters=filters,
                         )
-                        return _df_payload(frame, self.row_cap)
+                    return _df_payload(frame, self.row_cap, source="pruned")
+
+                def work():
+                    source = params.get("source")
+                    if source not in (None, "raw", "rollup", "pruned"):
+                        raise ValueError(
+                            f"unknown source {source!r}: raw, rollup, or pruned"
+                        )
+                    if source == "rollup":
+                        return rollup_route()
+                    if source == "pruned":
+                        return pruned_route()
+                    if source is None:
+                        # default routing (r11, VERDICT r10 #3): Grafana
+                        # sends PLAIN panel queries, so the default must
+                        # be the flat production route when the endpoint
+                        # is configured for it and the request is
+                        # compatible. A compatibility ValueError (filter
+                        # on a non-maintained dimension, non-multiple
+                        # interval, rollup missing q3's dims) falls back
+                        # to the raw scan — both routes are exact, so
+                        # the fallback changes cost, never answers.
+                        # ?source=rollup/pruned forces the route (its
+                        # errors surface as 400 instead of falling
+                        # back); ?source=raw forces the raw scan.
+                        # Infra errors (unreachable rollup store) are NOT
+                        # caught: auto-fallback must not mask a broken
+                        # production configuration as a slow panel.
+                        try:
+                            if name in _ROLLUP_PANELS and self.rollup_dir is not None:
+                                return rollup_route()
+                            if name in _PRUNED_PANELS:
+                                return pruned_route()
+                        except ValueError:
+                            pass
                     logs = self.spark.read.parquet(self.logs_dir)
                     frame = _panel_frame(logs, name, params, filters)
-                    return _df_payload(frame, self.row_cap)
+                    return _df_payload(frame, self.row_cap, source="raw")
 
                 self._send(200, self._run_bounded(work))
             except KeyError as exc:
@@ -864,7 +916,25 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         # "catalog miss" into "host file read" — asserting
                         # any earlier (e.g. before the gate) maximizes the
                         # flip window instead of shrinking it to Spark's
-                        # own resolution time (code-review r10, pass 5)
+                        # own resolution time (code-review r10, pass 5).
+                        # A host that DELIBERATELY flipped it back gets a
+                        # one-time warning instead of a silent revert that
+                        # looks like a Spark bug (ADVICE r10): the opt-out
+                        # is start_sql_endpoint(disable_sql_on_files=False)
+                        if (
+                            self.spark.conf.get(
+                                "spark.sql.runSQLOnFiles", "false"
+                            ).lower() == "true"
+                            and not type(self)._warned_sql_on_files
+                        ):
+                            type(self)._warned_sql_on_files = True
+                            _LOG.warning(
+                                "spark.sql.runSQLOnFiles was flipped to true "
+                                "on the serving session; the endpoint "
+                                "re-asserts false before every /query — "
+                                "restart with disable_sql_on_files=False to "
+                                "opt out (warned once)"
+                            )
                         self.spark.conf.set("spark.sql.runSQLOnFiles", "false")
                     return _df_payload(self.spark.sql(sql), cap)
 
@@ -951,18 +1021,28 @@ def start_sql_endpoint(
     ``logs_dir`` (optional) points at an ingested logs warehouse
     (streaming/ingest.py output) and enables the /panels/* dashboard
     routes; ``rollup_dir`` (optional) points at the continuously-
-    maintained rollup (streaming/rollup.py) and enables
-    ``?source=rollup`` on the time-series AND severity-counts panels —
-    the O(snapshot rows) production routing, maintained at
+    maintained rollup (streaming/rollup.py), maintained at
     ``rollup_interval_s`` buckets over the ``rollup_dims`` dimension
     tuple (the time-series panel's series is service_name when
     maintained, else the sole dimension of a single-dim rollup; the q3
-    route needs service_name and severity_text maintained). A
-    non-multiple interval, a q3 against a rollup missing its
-    dimensions, or an ad-hoc filter on a non-maintained column is
-    rejected with 400 rather than served silently wrong; filters on
-    maintained dimensions apply to the snapshot exactly (they commute
-    with the count re-aggregation). Every request runs inside its own Spark job group and is
+    route needs service_name and severity_text maintained).
+
+    Panel routing (r11, VERDICT r10 #3): plain panel requests — what a
+    provisioned Grafana actually sends — are served by the flat
+    production route BY DEFAULT: q5/q3 from the rollup when
+    ``rollup_dir`` is configured, q2/q6 from the partition-pruned tail
+    reads. An incompatible request (non-multiple interval, q3 against a
+    rollup missing its dimensions, ad-hoc filter on a non-maintained
+    column) falls back to the raw scan — both routes are exact, so
+    auto-routing changes cost, never answers; infra errors (an
+    unreachable rollup store) still surface as 400 rather than masking
+    a broken production configuration. ``?source=rollup|pruned`` forces
+    a route (its incompatibilities then 400 instead of falling back,
+    so a caller never gets silently-different routing than requested)
+    and ``?source=raw`` forces the raw scan; every panel payload
+    carries a ``source`` field naming the route that served it.
+    Filters on maintained dimensions apply to the snapshot exactly
+    (they commute with the count re-aggregation). Every request runs inside its own Spark job group and is
     cancelled (jobs interrupted cluster-wide, not just the collect
     abandoned) after ``request_timeout_s`` (None disables); requests run in
     ``scheduler_pool`` — build the session with ``serving_fair_conf()`` to

@@ -69,11 +69,15 @@ def test_door_error_sends_never_raise_on_dead_clients():
 
 def test_drain_limit_policy():
     """The shared drain bound: declared length when trustworthy (capped),
-    the cap for chunked (no declared length exists), ZERO for a garbage
-    declaration — an untrustworthy declaration never earns a blocking
-    read, so a junk-header probe cannot pin a handler thread until the
-    socket timeout (code-review r10, passes 5-6)."""
-    from demo_otel_parquet_antalya_spark.http_door import drain_limit
+    a small FIXED window for chunked (no declared length exists — the
+    411 drain must not extend to the surface cap, ADVICE r10), ZERO for
+    a garbage declaration — an untrustworthy declaration never earns a
+    blocking read, so a junk-header probe cannot pin a handler thread
+    until the socket timeout (code-review r10, passes 5-6)."""
+    from demo_otel_parquet_antalya_spark.http_door import (
+        CHUNKED_DRAIN_BYTES,
+        drain_limit,
+    )
 
     def h(headers):
         return _DeadClientHandler(headers)
@@ -84,3 +88,8 @@ def test_drain_limit_policy():
     assert drain_limit(h({"Content-Length": "-5"}), 1000) == 0
     assert drain_limit(h({"Content-Length": "banana"}), 1000) == 0
     assert drain_limit(h({"Transfer-Encoding": "chunked"}), 1000) == 1000
+    # at a 20 MiB receiver-sized cap, the chunked drain stays 64 KiB —
+    # never the cap's worth of blocking reads per probe
+    assert drain_limit(h({"Transfer-Encoding": "chunked"}), 20 * 2**20) == (
+        CHUNKED_DRAIN_BYTES
+    )

@@ -592,7 +592,9 @@ def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
             urllib.request.urlopen(base + path).read()
         except urllib.error.HTTPError:
             pass
-    with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=30") as r:
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?interval=30&source=raw"
+    ) as r:
         raw = json.loads(r.read())
     with urllib.request.urlopen(
         f"{base}/panels/q5_timeseries?source=rollup"
@@ -608,7 +610,8 @@ def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
     ) as r:
         routed_f = json.loads(r.read())
     with urllib.request.urlopen(
-        f"{base}/panels/q5_timeseries?interval=30&filter=severity_text=ERROR"
+        f"{base}/panels/q5_timeseries?interval=30&source=raw"
+        "&filter=severity_text=ERROR"
     ) as r:
         raw_f = json.loads(r.read())
     assert routed_f["row_count"] == raw_f["row_count"] > 0
@@ -629,7 +632,9 @@ def test_q5_served_from_rollup_matches_raw_over_http(logs_endpoint):
         f"{base}/panels/q5_timeseries?source=rollup&interval=60"
     ) as r:
         routed60 = json.loads(r.read())
-    with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=60") as r:
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?interval=60&source=raw"
+    ) as r:
         raw60 = json.loads(r.read())
     assert routed60["row_count"] == raw60["row_count"] > 0
     assert sorted(map(tuple, routed60["rows"])) == sorted(map(tuple, raw60["rows"]))
@@ -658,7 +663,9 @@ def test_q2_pruned_matches_raw_over_http(logs_endpoint):
             urllib.request.urlopen(base + path).read()
         except urllib.error.HTTPError:
             pass
-    with urllib.request.urlopen(f"{base}/panels/q2_recent_logs?limit=10") as r:
+    with urllib.request.urlopen(
+        f"{base}/panels/q2_recent_logs?limit=10&source=raw"
+    ) as r:
         raw = json.loads(r.read())
     with urllib.request.urlopen(
         f"{base}/panels/q2_recent_logs?limit=10&source=pruned"
@@ -671,7 +678,7 @@ def test_q2_pruned_matches_raw_over_http(logs_endpoint):
     with urllib.request.urlopen(f"{base}/panels/q2_recent_logs?{q}") as r:
         filt = json.loads(r.read())
     with urllib.request.urlopen(
-        f"{base}/panels/q2_recent_logs?limit=5&filter=service_name={svc}"
+        f"{base}/panels/q2_recent_logs?limit=5&source=raw&filter=service_name={svc}"
     ) as r:
         want = json.loads(r.read())
     assert sorted(map(tuple, filt["rows"])) == sorted(map(tuple, want["rows"]))
@@ -1017,7 +1024,9 @@ def test_q3_served_from_rollup_matches_raw_over_http(logs_endpoint):
             urllib.request.urlopen(base + path).read()
         except urllib.error.HTTPError:
             pass
-    with urllib.request.urlopen(f"{base}/panels/q3_severity_counts") as r:
+    with urllib.request.urlopen(
+        f"{base}/panels/q3_severity_counts?source=raw"
+    ) as r:
         raw = json.loads(r.read())
     with urllib.request.urlopen(
         f"{base}/panels/q3_severity_counts?source=rollup"
@@ -1031,7 +1040,7 @@ def test_q3_served_from_rollup_matches_raw_over_http(logs_endpoint):
     # a maintained-dimension filter applies to the snapshot exactly
     svc = raw["rows"][0][0]
     with urllib.request.urlopen(
-        f"{base}/panels/q3_severity_counts?filter=service_name={svc}"
+        f"{base}/panels/q3_severity_counts?source=raw&filter=service_name={svc}"
     ) as r:
         raw_f = json.loads(r.read())
     with urllib.request.urlopen(
@@ -1063,7 +1072,9 @@ def test_q6_pruned_matches_raw_over_http(logs_endpoint, spark):
             urllib.request.urlopen(base + path).read()
         except urllib.error.HTTPError:
             pass
-    with urllib.request.urlopen(f"{base}/panels/q6_log_panel?limit=40") as r:
+    with urllib.request.urlopen(
+        f"{base}/panels/q6_log_panel?limit=40&source=raw"
+    ) as r:
         raw = json.loads(r.read())
     with urllib.request.urlopen(
         f"{base}/panels/q6_log_panel?limit=40&source=pruned"
@@ -1081,7 +1092,9 @@ def test_q6_pruned_matches_raw_over_http(logs_endpoint, spark):
         "start": lo.isoformat(sep=" "),
         "end": (lo + datetime.timedelta(minutes=5)).isoformat(sep=" "),
     })
-    with urllib.request.urlopen(f"{base}/panels/q6_log_panel?{q}") as r:
+    with urllib.request.urlopen(
+        f"{base}/panels/q6_log_panel?{q}&source=raw"
+    ) as r:
         raw_w = json.loads(r.read())
     with urllib.request.urlopen(
         f"{base}/panels/q6_log_panel?{q}&source=pruned"
@@ -1092,7 +1105,9 @@ def test_q6_pruned_matches_raw_over_http(logs_endpoint, spark):
     # ad-hoc filter applies before the widening count
     svc = raw["rows"][0][2]
     fq = f"limit=15&filter=service_name={svc}"
-    with urllib.request.urlopen(f"{base}/panels/q6_log_panel?{fq}") as r:
+    with urllib.request.urlopen(
+        f"{base}/panels/q6_log_panel?{fq}&source=raw"
+    ) as r:
         want = json.loads(r.read())
     with urllib.request.urlopen(
         f"{base}/panels/q6_log_panel?{fq}&source=pruned"
@@ -1370,3 +1385,89 @@ def test_sql_on_files_disabled_at_the_mechanism(spark):
     finally:
         server.shutdown()
         spark.conf.set("spark.sql.runSQLOnFiles", prev)
+
+
+def test_panels_auto_route_to_production_paths(logs_endpoint):
+    """r11 (VERDICT r10 #3): PLAIN panel requests — what a provisioned
+    Grafana actually sends — are served by the flat production route by
+    default: q5/q3 from the rollup, q2/q6 pruned; values equal the forced
+    raw scan, the payload's source field names the route, and
+    ?source=raw is the escape hatch."""
+    base, _wh = logs_endpoint
+    for name, want_source, qs in (
+        ("q5_timeseries", "rollup", ""),
+        ("q3_severity_counts", "rollup", ""),
+        ("q2_recent_logs", "pruned", "limit=10"),
+        ("q6_log_panel", "pruned", "limit=40"),
+    ):
+        sep = "?" if not qs else f"?{qs}&"
+        plain = f"{base}/panels/{name}" + (f"?{qs}" if qs else "")
+        # warm: cold first use can brush the fixture's short 2.5 s deadline
+        for url in (plain, f"{base}/panels/{name}{sep}source=raw"):
+            try:
+                urllib.request.urlopen(url).read()
+            except urllib.error.HTTPError:
+                pass
+        with urllib.request.urlopen(plain) as r:
+            auto = json.loads(r.read())
+        with urllib.request.urlopen(
+            f"{base}/panels/{name}{sep}source=raw"
+        ) as r:
+            raw = json.loads(r.read())
+        assert auto["source"] == want_source, (name, auto["source"])
+        assert raw["source"] == "raw"
+        assert auto["row_count"] == raw["row_count"] > 0
+        assert sorted(map(tuple, auto["rows"])) == sorted(map(tuple, raw["rows"]))
+    # q1/q4 have no production route: the default IS the raw scan
+    with urllib.request.urlopen(f"{base}/panels/q1_projection") as r:
+        assert json.loads(r.read())["source"] == "raw"
+
+
+def test_panels_auto_route_falls_back_to_raw_when_incompatible(logs_endpoint):
+    """Auto-routing must change COST, never answers: a request the rollup
+    cannot serve exactly (filter on a non-maintained column; non-multiple
+    interval) falls back to the raw scan with a 200 — while the same
+    request with an EXPLICIT ?source=rollup stays a 400 (a caller who
+    forced a route never gets silently-different routing)."""
+    base, _wh = logs_endpoint
+    for qs in ("filter=body=~%25x%25", "interval=45"):
+        with urllib.request.urlopen(f"{base}/panels/q5_timeseries?{qs}") as r:
+            fell_back = json.loads(r.read())
+        assert fell_back["source"] == "raw"
+        try:
+            urllib.request.urlopen(
+                f"{base}/panels/q5_timeseries?source=rollup&{qs}"
+            )
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        else:
+            raise AssertionError("expected 400 for forced incompatible route")
+    # an unknown source value is a client error, not a silent raw scan
+    try:
+        urllib.request.urlopen(f"{base}/panels/q5_timeseries?source=banana")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "banana" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")
+
+
+def test_panels_auto_route_without_rollup_dir_serves_raw(spark, tmp_path):
+    """An endpoint configured WITHOUT rollup_dir auto-routes q5 to the
+    raw scan (no error) — and q2 still gets the pruned route, which needs
+    only the warehouse."""
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    landing, wh = str(tmp_path / "landing"), str(tmp_path / "wh")
+    generate_files(landing, n_files=2, records_per_file=40)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "ckpt"))
+    server = start_sql_endpoint(spark, SF_DIR, logs_dir=wh, rollup_dir=None)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/panels/q5_timeseries") as r:
+            assert json.loads(r.read())["source"] == "raw"
+        with urllib.request.urlopen(f"{base}/panels/q2_recent_logs?limit=5") as r:
+            assert json.loads(r.read())["source"] == "pruned"
+    finally:
+        server.shutdown()

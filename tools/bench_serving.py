@@ -159,19 +159,26 @@ def main() -> None:
         {"interval": 30, "start": lo.isoformat(sep=" "), "end": hi.isoformat(sep=" ")}
     )
 
+    # raw rows pin ?source=raw (r11: plain panel requests auto-route to
+    # the production path by default, so an unpinned "raw" row would
+    # silently measure the rollup/pruned route and the 1x-vs-100x growth
+    # comparison would be meaningless)
     panels = {
         "q1_projection": "/panels/q1_projection",
-        "q5_windowed_1h": f"/panels/q5_timeseries?{window}",
-        "q2_recent_logs": "/panels/q2_recent_logs?limit=10",
+        "q5_windowed_1h": f"/panels/q5_timeseries?{window}&source=raw",
+        "q2_recent_logs": "/panels/q2_recent_logs?limit=10&source=raw",
         # tail pruning: newest-N reads the newest hour directories only
         "q2_recent_pruned": "/panels/q2_recent_logs?limit=10&source=pruned",
-        "q3_severity_counts": "/panels/q3_severity_counts",
-        "q5_timeseries_raw": "/panels/q5_timeseries?interval=30",
-        "q6_log_panel": "/panels/q6_log_panel?limit=1000",
+        "q3_severity_counts": "/panels/q3_severity_counts?source=raw",
+        "q5_timeseries_raw": "/panels/q5_timeseries?interval=30&source=raw",
+        "q6_log_panel": "/panels/q6_log_panel?limit=1000&source=raw",
         # tail pruning from the OLDEST end: oldest-N reads the oldest
         # hour directories only
         "q6_pruned": "/panels/q6_log_panel?limit=1000&source=pruned",
-        "q6_adhoc_filtered": "/panels/q6_log_panel?limit=1000&filter=severity_text=ERROR",
+        "q6_adhoc_filtered": (
+            "/panels/q6_log_panel?limit=1000&source=raw"
+            "&filter=severity_text=ERROR"
+        ),
         # the production routing: panels served from the maintained
         # multi-dim rollup snapshot, over the SAME HTTP paths as raw
         "q5_timeseries_rollup": "/panels/q5_timeseries?source=rollup",
@@ -179,6 +186,11 @@ def main() -> None:
         "q5_rollup_adhoc_sev": (
             "/panels/q5_timeseries?source=rollup&filter=severity_text=ERROR"
         ),
+        # what a provisioned Grafana actually sends: no ?source= — the
+        # r11 default routing must land these on the flat path
+        "q5_default_auto": "/panels/q5_timeseries",
+        "q3_default_auto": "/panels/q3_severity_counts",
+        "q2_default_auto": "/panels/q2_recent_logs?limit=10",
     }
     results = {}
     for name, path in panels.items():
