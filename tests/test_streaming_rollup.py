@@ -497,3 +497,25 @@ def test_dim_col_and_dim_cols_together_raise(spark, tmp_path):
             stream, str(tmp_path / "t"), str(tmp_path / "c"),
             dim_col="service_name", dim_cols=("a", "b"),
         )
+
+
+def test_vacuum_remote_branch_via_hadoop_fs(spark, tmp_path, monkeypatch):
+    """The vacuum's Hadoop-FS delete branch (what an s3a/hdfs root takes)
+    must remove exactly the versions the local branch would — exercised
+    for real through Hadoop's LocalFileSystem by forcing the scheme split
+    remote for both the listing and the delete."""
+    import os
+
+    from demo_otel_parquet_antalya_spark.streaming import rollup as R
+
+    _src, target = _run_batches(spark, tmp_path, n_files=4, retain=None)
+    assert len(R._versions(spark, target)) == 4
+    monkeypatch.setattr(R, "_local_root", lambda p: None)
+    removed = R.vacuum_versions(spark, f"file://{target}", keep_last=2)
+    assert len(removed) == 2
+    monkeypatch.undo()
+    vs = R._versions(spark, target)
+    assert len(vs) == 2
+    assert sorted(os.listdir(target)) == [f"v={v}" for v in vs]
+    # the snapshot still serves (newest version was retained)
+    assert read_rollup(spark, target).count() > 0
