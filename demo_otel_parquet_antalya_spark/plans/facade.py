@@ -171,13 +171,12 @@ def _hour_dir_entries(spark, logs_dir: str) -> list:
             return (path, t)
         return (path, None) if _NULL_PART in path else None
 
+    from demo_otel_parquet_antalya_spark.fsutil import local_root
+
     out = []
-    local = None
-    if "://" not in logs_dir:
-        local = logs_dir
-    elif logs_dir.startswith("file:"):
-        local = logs_dir.split(":", 1)[1].lstrip("/")
-        local = "/" + local
+    # one shared local-vs-remote split (fsutil, r11): this and the
+    # rollup's version listing had drifted into disagreeing copies
+    local = local_root(logs_dir)
     if local is not None and os.path.isdir(local):
         def subdirs(p):
             try:

@@ -773,7 +773,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                 filters = _parse_adhoc(qs.get("filter", []))
                 name = path[len("/panels/") :]
 
-                def rollup_route():
+                def rollup_route(auto=False):
                     # the production routing: these panels read the
                     # maintained (bucket, dims) snapshot — O(snapshot
                     # rows) per refresh, flat at any raw volume
@@ -790,6 +790,34 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         )
                     from demo_otel_parquet_antalya_spark.plans import facade
 
+                    if auto:
+                        # auto-routing guards (code-review r11): these
+                        # three would not raise in the facade, so without
+                        # them the DEFAULT route could change answers,
+                        # not just cost.
+                        from demo_otel_parquet_antalya_spark.streaming import (
+                            rollup as _rollup,
+                        )
+
+                        # (a) an endpoint pointed at a rollup whose
+                        # maintenance stream has not committed yet would
+                        # serve blank 200 panels while raw has the data
+                        if not _rollup._versions(self.spark, self.rollup_dir):
+                            raise ValueError(
+                                "rollup has no committed snapshot yet"
+                            )
+                        # (b) the q5 rollup route is exact for WHOLE
+                        # bucket ranges; a $timeFilter window can cut a
+                        # bucket, and the raw windowed panel is already
+                        # flat via partition-directory pruning — serve
+                        # windows from raw
+                        if name == "q5_timeseries" and (
+                            params.get("start") or params.get("end")
+                        ):
+                            raise ValueError(
+                                "windowed q5 is served from the pruned "
+                                "raw scan, not the rollup"
+                            )
                     if name == "q3_severity_counts":
                         frame = facade.q3_severity_counts_from_rollup(
                             self.spark, self.rollup_dir,
@@ -799,15 +827,25 @@ class _SQLHandler(BaseHTTPRequestHandler):
                     # any multiple of the maintained grain is served
                     # EXACTLY by re-aggregating the snapshot (counts
                     # re-aggregate); non-multiples raise — never
-                    # silently wrong numbers
+                    # silently wrong numbers. The default interval is the
+                    # PANEL contract's 30 s (what the raw route serves),
+                    # not the maintained grain: an intervalless request
+                    # must mean the same buckets on every route
+                    # (code-review r11) — on a coarser-grain rollup that
+                    # is a non-multiple, so auto falls back to raw and
+                    # explicit honestly 400s.
+                    # (c) q5's series is service_name by panel contract;
+                    # in auto mode pass it explicitly so a rollup not
+                    # maintaining it raises -> raw, instead of the
+                    # facade's single-dim fallback silently serving a
+                    # DIFFERENT series than the raw panel would
                     frame = facade.q5_timeseries_from_rollup(
                         self.spark, self.rollup_dir,
                         params.get("start"), params.get("end"),
-                        interval_seconds=int(
-                            params.get("interval", self.rollup_interval_s)
-                        ),
+                        interval_seconds=int(params.get("interval", 30)),
                         base_interval_s=self.rollup_interval_s,
                         dim_cols=self.rollup_dims, filters=filters,
+                        series_dim="service_name" if auto else None,
                     )
                     return _df_payload(frame, self.row_cap, source="rollup")
 
@@ -868,7 +906,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         # production configuration as a slow panel.
                         try:
                             if name in _ROLLUP_PANELS and self.rollup_dir is not None:
-                                return rollup_route()
+                                return rollup_route(auto=True)
                             if name in _PRUNED_PANELS:
                                 return pruned_route()
                         except ValueError:
@@ -921,11 +959,14 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         # one-time warning instead of a silent revert that
                         # looks like a Spark bug (ADVICE r10): the opt-out
                         # is start_sql_endpoint(disable_sql_on_files=False)
+                        # flag first: after the one-time warning fires,
+                        # the conf.get (a py4j round trip) must not stay
+                        # on the /query hot path forever
                         if (
-                            self.spark.conf.get(
+                            not type(self)._warned_sql_on_files
+                            and self.spark.conf.get(
                                 "spark.sql.runSQLOnFiles", "false"
                             ).lower() == "true"
-                            and not type(self)._warned_sql_on_files
                         ):
                             type(self)._warned_sql_on_files = True
                             _LOG.warning(

@@ -47,6 +47,10 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# the shared local-vs-remote split (fsutil.local_root), under the private
+# name the r11 tests monkeypatch to force the Hadoop-FS branch
+from demo_otel_parquet_antalya_spark.fsutil import local_root as _local_root
+
 DEFAULT_DIMS = ("event_type",)
 
 
@@ -68,19 +72,6 @@ def rollup_schema(dim_cols: tuple = DEFAULT_DIMS) -> str:
 # the original single-dimension contract (generic ``event_type`` name);
 # kept because existing snapshots and callers read through it
 ROLLUP_SCHEMA = rollup_schema()
-
-
-def _local_root(target_dir: str) -> str | None:
-    """The local-filesystem path for a local ``target_dir``, else None.
-    ``file:`` URIs (any slash count) reduce to their path; a path with no
-    scheme IS a local path; anything else (s3a/hdfs/abfs/...) is remote."""
-    if "://" not in target_dir:
-        if target_dir.startswith("file:"):
-            return "/" + target_dir.split(":", 1)[1].lstrip("/")
-        return target_dir
-    if target_dir.startswith("file://"):
-        return "/" + target_dir.split("://", 1)[1].lstrip("/")
-    return None
 
 
 def _versions(spark: SparkSession, target_dir: str) -> list[int]:
@@ -123,7 +114,10 @@ def _versions(spark: SparkSession, target_dir: str) -> list[int]:
 
 
 def vacuum_versions(
-    spark: SparkSession, target_dir: str, keep_last: int = 3
+    spark: SparkSession,
+    target_dir: str,
+    keep_last: int = 3,
+    newest_id: int | None = None,
 ) -> list[int]:
     """Delete committed snapshot versions older than the newest
     ``keep_last``; returns the version ids removed.
@@ -137,6 +131,16 @@ def vacuum_versions(
     second-newest committed version — ``keep_last >= 2`` always retains
     it (default 3 for margin; enforced).
 
+    ``newest_id`` (the maintenance streams pass their batch id) restricts
+    eligibility to versions ``<= newest_id``: a stream restarted over an
+    old target with a FRESH checkpoint re-numbers batches from 0, and an
+    unrestricted vacuum would see sorted([0, 5, 6, 7]) and delete v=0 —
+    the snapshot the batch JUST wrote (code-review r11). With the
+    restriction, such a restart deletes nothing until its own ids grow
+    past the stale ones; the stale-read semantics of that misconfig are
+    unchanged and documented, but retention never turns it into data
+    loss.
+
     Crash discipline: each doomed version's ``_SUCCESS`` marker is
     deleted FIRST (one atomic file delete) so a vacuum that dies mid-way
     leaves an UNCOMMITTED directory ``_versions`` ignores — never a
@@ -148,6 +152,8 @@ def vacuum_versions(
             "merge base a replayed batch needs"
         )
     vs = _versions(spark, target_dir)
+    if newest_id is not None:
+        vs = [v for v in vs if v <= newest_id]
     doomed = vs[:-keep_last] if len(vs) > keep_last else []
     if not doomed:
         return []
@@ -183,7 +189,21 @@ def _commit_snapshot(
     Shared by the rollup, sketch, and M4 maintenance streams."""
     merged.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")
     if retain_versions is not None:
-        vacuum_versions(merged.sparkSession, target_dir, keep_last=retain_versions)
+        vacuum_versions(
+            merged.sparkSession, target_dir,
+            keep_last=retain_versions, newest_id=batch_id,
+        )
+
+
+def _check_retain(retain_versions: int | None) -> None:
+    """Up-front validation for the maintenance streams: an invalid
+    retention must fail at stream CONSTRUCTION, not inside the first
+    foreachBatch after data was already committed (code-review r11)."""
+    if retain_versions is not None and retain_versions < 2:
+        raise ValueError(
+            f"retain_versions={retain_versions}: retention below 2 can "
+            "delete the merge base a replayed batch needs (None keeps all)"
+        )
 
 
 def read_rollup(
@@ -276,6 +296,7 @@ def incremental_rollup(
             f"both dim_col={dim_col!r} and dim_cols={list(dim_cols)} were "
             "supplied — dim_cols would silently win; pass exactly one"
         )
+    _check_retain(retain_versions)
     if dim_cols is None:
         dims = DEFAULT_DIMS
         keys = [F.col(dim_col).cast("string").alias("event_type")]
@@ -320,3 +341,62 @@ def incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_rollup_grain(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    src_interval_s: int,
+    dst_interval_s: int,
+    dim_cols: tuple = DEFAULT_DIMS,
+    older_than=None,
+) -> int:
+    """Re-aggregate a fine-grain rollup snapshot into a coarser-grain one
+    (the year-horizon escape hatch SCALE.md's snapshot-growth bound
+    names): counts re-aggregate exactly, so a 30 s rollup compacted to a
+    5 m grain serves zoomed-out panels with IDENTICAL numbers at 1/10th
+    the snapshot rows. Returns the number of coarse rows written.
+
+    ``dst_interval_s`` must be a positive multiple of ``src_interval_s``
+    (the same validity rule as the q5 re-bucketing route, and checked the
+    same way: a per-row alignment assertion fails the job if the source
+    snapshot's true grain is not the claimed one — never silently
+    mis-binned counts). ``older_than`` (optional timestamp/ISO string)
+    compacts only buckets strictly before it, for the steady-state
+    layout: recent history stays at the dashboard grain, the long tail
+    coarsens. The destination is written as version ``v=<max src
+    version>`` in the same versioned layout, so ``read_rollup`` serves it
+    and repeated compactions of the same source are idempotent
+    overwrites; retention semantics carry over via ``vacuum_versions``.
+    """
+    if dst_interval_s <= 0 or dst_interval_s % src_interval_s:
+        raise ValueError(
+            f"dst_interval_s={dst_interval_s} is not a positive multiple "
+            f"of src_interval_s={src_interval_s} — counts would mis-bin"
+        )
+    vs = _versions(spark, src_dir)
+    if not vs:
+        raise ValueError(f"no committed rollup snapshot under {src_dir!r}")
+    snap = _read_version(spark, src_dir, vs[-1], dim_cols)
+    if older_than is not None:
+        snap = snap.filter(F.col("bucket") < F.lit(older_than))
+    aligned = F.when(
+        F.unix_timestamp("bucket") % src_interval_s != 0,
+        F.raise_error(
+            F.lit(
+                f"rollup snapshot bucket not aligned to the claimed "
+                f"{src_interval_s}s grain — compaction would mis-bin counts"
+            )
+        ),
+    ).otherwise(F.col("n"))
+    coarse_bucket = F.timestamp_seconds(
+        (F.unix_timestamp("bucket") / dst_interval_s).cast("long")
+        * dst_interval_s
+    )
+    out = (
+        snap.groupBy(coarse_bucket.alias("bucket"), *dim_cols)
+        .agg(F.sum(aligned).cast("long").alias("n"))
+    )
+    out.coalesce(1).write.mode("overwrite").parquet(f"{dst_dir}/v={vs[-1]}")
+    return spark.read.parquet(f"{dst_dir}/v={vs[-1]}").count()

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    _check_retain,
     _commit_snapshot,
     _versions,
 )
@@ -70,6 +71,7 @@ def incremental_sketches(
     """Start the sketch-maintenance stream; returns the StreamingQuery.
     ``retain_versions`` vacuums all but the newest N snapshot versions
     after each commit (rollup.vacuum_versions' replay-safety rule)."""
+    _check_retain(retain_versions)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -166,6 +168,7 @@ def incremental_m4(
 ):
     """Maintain the M4 dashboard reduction continuously; returns the
     query. ``retain_versions`` as in ``incremental_sketches``."""
+    _check_retain(retain_versions)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -1471,3 +1471,107 @@ def test_panels_auto_route_without_rollup_dir_serves_raw(spark, tmp_path):
             assert json.loads(r.read())["source"] == "pruned"
     finally:
         server.shutdown()
+
+
+def test_auto_route_guards_change_cost_never_answers(spark, tmp_path):
+    """code-review r11: three requests the facade would happily serve
+    from the rollup but with DIFFERENT answers than raw must auto-route
+    to raw — (a) a rollup with no committed snapshot (blank 200 panels),
+    (b) a single-dim rollup without service_name (q5's series would
+    silently change), (c) a windowed q5 (a $timeFilter can cut a bucket;
+    raw windows are already flat via partition pruning)."""
+    import datetime
+
+    from urllib.parse import urlencode
+
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+    from demo_otel_parquet_antalya_spark.streaming.rollup import incremental_rollup
+
+    landing, wh = str(tmp_path / "landing"), str(tmp_path / "wh")
+    generate_files(landing, n_files=2, records_per_file=40)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "ckpt"))
+
+    # (a) configured rollup_dir, but the maintenance stream never ran
+    server = start_sql_endpoint(
+        spark, SF_DIR, logs_dir=wh, rollup_dir=str(tmp_path / "empty_rollup"),
+        rollup_dims=("service_name", "severity_text"),
+    )
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        for panel in ("q5_timeseries", "q3_severity_counts"):
+            with urllib.request.urlopen(f"{base}/panels/{panel}") as r:
+                got = json.loads(r.read())
+            assert got["source"] == "raw" and got["row_count"] > 0, panel
+    finally:
+        server.shutdown()
+
+    # (b) a single-dim legacy rollup (generic event_type name): q5's
+    # series contract (service_name) is not provably maintained -> raw
+    rollup = str(tmp_path / "rollup1d")
+    q = incremental_rollup(
+        spark.readStream.schema(spark.read.parquet(wh).schema).parquet(wh),
+        rollup, str(tmp_path / "rckpt"),
+        bucket="30 seconds", ts_col="timestamp", dim_col="severity_text",
+    )
+    q.awaitTermination()
+    server = start_sql_endpoint(
+        spark, SF_DIR, logs_dir=wh, rollup_dir=rollup,
+        rollup_dims=("event_type",),
+    )
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/panels/q5_timeseries") as r:
+            got = json.loads(r.read())
+        assert got["source"] == "raw"
+        # the q5 series must be the raw panel's: service names, not the
+        # severity values the single-dim rollup happens to hold
+        services = {row[1] for row in got["rows"]}
+        assert not services & {"ERROR", "WARN", "INFO", "DEBUG"}
+        # q3 needs both dims maintained -> raw too
+        with urllib.request.urlopen(f"{base}/panels/q3_severity_counts") as r:
+            assert json.loads(r.read())["source"] == "raw"
+        # explicit ?source=rollup keeps the documented facade fallback
+        # (sole dimension as the series) — forced, not default
+        with urllib.request.urlopen(
+            f"{base}/panels/q5_timeseries?source=rollup"
+        ) as r:
+            forced = json.loads(r.read())
+        assert forced["source"] == "rollup"
+        assert {row[1] for row in forced["rows"]} <= {
+            "ERROR", "WARN", "INFO", "DEBUG", "TRACE", "FATAL",
+        }
+    finally:
+        server.shutdown()
+
+    # (c) a windowed q5 on a fully-configured endpoint -> raw
+    rollup2 = str(tmp_path / "rollup2d")
+    q = incremental_rollup(
+        spark.readStream.schema(spark.read.parquet(wh).schema).parquet(wh),
+        rollup2, str(tmp_path / "r2ckpt"),
+        bucket="30 seconds", ts_col="timestamp",
+        dim_cols=("service_name", "severity_text"),
+    )
+    q.awaitTermination()
+    server = start_sql_endpoint(
+        spark, SF_DIR, logs_dir=wh, rollup_dir=rollup2,
+        rollup_dims=("service_name", "severity_text"),
+    )
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        lo = spark.read.parquet(wh).selectExpr("min(timestamp) AS m").first()[0]
+        qs = urlencode({
+            "start": lo.isoformat(sep=" "),
+            "end": (lo + datetime.timedelta(minutes=5)).isoformat(sep=" "),
+        })
+        with urllib.request.urlopen(f"{base}/panels/q5_timeseries?{qs}") as r:
+            got = json.loads(r.read())
+        assert got["source"] == "raw" and got["row_count"] > 0
+        # the unwindowed default still takes the rollup
+        with urllib.request.urlopen(f"{base}/panels/q5_timeseries") as r:
+            assert json.loads(r.read())["source"] == "rollup"
+    finally:
+        server.shutdown()

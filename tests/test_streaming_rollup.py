@@ -519,3 +519,101 @@ def test_vacuum_remote_branch_via_hadoop_fs(spark, tmp_path, monkeypatch):
     assert sorted(os.listdir(target)) == [f"v={v}" for v in vs]
     # the snapshot still serves (newest version was retained)
     assert read_rollup(spark, target).count() > 0
+
+
+def test_vacuum_never_deletes_fresh_checkpoint_commits(spark, tmp_path):
+    """A stream restarted over an old target with a FRESH checkpoint
+    re-numbers batches from 0; retention must not delete the snapshot the
+    new batch just wrote (vacuum is restricted to versions <= the
+    committing batch id — code-review r11)."""
+    import os
+
+    from demo_otel_parquet_antalya_spark.streaming import rollup as R
+
+    target = str(tmp_path / "rollup")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "click", 5)], "bucket string, event_type string, n long"
+    ).select(F.col("bucket").cast("timestamp"), "event_type", "n")
+    # stale history from the previous checkpoint's numbering
+    for v in (5, 6, 7):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{target}/v={v}")
+    assert R._versions(spark, target) == [5, 6, 7]
+    # the restarted stream's first batch commits v=0 with retention on
+    R._commit_snapshot(df, target, batch_id=0, retain_versions=2)
+    vs = R._versions(spark, target)
+    assert 0 in vs and vs == [0, 5, 6, 7]  # nothing deleted, v=0 intact
+    assert os.path.exists(f"{target}/v=0/_SUCCESS")
+    # a standalone ops vacuum (no batch id) still applies plain retention
+    removed = R.vacuum_versions(spark, target, keep_last=2)
+    assert removed == [0, 5]
+
+
+def test_retain_versions_validated_at_stream_construction(spark, tmp_path):
+    """retain_versions < 2 must fail BEFORE the stream starts, not inside
+    the first foreachBatch after data was committed (code-review r11) —
+    on all three maintenance streams."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        incremental_m4,
+        incremental_sketches,
+    )
+
+    src = str(tmp_path / "events")
+    _write(src, "b0.json", [(1, 0, "click")])
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    for ctor in (incremental_rollup, incremental_sketches, incremental_m4):
+        with _pytest.raises(ValueError, match="retain_versions"):
+            ctor(stream, str(tmp_path / "t"), str(tmp_path / "c"), retain_versions=1)
+
+
+def test_compact_rollup_grain_exact_and_guarded(spark, tmp_path):
+    """r11 (the year-horizon escape hatch SCALE.md's growth bound names):
+    a fine-grain rollup compacted to a coarser grain must equal the
+    coarse aggregation computed from RAW input (counts re-aggregate
+    exactly); a non-multiple grain and a missing source raise."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+    )
+
+    src = str(tmp_path / "events")
+    rows = [(i, 17 * i, "click" if i % 3 else "view") for i in range(40)]
+    _write(src, "b0.json", rows)
+    target = str(tmp_path / "rollup")
+    q = incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src),
+        target, str(tmp_path / "ckpt"), bucket="1 minute",
+    )
+    q.awaitTermination()
+
+    dst = str(tmp_path / "coarse")
+    n = compact_rollup_grain(spark, target, dst, 60, 300)
+    got = {
+        (str(r.bucket), r.event_type, r.n) for r in read_rollup(spark, dst).collect()
+    }
+    want = {
+        (str(r.bucket), r.event_type, r.n)
+        for r in spark.read.schema(SCHEMA)
+        .json(src)
+        .groupBy(F.window("ts", "5 minutes").getField("start").alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and n == len(want) > 0
+    # idempotent: recompacting the same source overwrites the same version
+    assert compact_rollup_grain(spark, target, dst, 60, 300) == n
+    # guards
+    with _pytest.raises(ValueError, match="multiple"):
+        compact_rollup_grain(spark, target, dst, 60, 90)
+    with _pytest.raises(ValueError, match="no committed"):
+        compact_rollup_grain(spark, str(tmp_path / "nowhere"), dst, 60, 300)
+    # older_than: only buckets strictly before the cut coarsen
+    cut = "2024-01-01 00:05:00"
+    dst2 = str(tmp_path / "coarse2")
+    compact_rollup_grain(spark, target, dst2, 60, 300, older_than=cut)
+    old_part = {
+        (str(r.bucket), r.event_type, r.n) for r in read_rollup(spark, dst2).collect()
+    }
+    assert old_part == {t for t in want if t[0] < cut}
