@@ -459,6 +459,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    broadcast_state_max: int | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every id in ``pairs``: cluster_id = min id in the
     connected component. Turns near-dup PAIRS into dedup GROUPS (pick the
@@ -475,19 +476,30 @@ def connected_components(
     Near-dup graphs are edge-sparse (the near-dup sliver), so every round's
     join is small regardless of corpus size.
     """
+    from demo_otel_parquet_antalya_spark.operators.graph import (
+        BROADCAST_STATE_MAX,
+        _iter_layout,
+        _state_side,
+    )
+
+    if broadcast_state_max is None:
+        broadcast_state_max = BROADCAST_STATE_MAX
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # pre-partition on the per-round join key ONCE (and materialize): every
-    # iteration's neighbor join then reuses this layout, shuffling only the
-    # label table into it
     edges = (
         fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .repartition("dst")
         .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
+    # near-dup pair graphs are the edge-sparse sliver, so the label table
+    # (one row per node) is usually broadcast-sized; past the threshold the
+    # neighbor join runs against a persist()ed dst-partitioned edge layout
+    # instead (partitioning survives persist, NOT localCheckpoint — see
+    # graph.BROADCAST_STATE_MAX for the r11 finding this encodes)
+    small = labels.count() <= broadcast_state_max
+    edges = _iter_layout(edges, "dst", small)
 
     # convergence test: least()-only updates mean labels never move once at
     # fixpoint, so the multiset of labels is unchanged iff the round was a
@@ -503,17 +515,19 @@ def connected_components(
     prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(_state_side(labels, small), edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        hop = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+        hop = labels.join(
+            _state_side(nbr_min, small), labels.id == nbr_min.src, "left"
+        ).select(
             "id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
         )
         # pointer jumping: comp <- label(comp)
         lut = labels.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
         jumped = (
-            hop.join(lut, "comp", "left")
+            hop.join(_state_side(lut, small), "comp", "left")
             .select("id", F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"))
             .localCheckpoint(eager=True)
         )

@@ -27,6 +27,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Per-round state tables (ranks / hub-authority scores / labels) hold ONE
+# row per node. At or below this node count the state is BROADCAST into the
+# static edge frame — the fastest measured small-graph shape (no edge-side
+# exchange, no second edge layout, trade graph at sf0.1: 9.6 s vs 10.3 s
+# end-to-end). Above it a multi-MB broadcast per half-step loses to
+# exchanging the state table, so the edge list is hash-partitioned on the
+# per-round join key and persist()ed: an InMemoryTableScan REPORTS its
+# child's outputPartitioning, so every round's ShuffledHashJoin reuses the
+# layout with zero edge-side exchange or sort (10M-edge/4M-node synthetic:
+# iteration wall halves vs the checkpoint shape).
+#
+# localCheckpoint CANNOT serve the partitioned path: a checkpointed frame
+# scans back as ExistingRDD with UnknownPartitioning(0), so the previous
+# "pre-partition the edge list once, every iteration reuses this layout"
+# comments here were FALSE — each round silently re-exchanged AND re-sorted
+# the full edge list (found by the r11 profile of graph_hits_trade).
+BROADCAST_STATE_MAX = 1_000_000
+
+
+def _iter_layout(e: DataFrame, key: str, small: bool) -> DataFrame:
+    """The static edge frame an iterative operator joins every round:
+    the already-materialized canonical frame itself when the per-node
+    state is broadcast-sized (the probe side's layout is irrelevant under
+    a broadcast join), else a persist()ed hash layout on the per-round
+    join key — persist preserves outputPartitioning where localCheckpoint
+    erases it (see ``BROADCAST_STATE_MAX``)."""
+    if small:
+        return e
+    out = e.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()  # materialize now: every round must reuse, never recompute
+    return out
+
+
+def _state_side(state: DataFrame, small: bool) -> DataFrame:
+    """How the per-round state table enters an edge join: broadcast when
+    the node count is small; else a shuffle_hash hint — build the
+    per-partition hash from the (node-sized) state side and STREAM the
+    partition-aligned persisted edges, sorting neither side."""
+    return F.broadcast(state) if small else state.hint("shuffle_hash")
 
 
 def pagerank(
@@ -37,6 +78,7 @@ def pagerank(
     k: int = 6,
     damping: float = 0.85,
     checkpoint_interval: int = 1,
+    broadcast_state_max: int = BROADCAST_STATE_MAX,
 ) -> DataFrame:
     """(node, rank) after exactly ``k`` damped power-iteration rounds.
 
@@ -44,23 +86,27 @@ def pagerank(
     edge's contribution, default 1.0. Parallel edges are legal (their
     weights add). Deterministic given the edge list: fixed iteration
     count, no convergence test — by design, so relational oracles can
-    replay the exact computation.
+    replay the exact computation. Below ``broadcast_state_max`` nodes the
+    contrib table is broadcast into the canonical edge frame each round;
+    above it the edge list is persist()ed hash-partitioned on ``src`` and
+    each round shuffle-hash-joins the contrib table into that layout —
+    both paths compute the identical result (see ``BROADCAST_STATE_MAX``
+    for why the old checkpoint-the-partitioned-frame shape was wrong).
     """
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
     )
-    # collapse parallel edges once so every iteration joins the minimal list
-    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).localCheckpoint(eager=True)
+    # collapse parallel edges once so every iteration joins the minimal
+    # list; the out-weight normalization references the collapsed frame
+    # twice in ONE plan, so its exchange is computed once (ReusedExchange)
+    # and one materialization covers both
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # pre-partition the edge list on the per-round join key ONCE: every
-    # iteration then reuses this layout and shuffles only the (much
-    # smaller) contrib table into it
     e = (
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-        .repartition("src")
         .localCheckpoint(eager=True)
     )
 
@@ -71,6 +117,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # bounded: one long per partition to the driver
+    small = n_nodes <= broadcast_state_max
+    e = _iter_layout(e, "src", small)
     base = (1.0 - damping) / n_nodes
 
     # Per round, only the CONTRIB table (dst, c) is materialized; a node's
@@ -87,7 +135,7 @@ def pagerank(
             joined = e.withColumn("rank", F.lit(1.0 / n_nodes))
         else:
             joined = e.join(
-                contrib, e.src == contrib.node_c, "left"
+                _state_side(contrib, small), e.src == contrib.node_c, "left"
             ).withColumn("rank", rank_of(F.col("c")))
         contrib = (
             joined.select("dst", (F.col("rank") * F.col("p")).alias("cc"))
@@ -112,6 +160,7 @@ def hits(
     dst: str = "dst",
     k: int = 4,
     checkpoint_interval: int = 2,
+    broadcast_state_max: int = BROADCAST_STATE_MAX,
 ) -> DataFrame:
     """(node, hub, authority) after exactly ``k`` HITS rounds (Kleinberg
     1999, "Authoritative sources in a hyperlinked environment") on the
@@ -133,34 +182,36 @@ def hits(
     final normalization. Nodes with no out-edges have hub 0, no in-edges
     authority 0 (coalesced at the end).
 
-    Scale shape identical to pagerank's rounds: the edge list is
-    pre-partitioned once per join key; each half-step shuffles only the
-    score table. ``checkpoint_interval`` counts HALF-steps between
-    lineage truncations (2 = once per full round).
+    Scale shape identical to pagerank's rounds: below
+    ``broadcast_state_max`` nodes the score tables are broadcast into ONE
+    canonical edge frame (no dst layout needed — a broadcast join ignores
+    the probe side's layout); above it the edge list is persist()ed twice
+    (hash-partitioned on src and on dst) and each half-step
+    shuffle-hash-joins only the score table into the matching layout.
+    ``checkpoint_interval`` counts HALF-steps between lineage truncations
+    (2 = once per full round).
     """
-    # the dedup shuffle doubles as the src layout (distinct-on-src-first
-    # hash-partitions compatibly), so the edge list materializes twice
-    # (src + dst layouts), not three times
-    e_by_src = (
+    e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e_by_dst = e_by_src.repartition("dst").localCheckpoint(eager=True)
     nodes = (
-        e_by_src.select(F.col("src").alias("node"))
-        .unionAll(e_by_src.select(F.col("dst").alias("node")))
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    small = nodes.count() <= broadcast_state_max
+    e_by_src = _iter_layout(e, "src", small)
+    e_by_dst = e_by_src if small else _iter_layout(e, "dst", small)
 
     h = nodes.select("node", F.lit(1.0).alias("s"))
     a = None
     step = 0
     for i in range(k):
         a = (
-            e_by_src.join(h, e_by_src.src == h.node)
+            e_by_src.join(_state_side(h, small), e_by_src.src == h.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("s"))
         )
@@ -168,7 +219,7 @@ def hits(
         if step % checkpoint_interval == 0:
             a = a.localCheckpoint(eager=True)
         h = (
-            e_by_dst.join(a, e_by_dst.dst == a.node)
+            e_by_dst.join(_state_side(a, small), e_by_dst.dst == a.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("s"))
         )
@@ -348,6 +399,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 4,
+    broadcast_state_max: int = BROADCAST_STATE_MAX,
 ) -> DataFrame:
     """(node, community) after exactly ``rounds`` synchronous label-
     propagation iterations (Raghavan-Albert-Kumara 2007) on the
@@ -361,9 +413,12 @@ def label_propagation(
     a chain of weakly-bridged duplicate cliques is one component but
     several propagation communities.
 
-    Scale shape: per round ONE shuffle of the label table into the
-    pre-partitioned edge layout + one keyed count + one keyed min-struct
-    argmax (no window, nothing collected); lineage truncated per round.
+    Scale shape: per round, below ``broadcast_state_max`` nodes the label
+    table is broadcast into the canonical edge frame; above it one
+    shuffle of the label table into the persist()ed ``v``-partitioned
+    edge layout (shuffle-hash, neither side sorted) — plus one keyed
+    count and one keyed min-struct argmax (no window, nothing collected);
+    lineage truncated per round.
     """
     u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     und = (
@@ -374,15 +429,16 @@ def label_propagation(
     e = (
         und.select("u", "v")
         .unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition("v")
         .localCheckpoint(eager=True)
     )
     labels = e.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint(eager=True)
+    small = labels.count() <= broadcast_state_max
+    e = _iter_layout(e, "v", small)
     for _ in range(rounds):
         votes = (
-            e.join(labels, e.v == labels.node)
+            e.join(_state_side(labels, small), e.v == labels.node)
             .select(F.col("u").alias("node"), "lbl")
             .unionAll(labels.select("node", "lbl"))  # self-vote
             .groupBy("node", "lbl")

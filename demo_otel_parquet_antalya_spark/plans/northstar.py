@@ -2619,9 +2619,10 @@ def _hits_oracle_sql(k: int = 4) -> str:
         "second centrality lens next to PageRank. EXACTLY 4 rounds, each "
         "half-step L1-normalized by a 1-row aggregate, hub_0 = 1.0, so "
         "the DuckDB oracle replays it as 4 unrolled join+aggregate round "
-        "pairs. Per half-step: one pre-partitioned edge join shuffling "
-        "only the score table + one keyed sum. "
-        "operators/graph.py::hits."
+        "pairs. Per half-step: the score table enters the static edge "
+        "frame as a broadcast (node count under graph.BROADCAST_STATE_MAX) "
+        "or a shuffle-hash probe of the persist()ed per-key edge layout + "
+        "one keyed sum. operators/graph.py::hits."
     ),
     tags=("northstar", "graph"),
 )
@@ -3061,10 +3062,12 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
         "finer than connected components (a chain of weakly-bridged "
         "duplicate cliques is one component but several communities). "
         "Spark side composes the prefix-filtered PPJoin pair tier with "
-        "operators/graph.py::label_propagation: per round one label "
-        "shuffle into the pre-partitioned edge layout + keyed count + "
-        "keyed min-struct argmax, no windows, nothing collected; the "
-        "DuckDB oracle unrolls the identical rounds as MATERIALIZED CTEs."
+        "operators/graph.py::label_propagation: per round one label-table "
+        "broadcast into the canonical edge frame (shuffle-hash against a "
+        "persist()ed layout past graph.BROADCAST_STATE_MAX nodes) + keyed "
+        "count + keyed min-struct argmax, no windows, nothing collected; "
+        "the DuckDB oracle unrolls the identical rounds as MATERIALIZED "
+        "CTEs."
     ),
     tags=("northstar", "graph"),
     bench=True,  # VERDICT r5 item 2: the heaviest warm op joins the ledger

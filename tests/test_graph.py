@@ -297,3 +297,66 @@ def test_lpa_clique_and_path_converge_to_min_label(spark):
 def test_lpa_duplicate_and_reversed_edges_collapse(spark):
     rows = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")]
     assert _lpa(spark, rows, rounds=2) == {"a": "a", "b": "a"}
+
+# ---------------------------------------------------------------------------
+# The two iteration shapes (r11): below broadcast_state_max nodes the
+# per-round state table is BROADCAST into the canonical edge frame; above it
+# the edge list is persist()ed hash-partitioned on the per-round join key and
+# the state enters via shuffle_hash. Both paths must compute the identical
+# result, and the big path's round joins must actually BE shuffled-hash
+# against the preserved layout — localCheckpoint used to erase the
+# partitioning, so the claimed layout reuse was silently a full edge
+# exchange + sort every round (the r11 graph_hits_trade profile).
+
+
+_PATH_ROWS = [
+    ("A", "B"), ("B", "C"), ("C", "A"), ("A", "C"), ("D", "A"),
+    ("E", "B"), ("C", "D"), ("B", "D"), ("E", "A"), ("D", "E"),
+]
+
+
+def test_pagerank_partitioned_state_path_matches_broadcast_path(spark):
+    rows = [(s, d, 1.0 + i % 3) for i, (s, d) in enumerate(_PATH_ROWS)]
+    small = _ranks(spark, rows, k=4)
+    big = _ranks(spark, rows, k=4, broadcast_state_max=0)
+    assert big == pytest.approx(small, abs=1e-12)
+
+
+def test_hits_partitioned_state_path_matches_broadcast_path(spark):
+    edges = spark.createDataFrame(_PATH_ROWS, "src string, dst string")
+    small = {r.node: (r.hub, r.authority) for r in hits(edges, k=3).collect()}
+    big = {
+        r.node: (r.hub, r.authority)
+        for r in hits(edges, k=3, broadcast_state_max=0).collect()
+    }
+    for n in small:
+        assert big[n] == pytest.approx(small[n], abs=1e-12)
+
+
+def test_lpa_partitioned_state_path_matches_broadcast_path(spark):
+    from demo_otel_parquet_antalya_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(_PATH_ROWS, "src string, dst string")
+    small = {r.node: r.community for r in label_propagation(edges).collect()}
+    big = {
+        r.node: r.community
+        for r in label_propagation(edges, broadcast_state_max=0).collect()
+    }
+    assert big == small
+
+
+def test_hits_round_join_shapes(spark):
+    """Small path: the score joins are BroadcastHashJoin. Big path: they are
+    ShuffledHashJoin probing the persist()ed edge layout (InMemoryTableScan)
+    — the partitioning-preserving shape, not a re-exchanged SortMergeJoin."""
+    edges = spark.createDataFrame(_PATH_ROWS, "src string, dst string")
+    small_plan = hits(edges, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in small_plan
+    big_plan = (
+        hits(edges, k=2, broadcast_state_max=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in big_plan
+    assert "InMemoryTableScan" in big_plan

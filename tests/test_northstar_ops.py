@@ -192,6 +192,14 @@ def test_connected_components_chain_and_triangle(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20)}
     assert got == want
+    # the partitioned-state path (label table past broadcast_state_max,
+    # r11: persist()ed edge layout + shuffle_hash state joins) must compute
+    # the identical clustering
+    big = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(pairs, broadcast_state_max=0).collect()
+    }
+    assert big == want
 
 
 def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, emb, tmp_path):
