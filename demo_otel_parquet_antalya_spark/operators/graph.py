@@ -40,12 +40,18 @@ from pyspark.storagelevel import StorageLevel
 # layout with zero edge-side exchange or sort (10M-edge/4M-node synthetic:
 # iteration wall halves vs the checkpoint shape).
 #
+# The 100k default brackets the r11 hits measurements: at 48k nodes / 1.8M
+# edges the broadcast path wins 5.5 s vs 9.7 s; at 160k nodes / 4.4M edges
+# the partitioned path wins 12.1 s vs 15.5 s. The crossover moves with
+# cluster fan-out (broadcast cost scales with executors), so callers on a
+# wide cluster with small graphs may raise it.
+#
 # localCheckpoint CANNOT serve the partitioned path: a checkpointed frame
 # scans back as ExistingRDD with UnknownPartitioning(0), so the previous
 # "pre-partition the edge list once, every iteration reuses this layout"
 # comments here were FALSE — each round silently re-exchanged AND re-sorted
 # the full edge list (found by the r11 profile of graph_hits_trade).
-BROADCAST_STATE_MAX = 1_000_000
+BROADCAST_STATE_MAX = 100_000
 
 
 def _iter_layout(e: DataFrame, key: str, small: bool) -> DataFrame:
