@@ -536,7 +536,11 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    # (edges is a localCheckpoint now; its blocks free when the RDD is GC'd)
+    if not small:
+        # jumped labels are checkpointed every round, so the returned plan
+        # never references the persist()ed layout — release it
+        # (CacheManager entries are not GC-freed, unlike checkpointed RDDs)
+        edges.unpersist()
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 

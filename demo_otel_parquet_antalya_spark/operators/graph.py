@@ -155,6 +155,13 @@ def pagerank(
         # where materialization is costlier than plan depth
         if (i + 1) % checkpoint_interval == 0 and i + 1 < k:
             contrib = contrib.localCheckpoint(eager=True)
+    if not small:
+        # cut the returned plan off the persist()ed layout, then release
+        # it: CacheManager entries outlive the frame (unlike checkpointed
+        # RDDs, which the ContextCleaner frees on GC), so returning a plan
+        # that references the cache would leak one edge-list copy per call
+        contrib = contrib.localCheckpoint(eager=True)  # node-sized
+        e.unpersist()
     return nodes.join(contrib, nodes.node == contrib.node_c, "left").select(
         "node", rank_of(F.col("c")).alias("rank")
     )
@@ -232,6 +239,15 @@ def hits(
         step += 1
         if step % checkpoint_interval == 0 and i + 1 < k:
             h = h.localCheckpoint(eager=True)
+    if not small:
+        # node-sized checkpoints cut the returned plan off the persist()ed
+        # layouts so they can be released here — CacheManager entries are
+        # not GC-freed, and leaving them would leak two edge-list copies
+        # per call
+        h = h.localCheckpoint(eager=True)
+        a = a.localCheckpoint(eager=True)
+        e_by_src.unpersist()
+        e_by_dst.unpersist()
 
     def _l1(scores: DataFrame, out: str) -> DataFrame:
         # one final normalization per score family: 1-row broadcast
@@ -458,4 +474,9 @@ def label_propagation(
             .select("node", F.col("m.lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
+    if not small:
+        # labels is checkpointed every round, so the returned plan never
+        # references the persist()ed layout — release it (CacheManager
+        # entries are not GC-freed)
+        e.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))

@@ -345,18 +345,79 @@ def test_lpa_partitioned_state_path_matches_broadcast_path(spark):
     assert big == small
 
 
-def test_hits_round_join_shapes(spark):
-    """Small path: the score joins are BroadcastHashJoin. Big path: they are
-    ShuffledHashJoin probing the persist()ed edge layout (InMemoryTableScan)
-    — the partitioning-preserving shape, not a re-exchanged SortMergeJoin."""
-    edges = spark.createDataFrame(_PATH_ROWS, "src string, dst string")
-    small_plan = hits(edges, k=2)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in small_plan
-    big_plan = (
-        hits(edges, k=2, broadcast_state_max=0)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+def test_round_join_shapes(spark):
+    """Small path: the state join is BroadcastHashJoin against the canonical
+    edge frame. Big path: ShuffledHashJoin probing the persist()ed layout
+    (InMemoryTableScan) — the partitioning-preserving shape, not a
+    re-exchanged SortMergeJoin. Asserted on one half-step built from the
+    shared helpers (the operators' returned plans are cut off the round
+    joins by the final state checkpoints)."""
+    import pyspark.sql.functions as F
+
+    from demo_otel_parquet_antalya_spark.operators.graph import (
+        _iter_layout,
+        _state_side,
     )
-    assert "ShuffledHashJoin" in big_plan
-    assert "InMemoryTableScan" in big_plan
+
+    e = (
+        spark.createDataFrame(_PATH_ROWS, "src string, dst string")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("s")
+    )
+
+    def half_step(layout, small):
+        return (
+            layout.join(_state_side(state, small), layout.src == state.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("s"))
+        )
+
+    small_plan = (
+        half_step(_iter_layout(e, "src", True), True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in small_plan
+    assert "SortMergeJoin" not in small_plan
+
+    layout = _iter_layout(e, "src", False)
+    try:
+        big_plan = (
+            half_step(layout, False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ShuffledHashJoin" in big_plan
+        assert "InMemoryTableScan" in big_plan
+        assert "SortMergeJoin" not in big_plan
+    finally:
+        layout.unpersist()
+
+
+def test_big_path_releases_the_persisted_layouts(spark):
+    """The big path must not leak CacheManager entries: after the returned
+    frame is materialized, no layout persisted by the call remains cached
+    (persist()ed frames are NOT freed by GC, unlike checkpointed RDDs)."""
+    from demo_otel_parquet_antalya_spark.operators.graph import label_propagation
+
+    # the CacheManager tracks df.persist() entries (localCheckpoint RDDs
+    # live in getPersistentRDDs instead and ARE ContextCleaner-freed)
+    cache = spark._jsparkSession.sharedState().cacheManager()
+    cache.clearCache()
+    edges = spark.createDataFrame(_PATH_ROWS, "src string, dst string")
+    hits(edges, k=2, broadcast_state_max=0).collect()
+    _ranks(
+        spark,
+        [(s, d, 1.0) for s, d in _PATH_ROWS],
+        k=2,
+        broadcast_state_max=0,
+    )
+    label_propagation(edges, rounds=2, broadcast_state_max=0).collect()
+    from demo_otel_parquet_antalya_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(s, d) for s, d in _PATH_ROWS], "id_a string, id_b string"
+    )
+    connected_components(pairs, broadcast_state_max=0).collect()
+    assert cache.isEmpty()
