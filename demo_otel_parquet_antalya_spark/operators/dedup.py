@@ -513,34 +513,43 @@ def connected_components(
         return df.agg(F.sum(F.xxhash64("comp").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(_state_side(labels, small), edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        hop = labels.join(
-            _state_side(nbr_min, small), labels.id == nbr_min.src, "left"
-        ).select(
-            "id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
-        )
-        # pointer jumping: comp <- label(comp)
-        lut = labels.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
-        jumped = (
-            hop.join(_state_side(lut, small), "comp", "left")
-            .select("id", F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        labels = jumped
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    if not small:
-        # jumped labels are checkpointed every round, so the returned plan
-        # never references the persist()ed layout — release it
-        # (CacheManager entries are not GC-freed, unlike checkpointed RDDs)
-        edges.unpersist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(_state_side(labels, small), edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            hop = labels.join(
+                _state_side(nbr_min, small), labels.id == nbr_min.src, "left"
+            ).select(
+                "id",
+                F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            # pointer jumping: comp <- label(comp)
+            lut = labels.select(
+                F.col("id").alias("comp"), F.col("comp").alias("comp2")
+            )
+            jumped = (
+                hop.join(_state_side(lut, small), "comp", "left")
+                .select(
+                    "id",
+                    F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            labels = jumped
+            new_sum = _label_sum(labels)
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        if not small:
+            # jumped labels are checkpointed every round, so the returned
+            # plan never references the persist()ed layout — release it
+            # even on a mid-round failure (CacheManager entries are not
+            # GC-freed, unlike checkpointed RDDs)
+            edges.unpersist()
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 

@@ -84,7 +84,7 @@ def pagerank(
     k: int = 6,
     damping: float = 0.85,
     checkpoint_interval: int = 1,
-    broadcast_state_max: int = BROADCAST_STATE_MAX,
+    broadcast_state_max: int | None = None,
 ) -> DataFrame:
     """(node, rank) after exactly ``k`` damped power-iteration rounds.
 
@@ -106,8 +106,11 @@ def pagerank(
     )
     # collapse parallel edges once so every iteration joins the minimal
     # list; the out-weight normalization references the collapsed frame
-    # twice in ONE plan, so its exchange is computed once (ReusedExchange)
-    # and one materialization covers both
+    # twice in ONE plan — the collapse EXCHANGE is computed once
+    # (ReusedExchange; the aggregate above it still evaluates per branch,
+    # which is CPU only — the upstream edges source is never re-scanned
+    # while exchange reuse holds), and the checkpoint after the join is
+    # the single materialization every round reuses
     e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     e = (
@@ -123,6 +126,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # bounded: one long per partition to the driver
+    if broadcast_state_max is None:  # resolved at call time so runtime
+        broadcast_state_max = BROADCAST_STATE_MAX  # re-tuning applies here
     small = n_nodes <= broadcast_state_max
     e = _iter_layout(e, "src", small)
     base = (1.0 - damping) / n_nodes
@@ -136,32 +141,36 @@ def pagerank(
         return F.lit(base) + F.lit(damping) * F.coalesce(c_col, F.lit(0.0))
 
     contrib = None
-    for i in range(k):
-        if contrib is None:
-            joined = e.withColumn("rank", F.lit(1.0 / n_nodes))
-        else:
-            joined = e.join(
-                _state_side(contrib, small), e.src == contrib.node_c, "left"
-            ).withColumn("rank", rank_of(F.col("c")))
-        contrib = (
-            joined.select("dst", (F.col("rank") * F.col("p")).alias("cc"))
-            .groupBy("dst")
-            .agg(F.sum("cc").alias("c"))
-            .select(F.col("dst").alias("node_c"), "c")
-        )
-        # checkpoint_interval=1 measured FASTER than fusing rounds into one
-        # job (a 4-round fused plan of chained join+agg re-plans worse under
-        # AQE than 4 small materialized jobs); the knob stays for clusters
-        # where materialization is costlier than plan depth
-        if (i + 1) % checkpoint_interval == 0 and i + 1 < k:
+    try:
+        for i in range(k):
+            if contrib is None:
+                joined = e.withColumn("rank", F.lit(1.0 / n_nodes))
+            else:
+                joined = e.join(
+                    _state_side(contrib, small), e.src == contrib.node_c, "left"
+                ).withColumn("rank", rank_of(F.col("c")))
+            contrib = (
+                joined.select("dst", (F.col("rank") * F.col("p")).alias("cc"))
+                .groupBy("dst")
+                .agg(F.sum("cc").alias("c"))
+                .select(F.col("dst").alias("node_c"), "c")
+            )
+            # checkpoint_interval=1 measured FASTER than fusing rounds into
+            # one job (a 4-round fused plan of chained join+agg re-plans
+            # worse under AQE than 4 small materialized jobs); the knob
+            # stays for clusters where materialization is costlier than
+            # plan depth. On the big path the final round checkpoints too:
+            # the node-sized checkpoint cuts the returned plan off the
+            # persist()ed layout so the finally can release it (CacheManager
+            # entries outlive the frame, unlike checkpointed RDDs, which
+            # the ContextCleaner frees on GC)
+            if (i + 1) % checkpoint_interval == 0 and (i + 1 < k or not small):
+                contrib = contrib.localCheckpoint(eager=True)
+        if not small and k % checkpoint_interval != 0:
             contrib = contrib.localCheckpoint(eager=True)
-    if not small:
-        # cut the returned plan off the persist()ed layout, then release
-        # it: CacheManager entries outlive the frame (unlike checkpointed
-        # RDDs, which the ContextCleaner frees on GC), so returning a plan
-        # that references the cache would leak one edge-list copy per call
-        contrib = contrib.localCheckpoint(eager=True)  # node-sized
-        e.unpersist()
+    finally:
+        if not small:
+            e.unpersist()
     return nodes.join(contrib, nodes.node == contrib.node_c, "left").select(
         "node", rank_of(F.col("c")).alias("rank")
     )
@@ -173,7 +182,7 @@ def hits(
     dst: str = "dst",
     k: int = 4,
     checkpoint_interval: int = 2,
-    broadcast_state_max: int = BROADCAST_STATE_MAX,
+    broadcast_state_max: int | None = None,
 ) -> DataFrame:
     """(node, hub, authority) after exactly ``k`` HITS rounds (Kleinberg
     1999, "Authoritative sources in a hyperlinked environment") on the
@@ -215,6 +224,8 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if broadcast_state_max is None:  # resolved at call time so runtime
+        broadcast_state_max = BROADCAST_STATE_MAX  # re-tuning applies here
     small = nodes.count() <= broadcast_state_max
     e_by_src = _iter_layout(e, "src", small)
     e_by_dst = e_by_src if small else _iter_layout(e, "dst", small)
@@ -222,32 +233,37 @@ def hits(
     h = nodes.select("node", F.lit(1.0).alias("s"))
     a = None
     step = 0
-    for i in range(k):
-        a = (
-            e_by_src.join(_state_side(h, small), e_by_src.src == h.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("s").alias("s"))
-        )
-        step += 1
-        if step % checkpoint_interval == 0:
-            a = a.localCheckpoint(eager=True)
-        h = (
-            e_by_dst.join(_state_side(a, small), e_by_dst.dst == a.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("s").alias("s"))
-        )
-        step += 1
-        if step % checkpoint_interval == 0 and i + 1 < k:
+    try:
+        for i in range(k):
+            a = (
+                e_by_src.join(_state_side(h, small), e_by_src.src == h.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("s").alias("s"))
+            )
+            step += 1
+            # on the big path the FINAL round's a must checkpoint before h
+            # consumes it: the post-loop checkpoints would otherwise run
+            # the last a-join twice (once inside h's job, once for a's own)
+            if step % checkpoint_interval == 0 or (not small and i + 1 == k):
+                a = a.localCheckpoint(eager=True)
+            h = (
+                e_by_dst.join(_state_side(a, small), e_by_dst.dst == a.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("s").alias("s"))
+            )
+            step += 1
+            if step % checkpoint_interval == 0 and i + 1 < k:
+                h = h.localCheckpoint(eager=True)
+        if not small:
+            # the final node-sized checkpoint cuts the returned plan off the
+            # persist()ed layouts so the finally below can release them —
+            # CacheManager entries are not GC-freed, and leaving them would
+            # leak two edge-list copies per call
             h = h.localCheckpoint(eager=True)
-    if not small:
-        # node-sized checkpoints cut the returned plan off the persist()ed
-        # layouts so they can be released here — CacheManager entries are
-        # not GC-freed, and leaving them would leak two edge-list copies
-        # per call
-        h = h.localCheckpoint(eager=True)
-        a = a.localCheckpoint(eager=True)
-        e_by_src.unpersist()
-        e_by_dst.unpersist()
+    finally:
+        if not small:
+            e_by_src.unpersist()
+            e_by_dst.unpersist()
 
     def _l1(scores: DataFrame, out: str) -> DataFrame:
         # one final normalization per score family: 1-row broadcast
@@ -421,7 +437,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 4,
-    broadcast_state_max: int = BROADCAST_STATE_MAX,
+    broadcast_state_max: int | None = None,
 ) -> DataFrame:
     """(node, community) after exactly ``rounds`` synchronous label-
     propagation iterations (Raghavan-Albert-Kumara 2007) on the
@@ -456,27 +472,35 @@ def label_propagation(
     labels = e.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint(eager=True)
+    if broadcast_state_max is None:  # resolved at call time so runtime
+        broadcast_state_max = BROADCAST_STATE_MAX  # re-tuning applies here
     small = labels.count() <= broadcast_state_max
     e = _iter_layout(e, "v", small)
-    for _ in range(rounds):
-        votes = (
-            e.join(_state_side(labels, small), e.v == labels.node)
-            .select(F.col("u").alias("node"), "lbl")
-            .unionAll(labels.select("node", "lbl"))  # self-vote
-            .groupBy("node", "lbl")
-            .agg(F.count("*").alias("c"))
-        )
-        # argmax by (count desc, label asc) as a keyed min over a struct —
-        # stays in whole-stage codegen, no window
-        labels = (
-            votes.groupBy("node")
-            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
-            .select("node", F.col("m.lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-    if not small:
-        # labels is checkpointed every round, so the returned plan never
-        # references the persist()ed layout — release it (CacheManager
-        # entries are not GC-freed)
-        e.unpersist()
+    try:
+        for _ in range(rounds):
+            votes = (
+                e.join(_state_side(labels, small), e.v == labels.node)
+                .select(F.col("u").alias("node"), "lbl")
+                .unionAll(labels.select("node", "lbl"))  # self-vote
+                .groupBy("node", "lbl")
+                .agg(F.count("*").alias("c"))
+            )
+            # argmax by (count desc, label asc) as a keyed min over a
+            # struct — stays in whole-stage codegen, no window
+            labels = (
+                votes.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+                    ).alias("m")
+                )
+                .select("node", F.col("m.lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        if not small:
+            # labels is checkpointed every round, so the returned plan never
+            # references the persist()ed layout — release it (CacheManager
+            # entries are not GC-freed)
+            e.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))

@@ -391,6 +391,20 @@ def test_round_join_shapes(spark):
         assert "ShuffledHashJoin" in big_plan
         assert "InMemoryTableScan" in big_plan
         assert "SortMergeJoin" not in big_plan
+        # the central invariant: the persisted edge side streams into the
+        # join with NO re-exchange or sort — nothing but row-level ops may
+        # sit between the join and its InMemoryTableScan (an Exchange here
+        # would silently reintroduce the full per-round edge shuffle this
+        # shape exists to eliminate, e.g. via a future
+        # canChangeCachedPlanOutputPartitioning or AQE coalescing change)
+        lines = big_plan.splitlines()
+        join_at = next(i for i, l in enumerate(lines) if "ShuffledHashJoin" in l)
+        scan_at = next(
+            i for i, l in enumerate(lines[join_at:], join_at)
+            if "InMemoryTableScan" in l
+        )
+        between = lines[join_at + 1 : scan_at]
+        assert not any("Exchange" in l or "Sort" in l for l in between), between
     finally:
         layout.unpersist()
 
