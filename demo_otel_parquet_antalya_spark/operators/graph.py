@@ -378,6 +378,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 6,
+    broadcast_state_max: int | None = None,
 ) -> DataFrame:
     """(node, degree) for the nodes surviving ``rounds`` peel iterations
     of the k-core reduction on the UNDIRECTED simple graph (direction,
@@ -398,16 +399,33 @@ def k_core(
     true k-core.
 
     Scale shape: per round one keyed degree aggregate + one semi-join per
-    endpoint, each on a monotonically SHRINKING edge frame (work decays
-    with the periphery); lineage truncated per round via localCheckpoint.
-    No windows, nothing collected.
+    endpoint against the node-sized survivor set, each on a monotonically
+    SHRINKING edge frame (work decays with the periphery); lineage
+    truncated per round via localCheckpoint. Below ``broadcast_state_max``
+    nodes the survivor set is pinned broadcast (the edge frame never
+    shuffles for the joins); above it the joins are left UNHINTED — the
+    edge frame is rebuilt each round so a persisted layout cannot
+    amortize here the way the fixed-edge loops' can, and a shuffle_hash
+    hint measured SLOWER at 10x/100x than letting AQE convert the join
+    itself: the survivor set usually shrinks under the runtime broadcast
+    threshold, and the hint would pin the join to a shuffle AQE knows it
+    can skip. No windows, nothing collected.
     """
+    if broadcast_state_max is None:
+        broadcast_state_max = BROADCAST_STATE_MAX
     u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     e = (
         edges.where(F.col(src) != F.col(dst))
         .select(u.alias("u"), v.alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
+    )
+    small = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+        <= broadcast_state_max
     )
     for _ in range(rounds):
         deg = (
@@ -417,9 +435,13 @@ def k_core(
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
+        keep_u = keep.withColumnRenamed("node", "u")
+        keep_v = keep.withColumnRenamed("node", "v")
+        if small:
+            keep_u, keep_v = F.broadcast(keep_u), F.broadcast(keep_v)
         e = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "semi")
+            e.join(keep_u, "u", "semi")
+            .join(keep_v, "v", "semi")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )

@@ -435,3 +435,15 @@ def test_big_path_releases_the_persisted_layouts(spark):
     )
     connected_components(pairs, broadcast_state_max=0).collect()
     assert cache.isEmpty()
+
+
+def test_kcore_partitioned_state_path_matches_broadcast_path(spark):
+    from demo_otel_parquet_antalya_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(_PATH_ROWS, "src string, dst string")
+    small = {r.node: r.degree for r in k_core(edges, k=2, rounds=4).collect()}
+    big = {
+        r.node: r.degree
+        for r in k_core(edges, k=2, rounds=4, broadcast_state_max=0).collect()
+    }
+    assert big == small
