@@ -45,3 +45,25 @@ def local_root(path: str) -> str | None:
     if _SCHEME_RE.match(path):
         return None
     return path
+
+
+def hadoop_glob(spark, pattern: str) -> list[str]:
+    """Path strings matching ``pattern`` via ONE Hadoop-FS ``globStatus``
+    round trip (plus one toString per hit) — the shared remote-root
+    fallback for every component whose fast path is an os.scandir
+    (the rollup/sketch version listing, the facade's partition-hour
+    listing). Raises (py4j) on a scheme with no loadable FileSystem —
+    never the silent empty listing (see ``local_root``)."""
+    jvm = spark.sparkContext._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = glob.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return [st.getPath().toString() for st in fs.globStatus(glob) or []]
+
+
+def hadoop_delete(spark, path: str, recursive: bool) -> bool:
+    """One Hadoop-FS delete — the remote twin of os.remove/shutil.rmtree
+    in the snapshot vacuum. Returns the FS's success flag."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.delete(jpath, recursive))

@@ -15,6 +15,13 @@ import datetime as _dt
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# the compat-vs-config split for the rollup panel routes: raises of this
+# type mean "this exact request belongs on the raw scan" (serving's auto
+# routing falls back on exactly it); plain ValueError stays a hard 400
+from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    RollupRouteIncompatible,
+)
+
 
 def _partition_hour_ts() -> Column:
     """The hour-start timestamp a warehouse partition covers, rebuilt from
@@ -193,14 +200,12 @@ def _hour_dir_entries(spark, logs_dir: str) -> list:
                             if e is not None:
                                 out.append(e)
     else:
-        jvm = spark.sparkContext._jvm
-        root = jvm.org.apache.hadoop.fs.Path(logs_dir)
-        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        glob = jvm.org.apache.hadoop.fs.Path(
-            logs_dir.rstrip("/") + "/*/year=*/month=*/day=*/hour=*"
-        )
-        for st in fs.globStatus(glob) or []:
-            e = entry(st.getPath().toString())
+        from demo_otel_parquet_antalya_spark.fsutil import hadoop_glob
+
+        for p in hadoop_glob(
+            spark, logs_dir.rstrip("/") + "/*/year=*/month=*/day=*/hour=*"
+        ):
+            e = entry(p)
             if e is not None:
                 out.append(e)
     return out
@@ -452,7 +457,7 @@ def q5_timeseries_from_rollup(
     """
     rebucket = interval_seconds is not None and interval_seconds != base_interval_s
     if rebucket and (interval_seconds <= 0 or interval_seconds % base_interval_s):
-        raise ValueError(
+        raise RollupRouteIncompatible(
             f"rollup is maintained at {base_interval_s}s buckets; "
             f"interval={interval_seconds} is not a multiple — serve "
             "from raw or a matching rollup"
@@ -471,18 +476,22 @@ def q5_timeseries_from_rollup(
         elif len(dim_cols) == 1:
             series_dim = dim_cols[0]
         else:
-            raise ValueError(
+            raise RollupRouteIncompatible(
                 f"q5's series is service_name, which this rollup "
                 f"({list(dim_cols)}) does not maintain — pass series_dim "
                 "explicitly to serve a different series"
             )
     elif series_dim not in dim_cols:
-        raise ValueError(
+        raise RollupRouteIncompatible(
             f"series_dim {series_dim!r} is not a maintained dimension "
             f"{list(dim_cols)}"
         )
     series = series_dim
-    df = _dim_filtered(read_rollup(spark, rollup_dir, dim_cols), dim_cols, filters)
+    df = _dim_filtered(
+        read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True),
+        dim_cols,
+        filters,
+    )
     df = df.select(
         F.col("bucket").alias("t"),
         F.col(series).alias("series"),
@@ -522,7 +531,7 @@ def _dim_filtered(snapshot: DataFrame, dim_cols: tuple, filters) -> DataFrame:
     count re-aggregation); anything else must be served from raw."""
     bad = [c for c, _op, _v in filters if c not in dim_cols]
     if bad:
-        raise ValueError(
+        raise RollupRouteIncompatible(
             f"ad-hoc filter column(s) {bad} are not maintained rollup "
             f"dimensions {list(dim_cols)}; serve this filter from the raw "
             "logs (no ?source=rollup)"
@@ -548,13 +557,17 @@ def q3_severity_counts_from_rollup(
     same maintained-dimensions-only contract as the Q5 rollup route."""
     need = {"service_name", "severity_text"}
     if not need <= set(dim_cols):
-        raise ValueError(
+        raise RollupRouteIncompatible(
             f"q3 needs a rollup maintained over {sorted(need)}; this one "
             f"has {list(dim_cols)}"
         )
     from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
 
-    snap = _dim_filtered(read_rollup(spark, rollup_dir, dim_cols), dim_cols, filters)
+    snap = _dim_filtered(
+        read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True),
+        dim_cols,
+        filters,
+    )
     return (
         snap.groupBy("service_name", "severity_text")
         .agg(F.sum("n").cast("long").alias("count"))

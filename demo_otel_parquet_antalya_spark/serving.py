@@ -116,6 +116,9 @@ from pyspark.sql import SparkSession
 from demo_otel_parquet_antalya_spark.http_door import read_bounded_body
 from demo_otel_parquet_antalya_spark.plans.tables import load_table
 from demo_otel_parquet_antalya_spark.schema import TESTDATA_TABLES
+from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    RollupRouteIncompatible,
+)
 
 _LOG = logging.getLogger(__name__)
 
@@ -791,30 +794,22 @@ class _SQLHandler(BaseHTTPRequestHandler):
                     from demo_otel_parquet_antalya_spark.plans import facade
 
                     if auto:
-                        # auto-routing guards (code-review r11): these
-                        # three would not raise in the facade, so without
-                        # them the DEFAULT route could change answers,
-                        # not just cost.
-                        from demo_otel_parquet_antalya_spark.streaming import (
-                            rollup as _rollup,
-                        )
-
-                        # (a) an endpoint pointed at a rollup whose
-                        # maintenance stream has not committed yet would
-                        # serve blank 200 panels while raw has the data
-                        if not _rollup._versions(self.spark, self.rollup_dir):
-                            raise ValueError(
-                                "rollup has no committed snapshot yet"
-                            )
-                        # (b) the q5 rollup route is exact for WHOLE
-                        # bucket ranges; a $timeFilter window can cut a
-                        # bucket, and the raw windowed panel is already
-                        # flat via partition-directory pruning — serve
-                        # windows from raw
+                        # auto-routing guard (code-review r11): the facade
+                        # would happily serve a windowed q5 from the
+                        # rollup with DIFFERENT answers than raw — the
+                        # route is exact for WHOLE bucket ranges, but a
+                        # $timeFilter window can cut a bucket, and the raw
+                        # windowed panel is already flat via
+                        # partition-directory pruning. (The other r11
+                        # guard — a configured rollup with no committed
+                        # snapshot serving blank 200 panels — now lives in
+                        # read_rollup(require_snapshot=True): one listing,
+                        # same fallback, and the explicit route gets the
+                        # 400 instead of a blank 200 too.)
                         if name == "q5_timeseries" and (
                             params.get("start") or params.get("end")
                         ):
-                            raise ValueError(
+                            raise RollupRouteIncompatible(
                                 "windowed q5 is served from the pruned "
                                 "raw scan, not the rollup"
                             )
@@ -863,17 +858,24 @@ class _SQLHandler(BaseHTTPRequestHandler):
                     if name == "q2_recent_logs":
                         # clamp BEFORE the pruned path: its widening probe
                         # take()s `limit` rows to the driver, so a client
-                        # limit must never exceed the endpoint's row cap
+                        # limit must never exceed the endpoint's row cap —
+                        # but clamp to cap + 1, not cap: the payload's
+                        # truncated flag probes cap + 1 rows, and a clamp
+                        # to cap would report truncated=false where the
+                        # raw route says true (code-review r11; the probe
+                        # stays bounded)
                         frame = facade.q2_recent_logs_pruned(
                             self.spark, self.logs_dir,
-                            limit=min(int(params.get("limit", 10)), self.row_cap),
+                            limit=min(int(params.get("limit", 10)), self.row_cap + 1),
                             filters=filters,
                         )
                     else:
                         frame = facade.q6_log_panel_pruned(
                             self.spark, self.logs_dir,
                             params.get("start"), params.get("end"),
-                            limit=min(int(params.get("limit", 1000)), self.row_cap),
+                            limit=min(
+                                int(params.get("limit", 1000)), self.row_cap + 1
+                            ),
                             filters=filters,
                         )
                     return _df_payload(frame, self.row_cap, source="pruned")
@@ -901,15 +903,22 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         # ?source=rollup/pruned forces the route (its
                         # errors surface as 400 instead of falling
                         # back); ?source=raw forces the raw scan.
-                        # Infra errors (unreachable rollup store) are NOT
-                        # caught: auto-fallback must not mask a broken
-                        # production configuration as a slow panel.
+                        # ONLY RollupRouteIncompatible falls back: config
+                        # errors (a foreign snapshot, mis-claimed
+                        # rollup_dims — plain ValueError) and infra errors
+                        # (unreachable store — py4j) surface as 400, since
+                        # a blanket except would silently and PERMANENTLY
+                        # degrade a broken production routing to the
+                        # O(raw) scan (code-review r11). A malformed query
+                        # param raises the same error on every route, so
+                        # it also stays a 400 rather than a doomed
+                        # fallback.
                         try:
                             if name in _ROLLUP_PANELS and self.rollup_dir is not None:
                                 return rollup_route(auto=True)
                             if name in _PRUNED_PANELS:
                                 return pruned_route()
-                        except ValueError:
+                        except RollupRouteIncompatible:
                             pass
                     logs = self.spark.read.parquet(self.logs_dir)
                     frame = _panel_frame(logs, name, params, filters)
@@ -958,10 +967,14 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         # A host that DELIBERATELY flipped it back gets a
                         # one-time warning instead of a silent revert that
                         # looks like a Spark bug (ADVICE r10): the opt-out
-                        # is start_sql_endpoint(disable_sql_on_files=False)
-                        # flag first: after the one-time warning fires,
-                        # the conf.get (a py4j round trip) must not stay
-                        # on the /query hot path forever
+                        # is start_sql_endpoint(disable_sql_on_files=False).
+                        # Flag first, so after the warning fires the
+                        # conf.get round trip leaves the path; in the
+                        # common never-flipped case every /query still
+                        # pays one conf.get + one conf.set (~0.4 ms of
+                        # py4j) — the price of being able to warn at all
+                        # (code-review r11: the old comment overclaimed
+                        # the short-circuit)
                         if (
                             not type(self)._warned_sql_on_files
                             and self.spark.conf.get(

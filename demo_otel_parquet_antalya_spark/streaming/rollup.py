@@ -49,9 +49,24 @@ from pyspark.sql import functions as F
 
 # the shared local-vs-remote split (fsutil.local_root), under the private
 # name the r11 tests monkeypatch to force the Hadoop-FS branch
+from demo_otel_parquet_antalya_spark.fsutil import hadoop_delete, hadoop_glob
 from demo_otel_parquet_antalya_spark.fsutil import local_root as _local_root
 
 DEFAULT_DIMS = ("event_type",)
+
+
+class RollupRouteIncompatible(ValueError):
+    """A panel request the maintained rollup cannot serve EXACTLY — a
+    filter on a non-maintained dimension, a non-multiple interval, a
+    series the rollup does not maintain, no committed snapshot yet.
+    Serving's AUTO routing catches exactly this type to fall back to the
+    raw scan (both routes are exact, so the fallback changes cost, never
+    answers); configuration and infra errors — a foreign snapshot in the
+    rollup dir, mis-claimed dim_cols, an unreachable store — stay plain
+    ValueError / py4j errors and surface as 400, because silently
+    degrading a BROKEN production routing to the O(raw) scan forever is
+    the failure the routing contract exists to prevent (code-review r11
+    on the auto-routing stint)."""
 
 
 def rollup_schema(dim_cols: tuple = DEFAULT_DIMS) -> str:
@@ -99,14 +114,11 @@ def _versions(spark: SparkSession, target_dir: str) -> list[int]:
             if m and os.path.exists(os.path.join(local, name, "_SUCCESS")):
                 out.append(int(m.group(1)))
         return sorted(out)
-    jvm = spark.sparkContext._jvm
-    glob = jvm.org.apache.hadoop.fs.Path(target_dir.rstrip("/") + "/v=*/_SUCCESS")
-    fs = glob.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     out = []
-    for st in fs.globStatus(glob) or []:
-        # one toString per marker; parse the version from the path string
-        # rather than chaining getParent().getName() py4j calls
-        parts = st.getPath().toString().rstrip("/").split("/")
+    for p in hadoop_glob(spark, target_dir.rstrip("/") + "/v=*/_SUCCESS"):
+        # parse the version from the path string rather than chaining
+        # getParent().getName() py4j calls
+        parts = p.rstrip("/").split("/")
         m = re.fullmatch(r"v=(\d+)", parts[-2]) if len(parts) >= 2 else None
         if m:
             out.append(int(m.group(1)))
@@ -145,7 +157,18 @@ def vacuum_versions(
     deleted FIRST (one atomic file delete) so a vacuum that dies mid-way
     leaves an UNCOMMITTED directory ``_versions`` ignores — never a
     half-deleted directory that still lists as committed and would merge
-    missing data forward silently."""
+    missing data forward silently.
+
+    Reader race (code-review r11, documented bound): a reader picks the
+    newest version at LIST time, so a vacuum can delete the directory it
+    is still scanning — the reader then fails loudly (FileNotFound → 400
+    on the serving path; it is not a ``RollupRouteIncompatible``, so auto
+    routing never masks it as a raw scan). The newest version a reader
+    can hold becomes doomed only after ``keep_last - 1`` NEWER commits,
+    i.e. at least ``(keep_last - 1) × cadence`` seconds later; with the
+    default keep_last=3, a 30 s maintenance cadence, and serving's 30 s
+    request deadline, a reader cannot outlive its version — keep_last=2
+    is replay-safe but leaves slow readers one cadence of margin."""
     if keep_last < 2:
         raise ValueError(
             f"keep_last={keep_last}: retention below 2 can delete the "
@@ -170,13 +193,10 @@ def vacuum_versions(
                 pass  # a prior vacuum died between marker and dir delete
             shutil.rmtree(vdir, ignore_errors=True)
         return doomed
-    jvm = spark.sparkContext._jvm
-    root = jvm.org.apache.hadoop.fs.Path(target_dir.rstrip("/"))
-    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     for v in doomed:
-        vdir = jvm.org.apache.hadoop.fs.Path(f"{target_dir.rstrip('/')}/v={v}")
-        fs.delete(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), False)
-        fs.delete(vdir, True)
+        vdir = f"{target_dir.rstrip('/')}/v={v}"
+        hadoop_delete(spark, f"{vdir}/_SUCCESS", False)
+        hadoop_delete(spark, vdir, True)
     return doomed
 
 
@@ -207,18 +227,29 @@ def _check_retain(retain_versions: int | None) -> None:
 
 
 def read_rollup(
-    spark: SparkSession, target_dir: str, dim_cols: tuple = DEFAULT_DIMS
+    spark: SparkSession,
+    target_dir: str,
+    dim_cols: tuple = DEFAULT_DIMS,
+    require_snapshot: bool = False,
 ) -> DataFrame:
-    """Latest committed snapshot (empty frame if none yet). ``dim_cols``
-    must be the tuple the rollup is MAINTAINED with (the snapshot's own
-    column names for a multi-dimension rollup; the generic ``event_type``
-    default for the single-dimension form) — VALIDATED against the
-    snapshot's actual columns, because schema-on-read would fill a
-    mis-claimed dimension with NULLs and the panel would serve silently
-    wrong all-null groups instead of the promised error (code-review r10,
-    confirmed live with a single-dim snapshot read as two-dim)."""
+    """Latest committed snapshot (empty frame if none yet, unless
+    ``require_snapshot`` — panel routes pass True so an endpoint pointed
+    at a never-committed rollup raises ``RollupRouteIncompatible``
+    instead of serving blank 200 panels, one listing instead of a
+    separate guard's two). ``dim_cols`` must be the tuple the rollup is
+    MAINTAINED with (the snapshot's own column names for a
+    multi-dimension rollup; the generic ``event_type`` default for the
+    single-dimension form) — VALIDATED against the snapshot's actual
+    columns, because schema-on-read would fill a mis-claimed dimension
+    with NULLs and the panel would serve silently wrong all-null groups
+    instead of the promised error (code-review r10, confirmed live with
+    a single-dim snapshot read as two-dim)."""
     vs = _versions(spark, target_dir)
     if not vs:
+        if require_snapshot:
+            raise RollupRouteIncompatible(
+                f"no committed rollup snapshot under {target_dir!r} yet"
+            )
         return spark.createDataFrame([], rollup_schema(dim_cols))
     return _read_version(spark, target_dir, vs[-1], dim_cols)
 
@@ -351,6 +382,7 @@ def compact_rollup_grain(
     dst_interval_s: int,
     dim_cols: tuple = DEFAULT_DIMS,
     older_than=None,
+    retain_versions: int | None = 3,
 ) -> int:
     """Re-aggregate a fine-grain rollup snapshot into a coarser-grain one
     (the year-horizon escape hatch SCALE.md's snapshot-growth bound
@@ -368,8 +400,13 @@ def compact_rollup_grain(
     coarsens. The destination is written as version ``v=<max src
     version>`` in the same versioned layout, so ``read_rollup`` serves it
     and repeated compactions of the same source are idempotent
-    overwrites; retention semantics carry over via ``vacuum_versions``.
+    overwrites; ``retain_versions`` (default 3, None keeps all) vacuums
+    the DESTINATION after each commit — without it a periodic compaction
+    accumulates one full coarse snapshot per run forever, the exact
+    unbounded growth the maintenance streams' retention bounds
+    (code-review r11).
     """
+    _check_retain(retain_versions)
     if dst_interval_s <= 0 or dst_interval_s % src_interval_s:
         raise ValueError(
             f"dst_interval_s={dst_interval_s} is not a positive multiple "
@@ -390,8 +427,13 @@ def compact_rollup_grain(
             )
         ),
     ).otherwise(F.col("n"))
+    # floor division, NOT cast('long') truncation: truncation rounds a
+    # negative quotient toward zero, so a pre-1970 bucket would land one
+    # coarse bucket HIGH of where facade.time_bucket's floor puts it —
+    # the compacted rollup and the q5 re-bucketing route must bin
+    # identically (code-review r11)
     coarse_bucket = F.timestamp_seconds(
-        (F.unix_timestamp("bucket") / dst_interval_s).cast("long")
+        F.floor(F.unix_timestamp("bucket") / dst_interval_s).cast("long")
         * dst_interval_s
     )
     out = (
@@ -399,4 +441,8 @@ def compact_rollup_grain(
         .agg(F.sum(aligned).cast("long").alias("n"))
     )
     out.coalesce(1).write.mode("overwrite").parquet(f"{dst_dir}/v={vs[-1]}")
+    if retain_versions is not None:
+        vacuum_versions(
+            spark, dst_dir, keep_last=retain_versions, newest_id=vs[-1]
+        )
     return spark.read.parquet(f"{dst_dir}/v={vs[-1]}").count()

@@ -1575,3 +1575,111 @@ def test_auto_route_guards_change_cost_never_answers(spark, tmp_path):
             assert json.loads(r.read())["source"] == "rollup"
     finally:
         server.shutdown()
+
+
+def test_auto_route_config_errors_surface_as_400(spark, tmp_path):
+    """code-review r11: the auto fallback catches ONLY
+    RollupRouteIncompatible. An endpoint whose rollup_dims CLAIM
+    dimensions the committed snapshot does not have is a broken
+    production configuration — it must 400 on the plain panel path; a
+    blanket except-ValueError would silently and PERMANENTLY serve the
+    O(raw) scan while the operator believes the rollup routing is
+    active."""
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+    from demo_otel_parquet_antalya_spark.streaming.rollup import incremental_rollup
+
+    landing, wh = str(tmp_path / "landing"), str(tmp_path / "wh")
+    generate_files(landing, n_files=2, records_per_file=40)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "ckpt"))
+    rollup = str(tmp_path / "rollup")
+    q = incremental_rollup(
+        spark.readStream.schema(spark.read.parquet(wh).schema).parquet(wh),
+        rollup, str(tmp_path / "rollup_ckpt"),
+        bucket="30 seconds", ts_col="timestamp",
+        dim_cols=("severity_text",),  # what the snapshot actually holds
+    )
+    q.awaitTermination()
+    server = start_sql_endpoint(
+        spark, SF_DIR, logs_dir=wh, rollup_dir=rollup,
+        rollup_dims=("service_name", "severity_text"),  # NOT what it holds
+    )
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        for name in ("q3_severity_counts", "q5_timeseries"):
+            try:
+                urllib.request.urlopen(f"{base}/panels/{name}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, name
+                assert "not the claimed" in json.loads(e.read())["error"], name
+            else:
+                raise AssertionError(f"{name}: broken rollup config must 400")
+    finally:
+        server.shutdown()
+
+
+def test_explicit_rollup_route_on_empty_rollup_is_400_not_blank_200(
+    spark, tmp_path
+):
+    """A never-committed rollup serves NOTHING: the auto path falls back
+    to raw (exact answers from the warehouse), and the FORCED
+    ?source=rollup now 400s ('no committed') instead of the old blank
+    200 panel — read_rollup(require_snapshot=True) raises in one listing
+    where the removed serving guard needed two."""
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    landing, wh = str(tmp_path / "landing"), str(tmp_path / "wh")
+    generate_files(landing, n_files=2, records_per_file=40)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "ckpt"))
+    server = start_sql_endpoint(
+        spark, SF_DIR, logs_dir=wh, rollup_dir=str(tmp_path / "never_ran"),
+        rollup_dims=("service_name", "severity_text"),
+    )
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/panels/q5_timeseries") as r:
+            assert json.loads(r.read())["source"] == "raw"
+        try:
+            urllib.request.urlopen(f"{base}/panels/q5_timeseries?source=rollup")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "no committed" in json.loads(e.read())["error"]
+        else:
+            raise AssertionError("forced empty-rollup route must 400")
+    finally:
+        server.shutdown()
+
+
+def test_pruned_default_keeps_raw_truncated_flag(spark, tmp_path):
+    """code-review r11: 'the fallback changes cost, never answers' covers
+    the payload's truncated flag too. With a client limit above row_cap,
+    the raw route probes cap+1 rows and reports truncated=true; the
+    pruned default used to clamp the limit to cap first and report
+    truncated=false on the same request."""
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+
+    landing, wh = str(tmp_path / "landing"), str(tmp_path / "wh")
+    generate_files(landing, n_files=2, records_per_file=40)  # 80 rows
+    run_ingest_once(spark, landing, wh, str(tmp_path / "ckpt"))
+    server = start_sql_endpoint(spark, SF_DIR, row_cap=20, logs_dir=wh)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(
+            f"{base}/panels/q2_recent_logs?limit=50&source=raw"
+        ) as r:
+            raw = json.loads(r.read())
+        with urllib.request.urlopen(
+            f"{base}/panels/q2_recent_logs?limit=50"
+        ) as r:
+            pruned = json.loads(r.read())
+        assert pruned["source"] == "pruned"
+        assert raw["truncated"] is True
+        assert pruned["truncated"] is True
+        assert pruned["row_count"] == raw["row_count"] == 20
+    finally:
+        server.shutdown()

@@ -617,3 +617,65 @@ def test_compact_rollup_grain_exact_and_guarded(spark, tmp_path):
         (str(r.bucket), r.event_type, r.n) for r in read_rollup(spark, dst2).collect()
     }
     assert old_part == {t for t in want if t[0] < cut}
+
+
+def test_compact_rollup_grain_vacuums_its_destination(spark, tmp_path):
+    """code-review r11: periodic compaction must not accumulate one full
+    coarse snapshot per run forever — the destination is vacuumed to
+    ``retain_versions`` after each commit, and the newest version always
+    survives (it is the one just written)."""
+    import os
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        read_rollup,
+    )
+
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "rollup")
+    dst = str(tmp_path / "coarse")
+    # advance the source stream between compactions: each run lands a
+    # NEW dst version (v=<max src version> grows with the batches)
+    for batch in range(5):
+        _write(src, f"b{batch}.json", [(batch, 60 * batch + 7, "click")])
+        q = incremental_rollup(
+            spark.readStream.schema(SCHEMA).json(src),
+            target, str(tmp_path / "ckpt"), bucket="1 minute",
+        )
+        q.awaitTermination()
+        compact_rollup_grain(spark, target, dst, 60, 300, retain_versions=2)
+    versions = sorted(d for d in os.listdir(dst) if d.startswith("v="))
+    assert len(versions) == 2  # bounded, not one per run
+    # and the retained newest snapshot is the complete current compaction
+    assert read_rollup(spark, dst).agg(F.sum("n")).first()[0] == 5
+
+
+def test_compact_rollup_grain_floors_pre_epoch_buckets(spark, tmp_path):
+    """code-review r11: coarse bucketing must FLOOR, not truncate toward
+    zero — a pre-1970 bucket truncated on a negative unix quotient lands
+    one coarse bucket HIGH of where facade.time_bucket puts it, so the
+    compacted rollup and the q5 re-bucketing route would bin the same
+    count differently."""
+    import os
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        read_rollup,
+    )
+
+    # hand-write a committed fine-grain snapshot with a pre-epoch bucket
+    # aligned to 30 s: 1969-12-31 23:59:30 (unix -30)
+    import datetime
+
+    target = str(tmp_path / "rollup")
+    snap = spark.createDataFrame(
+        [(datetime.datetime(1969, 12, 31, 23, 59, 30), "click", 4)],
+        "bucket timestamp, event_type string, n long",
+    )
+    snap.coalesce(1).write.parquet(f"{target}/v=0")
+    dst = str(tmp_path / "coarse")
+    compact_rollup_grain(spark, target, dst, 30, 300)
+    [row] = read_rollup(spark, dst).collect()
+    # floor(-30 / 300) = -1 -> 1969-12-31 23:55:00; truncation gives 1970
+    assert str(row.bucket) == "1969-12-31 23:55:00"
+    assert row.n == 4
