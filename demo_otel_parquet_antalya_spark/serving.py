@@ -895,7 +895,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         # sends PLAIN panel queries, so the default must
                         # be the flat production route when the endpoint
                         # is configured for it and the request is
-                        # compatible. A compatibility ValueError (filter
+                        # compatible. A RollupRouteIncompatible (filter
                         # on a non-maintained dimension, non-multiple
                         # interval, rollup missing q3's dims) falls back
                         # to the raw scan — both routes are exact, so
@@ -1085,12 +1085,15 @@ def start_sql_endpoint(
     provisioned Grafana actually sends — are served by the flat
     production route BY DEFAULT: q5/q3 from the rollup when
     ``rollup_dir`` is configured, q2/q6 from the partition-pruned tail
-    reads. An incompatible request (non-multiple interval, q3 against a
-    rollup missing its dimensions, ad-hoc filter on a non-maintained
-    column) falls back to the raw scan — both routes are exact, so
-    auto-routing changes cost, never answers; infra errors (an
-    unreachable rollup store) still surface as 400 rather than masking
-    a broken production configuration. ``?source=rollup|pruned`` forces
+    reads. An incompatible request (``RollupRouteIncompatible``:
+    non-multiple interval, q3 against a rollup missing its dimensions,
+    ad-hoc filter on a non-maintained column, no committed snapshot
+    yet) falls back to the raw scan — both routes are exact, so
+    auto-routing changes cost, never answers; CONFIG errors (rollup_dims
+    that do not match the committed snapshot, a foreign snapshot — plain
+    ValueError) and infra errors (an unreachable rollup store — py4j)
+    surface as 400 rather than silently and permanently masking a broken
+    production configuration as raw scans. ``?source=rollup|pruned`` forces
     a route (its incompatibilities then 400 instead of falling back,
     so a caller never gets silently-different routing than requested)
     and ``?source=raw`` forces the raw scan; every panel payload
