@@ -64,7 +64,15 @@ def _iter_layout(e: DataFrame, key: str, small: bool) -> DataFrame:
     if small:
         return e
     out = e.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()  # materialize now: every round must reuse, never recompute
+    try:
+        out.count()  # materialize now: rounds must reuse, never recompute
+    except BaseException:
+        # a failed materialization must not leave the CacheManager entry
+        # registered for the session's lifetime (code-review r11, third
+        # pass: the callers' finally blocks only cover layouts that were
+        # successfully built)
+        out.unpersist()
+        raise
     return out
 
 
@@ -227,13 +235,19 @@ def hits(
     if broadcast_state_max is None:  # resolved at call time so runtime
         broadcast_state_max = BROADCAST_STATE_MAX  # re-tuning applies here
     small = nodes.count() <= broadcast_state_max
-    e_by_src = _iter_layout(e, "src", small)
-    e_by_dst = e_by_src if small else _iter_layout(e, "dst", small)
+    # both layouts default to the canonical frame so the finally below can
+    # tell "built" from "not yet built": if the SECOND layout's
+    # materialization fails, the first must still be released
+    # (code-review r11, third pass)
+    e_by_src = e_by_dst = e
 
     h = nodes.select("node", F.lit(1.0).alias("s"))
     a = None
     step = 0
     try:
+        if not small:
+            e_by_src = _iter_layout(e, "src", small)
+            e_by_dst = _iter_layout(e, "dst", small)
         for i in range(k):
             a = (
                 e_by_src.join(_state_side(h, small), e_by_src.src == h.node)
@@ -261,9 +275,9 @@ def hits(
             # leak two edge-list copies per call
             h = h.localCheckpoint(eager=True)
     finally:
-        if not small:
-            e_by_src.unpersist()
-            e_by_dst.unpersist()
+        for layout in (e_by_src, e_by_dst):
+            if layout is not e:
+                layout.unpersist()
 
     def _l1(scores: DataFrame, out: str) -> DataFrame:
         # one final normalization per score family: 1-row broadcast
@@ -420,20 +434,22 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    small = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .distinct()
-        .count()
-        <= broadcast_state_max
-    )
-    for _ in range(rounds):
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
+    def degrees(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.col("u").alias("node"))
+            .unionAll(frame.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
+
+    # the broadcast decision needs the node count, and round 1 needs the
+    # degree table — ONE checkpointed frame answers both (a separate
+    # distinct+count pass would cost an extra full-edge job; code-review
+    # r11, third pass)
+    deg0 = degrees(e).localCheckpoint(eager=True)
+    small = deg0.count() <= broadcast_state_max
+    for i in range(rounds):
+        deg = deg0 if i == 0 else degrees(e)
         keep = deg.filter(F.col("deg") >= k).select("node")
         keep_u = keep.withColumnRenamed("node", "u")
         keep_v = keep.withColumnRenamed("node", "v")

@@ -440,9 +440,5 @@ def compact_rollup_grain(
         snap.groupBy(coarse_bucket.alias("bucket"), *dim_cols)
         .agg(F.sum(aligned).cast("long").alias("n"))
     )
-    out.coalesce(1).write.mode("overwrite").parquet(f"{dst_dir}/v={vs[-1]}")
-    if retain_versions is not None:
-        vacuum_versions(
-            spark, dst_dir, keep_last=retain_versions, newest_id=vs[-1]
-        )
+    _commit_snapshot(out, dst_dir, vs[-1], retain_versions)
     return spark.read.parquet(f"{dst_dir}/v={vs[-1]}").count()
