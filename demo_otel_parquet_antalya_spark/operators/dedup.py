@@ -499,7 +499,6 @@ def connected_components(
     # instead (partitioning survives persist, NOT localCheckpoint — see
     # graph.BROADCAST_STATE_MAX for the r11 finding this encodes)
     small = labels.count() <= broadcast_state_max
-    edges = _iter_layout(edges, "dst", small)
 
     # convergence test: least()-only updates mean labels never move once at
     # fixpoint, so the multiset of labels is unchanged iff the round was a
@@ -512,7 +511,11 @@ def connected_components(
     def _label_sum(df):
         return df.agg(F.sum(F.xxhash64("comp").cast("decimal(38,0)"))).first()[0]
 
+    # the initial sum runs BEFORE the layout is built: a Spark job between
+    # _iter_layout and the try would leak the CacheManager entry on failure
+    # — the finally below only releases a layout that exists (ADVICE r11)
     prev_sum = _label_sum(labels)
+    edges = _iter_layout(edges, "dst", small)
     try:
         for _ in range(max_iter):
             nbr_min = (

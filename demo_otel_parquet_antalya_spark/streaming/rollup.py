@@ -405,6 +405,13 @@ def compact_rollup_grain(
     accumulates one full coarse snapshot per run forever, the exact
     unbounded growth the maintenance streams' retention bounds
     (code-review r11).
+
+    .. note:: **Behavior change (r11, flagged per ADVICE r11):** this
+       function originally kept every destination version; the default is
+       now ``retain_versions=3``, which DELETES older destination snapshot
+       versions on every run. A caller that relied on historical coarse
+       versions surviving must pass ``retain_versions=None`` to get the
+       old keep-everything behavior back.
     """
     _check_retain(retain_versions)
     if dst_interval_s <= 0 or dst_interval_s % src_interval_s:
@@ -440,5 +447,12 @@ def compact_rollup_grain(
         snap.groupBy(coarse_bucket.alias("bucket"), *dim_cols)
         .agg(F.sum(aligned).cast("long").alias("n"))
     )
+    # the returned row count rides the WRITE job as an Observation metric —
+    # the r11 form re-read the just-written destination in a second job
+    # just to count it (VERDICT r11 #5)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     _commit_snapshot(out, dst_dir, vs[-1], retain_versions)
-    return spark.read.parquet(f"{dst_dir}/v={vs[-1]}").count()
+    return obs.get["rows"]
