@@ -81,7 +81,6 @@ _DRIVER_WINDOW: tuple = (
     # r5-in (late): the round-5-new codec chains, windowed the same round
     # they were built so no curation lag accrues (VERDICT r4 item "What's
     # wrong" #4) — each certifies a real pure-stdlib codec end-to-end
-    "multimodal_audio_features",  # r5-in: WAV PCM decode, closed-form oracle
     "graph_kcore_trade",  # r5-in: fixed-round k-core peeling
     # r6-in (VERDICT r5 item 1): the three late-r5 locally-green queries
     "graph_communities_neardup",  # r6-in: label-propagation communities
@@ -111,12 +110,22 @@ _DRIVER_WINDOW: tuple = (
     # clusters + exact_substr_spans), which stays oracle-proven in the
     # local suite every run.
     "sample_stratified_exact",  # r9-in: proportional exact quotas per stratum
+    # r12-in (built this round, windowed this round — VERDICT r11 #1+#6):
+    # the mixed-grain rollup serving query (fine span + _coarsen'd tail +
+    # span_snapshots + 900 s re-bucket == direct bucketing); rotates out
+    # multimodal_audio_features, whose WAV-PCM decode family stays
+    # represented by multimodal_audio_spectrum (which decodes the same
+    # PCM path and adds the FFT) and re-proven locally every run.
+    "rollup_spanned_rebucket",  # r12-in: mixed-grain fine+coarse span read
 )
 
 # next-most-important — first in line if the driver window ever widens.
 # The leading block is the r4 rotation: all CORRECTNESS_r03-green, oracles
 # retained, re-proved locally by tests/test_queries_oracle.py every run.
 _SECOND_WINDOW: tuple = (
+    # r12 rotate-out (driver-green r5-r11; WAV-PCM audio decode stays
+    # window-represented by multimodal_audio_spectrum)
+    "multimodal_audio_features",
     # r9 rotate-out (driver-green r4-r8; text-dedup family still has three
     # window reps — see the r9-in note in _DRIVER_WINDOW)
     "dedup_jaccard_ppjoin",

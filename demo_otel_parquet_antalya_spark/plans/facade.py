@@ -464,29 +464,7 @@ def q5_timeseries_from_rollup(
         )
     from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
 
-    # Q5's series is service_name (logs.json:123 'service_name as series')
-    # — the panel's contract, not a tuple-position accident. Default to it
-    # when maintained; fall back to the single dimension of a legacy
-    # generic-name rollup; anything else must be named explicitly, or the
-    # panel would silently serve a different series depending on how the
-    # caller happened to ORDER rollup_dims (code-review r10, pass 2).
-    if series_dim is None:
-        if "service_name" in dim_cols:
-            series_dim = "service_name"
-        elif len(dim_cols) == 1:
-            series_dim = dim_cols[0]
-        else:
-            raise RollupRouteIncompatible(
-                f"q5's series is service_name, which this rollup "
-                f"({list(dim_cols)}) does not maintain — pass series_dim "
-                "explicitly to serve a different series"
-            )
-    elif series_dim not in dim_cols:
-        raise RollupRouteIncompatible(
-            f"series_dim {series_dim!r} is not a maintained dimension "
-            f"{list(dim_cols)}"
-        )
-    series = series_dim
+    series = _resolve_series_dim(dim_cols, series_dim)
     df = _dim_filtered(
         read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True),
         dim_cols,
@@ -523,6 +501,32 @@ def q5_timeseries_from_rollup(
             F.sum("value").cast("long").alias("value")
         )
     return df.orderBy("t", "series")
+
+
+def _resolve_series_dim(dim_cols: tuple, series_dim: str | None) -> str:
+    """Q5's series is service_name (logs.json:123 'service_name as series')
+    — the panel's contract, not a tuple-position accident. Default to it
+    when maintained; fall back to the single dimension of a legacy
+    generic-name rollup; anything else must be named explicitly, or the
+    panel would silently serve a different series depending on how the
+    caller happened to ORDER rollup_dims (code-review r10, pass 2).
+    Shared by the single-snapshot and spanned (r12) rollup routes."""
+    if series_dim is None:
+        if "service_name" in dim_cols:
+            return "service_name"
+        if len(dim_cols) == 1:
+            return dim_cols[0]
+        raise RollupRouteIncompatible(
+            f"q5's series is service_name, which this rollup "
+            f"({list(dim_cols)}) does not maintain — pass series_dim "
+            "explicitly to serve a different series"
+        )
+    if series_dim not in dim_cols:
+        raise RollupRouteIncompatible(
+            f"series_dim {series_dim!r} is not a maintained dimension "
+            f"{list(dim_cols)}"
+        )
+    return series_dim
 
 
 def _dim_filtered(snapshot: DataFrame, dim_cols: tuple, filters) -> DataFrame:
@@ -565,6 +569,125 @@ def q3_severity_counts_from_rollup(
 
     snap = _dim_filtered(
         read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True),
+        dim_cols,
+        filters,
+    )
+    return (
+        snap.groupBy("service_name", "severity_text")
+        .agg(F.sum("n").cast("long").alias("count"))
+    )
+
+
+def q5_timeseries_from_spanned_rollup(
+    spark, fine_dir: str, coarse_dir: str, boundary, start=None, end=None,
+    interval_seconds: int | None = None, fine_interval_s: int = 30,
+    coarse_interval_s: int = 300, dim_cols: tuple = ("event_type",),
+    series_dim: str | None = None, filters=(),
+) -> DataFrame:
+    """Q5 served from the MIXED-GRAIN rollup layout (r12, VERDICT r11 #1):
+    recent buckets (``>= boundary``) from the continuously-maintained fine
+    snapshot, the long tail (``< boundary``) from its
+    ``compact_rollup_grain`` output — the steady-state layout SCALE.md's
+    year-horizon bound names, now servable end-to-end.
+
+    Routing rule (exactness, because counts re-aggregate):
+
+    - ``interval_seconds`` a multiple of the COARSE grain → the spanned
+      union re-buckets exactly (a coarse bucket never straddles an
+      interval boundary: the boundary and the interval are both
+      coarse-aligned). Default interval = the coarse grain — the finest
+      grain a FULL-history spanned read can serve.
+    - interval only a multiple of the FINE grain → servable exactly iff
+      the requested window lies entirely at/after the boundary (the fine
+      side owns it); delegated to ``q5_timeseries_from_rollup`` on the
+      fine snapshot alone.
+    - anything else raises ``RollupRouteIncompatible`` — serving's auto
+      routing falls back to the raw scan, which is the only exact answer
+      for a fine-grain full-history panel once the tail is coarse.
+
+    ``filters`` follow the maintained-dimensions-only contract; per-row
+    grain-alignment guards ride both sides (``span_snapshots``)."""
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        _boundary_epoch,
+        read_rollup_spanned,
+    )
+
+    if interval_seconds is None:
+        interval_seconds = coarse_interval_s
+    series = _resolve_series_dim(dim_cols, series_dim)
+    if interval_seconds <= 0 or interval_seconds % fine_interval_s:
+        raise RollupRouteIncompatible(
+            f"interval={interval_seconds} is not a multiple of the "
+            f"maintained {fine_interval_s}s grain — serve from raw"
+        )
+    if interval_seconds % coarse_interval_s:
+        # fine-grain interval: exact only where the fine snapshot owns the
+        # buckets — the window must start at/after the span boundary
+        b_epoch = _boundary_epoch(spark, boundary, coarse_interval_s)
+        s_epoch = (
+            None if start is None
+            else _boundary_epoch(spark, start, 1)  # align 1: parse only
+        )
+        if s_epoch is None or s_epoch < b_epoch:
+            raise RollupRouteIncompatible(
+                f"interval={interval_seconds} is finer than the "
+                f"{coarse_interval_s}s compacted tail; only windows at or "
+                f"after the span boundary can be served at that grain"
+            )
+        return q5_timeseries_from_rollup(
+            spark, fine_dir, start, end,
+            interval_seconds=interval_seconds,
+            base_interval_s=fine_interval_s, dim_cols=dim_cols,
+            series_dim=series, filters=filters,
+        )
+    df = _dim_filtered(
+        read_rollup_spanned(
+            spark, fine_dir, coarse_dir, boundary,
+            fine_interval_s, coarse_interval_s, dim_cols,
+        ),
+        dim_cols,
+        filters,
+    ).select(
+        F.col("bucket").alias("t"),
+        F.col(series).alias("series"),
+        F.col("n").alias("value"),
+    )
+    if start is not None:
+        df = df.filter(F.col("t") >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col("t") <= F.lit(end))
+    # re-bucket both sides to the requested interval; alignment guards are
+    # already inside the span frame, so a plain guarded-free sum is exact
+    return (
+        df.groupBy(time_bucket("t", interval_seconds).alias("t"), "series")
+        .agg(F.sum("value").cast("long").alias("value"))
+        .orderBy("t", "series")
+    )
+
+
+def q3_severity_counts_from_spanned_rollup(
+    spark, fine_dir: str, coarse_dir: str, boundary,
+    fine_interval_s: int = 30, coarse_interval_s: int = 300,
+    dim_cols: tuple = ("service_name", "severity_text"), filters=(),
+) -> DataFrame:
+    """Q3 over the mixed-grain layout (r12): the severity-count panel sums
+    counts over ALL buckets, so it re-aggregates the spanned union exactly
+    at ANY grain mix — the full-history panel stays O(snapshot) after the
+    tail coarsens. Same dimension requirements and filter contract as
+    ``q3_severity_counts_from_rollup``."""
+    need = {"service_name", "severity_text"}
+    if not need <= set(dim_cols):
+        raise RollupRouteIncompatible(
+            f"q3 needs a rollup maintained over {sorted(need)}; this one "
+            f"has {list(dim_cols)}"
+        )
+    from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup_spanned
+
+    snap = _dim_filtered(
+        read_rollup_spanned(
+            spark, fine_dir, coarse_dir, boundary,
+            fine_interval_s, coarse_interval_s, dim_cols,
+        ),
         dim_cols,
         filters,
     )

@@ -724,6 +724,55 @@ def q_time_bucket_30s(spark, sf_dir):
 
 
 @register(
+    "rollup_spanned_rebucket",
+    "SELECT CAST(to_timestamp(CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 900) * 900 AS BIGINT)) AS TIMESTAMP) AS t, "
+    "event_type AS series, COUNT(*) AS value "
+    "FROM events GROUP BY t, series ORDER BY t, series",
+    doc=(
+        "Mixed-grain rollup serving (r12, VERDICT r11 #1): a 30 s rollup's "
+        "recent span (buckets >= 2024-01-21) unioned with its 300 s "
+        "grain-compacted tail via streaming/rollup.py's _coarsen + "
+        "span_snapshots, re-bucketed to 900 s. Counts re-aggregate, so the "
+        "spanned re-bucketing must equal direct 900 s bucketing of the raw "
+        "events — the oracle replays exactly that."
+    ),
+    tags=("rollup", "streaming"),
+)
+def q_rollup_spanned_rebucket(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.plans.facade import time_bucket
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        _coarsen,
+        span_snapshots,
+    )
+
+    boundary = "2024-01-21 00:00:00"  # coarse-aligned; splits every SF's range
+    fine = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 30) * 30).cast("long")
+            ).alias("bucket"),
+            F.col("event_type").cast("string").alias("event_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # the compacted tail: exactly compact_rollup_grain(older_than=boundary)'s
+    # frame-level core over the fine snapshot
+    coarse = _coarsen(
+        fine.filter(F.col("bucket") < F.lit(boundary)), 30, 300, ("event_type",)
+    )
+    spanned = span_snapshots(fine, coarse, boundary, 30, 300)
+    return (
+        spanned.groupBy(
+            time_bucket("bucket", 900).alias("t"),
+            F.col("event_type").alias("series"),
+        )
+        .agg(F.sum("n").cast("long").alias("value"))
+        .orderBy("t", "series")
+    )
+
+
+@register(
     "sort_topk_orders",
     "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
     doc="Top-K sort: Spark plans TakeOrderedAndProject (per-partition heap + driver merge, no full sort).",

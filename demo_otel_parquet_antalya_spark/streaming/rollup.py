@@ -414,39 +414,13 @@ def compact_rollup_grain(
        old keep-everything behavior back.
     """
     _check_retain(retain_versions)
-    if dst_interval_s <= 0 or dst_interval_s % src_interval_s:
-        raise ValueError(
-            f"dst_interval_s={dst_interval_s} is not a positive multiple "
-            f"of src_interval_s={src_interval_s} — counts would mis-bin"
-        )
     vs = _versions(spark, src_dir)
     if not vs:
         raise ValueError(f"no committed rollup snapshot under {src_dir!r}")
     snap = _read_version(spark, src_dir, vs[-1], dim_cols)
     if older_than is not None:
         snap = snap.filter(F.col("bucket") < F.lit(older_than))
-    aligned = F.when(
-        F.unix_timestamp("bucket") % src_interval_s != 0,
-        F.raise_error(
-            F.lit(
-                f"rollup snapshot bucket not aligned to the claimed "
-                f"{src_interval_s}s grain — compaction would mis-bin counts"
-            )
-        ),
-    ).otherwise(F.col("n"))
-    # floor division, NOT cast('long') truncation: truncation rounds a
-    # negative quotient toward zero, so a pre-1970 bucket would land one
-    # coarse bucket HIGH of where facade.time_bucket's floor puts it —
-    # the compacted rollup and the q5 re-bucketing route must bin
-    # identically (code-review r11)
-    coarse_bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp("bucket") / dst_interval_s).cast("long")
-        * dst_interval_s
-    )
-    out = (
-        snap.groupBy(coarse_bucket.alias("bucket"), *dim_cols)
-        .agg(F.sum(aligned).cast("long").alias("n"))
-    )
+    out = _coarsen(snap, src_interval_s, dst_interval_s, dim_cols)
     # the returned row count rides the WRITE job as an Observation metric —
     # the r11 form re-read the just-written destination in a second job
     # just to count it (VERDICT r11 #5)
@@ -456,3 +430,147 @@ def compact_rollup_grain(
     out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     _commit_snapshot(out, dst_dir, vs[-1], retain_versions)
     return obs.get["rows"]
+
+
+def _aligned_n(interval_s: int, what: str):
+    """``n`` guarded by a per-row grain-alignment assertion: any bucket not
+    aligned to the claimed ``interval_s`` fails the JOB (raise_error inside
+    the expression — zero cost when aligned) instead of silently mis-binned
+    or double-counted counts. Shared by the grain compaction and the
+    mixed-grain span reader."""
+    return F.when(
+        F.unix_timestamp("bucket") % interval_s != 0,
+        F.raise_error(
+            F.lit(
+                f"rollup snapshot bucket not aligned to the claimed "
+                f"{interval_s}s grain — {what}"
+            )
+        ),
+    ).otherwise(F.col("n"))
+
+
+def _coarsen(
+    snap: DataFrame, src_interval_s: int, dst_interval_s: int, dim_cols: tuple
+) -> DataFrame:
+    """Re-aggregate a snapshot-shaped frame (bucket, dims, n) from
+    ``src_interval_s`` buckets to ``dst_interval_s`` buckets — the pure
+    frame-level core of ``compact_rollup_grain``, also exercised directly
+    by the ``rollup_spanned_rebucket`` oracle query. Validates the grain
+    multiple and carries the per-row alignment guard."""
+    if src_interval_s <= 0:
+        raise ValueError(f"src_interval_s={src_interval_s} must be positive")
+    if dst_interval_s <= 0 or dst_interval_s % src_interval_s:
+        raise ValueError(
+            f"dst_interval_s={dst_interval_s} is not a positive multiple "
+            f"of src_interval_s={src_interval_s} — counts would mis-bin"
+        )
+    # floor division, NOT cast('long') truncation: truncation rounds a
+    # negative quotient toward zero, so a pre-1970 bucket would land one
+    # coarse bucket HIGH of where facade.time_bucket's floor puts it —
+    # the compacted rollup and the q5 re-bucketing route must bin
+    # identically (code-review r11)
+    coarse_bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("bucket") / dst_interval_s).cast("long")
+        * dst_interval_s
+    )
+    aligned = _aligned_n(src_interval_s, "compaction would mis-bin counts")
+    return (
+        snap.groupBy(coarse_bucket.alias("bucket"), *dim_cols)
+        .agg(F.sum(aligned).cast("long").alias("n"))
+    )
+
+
+def _boundary_epoch(spark: SparkSession, boundary, align_s: int) -> int:
+    """Epoch seconds of ``boundary`` (datetime or ISO string, interpreted
+    like any other timestamp literal — naive values in the SESSION
+    timezone, the same clock ``unix_timestamp`` applies to the stored
+    buckets), validated aligned to ``align_s``. Evaluated as a one-row
+    literal plan so the session-timezone semantics are Spark's own, not a
+    drifting Python reimplementation (the facade's tz-handling bugs r10
+    taught that lesson). Misalignment is a plain ValueError — a wrongly
+    CONFIGURED boundary must 400 on the serving path, never silently
+    fall back to the raw scan."""
+    row = (
+        spark.range(1)
+        .select(F.unix_timestamp(F.lit(boundary).cast("timestamp")).alias("e"))
+        .first()
+    )
+    if row.e is None:
+        raise ValueError(f"unparseable timestamp {boundary!r} for span routing")
+    if row.e % align_s:
+        raise ValueError(
+            f"span boundary {boundary!r} is not aligned to the coarse "
+            f"{align_s}s grain — the fine/coarse split would cut a bucket"
+        )
+    return int(row.e)
+
+
+def span_snapshots(
+    fine: DataFrame,
+    coarse: DataFrame,
+    boundary,
+    fine_interval_s: int,
+    coarse_interval_s: int,
+) -> DataFrame:
+    """The mixed-grain union read (r12, VERDICT r11 #1): one snapshot-shaped
+    frame serving buckets ``>= boundary`` from the FINE snapshot and
+    ``< boundary`` from the COARSE (grain-compacted) one — the steady-state
+    layout ``compact_rollup_grain`` produces (fine recent history + coarse
+    long tail) made servable end-to-end.
+
+    Exactness: the two sides partition the bucket-start axis (``>=`` vs
+    ``<`` on the SAME boundary), counts re-aggregate, and every row carries
+    a per-row alignment guard against its own side's claimed grain — so any
+    downstream re-aggregation whose interval is a multiple of the COARSE
+    grain (which is itself a multiple of the fine grain, validated) equals
+    the same aggregation over the never-compacted fine snapshot exactly.
+    The boundary must be aligned to the COARSE grain: an unaligned boundary
+    would let the topmost coarse bucket straddle the split. Both frames
+    must carry the same snapshot schema (bucket, dims..., n).
+
+    The fine side may still CONTAIN buckets below the boundary (a
+    not-yet-trimmed maintained snapshot): they are filtered out here, and
+    served from the coarse side — the union is correct both before and
+    after the tail leaves the fine snapshot, which is what lets the layout
+    migrate without a serving flag day."""
+    if set(fine.columns) != set(coarse.columns):
+        raise ValueError(
+            f"fine snapshot columns {sorted(fine.columns)} != coarse "
+            f"{sorted(coarse.columns)} — not the same rollup's layout"
+        )
+    if coarse_interval_s % fine_interval_s:
+        raise ValueError(
+            f"coarse_interval_s={coarse_interval_s} is not a multiple of "
+            f"fine_interval_s={fine_interval_s} — not a grain compaction "
+            "of this rollup"
+        )
+    epoch = _boundary_epoch(fine.sparkSession, boundary, coarse_interval_s)
+    cut = F.timestamp_seconds(F.lit(epoch))
+    recent = fine.filter(F.col("bucket") >= cut).withColumn(
+        "n", _aligned_n(fine_interval_s, "not this rollup's fine snapshot")
+    )
+    tail = coarse.filter(F.col("bucket") < cut).withColumn(
+        "n", _aligned_n(coarse_interval_s, "not this rollup's coarse snapshot")
+    )
+    return recent.unionByName(tail)
+
+
+def read_rollup_spanned(
+    spark: SparkSession,
+    fine_dir: str,
+    coarse_dir: str,
+    boundary,
+    fine_interval_s: int,
+    coarse_interval_s: int,
+    dim_cols: tuple = DEFAULT_DIMS,
+) -> DataFrame:
+    """``span_snapshots`` over the latest committed versions of the two
+    snapshot directories (both REQUIRED committed — a spanned route with a
+    missing side raises ``RollupRouteIncompatible``, so serving's auto
+    routing falls back to raw instead of serving a silently truncated
+    history). Layout discipline: ``coarse_dir`` must be the
+    ``compact_rollup_grain(older_than=boundary)`` output of ``fine_dir``'s
+    rollup — same dimensions, coarse grain a multiple of the fine."""
+    fine = read_rollup(spark, fine_dir, dim_cols, require_snapshot=True)
+    coarse = read_rollup(spark, coarse_dir, dim_cols, require_snapshot=True)
+    return span_snapshots(fine, coarse, boundary, fine_interval_s, coarse_interval_s)

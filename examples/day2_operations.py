@@ -67,6 +67,39 @@ def main() -> None:
     assert sorted(map(tuple, routed3.collect())) == sorted(map(tuple, raw3.collect()))
     print(f"routed q5+q3 == raw scans ({routed.count()} buckets), no raw rescan")
 
+    print("\n== 2b. snapshot retention + grain compaction + spanned read ==")
+    # retention already ran inside the maintenance stream (retain_versions=3
+    # vacuums all but the newest snapshot copies after every commit); the
+    # year-horizon bound is the GRAIN: compact the tail to 5 m buckets and
+    # serve the steady-state layout (fine recent + coarse tail) end-to-end
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        _versions,
+        compact_rollup_grain,
+    )
+
+    kept = _versions(spark, f"{work}/rollup")
+    print(f"retention: {len(kept)} snapshot version(s) on disk (<= retain_versions)")
+    # generator traffic starts at epoch 1.7e9 and lands 60 s apart; split
+    # two minutes in (coarse-aligned: 1_700_000_100 % 300 == 0)
+    boundary = "2023-11-14 22:15:00"
+    n_coarse = compact_rollup_grain(
+        spark, f"{work}/rollup", f"{work}/rollup_tail", 30, 300,
+        dim_cols=dims, older_than=boundary,
+    )
+    spanned5 = facade.q5_timeseries_from_spanned_rollup(
+        spark, f"{work}/rollup", f"{work}/rollup_tail", boundary,
+        interval_seconds=300, fine_interval_s=30, coarse_interval_s=300,
+        dim_cols=dims,
+    )
+    raw300 = facade.q5_timeseries(read_logs(spark, wh), interval_seconds=300)
+    assert sorted(map(tuple, spanned5.collect())) == sorted(map(tuple, raw300.collect()))
+    spanned3 = facade.q3_severity_counts_from_spanned_rollup(
+        spark, f"{work}/rollup", f"{work}/rollup_tail", boundary, 30, 300, dims
+    )
+    assert sorted(map(tuple, spanned3.collect())) == sorted(map(tuple, raw3.collect()))
+    print(f"compacted tail -> {n_coarse} coarse rows; spanned q5@300s and "
+          "q3 == raw scans across the fine/coarse boundary")
+
     print("\n== 3. small files -> compaction ==")
     part_cols = ["service_name", "year", "month", "day", "hour"]
     n_parts = small_file_report(spark, wh, part_cols, target_rows_per_file=200).count()

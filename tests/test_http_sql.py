@@ -1683,3 +1683,137 @@ def test_pruned_default_keeps_raw_truncated_flag(spark, tmp_path):
         assert pruned["row_count"] == raw["row_count"] == 20
     finally:
         server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def spanned_endpoint(spark, tmp_path_factory):
+    """An endpoint over the MIXED-GRAIN layout (r12, VERDICT r11 #1): a
+    30 s (service, severity) fine rollup plus its 300 s
+    compact_rollup_grain tail below a coarse-aligned boundary that splits
+    the warehouse's time range (files land 60 s apart from epoch 1.7e9)."""
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        incremental_rollup,
+    )
+
+    tmp = tmp_path_factory.mktemp("serving_spanned")
+    landing, wh = str(tmp / "landing"), str(tmp / "warehouse")
+    generate_files(landing, n_files=3, records_per_file=60)
+    run_ingest_once(spark, landing, wh, str(tmp / "ckpt"))
+    rollup = str(tmp / "rollup")
+    q = incremental_rollup(
+        spark.readStream.schema(spark.read.parquet(wh).schema).parquet(wh),
+        rollup, str(tmp / "rollup_ckpt"),
+        bucket="30 seconds", ts_col="timestamp",
+        dim_cols=("service_name", "severity_text"),
+    )
+    q.awaitTermination()
+    boundary = "2023-11-14 22:15:00"  # epoch 1_700_000_100: 300 s aligned
+    coarse = str(tmp / "coarse")
+    compact_rollup_grain(
+        spark, rollup, coarse, 30, 300,
+        dim_cols=("service_name", "severity_text"), older_than=boundary,
+    )
+    server = start_sql_endpoint(
+        spark, SF_DIR, row_cap=5000, logs_dir=wh, rollup_dir=rollup,
+        rollup_dims=("service_name", "severity_text"),
+        rollup_coarse_dir=coarse, rollup_coarse_interval_s=300,
+        rollup_boundary=boundary,
+        request_timeout_s=10.0,
+    )
+    host, port = server.server_address
+    yield f"http://{host}:{port}", boundary
+    server.shutdown()
+
+
+def test_q5_spanned_rollup_matches_raw_over_http(spanned_endpoint):
+    """Coarse-multiple intervals are served from the fine+coarse union
+    EXACTLY (values equal the raw panel); a fine-grain full-history
+    request honestly refuses the spanned route (auto -> raw, forced ->
+    400); a fine-grain window the fine snapshot owns serves from it."""
+    base, boundary = spanned_endpoint
+    for path in ("/panels/q5_timeseries?interval=300&source=raw",
+                 "/panels/q5_timeseries?interval=300&source=rollup"):
+        try:
+            urllib.request.urlopen(base + path).read()
+        except urllib.error.HTTPError:
+            pass
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?interval=300&source=raw"
+    ) as r:
+        raw = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?interval=300&source=rollup"
+    ) as r:
+        forced = json.loads(r.read())
+    # the PLAIN request — what a provisioned Grafana sends when zoomed
+    # out — auto-routes to the spanned rollup
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?interval=300"
+    ) as r:
+        auto = json.loads(r.read())
+    assert forced["source"] == "rollup" and auto["source"] == "rollup"
+    assert forced["row_count"] == raw["row_count"] > 0
+    assert sorted(map(tuple, forced["rows"])) == sorted(map(tuple, raw["rows"]))
+    assert sorted(map(tuple, auto["rows"])) == sorted(map(tuple, raw["rows"]))
+    # fine-grain FULL-history: the tail is coarse, so the only exact
+    # answer is raw — auto falls back (cost, never answers) ...
+    with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=30") as r:
+        fallback = json.loads(r.read())
+    assert fallback["source"] == "raw"
+    # ... and the forced route 400s instead of serving silently-wrong bins
+    try:
+        urllib.request.urlopen(
+            f"{base}/panels/q5_timeseries?interval=30&source=rollup"
+        )
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "finer than" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")
+    # a fine-grain WINDOW at/after the boundary is owned by the fine
+    # snapshot: forced spanned route == raw, same window
+    qs = f"interval=30&start={boundary.replace(' ', 'T')}"
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?{qs}&source=raw"
+    ) as r:
+        raw_w = json.loads(r.read())
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?{qs}&source=rollup"
+    ) as r:
+        fine_w = json.loads(r.read())
+    assert fine_w["row_count"] == raw_w["row_count"] > 0
+    assert sorted(map(tuple, fine_w["rows"])) == sorted(map(tuple, raw_w["rows"]))
+
+
+def test_q3_spanned_rollup_matches_raw_over_http(spanned_endpoint):
+    """The severity-counts panel sums over ALL buckets, so the spanned
+    union serves it exactly at any grain mix — the full-history panel
+    stays O(snapshot) after the tail coarsens, by default."""
+    base, _boundary = spanned_endpoint
+    for path in ("/panels/q3_severity_counts?source=raw",
+                 "/panels/q3_severity_counts"):
+        try:
+            urllib.request.urlopen(base + path).read()
+        except urllib.error.HTTPError:
+            pass
+    with urllib.request.urlopen(
+        f"{base}/panels/q3_severity_counts?source=raw"
+    ) as r:
+        raw = json.loads(r.read())
+    with urllib.request.urlopen(f"{base}/panels/q3_severity_counts") as r:
+        auto = json.loads(r.read())
+    assert auto["source"] == "rollup"
+    assert auto["row_count"] == raw["row_count"] > 0
+    assert sorted(map(tuple, auto["rows"])) == sorted(map(tuple, raw["rows"]))
+
+
+def test_partial_spanned_config_rejected_at_start(spark):
+    """A partially-specified mixed-grain trio must fail at endpoint START
+    (a config error), not silently serve single-snapshot history."""
+    with pytest.raises(ValueError, match="mixed-grain"):
+        start_sql_endpoint(
+            spark, SF_DIR, logs_dir="/nonexistent", rollup_dir="/nonexistent",
+            rollup_coarse_dir="/nonexistent-coarse",
+        )

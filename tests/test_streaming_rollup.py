@@ -679,3 +679,112 @@ def test_compact_rollup_grain_floors_pre_epoch_buckets(spark, tmp_path):
     # floor(-30 / 300) = -1 -> 1969-12-31 23:55:00; truncation gives 1970
     assert str(row.bucket) == "1969-12-31 23:55:00"
     assert row.n == 4
+
+
+def test_spanned_read_serves_mixed_grain_layout_exactly(spark, tmp_path):
+    """r12 (VERDICT r11 #1): the mixed-grain union read — fine snapshot
+    for buckets >= boundary, compact_rollup_grain output for the tail —
+    must re-aggregate to EXACTLY the raw answers, both as a total (q3
+    shape) and re-bucketed at a coarse multiple (q5 shape), and must not
+    double-count while the fine snapshot still carries the tail."""
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        RollupRouteIncompatible,
+        compact_rollup_grain,
+        read_rollup_spanned,
+    )
+    import pytest as _pytest
+
+    src = str(tmp_path / "events")
+    rows = [(i, 17 * i, "click" if i % 3 else "view") for i in range(80)]
+    _write(src, "b0.json", rows)
+    target = str(tmp_path / "rollup")
+    q = incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src),
+        target, str(tmp_path / "ckpt"), bucket="1 minute",
+    )
+    q.awaitTermination()
+
+    # 17*79 s ~ 22 min of data; compact everything before minute 10
+    boundary = "2024-01-01 00:10:00"
+    coarse_dir = str(tmp_path / "coarse")
+    compact_rollup_grain(spark, target, coarse_dir, 60, 300, older_than=boundary)
+
+    spanned = read_rollup_spanned(spark, target, coarse_dir, boundary, 60, 300)
+    raw = spark.read.schema(SCHEMA).json(src)
+
+    # q3 shape: totals per dimension equal raw counts (no double-count even
+    # though the fine snapshot still contains the compacted tail)
+    got = {
+        (r.event_type, r.n)
+        for r in spanned.groupBy("event_type").agg(F.sum("n").alias("n")).collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in raw.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and got
+
+    # q5 shape: re-bucketed at the coarse grain the union equals raw 5-min
+    # windows (fine 60 s rows floor into them; coarse rows map 1:1)
+    bucket5 = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp("bucket") / 300) * 300).cast("long")
+    )
+    got5 = {
+        (str(r.b), r.event_type, r.n)
+        for r in spanned.groupBy(bucket5.alias("b"), "event_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    want5 = {
+        (str(r.b), r.event_type, r.n)
+        for r in raw.groupBy(
+            F.window("ts", "5 minutes").getField("start").alias("b"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got5 == want5
+    # the split is real: both sides contribute rows
+    n_fine = spanned.filter(F.col("bucket") >= F.lit(boundary)).count()
+    n_tail = spanned.filter(F.col("bucket") < F.lit(boundary)).count()
+    assert n_fine > 0 and n_tail > 0
+
+    # config guards are plain ValueError (serving 400s, never silent raw):
+    with _pytest.raises(ValueError, match="not aligned to the coarse"):
+        read_rollup_spanned(
+            spark, target, coarse_dir, "2024-01-01 00:10:30", 60, 300
+        )
+    with _pytest.raises(ValueError, match="not a multiple"):
+        read_rollup_spanned(spark, target, coarse_dir, boundary, 60, 90)
+    # a missing side is a routing incompatibility (auto -> raw fallback)
+    with _pytest.raises(RollupRouteIncompatible, match="no committed"):
+        read_rollup_spanned(
+            spark, target, str(tmp_path / "nowhere"), boundary, 60, 300
+        )
+
+
+def test_span_snapshots_per_row_grain_guard_fires(spark):
+    """A snapshot whose buckets are NOT aligned to its claimed grain must
+    fail the reading JOB (raise_error in the row guard), never silently
+    mis-bin — the same discipline as compact_rollup_grain's guard."""
+    import datetime
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import span_snapshots
+
+    schema = "bucket timestamp, event_type string, n long"
+    fine = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 10, 0), "click", 3)], schema
+    )
+    # coarse side claims 300 s grain but holds a 00:01:30 bucket
+    coarse = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 1, 30), "click", 5)], schema
+    )
+    spanned = span_snapshots(fine, coarse, "2024-01-01 00:10:00", 60, 300)
+    with _pytest.raises(Exception, match="not this rollup's coarse snapshot"):
+        spanned.agg(F.sum("n")).collect()
+    # mismatched layouts refuse up front
+    with _pytest.raises(ValueError, match="not the same rollup"):
+        span_snapshots(fine, coarse.withColumnRenamed("event_type", "svc"),
+                       "2024-01-01 00:10:00", 60, 300)
