@@ -23,6 +23,32 @@ from demo_otel_parquet_antalya_spark.plans import QUERIES  # noqa: E402
 from demo_otel_parquet_antalya_spark.session import get_spark  # noqa: E402
 
 
+def bench_calibration(spark) -> float:
+    """Drift-calibration row (r12, VERDICT r11 #2): a fixed, deterministic,
+    CPU-bound reference op with NO I/O and NO code under test — 2B
+    xxhash64 values XOR-folded straight off spark.range (bit_xor: order-
+    insensitive, deterministic, cannot overflow under ANSI). Timed FIRST
+    in every
+    bench run (best-of-2; the first run absorbs JIT), so per-query times
+    can ALSO be read normalized by the box's same-session throughput:
+    three rounds running, the round-over-round ledger has had to arbitrate
+    uniform 'untouched rows drifted +27%' box wander by hand — dividing by
+    this row makes that drift cancel out of the comparison."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 2_000_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.bit_xor("h"))
+            .collect()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def bench_ingest(spark, n_files: int = 50, records_per_file: int = 4000) -> float:
     """OTLP ingest throughput (logs/s): landing JSON -> flatten -> partitioned
     parquet via the streaming path (Trigger.AvailableNow). The reference
@@ -71,6 +97,10 @@ def main() -> None:
     contended = load_start > gate
 
     spark = get_spark(app_name="bench")
+
+    # calibration FIRST: a pure-CPU reference timing the box itself, before
+    # any query state can contend with it (see bench_calibration)
+    calibration = bench_calibration(spark)
 
     bench_queries = {name: spec for name, spec in QUERIES.items() if spec.bench}
 
@@ -155,6 +185,18 @@ def main() -> None:
                 "core_total": core_total,
                 "northstar_total": northstar_total,
                 "rel_spread_max": rel_spread_max,
+                # drift calibration (r12): per-query times divided by the
+                # same-session pure-CPU reference row — box wander that
+                # shifts ALL rows (loadavg, thermal, page-cache state)
+                # cancels out of the normalized view, so the
+                # round-over-round ledger compares code, not box state
+                "calibration_sec": calibration,
+                "total_normalized": round(total / calibration, 3)
+                if calibration > 0 else None,
+                "queries_normalized": {
+                    n: round(t / calibration, 3) for n, t in timings.items()
+                }
+                if calibration > 0 else {},
                 # 1/5/15-min load average at exit + the gated start value:
                 # lets the round-over-round ledger distinguish a contended
                 # machine from a regression
