@@ -477,13 +477,11 @@ def connected_components(
     join is small regardless of corpus size.
     """
     from demo_otel_parquet_antalya_spark.operators.graph import (
-        BROADCAST_STATE_MAX,
         _iter_layout,
+        _pick_small,
         _state_side,
     )
 
-    if broadcast_state_max is None:
-        broadcast_state_max = BROADCAST_STATE_MAX
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -494,11 +492,12 @@ def connected_components(
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
     # near-dup pair graphs are the edge-sparse sliver, so the label table
-    # (one row per node) is usually broadcast-sized; past the threshold the
-    # neighbor join runs against a persist()ed dst-partitioned edge layout
-    # instead (partitioning survives persist, NOT localCheckpoint — see
-    # graph.BROADCAST_STATE_MAX for the r11 finding this encodes)
-    small = labels.count() <= broadcast_state_max
+    # (one row per node) is usually broadcast-sized; past the limit (r12:
+    # derived from state bytes vs the session's broadcast threshold — see
+    # graph.derived_broadcast_state_max) the neighbor join runs against a
+    # persist()ed dst-partitioned edge layout instead (partitioning
+    # survives persist, NOT localCheckpoint — the r11 finding)
+    _, small = _pick_small(labels, "id", broadcast_state_max)
 
     # convergence test: least()-only updates mean labels never move once at
     # fixpoint, so the multiset of labels is unchanged iff the round was a

@@ -30,28 +30,109 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 # Per-round state tables (ranks / hub-authority scores / labels) hold ONE
-# row per node. At or below this node count the state is BROADCAST into the
-# static edge frame — the fastest measured small-graph shape (no edge-side
-# exchange, no second edge layout, trade graph at sf0.1: 9.6 s vs 10.3 s
-# end-to-end). Above it a multi-MB broadcast per half-step loses to
+# row per node. At or below a limiting node count the state is BROADCAST
+# into the static edge frame — the fastest measured small-graph shape (no
+# edge-side exchange, no second edge layout, trade graph at sf0.1: 9.6 s vs
+# 10.3 s end-to-end). Above it a multi-MB broadcast per half-step loses to
 # exchanging the state table, so the edge list is hash-partitioned on the
 # per-round join key and persist()ed: an InMemoryTableScan REPORTS its
 # child's outputPartitioning, so every round's ShuffledHashJoin reuses the
 # layout with zero edge-side exchange or sort (10M-edge/4M-node synthetic:
 # iteration wall halves vs the checkpoint shape).
 #
-# The 100k default brackets the r11 hits measurements: at 48k nodes / 1.8M
-# edges the broadcast path wins 5.5 s vs 9.7 s; at 160k nodes / 4.4M edges
-# the partitioned path wins 12.1 s vs 15.5 s. The crossover moves with
-# cluster fan-out (broadcast cost scales with executors), so callers on a
-# wide cluster with small graphs may raise it.
+# The limit itself is DERIVED from the session (r12, VERDICT r11 #4): node
+# count was only ever a proxy for state BYTES vs broadcast cost, and the
+# r11 100k constant was a box measurement that would be wrong in one
+# direction or the other on any real cluster. Estimated per-row state
+# bytes (measured avg key width + 8 for the score/label) against the
+# session's own spark.sql.autoBroadcastJoinThreshold, scaled down by the
+# executor count (every executor holds a full copy, while the shuffle
+# alternative moves the node-sized state once) — see
+# derived_broadcast_state_max. The r11 bracketing points stay correctly
+# classified by the derived default (~131k at the stock 10 MiB threshold
+# on one executor: 48k nodes/1.8M edges broadcast-wins 5.5 s vs 9.7 s;
+# 160k nodes/4.4M edges partitioned-wins 12.1 s vs 15.5 s) without the
+# hand-tuned constant. Set this module global to an int to pin the old
+# fixed-limit behavior session-wide, or pass broadcast_state_max per call.
 #
 # localCheckpoint CANNOT serve the partitioned path: a checkpointed frame
 # scans back as ExistingRDD with UnknownPartitioning(0), so the previous
 # "pre-partition the edge list once, every iteration reuses this layout"
 # comments here were FALSE — each round silently re-exchanged AND re-sorted
 # the full edge list (found by the r11 profile of graph_hits_trade).
-BROADCAST_STATE_MAX = 100_000
+BROADCAST_STATE_MAX: int | None = None
+
+# In-memory + build overhead per broadcast-hash-relation entry beyond the
+# key/value payload: the UnsafeRow object + BytesToBytesMap entry pointers
+# + load-factor slack. 64 B is deliberately conservative (Spark's own
+# relation builds run ~40-80 B/entry depending on key type); with the
+# +8 B score and 8-20 B keys it puts the stock-conf single-executor
+# crossover at ~120-130k nodes, inside the r11 measured bracket
+# (48k broadcast-wins, 160k partitioned-wins).
+HASH_RELATION_ROW_BYTES = 64
+
+# UnsafeRow fixed-width types: 8 bytes in the row regardless of rendered
+# string length (octet_length of the cast would overestimate a bigint id)
+_FIXED_WIDTH_8 = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double", "date", "timestamp"}
+)
+
+
+def derived_broadcast_state_max(spark, avg_key_bytes: float = 8.0) -> int:
+    """Max node count whose per-round state table still broadcasts
+    profitably, derived from the session instead of a box constant:
+
+      threshold_bytes / ((HASH_RELATION_ROW_BYTES + avg_key_bytes + 8)
+                         × executor_count)
+
+    ``spark.sql.autoBroadcastJoinThreshold`` is the cluster's own stated
+    judgment of how large a broadcast relation may be; a disabled
+    threshold (<= 0) is honored — the operator never broadcasts state the
+    planner was told not to. Executor count scales the allowance down
+    because every executor receives a full copy of the per-round state
+    while the partitioned-layout alternative moves it across the cluster
+    once — on a 100-executor cluster the derived limit is 100× smaller,
+    which errs toward the scale-safe partitioned path."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        thresh = int(raw)
+    except ValueError:
+        jvm = spark.sparkContext._jvm
+        thresh = int(
+            jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        )
+    if thresh <= 0:
+        return 0
+    # executor JVM count; local mode reports only the driver entry -> 1
+    n_exec = max(
+        1, spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+    )
+    row_bytes = HASH_RELATION_ROW_BYTES + avg_key_bytes + 8.0
+    return int(thresh // (row_bytes * n_exec))
+
+
+def _pick_small(nodes: DataFrame, key: str, broadcast_state_max) -> tuple[int, bool]:
+    """(node count, use-broadcast-state?) in ONE aggregate job over the
+    node-sized frame: the count every loop already paid, fused with the
+    average UnsafeRow key width the derived limit needs. Resolution order:
+    explicit per-call limit, then a pinned module global, then the
+    conf-derived default."""
+    dt = dict(nodes.dtypes).get(key)
+    if dt in _FIXED_WIDTH_8:
+        width = F.lit(8.0)
+    else:
+        # variable-width: 8 B offset/len word + the encoded bytes
+        width = F.octet_length(F.col(key).cast("string")) + F.lit(8.0)
+    row = nodes.agg(F.count("*").alias("n"), F.avg(width).alias("w")).first()
+    n_nodes = int(row.n)
+    limit = broadcast_state_max
+    if limit is None:
+        limit = BROADCAST_STATE_MAX
+    if limit is None:
+        limit = derived_broadcast_state_max(
+            nodes.sparkSession, float(row.w) if row.w is not None else 8.0
+        )
+    return n_nodes, n_nodes <= limit
 
 
 def _iter_layout(e: DataFrame, key: str, small: bool) -> DataFrame:
@@ -133,10 +214,8 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()  # bounded: one long per partition to the driver
-    if broadcast_state_max is None:  # resolved at call time so runtime
-        broadcast_state_max = BROADCAST_STATE_MAX  # re-tuning applies here
-    small = n_nodes <= broadcast_state_max
+    # one bounded aggregate: node count + avg key width for the derived limit
+    n_nodes, small = _pick_small(nodes, "node", broadcast_state_max)
     e = _iter_layout(e, "src", small)
     base = (1.0 - damping) / n_nodes
 
@@ -232,9 +311,7 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if broadcast_state_max is None:  # resolved at call time so runtime
-        broadcast_state_max = BROADCAST_STATE_MAX  # re-tuning applies here
-    small = nodes.count() <= broadcast_state_max
+    _, small = _pick_small(nodes, "node", broadcast_state_max)
     # both layouts default to the canonical frame so the finally below can
     # tell "built" from "not yet built": if the SECOND layout's
     # materialization fails, the first must still be released
@@ -425,8 +502,6 @@ def k_core(
     threshold, and the hint would pin the join to a shuffle AQE knows it
     can skip. No windows, nothing collected.
     """
-    if broadcast_state_max is None:
-        broadcast_state_max = BROADCAST_STATE_MAX
     u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     e = (
         edges.where(F.col(src) != F.col(dst))
@@ -442,12 +517,12 @@ def k_core(
             .agg(F.count("*").alias("deg"))
         )
 
-    # the broadcast decision needs the node count, and round 1 needs the
+    # the broadcast decision needs the node stats, and round 1 needs the
     # degree table — ONE checkpointed frame answers both (a separate
     # distinct+count pass would cost an extra full-edge job; code-review
     # r11, third pass)
     deg0 = degrees(e).localCheckpoint(eager=True)
-    small = deg0.count() <= broadcast_state_max
+    _, small = _pick_small(deg0, "node", broadcast_state_max)
     for i in range(rounds):
         deg = deg0 if i == 0 else degrees(e)
         keep = deg.filter(F.col("deg") >= k).select("node")
@@ -510,9 +585,7 @@ def label_propagation(
     labels = e.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint(eager=True)
-    if broadcast_state_max is None:  # resolved at call time so runtime
-        broadcast_state_max = BROADCAST_STATE_MAX  # re-tuning applies here
-    small = labels.count() <= broadcast_state_max
+    _, small = _pick_small(labels, "node", broadcast_state_max)
     e = _iter_layout(e, "v", small)
     try:
         for _ in range(rounds):

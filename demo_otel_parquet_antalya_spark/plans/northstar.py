@@ -2620,7 +2620,7 @@ def _hits_oracle_sql(k: int = 4) -> str:
         "half-step L1-normalized by a 1-row aggregate, hub_0 = 1.0, so "
         "the DuckDB oracle replays it as 4 unrolled join+aggregate round "
         "pairs. Per half-step: the score table enters the static edge "
-        "frame as a broadcast (node count under graph.BROADCAST_STATE_MAX) "
+        "frame as a broadcast (node count under the graph.derived_broadcast_state_max limit) "
         "or a shuffle-hash probe of the persist()ed per-key edge layout + "
         "one keyed sum. operators/graph.py::hits."
     ),
@@ -3064,7 +3064,7 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
         "Spark side composes the prefix-filtered PPJoin pair tier with "
         "operators/graph.py::label_propagation: per round one label-table "
         "broadcast into the canonical edge frame (shuffle-hash against a "
-        "persist()ed layout past graph.BROADCAST_STATE_MAX nodes) + keyed "
+        "persist()ed layout past the graph.derived_broadcast_state_max limit) + keyed "
         "count + keyed min-struct argmax, no windows, nothing collected; "
         "the DuckDB oracle unrolls the identical rounds as MATERIALIZED "
         "CTEs."

