@@ -60,6 +60,38 @@ def hadoop_glob(spark, pattern: str) -> list[str]:
     return [st.getPath().toString() for st in fs.globStatus(glob) or []]
 
 
+def hadoop_write_text(spark, path: str, text: str) -> None:
+    """One Hadoop-FS create+write — the remote twin of a local text-file
+    write (the rollup's trim-boundary marker). Overwrites; raises (py4j)
+    on an unloadable scheme."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark, path: str) -> str | None:
+    """Read a small text file via the Hadoop FS; ``None`` when absent
+    (an absent marker means "untrimmed", not an error — the distinction
+    an exception could not make without scheme-specific catching)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return str(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+
+
 def hadoop_delete(spark, path: str, recursive: bool) -> bool:
     """One Hadoop-FS delete — the remote twin of os.remove/shutil.rmtree
     in the snapshot vacuum. Returns the FS's success flag."""

@@ -610,6 +610,7 @@ def q5_timeseries_from_spanned_rollup(
     from demo_otel_parquet_antalya_spark.streaming.rollup import (
         _boundary_epoch,
         read_rollup_spanned,
+        resolve_span_boundary,
     )
 
     if interval_seconds is None:
@@ -623,7 +624,8 @@ def q5_timeseries_from_spanned_rollup(
     if interval_seconds % coarse_interval_s:
         # fine-grain interval: exact only where the fine snapshot owns the
         # buckets — the window must start at/after the span boundary
-        b_epoch = _boundary_epoch(spark, boundary, coarse_interval_s)
+        # (boundary='auto' resolves from the fine side's trim marker)
+        b_epoch = resolve_span_boundary(spark, fine_dir, boundary, coarse_interval_s)
         s_epoch = (
             None if start is None
             else _boundary_epoch(spark, start, 1)  # align 1: parse only

@@ -1154,7 +1154,9 @@ def start_sql_endpoint(
     Mixed-grain layout (r12, VERDICT r11 #1): pass ``rollup_coarse_dir``
     (the ``compact_rollup_grain(older_than=rollup_boundary)`` output of
     ``rollup_dir``'s rollup), ``rollup_coarse_interval_s`` (its grain) and
-    ``rollup_boundary`` (ISO timestamp, coarse-aligned) TOGETHER to serve
+    ``rollup_boundary`` (ISO timestamp, coarse-aligned — or ``"auto"`` to
+    follow the trimming maintenance stream's recorded boundary as it
+    advances; see ``incremental_rollup``'s tail trim) TOGETHER to serve
     the steady-state fine-recent + coarse-tail layout: q3 re-aggregates
     the spanned union at any grain mix; q5 spans for intervals that are
     multiples of the coarse grain and serves fine-grain intervals only for

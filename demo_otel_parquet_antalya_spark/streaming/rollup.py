@@ -49,7 +49,12 @@ from pyspark.sql import functions as F
 
 # the shared local-vs-remote split (fsutil.local_root), under the private
 # name the r11 tests monkeypatch to force the Hadoop-FS branch
-from demo_otel_parquet_antalya_spark.fsutil import hadoop_delete, hadoop_glob
+from demo_otel_parquet_antalya_spark.fsutil import (
+    hadoop_delete,
+    hadoop_glob,
+    hadoop_read_text,
+    hadoop_write_text,
+)
 from demo_otel_parquet_antalya_spark.fsutil import local_root as _local_root
 
 DEFAULT_DIMS = ("event_type",)
@@ -201,18 +206,89 @@ def vacuum_versions(
 
 
 def _commit_snapshot(
-    merged: DataFrame, target_dir: str, batch_id: int, retain_versions: int | None
+    merged: DataFrame,
+    target_dir: str,
+    batch_id: int,
+    retain_versions: int | None,
+    trim_boundary: tuple[int, int] | None = None,
 ) -> None:
     """Land a merged snapshot as ``v=<batch_id>`` then apply retention.
     Vacuum runs AFTER the new version commits, so the newest ``retain``
     versions always include the batch just written and its merge base.
-    Shared by the rollup, sketch, and M4 maintenance streams."""
+    Shared by the rollup, sketch, and M4 maintenance streams.
+
+    ``trim_boundary`` (r12): ``(epoch_s, align_s)`` of the tail trim the
+    version was written with, recorded as a ``_trim_boundary.json`` marker
+    INSIDE the version directory (it travels with the version through
+    vacuum and replay-overwrite). Written after the parquet commit: a
+    crash in between leaves a committed-but-markerless version, which the
+    ``boundary='auto'`` readers treat as ``RollupRouteIncompatible`` (auto
+    routing falls back to the raw scan) — loud cost, never a silently
+    truncated fine side served as full history."""
     merged.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")
+    if trim_boundary is not None:
+        _write_trim_marker(
+            merged.sparkSession, target_dir, batch_id,
+            trim_boundary[0], trim_boundary[1],
+        )
     if retain_versions is not None:
         vacuum_versions(
             merged.sparkSession, target_dir,
             keep_last=retain_versions, newest_id=batch_id,
         )
+
+
+_TRIM_MARKER = "_trim_boundary.json"
+
+
+def _write_trim_marker(
+    spark: SparkSession, target_dir: str, version: int, epoch: int, align_s: int
+) -> None:
+    import json
+
+    payload = json.dumps({"epoch": int(epoch), "align_s": int(align_s)})
+    local = _local_root(target_dir)
+    if local is not None:
+        import os
+
+        with open(os.path.join(local, f"v={version}", _TRIM_MARKER), "w") as f:
+            f.write(payload)
+    else:
+        hadoop_write_text(
+            spark, f"{target_dir.rstrip('/')}/v={version}/{_TRIM_MARKER}", payload
+        )
+
+
+def read_trim_boundary(
+    spark: SparkSession, target_dir: str, version: int | None = None
+) -> tuple[int, int] | None:
+    """``(epoch_s, align_s)`` recorded with the given (default: newest)
+    committed version, or ``None`` for an untrimmed snapshot (no marker,
+    or no committed version at all)."""
+    import json
+
+    if version is None:
+        vs = _versions(spark, target_dir)
+        if not vs:
+            return None
+        version = vs[-1]
+    local = _local_root(target_dir)
+    if local is not None:
+        import os
+
+        p = os.path.join(local, f"v={version}", _TRIM_MARKER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            raw = f.read()
+    else:
+        raw = hadoop_read_text(
+            spark, f"{target_dir.rstrip('/')}/v={version}/{_TRIM_MARKER}"
+        )
+        if raw is None:
+            return None
+    d = json.loads(raw)
+    return int(d["epoch"]), int(d["align_s"])
 
 
 def _check_retain(retain_versions: int | None) -> None:
@@ -304,6 +380,9 @@ def incremental_rollup(
     dim_cols: tuple | None = None,
     watermark_delay: str = "10 minutes",
     retain_versions: int | None = 3,
+    trim_horizon_s: int | None = None,
+    trim_coarse_dir: str | None = None,
+    trim_coarse_interval_s: int | None = None,
 ):
     """Start the maintenance stream; returns the StreamingQuery.
 
@@ -321,7 +400,45 @@ def incremental_rollup(
     keeps the newest N snapshot versions and vacuums the rest after each
     commit (see ``vacuum_versions`` for the replay-safety rule; ``None``
     keeps everything).
+
+    **Tail trim (r12)** — the piece that BOUNDS the maintained snapshot
+    (without it the per-batch ``coalesce(1)`` rewrite is O(all history)
+    forever; SCALE.md's year bound): pass the all-or-nothing trio
+    ``trim_horizon_s`` (keep at least this many seconds of recent
+    buckets), ``trim_coarse_dir`` (the ``compact_rollup_grain`` output
+    that owns the tail) and ``trim_coarse_interval_s`` (its grain, which
+    aligns the boundary). Each batch computes a DESIRED boundary from its
+    own data (max event epoch − horizon, floored to the coarse grain —
+    deterministic on replay), clamps it to what the coarse snapshot
+    PROVABLY COVERS (max coarse bucket + grain; a stalled compaction
+    stalls the trim — the fine snapshot grows instead of data silently
+    vanishing), takes the max with the prior version's recorded boundary
+    (monotone: a trim never retreats, because trimmed buckets are gone),
+    drops buckets below it from the merged snapshot, and records the
+    boundary as a ``_trim_boundary.json`` marker inside the committed
+    version — ``read_rollup_spanned(boundary='auto')`` serves the split
+    from the marker, so the serving boundary ADVANCES with the trim
+    without a config flag day. Cost per batch: one column-pruned max()
+    pass over the micro-batch + one small read of the coarse snapshot.
+
+    Lateness contract: a row arriving later than the trim horizon lands
+    in a bucket below the boundary and is DROPPED from the maintained
+    rollup (the compacted tail was already written without it; the raw
+    warehouse still has the row — rebuild from raw to recover). Choose
+    ``trim_horizon_s`` >> the watermark delay; this is the standard
+    downsampling-retention trade, made explicit instead of silent.
     """
+    trim_cfg = (trim_horizon_s, trim_coarse_dir, trim_coarse_interval_s)
+    if any(v is not None for v in trim_cfg) and any(v is None for v in trim_cfg):
+        raise ValueError(
+            "tail trim needs ALL of trim_horizon_s, trim_coarse_dir and "
+            "trim_coarse_interval_s — a partial trio could trim a tail "
+            "nothing covers"
+        )
+    if trim_horizon_s is not None and (
+        trim_horizon_s <= 0 or trim_coarse_interval_s <= 0
+    ):
+        raise ValueError("trim_horizon_s and trim_coarse_interval_s must be positive")
     if dim_cols is not None and dim_col != "event_type":
         raise ValueError(
             f"both dim_col={dim_col!r} and dim_cols={list(dim_cols)} were "
@@ -363,7 +480,53 @@ def incremental_rollup(
             )
         else:
             merged = inc.select("bucket", *dims, F.col("n").cast("long").alias("n"))
-        _commit_snapshot(merged, target_dir, batch_id, retain_versions)
+        # trimmed-ness is a property of the CONTENT the merge inherits, so
+        # a prior version's boundary is STICKY: even a stream restarted
+        # without the trim trio re-asserts (and re-filters — a late row
+        # below the boundary must not re-introduce a partial bucket the
+        # coarse tail already owns) the prior marker, or a static-boundary
+        # spanned reader over a once-trimmed rollup would silently miss
+        # the buckets between its boundary and the real trim (r12
+        # self-review)
+        prior_tb = (
+            read_trim_boundary(spark, target_dir, prior_vs[-1])
+            if prior_vs else None
+        )
+        if trim_horizon_s is not None:
+            prior_epoch = prior_tb[0] if prior_tb else None
+            # desired boundary from the BATCH's own data — deterministic on
+            # replay (same batch -> same max); epoch computed Spark-side so
+            # session-timezone semantics match the stored buckets'
+            row = batch_df.agg(
+                F.max(F.unix_timestamp(F.col(ts_col))).alias("e")
+            ).first()
+            desired = (
+                None if row.e is None
+                else ((int(row.e) - trim_horizon_s) // trim_coarse_interval_s)
+                * trim_coarse_interval_s
+            )
+            # coverage clamp: trim only what the coarse tail provably owns
+            # (aligned discipline makes max-coarse-bucket + grain exact);
+            # an empty/absent coarse snapshot means no coverage -> no trim
+            cov = (
+                read_rollup(spark, trim_coarse_dir, dims)
+                .agg(F.max(F.unix_timestamp("bucket")).alias("e"))
+                .first()
+            )
+            coverage = None if cov.e is None else int(cov.e) + trim_coarse_interval_s
+            if desired is not None and coverage is not None:
+                cand = min(desired, coverage)
+                trim_e = max(prior_epoch, cand) if prior_epoch is not None else cand
+            else:
+                trim_e = prior_epoch  # empty batch / no coverage: re-assert
+            trim = None if trim_e is None else (trim_e, trim_coarse_interval_s)
+        else:
+            trim = prior_tb  # sticky re-assert (None for never-trimmed)
+        if trim is not None:
+            merged = merged.filter(
+                F.col("bucket") >= F.timestamp_seconds(F.lit(trim[0]))
+            )
+        _commit_snapshot(merged, target_dir, batch_id, retain_versions, trim)
 
     keyed = events.withWatermark(ts_col, watermark_delay)
     return (
@@ -487,9 +650,18 @@ def _boundary_epoch(spark: SparkSession, boundary, align_s: int) -> int:
     buckets), validated aligned to ``align_s``. Evaluated as a one-row
     literal plan so the session-timezone semantics are Spark's own, not a
     drifting Python reimplementation (the facade's tz-handling bugs r10
-    taught that lesson). Misalignment is a plain ValueError — a wrongly
-    CONFIGURED boundary must 400 on the serving path, never silently
-    fall back to the raw scan."""
+    taught that lesson). An int is taken as epoch seconds directly (the
+    trim markers store epochs — no parse job needed). Misalignment is a
+    plain ValueError — a wrongly CONFIGURED boundary must 400 on the
+    serving path, never silently fall back to the raw scan."""
+    if isinstance(boundary, int):
+        if boundary % align_s:
+            raise ValueError(
+                f"span boundary epoch {boundary} is not aligned to the "
+                f"coarse {align_s}s grain — the fine/coarse split would "
+                "cut a bucket"
+            )
+        return boundary
     row = (
         spark.range(1)
         .select(F.unix_timestamp(F.lit(boundary).cast("timestamp")).alias("e"))
@@ -538,12 +710,7 @@ def span_snapshots(
             f"fine snapshot columns {sorted(fine.columns)} != coarse "
             f"{sorted(coarse.columns)} — not the same rollup's layout"
         )
-    if coarse_interval_s % fine_interval_s:
-        raise ValueError(
-            f"coarse_interval_s={coarse_interval_s} is not a multiple of "
-            f"fine_interval_s={fine_interval_s} — not a grain compaction "
-            "of this rollup"
-        )
+    _check_span_grains(fine_interval_s, coarse_interval_s)
     epoch = _boundary_epoch(fine.sparkSession, boundary, coarse_interval_s)
     cut = F.timestamp_seconds(F.lit(epoch))
     recent = fine.filter(F.col("bucket") >= cut).withColumn(
@@ -553,6 +720,56 @@ def span_snapshots(
         "n", _aligned_n(coarse_interval_s, "not this rollup's coarse snapshot")
     )
     return recent.unionByName(tail)
+
+
+def _check_span_grains(fine_interval_s: int, coarse_interval_s: int) -> None:
+    """The spanned layout's grain rule, checked BEFORE any boundary
+    resolution so a mis-paired grain config reports as itself, not as a
+    boundary-alignment error."""
+    if fine_interval_s <= 0 or coarse_interval_s % fine_interval_s:
+        raise ValueError(
+            f"coarse_interval_s={coarse_interval_s} is not a multiple of "
+            f"fine_interval_s={fine_interval_s} — not a grain compaction "
+            "of this rollup"
+        )
+
+
+def resolve_span_boundary(
+    spark: SparkSession, fine_dir: str, boundary, coarse_interval_s: int
+) -> int:
+    """The spanned split as epoch seconds. ``boundary='auto'`` (r12) reads
+    the fine snapshot's OWN recorded trim boundary (the
+    ``_trim_boundary.json`` marker the trimming maintenance stream commits
+    with every version), so the serving split advances with the trim
+    without a config flag day; a missing marker — an untrimmed rollup, or
+    the marker-write crash window — is ``RollupRouteIncompatible``: auto
+    routing serves raw (loud cost) rather than a fine side silently
+    missing its tail. A recorded boundary that is not aligned to the
+    configured coarse grain is a CONFIG mismatch (plain ValueError →
+    400)."""
+    if isinstance(boundary, str) and boundary == "auto":
+        vs = _versions(spark, fine_dir)
+        if not vs:
+            raise RollupRouteIncompatible(
+                f"no committed rollup snapshot under {fine_dir!r} yet"
+            )
+        tb = read_trim_boundary(spark, fine_dir, vs[-1])
+        if tb is None:
+            raise RollupRouteIncompatible(
+                f"boundary='auto' but the newest version of {fine_dir!r} "
+                "records no trim boundary (untrimmed rollup, or the "
+                "marker-write crash window) — serve from raw"
+            )
+        epoch = tb[0]
+        if epoch % coarse_interval_s:
+            raise ValueError(
+                f"recorded trim boundary {epoch} is not aligned to the "
+                f"configured coarse {coarse_interval_s}s grain — the "
+                "endpoint's rollup_coarse_interval_s does not match the "
+                "maintenance stream's trim_coarse_interval_s"
+            )
+        return epoch
+    return _boundary_epoch(spark, boundary, coarse_interval_s)
 
 
 def read_rollup_spanned(
@@ -570,7 +787,11 @@ def read_rollup_spanned(
     routing falls back to raw instead of serving a silently truncated
     history). Layout discipline: ``coarse_dir`` must be the
     ``compact_rollup_grain(older_than=boundary)`` output of ``fine_dir``'s
-    rollup — same dimensions, coarse grain a multiple of the fine."""
+    rollup — same dimensions, coarse grain a multiple of the fine.
+    ``boundary='auto'`` resolves from the fine snapshot's recorded trim
+    boundary (``resolve_span_boundary``)."""
+    _check_span_grains(fine_interval_s, coarse_interval_s)
+    epoch = resolve_span_boundary(spark, fine_dir, boundary, coarse_interval_s)
     fine = read_rollup(spark, fine_dir, dim_cols, require_snapshot=True)
     coarse = read_rollup(spark, coarse_dir, dim_cols, require_snapshot=True)
-    return span_snapshots(fine, coarse, boundary, fine_interval_s, coarse_interval_s)
+    return span_snapshots(fine, coarse, epoch, fine_interval_s, coarse_interval_s)

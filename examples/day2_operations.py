@@ -100,6 +100,34 @@ def main() -> None:
     print(f"compacted tail -> {n_coarse} coarse rows; spanned q5@300s and "
           "q3 == raw scans across the fine/coarse boundary")
 
+    print("\n== 2c. tail trim: the fine snapshot stays bounded ==")
+    # fresh traffic arrives; the maintenance stream now TRIMS its tail up
+    # to what the coarse snapshot provably covers, recording the boundary
+    # with the committed version — serving follows it via boundary="auto",
+    # so the split advances without a config flag day
+    from demo_otel_parquet_antalya_spark.streaming.rollup import read_trim_boundary
+
+    generate_files(f"{work}/otlp2", n_files=2, records_per_file=40,
+                   base_ns=1_700_000_400_000_000_000)
+    ingest_otlp_json(spark, f"{work}/otlp2").write.mode("append").parquet(land)
+    incremental_rollup(
+        spark.readStream.schema(logs.schema).parquet(land),
+        f"{work}/rollup", f"{work}/ckpt",
+        bucket="30 seconds", ts_col="timestamp", dim_cols=dims,
+        trim_horizon_s=120, trim_coarse_dir=f"{work}/rollup_tail",
+        trim_coarse_interval_s=300,
+    ).awaitTermination()
+    tb = read_trim_boundary(spark, f"{work}/rollup")
+    spanned_auto = facade.q5_timeseries_from_spanned_rollup(
+        spark, f"{work}/rollup", f"{work}/rollup_tail", "auto",
+        interval_seconds=300, fine_interval_s=30, coarse_interval_s=300,
+        dim_cols=dims,
+    )
+    flat_all = facade.q5_timeseries(spark.read.parquet(land), interval_seconds=300)
+    assert sorted(map(tuple, spanned_auto.collect())) == sorted(map(tuple, flat_all.collect()))
+    print(f"trim boundary recorded at epoch {tb[0]} (align {tb[1]}s); "
+          "spanned read with boundary='auto' == raw over all traffic")
+
     print("\n== 3. small files -> compaction ==")
     part_cols = ["service_name", "year", "month", "day", "hour"]
     n_parts = small_file_report(spark, wh, part_cols, target_rows_per_file=200).count()

@@ -1817,3 +1817,80 @@ def test_partial_spanned_config_rejected_at_start(spark):
             spark, SF_DIR, logs_dir="/nonexistent", rollup_dir="/nonexistent",
             rollup_coarse_dir="/nonexistent-coarse",
         )
+
+
+def test_spanned_auto_boundary_follows_trim_marker(spark, tmp_path):
+    """rollup_boundary='auto' (r12): the endpoint serves the spanned split
+    from the trimming maintenance stream's recorded boundary — values
+    equal raw, and the config needs no flag day as the trim advances."""
+    from demo_otel_parquet_antalya_spark.sources.generator import generate_files
+    from demo_otel_parquet_antalya_spark.streaming.ingest import run_ingest_once
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        incremental_rollup,
+        read_trim_boundary,
+    )
+
+    landing, wh = str(tmp_path / "landing"), str(tmp_path / "warehouse")
+    generate_files(landing, n_files=4, records_per_file=50)
+    run_ingest_once(spark, landing, wh, str(tmp_path / "ckpt"))
+    rollup, coarse = str(tmp_path / "rollup"), str(tmp_path / "coarse")
+    dims = ("service_name", "severity_text")
+    schema = spark.read.parquet(wh).schema
+    incremental_rollup(
+        spark.readStream.schema(schema).parquet(wh),
+        rollup, str(tmp_path / "rckpt"), bucket="30 seconds",
+        ts_col="timestamp", dim_cols=dims,
+    ).awaitTermination()
+    # compact the first two minutes, then one more (trimming) maintenance
+    # pass over the same data re-asserts nothing new but a RESTARTED
+    # trimming stream over new traffic records the clamped boundary
+    cut = "2023-11-14 22:15:00"  # epoch 1_700_000_100, 300 s aligned
+    compact_rollup_grain(spark, rollup, coarse, 30, 300, dim_cols=dims, older_than=cut)
+    # new traffic lands in the SAME landing dir (distinct names) and the
+    # SAME ingest checkpoint drains the delta — the file sink's
+    # _spark_metadata log belongs to that checkpoint's query lineage
+    import shutil
+
+    generate_files(str(tmp_path / "landing2"), n_files=1, records_per_file=30,
+                   base_ns=1_700_000_280_000_000_000)
+    shutil.copy(str(tmp_path / "landing2" / "otlp_00000.json"),
+                str(tmp_path / "landing" / "otlp_late_00009.json"))
+    run_ingest_once(spark, landing, wh, str(tmp_path / "ckpt"))
+    incremental_rollup(
+        spark.readStream.schema(schema).parquet(wh),
+        rollup, str(tmp_path / "rckpt"), bucket="30 seconds",
+        ts_col="timestamp", dim_cols=dims,
+        trim_horizon_s=120, trim_coarse_dir=coarse, trim_coarse_interval_s=300,
+    ).awaitTermination()
+    assert read_trim_boundary(spark, rollup) == (1_700_000_100, 300)
+
+    server = start_sql_endpoint(
+        spark, SF_DIR, row_cap=5000, logs_dir=wh, rollup_dir=rollup,
+        rollup_dims=dims, rollup_coarse_dir=coarse,
+        rollup_coarse_interval_s=300, rollup_boundary="auto",
+    )
+    try:
+        host, port = server.server_address
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(
+            f"{base}/panels/q5_timeseries?interval=300&source=raw"
+        ) as r:
+            raw = json.loads(r.read())
+        with urllib.request.urlopen(
+            f"{base}/panels/q5_timeseries?interval=300"
+        ) as r:
+            auto = json.loads(r.read())
+        assert auto["source"] == "rollup"
+        assert auto["row_count"] == raw["row_count"] > 0
+        assert sorted(map(tuple, auto["rows"])) == sorted(map(tuple, raw["rows"]))
+        with urllib.request.urlopen(f"{base}/panels/q3_severity_counts") as r:
+            auto3 = json.loads(r.read())
+        with urllib.request.urlopen(
+            f"{base}/panels/q3_severity_counts?source=raw"
+        ) as r:
+            raw3 = json.loads(r.read())
+        assert auto3["source"] == "rollup"
+        assert sorted(map(tuple, auto3["rows"])) == sorted(map(tuple, raw3["rows"]))
+    finally:
+        server.shutdown()

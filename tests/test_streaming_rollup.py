@@ -788,3 +788,149 @@ def test_span_snapshots_per_row_grain_guard_fires(spark):
     with _pytest.raises(ValueError, match="not the same rollup"):
         span_snapshots(fine, coarse.withColumnRenamed("event_type", "svc"),
                        "2024-01-01 00:10:00", 60, 300)
+
+
+def test_tail_trim_bounds_the_maintained_snapshot(spark, tmp_path):
+    """r12: the in-stream tail trim is what BOUNDS the maintained fine
+    snapshot (the per-batch rewrite was O(all history) forever). The
+    boundary must (a) clamp to what the coarse tail provably covers,
+    (b) be recorded with the version and drive boundary='auto' spanned
+    reads that equal raw, (c) never retreat, and (d) drop late rows
+    below it — the documented lateness trade, loud in the contract."""
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        RollupRouteIncompatible,
+        compact_rollup_grain,
+        read_rollup,
+        read_rollup_spanned,
+        read_trim_boundary,
+    )
+    import pytest as _pytest
+
+    base_epoch = 1704067200  # 2024-01-01 00:00:00 UTC (the _write base)
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "rollup")
+    coarse = str(tmp_path / "coarse")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0: 20 minutes of traffic, maintained untrimmed
+    _write(src, "b0.json", [(i, 15 * i, "click" if i % 3 else "view") for i in range(80)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, ckpt, bucket="1 minute",
+    ).awaitTermination()
+
+    # compact the first 10 minutes to a 5-minute tail
+    cut = "2024-01-01 00:10:00"
+    compact_rollup_grain(spark, target, coarse, 60, 300, older_than=cut)
+
+    # batch 1: newer traffic, stream restarted WITH the trim trio.
+    # desired = max_ts - 300 floored (well past the cut), coverage =
+    # max coarse bucket (00:05) + 300 = 00:10 -> boundary clamps to the
+    # compaction cut exactly
+    _write(src, "b1.json", [(100 + i, 1260 + 15 * i, "view") for i in range(16)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, ckpt, bucket="1 minute",
+        trim_horizon_s=300, trim_coarse_dir=coarse, trim_coarse_interval_s=300,
+    ).awaitTermination()
+
+    tb = read_trim_boundary(spark, target)
+    assert tb == (base_epoch + 600, 300)
+    fine = read_rollup(spark, target)
+    min_bucket = fine.agg(F.min(F.unix_timestamp("bucket"))).first()[0]
+    assert min_bucket >= base_epoch + 600  # the tail left the fine snapshot
+
+    # boundary='auto' spanned read == raw over ALL data (both batches)
+    raw = spark.read.schema(SCHEMA).json(src)
+    spanned = read_rollup_spanned(spark, target, coarse, "auto", 60, 300)
+    got = {
+        (r.event_type, r.n)
+        for r in spanned.groupBy("event_type").agg(F.sum("n").alias("n")).collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in raw.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and got
+
+    # batch 2: one LATE row below the boundary — dropped from the rollup
+    # (the coarse tail was compacted without it; raw keeps it), and the
+    # boundary does not retreat
+    _write(src, "b2.json", [(999, 30, "late")])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, ckpt, bucket="1 minute",
+        trim_horizon_s=300, trim_coarse_dir=coarse, trim_coarse_interval_s=300,
+    ).awaitTermination()
+    assert read_trim_boundary(spark, target)[0] >= base_epoch + 600
+    spanned2 = read_rollup_spanned(spark, target, coarse, "auto", 60, 300)
+    assert spanned2.filter(F.col("event_type") == "late").count() == 0
+
+    # a stream trimming against an EMPTY coarse dir must trim nothing
+    target2, ckpt2 = str(tmp_path / "rollup2"), str(tmp_path / "ckpt2")
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target2, ckpt2, bucket="1 minute",
+        trim_horizon_s=300, trim_coarse_dir=str(tmp_path / "nowhere"),
+        trim_coarse_interval_s=300,
+    ).awaitTermination()
+    assert read_trim_boundary(spark, target2) is None
+    assert read_rollup(spark, target2).agg(
+        F.min(F.unix_timestamp("bucket"))
+    ).first()[0] == base_epoch  # bucket 0 still there
+
+    # boundary='auto' against an untrimmed rollup is a routing
+    # incompatibility (auto -> raw), never a silently truncated history
+    with _pytest.raises(RollupRouteIncompatible, match="auto"):
+        read_rollup_spanned(spark, target2, coarse, "auto", 60, 300)
+
+    # a partial trim trio refuses at stream construction
+    with _pytest.raises(ValueError, match="trim"):
+        incremental_rollup(
+            spark.readStream.schema(SCHEMA).json(src), target2, ckpt2,
+            trim_horizon_s=300,
+        )
+
+
+def test_trim_marker_is_sticky_across_trimless_restarts(spark, tmp_path):
+    """r12 self-review: trimmed-ness is a property of the merged CONTENT,
+    so a stream restarted WITHOUT the trim trio must re-assert the prior
+    version's boundary (marker + filter) — otherwise a static-boundary
+    spanned reader over a once-trimmed rollup silently misses the buckets
+    between its boundary and the real trim, and a late row below the
+    boundary would re-introduce a partial bucket the coarse tail owns."""
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        read_rollup,
+        read_trim_boundary,
+    )
+
+    base_epoch = 1704067200
+    src = str(tmp_path / "events")
+    target, coarse, ckpt = (
+        str(tmp_path / "rollup"), str(tmp_path / "coarse"), str(tmp_path / "ckpt")
+    )
+    _write(src, "b0.json", [(i, 15 * i, "click") for i in range(80)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, ckpt, bucket="1 minute",
+    ).awaitTermination()
+    compact_rollup_grain(
+        spark, target, coarse, 60, 300, older_than="2024-01-01 00:10:00"
+    )
+    _write(src, "b1.json", [(100 + i, 1260 + 15 * i, "click") for i in range(16)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, ckpt, bucket="1 minute",
+        trim_horizon_s=300, trim_coarse_dir=coarse, trim_coarse_interval_s=300,
+    ).awaitTermination()
+    assert read_trim_boundary(spark, target) == (base_epoch + 600, 300)
+
+    # restart WITHOUT the trio; the batch carries one late row below the
+    # boundary plus fresh traffic — the new version must keep the marker
+    # and must NOT re-introduce the late bucket
+    _write(src, "b2.json", [(999, 30, "click"), (500, 1600, "click")])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, ckpt, bucket="1 minute",
+    ).awaitTermination()
+    assert read_trim_boundary(spark, target) == (base_epoch + 600, 300)
+    fine = read_rollup(spark, target)
+    assert fine.agg(F.min(F.unix_timestamp("bucket"))).first()[0] >= base_epoch + 600
+    # the fresh row landed
+    assert fine.filter(
+        F.unix_timestamp("bucket") == base_epoch + (1600 // 60) * 60
+    ).count() == 1
