@@ -559,19 +559,31 @@ def q3_severity_counts_from_rollup(
     batch aggregation never keeps). Requires a rollup maintained with
     both dimensions (r10 multi-dim snapshots); ``filters`` follow the
     same maintained-dimensions-only contract as the Q5 rollup route."""
+    from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
+
+    _require_q3_dims(dim_cols)
+    snap = _dim_filtered(
+        read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True),
+        dim_cols,
+        filters,
+    )
+    return _q3_from_snapshot(snap)
+
+
+def _require_q3_dims(dim_cols: tuple) -> None:
     need = {"service_name", "severity_text"}
     if not need <= set(dim_cols):
         raise RollupRouteIncompatible(
             f"q3 needs a rollup maintained over {sorted(need)}; this one "
             f"has {list(dim_cols)}"
         )
-    from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
 
-    snap = _dim_filtered(
-        read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True),
-        dim_cols,
-        filters,
-    )
+
+def _q3_from_snapshot(snap: DataFrame) -> DataFrame:
+    """The q3 aggregation over any snapshot-shaped frame — one home for
+    the panel's contract, shared by the single-snapshot and spanned
+    routes (code-review r12: the drift class _resolve_series_dim was
+    extracted for)."""
     return (
         snap.groupBy("service_name", "severity_text")
         .agg(F.sum("n").cast("long").alias("count"))
@@ -677,14 +689,9 @@ def q3_severity_counts_from_spanned_rollup(
     at ANY grain mix — the full-history panel stays O(snapshot) after the
     tail coarsens. Same dimension requirements and filter contract as
     ``q3_severity_counts_from_rollup``."""
-    need = {"service_name", "severity_text"}
-    if not need <= set(dim_cols):
-        raise RollupRouteIncompatible(
-            f"q3 needs a rollup maintained over {sorted(need)}; this one "
-            f"has {list(dim_cols)}"
-        )
     from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup_spanned
 
+    _require_q3_dims(dim_cols)
     snap = _dim_filtered(
         read_rollup_spanned(
             spark, fine_dir, coarse_dir, boundary,
@@ -693,7 +700,4 @@ def q3_severity_counts_from_spanned_rollup(
         dim_cols,
         filters,
     )
-    return (
-        snap.groupBy("service_name", "severity_text")
-        .agg(F.sum("n").cast("long").alias("count"))
-    )
+    return _q3_from_snapshot(snap)

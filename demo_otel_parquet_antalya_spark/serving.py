@@ -1174,6 +1174,20 @@ def start_sql_endpoint(
                 "rollup_boundary — a partial trio would silently serve "
                 "single-snapshot history"
             )
+        if rollup_boundary != "auto":
+            # resolve the STATIC boundary once, at start: an unparseable
+            # or misaligned boundary must fail HERE, not 400 every panel
+            # at serve time — and the stored epoch int removes the
+            # per-request literal-parse Spark job from the serving hot
+            # path (code-review r12; the stale-vs-trim-marker check
+            # stays per-request — that one needs snapshot freshness)
+            from demo_otel_parquet_antalya_spark.streaming.rollup import (
+                _boundary_epoch,
+            )
+
+            rollup_boundary = _boundary_epoch(
+                spark, rollup_boundary, rollup_coarse_interval_s
+            )
     if disable_sql_on_files:
         spark.conf.set("spark.sql.runSQLOnFiles", "false")
     for name in tables:

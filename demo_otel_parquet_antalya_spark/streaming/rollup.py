@@ -513,6 +513,20 @@ def incremental_rollup(
                 .agg(F.max(F.unix_timestamp("bucket")).alias("e"))
                 .first()
             )
+            # grain cross-check BEFORE trusting coverage: a coarse dir
+            # compacted at a different grain (or some other rollup's tail)
+            # whose max bucket is unaligned would claim coverage past its
+            # real end and the trim would destroy buckets nothing owns —
+            # fail the batch before losing data (code-review r12). Cheap
+            # (max-bucket only); an aligned-by-accident foreign dir is
+            # still caught loudly at read time by the per-row span guards.
+            if cov.e is not None and int(cov.e) % trim_coarse_interval_s:
+                raise ValueError(
+                    f"coarse snapshot at {trim_coarse_dir!r} has max bucket "
+                    f"epoch {int(cov.e)}, not aligned to "
+                    f"trim_coarse_interval_s={trim_coarse_interval_s} — "
+                    "wrong grain or wrong directory; refusing to trim"
+                )
             coverage = None if cov.e is None else int(cov.e) + trim_coarse_interval_s
             if desired is not None and coverage is not None:
                 cand = min(desired, coverage)
@@ -662,9 +676,14 @@ def _boundary_epoch(spark: SparkSession, boundary, align_s: int) -> int:
                 "cut a bucket"
             )
         return boundary
+    # try_cast, not cast: under ANSI a malformed literal raises a raw
+    # DateTimeException out of the plan — the unparseable-ValueError
+    # below is the contract (code-review r12 test fallout)
     row = (
         spark.range(1)
-        .select(F.unix_timestamp(F.lit(boundary).cast("timestamp")).alias("e"))
+        .select(
+            F.unix_timestamp(F.lit(boundary).try_cast("timestamp")).alias("e")
+        )
         .first()
     )
     if row.e is None:
@@ -734,29 +753,39 @@ def _check_span_grains(fine_interval_s: int, coarse_interval_s: int) -> None:
         )
 
 
-def resolve_span_boundary(
+def _resolve_span(
     spark: SparkSession, fine_dir: str, boundary, coarse_interval_s: int
-) -> int:
-    """The spanned split as epoch seconds. ``boundary='auto'`` (r12) reads
-    the fine snapshot's OWN recorded trim boundary (the
-    ``_trim_boundary.json`` marker the trimming maintenance stream commits
-    with every version), so the serving split advances with the trim
-    without a config flag day; a missing marker — an untrimmed rollup, or
-    the marker-write crash window — is ``RollupRouteIncompatible``: auto
-    routing serves raw (loud cost) rather than a fine side silently
-    missing its tail. A recorded boundary that is not aligned to the
-    configured coarse grain is a CONFIG mismatch (plain ValueError →
-    400)."""
+) -> tuple[int, int]:
+    """``(boundary_epoch, fine_version)`` for a spanned read — the marker
+    and the version it belongs to are PINNED together from one listing, so
+    a maintenance commit landing mid-read cannot pair a newer,
+    further-trimmed snapshot with an older boundary (code-review r12).
+
+    ``boundary='auto'`` (r12) reads the fine snapshot's OWN recorded trim
+    boundary (the ``_trim_boundary.json`` marker the trimming maintenance
+    stream commits with every version), so the serving split advances with
+    the trim without a config flag day; a missing marker — an untrimmed
+    rollup, or the marker-write crash window — is
+    ``RollupRouteIncompatible``: auto routing serves raw (loud cost)
+    rather than a fine side silently missing its tail.
+
+    A STATIC boundary is cross-checked against the recorded trim marker:
+    if the snapshot is trimmed BEYOND the configured boundary, buckets in
+    between would be served by neither side — that is a stale
+    configuration (plain ValueError → 400), never a silent gap
+    (code-review r12). A recorded/static boundary misaligned to the
+    coarse grain is likewise a config error."""
+    vs = _versions(spark, fine_dir)
+    if not vs:
+        raise RollupRouteIncompatible(
+            f"no committed rollup snapshot under {fine_dir!r} yet"
+        )
+    v = vs[-1]
+    tb = read_trim_boundary(spark, fine_dir, v)
     if isinstance(boundary, str) and boundary == "auto":
-        vs = _versions(spark, fine_dir)
-        if not vs:
-            raise RollupRouteIncompatible(
-                f"no committed rollup snapshot under {fine_dir!r} yet"
-            )
-        tb = read_trim_boundary(spark, fine_dir, vs[-1])
         if tb is None:
             raise RollupRouteIncompatible(
-                f"boundary='auto' but the newest version of {fine_dir!r} "
+                f"boundary='auto' but version v={v} of {fine_dir!r} "
                 "records no trim boundary (untrimmed rollup, or the "
                 "marker-write crash window) — serve from raw"
             )
@@ -768,8 +797,24 @@ def resolve_span_boundary(
                 "endpoint's rollup_coarse_interval_s does not match the "
                 "maintenance stream's trim_coarse_interval_s"
             )
-        return epoch
-    return _boundary_epoch(spark, boundary, coarse_interval_s)
+        return epoch, v
+    epoch = _boundary_epoch(spark, boundary, coarse_interval_s)
+    if tb is not None and tb[0] > epoch:
+        raise ValueError(
+            f"configured span boundary (epoch {epoch}) is older than the "
+            f"fine snapshot's recorded trim boundary (epoch {tb[0]}): "
+            "buckets in between belong to neither side — update the "
+            "boundary or serve with boundary='auto'"
+        )
+    return epoch, v
+
+
+def resolve_span_boundary(
+    spark: SparkSession, fine_dir: str, boundary, coarse_interval_s: int
+) -> int:
+    """The spanned split as epoch seconds (see ``_resolve_span`` for the
+    'auto' and stale-static-boundary contracts)."""
+    return _resolve_span(spark, fine_dir, boundary, coarse_interval_s)[0]
 
 
 def read_rollup_spanned(
@@ -789,9 +834,12 @@ def read_rollup_spanned(
     ``compact_rollup_grain(older_than=boundary)`` output of ``fine_dir``'s
     rollup — same dimensions, coarse grain a multiple of the fine.
     ``boundary='auto'`` resolves from the fine snapshot's recorded trim
-    boundary (``resolve_span_boundary``)."""
+    boundary; the boundary and the fine version it was read from are
+    pinned together (``_resolve_span``), so a maintenance commit landing
+    between the marker read and the data read cannot open a transient
+    gap (code-review r12)."""
     _check_span_grains(fine_interval_s, coarse_interval_s)
-    epoch = resolve_span_boundary(spark, fine_dir, boundary, coarse_interval_s)
-    fine = read_rollup(spark, fine_dir, dim_cols, require_snapshot=True)
+    epoch, v = _resolve_span(spark, fine_dir, boundary, coarse_interval_s)
+    fine = _read_version(spark, fine_dir, v, dim_cols)
     coarse = read_rollup(spark, coarse_dir, dim_cols, require_snapshot=True)
     return span_snapshots(fine, coarse, epoch, fine_interval_s, coarse_interval_s)

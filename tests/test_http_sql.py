@@ -1894,3 +1894,18 @@ def test_spanned_auto_boundary_follows_trim_marker(spark, tmp_path):
         assert sorted(map(tuple, auto3["rows"])) == sorted(map(tuple, raw3["rows"]))
     finally:
         server.shutdown()
+
+
+def test_misaligned_static_boundary_fails_at_start(spark):
+    """code-review r12: an unparseable or coarse-misaligned static
+    rollup_boundary must fail at endpoint START — not 400 every panel at
+    serve time (and the resolved epoch removes the per-request parse
+    job from the serving hot path)."""
+    for bad in ("2023-11-14 22:16:00", "not-a-timestamp"):
+        with pytest.raises(ValueError, match="aligned|unparseable"):
+            start_sql_endpoint(
+                spark, SF_DIR, logs_dir="/nonexistent",
+                rollup_dir="/nonexistent-rollup",
+                rollup_coarse_dir="/nonexistent-coarse",
+                rollup_coarse_interval_s=300, rollup_boundary=bad,
+            )

@@ -934,3 +934,61 @@ def test_trim_marker_is_sticky_across_trimless_restarts(spark, tmp_path):
     assert fine.filter(
         F.unix_timestamp("bucket") == base_epoch + (1600 // 60) * 60
     ).count() == 1
+
+
+def test_spanned_guards_from_r12_review(spark, tmp_path):
+    """code-review r12: (a) a static boundary OLDER than the fine
+    snapshot's recorded trim is a stale config — refused, because the
+    buckets in between belong to neither side; (b) a coarse dir whose max
+    bucket is not aligned to the configured trim grain must fail the
+    maintenance batch BEFORE trimming (coverage would be over-claimed and
+    the trim would destroy buckets nothing owns)."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        incremental_rollup as _ir,
+        read_rollup_spanned,
+        read_trim_boundary,
+    )
+
+    src = str(tmp_path / "events")
+    target, coarse, ckpt = (
+        str(tmp_path / "rollup"), str(tmp_path / "coarse"), str(tmp_path / "ckpt")
+    )
+    _write(src, "b0.json", [(i, 15 * i, "click") for i in range(80)])
+    _ir(
+        spark.readStream.schema(SCHEMA).json(src), target, ckpt, bucket="1 minute",
+    ).awaitTermination()
+    compact_rollup_grain(
+        spark, target, coarse, 60, 300, older_than="2024-01-01 00:10:00"
+    )
+    _write(src, "b1.json", [(100 + i, 1260 + 15 * i, "click") for i in range(16)])
+    _ir(
+        spark.readStream.schema(SCHEMA).json(src), target, ckpt, bucket="1 minute",
+        trim_horizon_s=300, trim_coarse_dir=coarse, trim_coarse_interval_s=300,
+    ).awaitTermination()
+    assert read_trim_boundary(spark, target) == (1704067200 + 600, 300)
+
+    # (a) static boundary below the recorded trim: refuse, don't gap
+    with _pytest.raises(ValueError, match="older than the fine snapshot's"):
+        read_rollup_spanned(
+            spark, target, coarse, "2024-01-01 00:05:00", 60, 300
+        )
+    # ...while the exact recorded boundary (and 'auto') still serve
+    assert read_rollup_spanned(
+        spark, target, coarse, "2024-01-01 00:10:00", 60, 300
+    ).count() == read_rollup_spanned(spark, target, coarse, "auto", 60, 300).count() > 0
+
+    # (b) trim against a coarse dir at the WRONG claimed grain: the
+    # 60 s-bucket fine snapshot itself (max bucket unaligned to 300)
+    # stands in for a mis-paired compaction — the batch fails before
+    # any trim, and the target keeps its data
+    target2, ckpt2 = str(tmp_path / "rollup2"), str(tmp_path / "ckpt2")
+    q = _ir(
+        spark.readStream.schema(SCHEMA).json(src), target2, ckpt2,
+        bucket="1 minute",
+        trim_horizon_s=300, trim_coarse_dir=target, trim_coarse_interval_s=300,
+    )
+    with _pytest.raises(Exception, match="not aligned to\\s+trim_coarse_interval_s|refusing to trim"):
+        q.awaitTermination()
