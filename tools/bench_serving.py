@@ -196,6 +196,56 @@ def main() -> None:
     for name, path in panels.items():
         results[name] = _time_http(base + path, reps)
 
+    # mixed-grain serving (r12): compact the rollup tail older than one
+    # hour before the data's end to a 300 s grain and serve the spanned
+    # union from a SECOND endpoint — the first endpoint's rollup rows
+    # keep their single-snapshot meaning. The spanned rows measure the
+    # steady-state production layout (fine recent + coarse tail).
+    import datetime as _dt2
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        read_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    mx = (
+        read_rollup(spark, rollup, ROLLUP_DIMS)
+        .agg(F.max(F.unix_timestamp("bucket")))
+        .first()[0]
+    )
+    boundary_epoch = ((int(mx) - 3600) // 300) * 300
+    # session tz is UTC (get_spark), so a UTC-rendered naive literal is
+    # the session-clock form compact/serving expect
+    boundary = _dt2.datetime.fromtimestamp(
+        boundary_epoch, _dt2.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    coarse_dir = os.path.join(work, "rollup_tail")
+    t0 = time.perf_counter()
+    coarse_rows = compact_rollup_grain(
+        spark, rollup, coarse_dir, 30, 300,
+        dim_cols=ROLLUP_DIMS, older_than=boundary,
+    )
+    compact_grain_s = time.perf_counter() - t0
+    spanned_server = start_sql_endpoint(
+        spark, "/root/testdata/sf0.001", port=0, logs_dir=warehouse,
+        rollup_dir=rollup, rollup_dims=ROLLUP_DIMS,
+        rollup_coarse_dir=coarse_dir, rollup_coarse_interval_s=300,
+        rollup_boundary=boundary, request_timeout_s=600.0,
+    )
+    shost, sport = spanned_server.server_address
+    sbase = f"http://{shost}:{sport}"
+    spanned_panels = {
+        # zoomed-out Grafana ask at a coarse multiple: spanned exact
+        "q5_spanned_300_auto": "/panels/q5_timeseries?interval=300",
+        "q5_spanned_900": "/panels/q5_timeseries?interval=900&source=rollup",
+        # full-history severity counts across the grain mix
+        "q3_spanned_auto": "/panels/q3_severity_counts",
+    }
+    for name, path in spanned_panels.items():
+        results[name] = _time_http(sbase + path, reps)
+    spanned_server.shutdown()
+
     raw_rows = spark.read.parquet(warehouse).count()
     # snapshot growth check (VERDICT r9 #5): the per-batch rewrite is a
     # coalesce(1) overwrite of the whole key space, so record its size —
@@ -211,6 +261,9 @@ def main() -> None:
         "rollup_dims": list(ROLLUP_DIMS),
         "reps": reps,
         "panels": results,
+        "spanned_boundary": boundary,
+        "coarse_tail_rows": coarse_rows,
+        "compact_grain_s": round(compact_grain_s, 2),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
 
