@@ -455,6 +455,21 @@ def q5_timeseries_from_rollup(
     result equals the raw-scan panel with the same filter. A filter on a
     non-maintained column raises — serve that from raw.
     """
+    from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
+
+    _check_q5_interval(interval_seconds, base_interval_s)  # before any I/O
+    series = _resolve_series_dim(dim_cols, series_dim)
+    snap = read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True)
+    return _q5_from_snapshot(
+        snap, dim_cols, series, start, end,
+        interval_seconds, base_interval_s, filters,
+    )
+
+
+def _check_q5_interval(interval_seconds: int | None, base_interval_s: int) -> bool:
+    """True when the request re-buckets; raises ``RollupRouteIncompatible``
+    for a non-multiple interval — called by the routes BEFORE any snapshot
+    I/O (the docstring contract) and again inside ``_q5_from_snapshot``."""
     rebucket = interval_seconds is not None and interval_seconds != base_interval_s
     if rebucket and (interval_seconds <= 0 or interval_seconds % base_interval_s):
         raise RollupRouteIncompatible(
@@ -462,14 +477,21 @@ def q5_timeseries_from_rollup(
             f"interval={interval_seconds} is not a multiple — serve "
             "from raw or a matching rollup"
         )
-    from demo_otel_parquet_antalya_spark.streaming.rollup import read_rollup
+    return rebucket
 
-    series = _resolve_series_dim(dim_cols, series_dim)
-    df = _dim_filtered(
-        read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True),
-        dim_cols,
-        filters,
-    )
+
+def _q5_from_snapshot(
+    snap: DataFrame, dim_cols: tuple, series: str, start, end,
+    interval_seconds: int | None, base_interval_s: int, filters,
+) -> DataFrame:
+    """The q5 shaping over any single-grain snapshot frame — validation,
+    window filter, guarded re-bucketing, dim sum-out — one home shared by
+    the single-snapshot route and the spanned route's fine-grain-window
+    branch (code-review r12, second pass: the branch must run on the
+    PINNED fine version, so it needs the shaping without the re-listing
+    read)."""
+    rebucket = _check_q5_interval(interval_seconds, base_interval_s)
+    df = _dim_filtered(snap, dim_cols, filters)
     df = df.select(
         F.col("bucket").alias("t"),
         F.col(series).alias("series"),
@@ -621,8 +643,9 @@ def q5_timeseries_from_spanned_rollup(
     grain-alignment guards ride both sides (``span_snapshots``)."""
     from demo_otel_parquet_antalya_spark.streaming.rollup import (
         _boundary_epoch,
+        _read_version,
+        _resolve_span,
         read_rollup_spanned,
-        resolve_span_boundary,
     )
 
     if interval_seconds is None:
@@ -637,7 +660,7 @@ def q5_timeseries_from_spanned_rollup(
         # fine-grain interval: exact only where the fine snapshot owns the
         # buckets — the window must start at/after the span boundary
         # (boundary='auto' resolves from the fine side's trim marker)
-        b_epoch = resolve_span_boundary(spark, fine_dir, boundary, coarse_interval_s)
+        b_epoch, v = _resolve_span(spark, fine_dir, boundary, coarse_interval_s)
         s_epoch = (
             None if start is None
             else _boundary_epoch(spark, start, 1)  # align 1: parse only
@@ -648,11 +671,15 @@ def q5_timeseries_from_spanned_rollup(
                 f"{coarse_interval_s}s compacted tail; only windows at or "
                 f"after the span boundary can be served at that grain"
             )
-        return q5_timeseries_from_rollup(
-            spark, fine_dir, start, end,
-            interval_seconds=interval_seconds,
-            base_interval_s=fine_interval_s, dim_cols=dim_cols,
-            series_dim=series, filters=filters,
+        # serve from the SAME pinned fine version the boundary was read
+        # from: delegating to the re-listing single-snapshot route could
+        # pair this boundary with a newer, further-trimmed snapshot when
+        # a maintenance commit lands in between — the transient-gap race
+        # _resolve_span closes (code-review r12, second pass)
+        snap = _read_version(spark, fine_dir, v, dim_cols)
+        return _q5_from_snapshot(
+            snap, dim_cols, series, start, end,
+            interval_seconds, fine_interval_s, filters,
         )
     df = _dim_filtered(
         read_rollup_spanned(

@@ -653,7 +653,9 @@ class _SQLHandler(BaseHTTPRequestHandler):
     # the tail below it
     rollup_coarse_dir: str | None = None
     rollup_coarse_interval_s: int | None = None
-    rollup_boundary: str | None = None
+    # "auto", or the epoch int start_sql_endpoint resolved the caller's
+    # ISO string to (never a raw string at serve time)
+    rollup_boundary: str | int | None = None
     row_cap: int = DEFAULT_ROW_CAP
     request_timeout_s: float | None = 30.0
     scheduler_pool: str = "serving"
@@ -1103,7 +1105,7 @@ def start_sql_endpoint(
     rollup_dims: tuple = ("event_type",),
     rollup_coarse_dir: str | None = None,
     rollup_coarse_interval_s: int | None = None,
-    rollup_boundary: str | None = None,
+    rollup_boundary: str | int | None = None,
     request_timeout_s: float | None = 30.0,
     scheduler_pool: str = "serving",
     disable_sql_on_files: bool = True,

@@ -211,6 +211,7 @@ def _commit_snapshot(
     batch_id: int,
     retain_versions: int | None,
     trim_boundary: tuple[int, int] | None = None,
+    grain_s: int | None = None,
 ) -> None:
     """Land a merged snapshot as ``v=<batch_id>`` then apply retention.
     Vacuum runs AFTER the new version commits, so the newest ``retain``
@@ -224,12 +225,21 @@ def _commit_snapshot(
     crash in between leaves a committed-but-markerless version, which the
     ``boundary='auto'`` readers treat as ``RollupRouteIncompatible`` (auto
     routing falls back to the raw scan) — loud cost, never a silently
-    truncated fine side served as full history."""
+    truncated fine side served as full history. ``grain_s`` likewise
+    records the destination's bucket grain (``_grain.json``) so the trim's
+    coverage clamp can cross-check it deterministically; same crash
+    semantics (a markerless version falls back to the probabilistic
+    max-bucket alignment probe, erring toward refusing the trim)."""
     merged.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")
     if trim_boundary is not None:
         _write_trim_marker(
             merged.sparkSession, target_dir, batch_id,
             trim_boundary[0], trim_boundary[1],
+        )
+    if grain_s is not None:
+        _write_version_meta(
+            merged.sparkSession, target_dir, batch_id, _GRAIN_MARKER,
+            {"interval_s": int(grain_s)},
         )
     if retain_versions is not None:
         vacuum_versions(
@@ -239,32 +249,36 @@ def _commit_snapshot(
 
 
 _TRIM_MARKER = "_trim_boundary.json"
+_GRAIN_MARKER = "_grain.json"
 
 
-def _write_trim_marker(
-    spark: SparkSession, target_dir: str, version: int, epoch: int, align_s: int
+def _write_version_meta(
+    spark: SparkSession, target_dir: str, version: int, name: str, payload: dict
 ) -> None:
+    """One small JSON sidecar INSIDE a committed version dir (it travels
+    with the version through vacuum and replay-overwrite). Underscore
+    names are invisible to parquet reads. Local roots write directly;
+    everything else goes through the Hadoop FS (fsutil)."""
     import json
 
-    payload = json.dumps({"epoch": int(epoch), "align_s": int(align_s)})
+    text = json.dumps(payload)
     local = _local_root(target_dir)
     if local is not None:
         import os
 
-        with open(os.path.join(local, f"v={version}", _TRIM_MARKER), "w") as f:
-            f.write(payload)
+        with open(os.path.join(local, f"v={version}", name), "w") as f:
+            f.write(text)
     else:
         hadoop_write_text(
-            spark, f"{target_dir.rstrip('/')}/v={version}/{_TRIM_MARKER}", payload
+            spark, f"{target_dir.rstrip('/')}/v={version}/{name}", text
         )
 
 
-def read_trim_boundary(
-    spark: SparkSession, target_dir: str, version: int | None = None
-) -> tuple[int, int] | None:
-    """``(epoch_s, align_s)`` recorded with the given (default: newest)
-    committed version, or ``None`` for an untrimmed snapshot (no marker,
-    or no committed version at all)."""
+def _read_version_meta(
+    spark: SparkSession, target_dir: str, version: int | None, name: str
+) -> dict | None:
+    """The sidecar's payload, or ``None`` when absent (absence is a state
+    — untrimmed / pre-r12 snapshot — not an error)."""
     import json
 
     if version is None:
@@ -276,19 +290,52 @@ def read_trim_boundary(
     if local is not None:
         import os
 
-        p = os.path.join(local, f"v={version}", _TRIM_MARKER)
+        p = os.path.join(local, f"v={version}", name)
         if not os.path.exists(p):
             return None
         with open(p) as f:
             raw = f.read()
     else:
         raw = hadoop_read_text(
-            spark, f"{target_dir.rstrip('/')}/v={version}/{_TRIM_MARKER}"
+            spark, f"{target_dir.rstrip('/')}/v={version}/{name}"
         )
         if raw is None:
             return None
-    d = json.loads(raw)
-    return int(d["epoch"]), int(d["align_s"])
+    return json.loads(raw)
+
+
+def _write_trim_marker(
+    spark: SparkSession, target_dir: str, version: int, epoch: int, align_s: int
+) -> None:
+    _write_version_meta(
+        spark, target_dir, version, _TRIM_MARKER,
+        {"epoch": int(epoch), "align_s": int(align_s)},
+    )
+
+
+def read_trim_boundary(
+    spark: SparkSession, target_dir: str, version: int | None = None
+) -> tuple[int, int] | None:
+    """``(epoch_s, align_s)`` recorded with the given (default: newest)
+    committed version, or ``None`` for an untrimmed snapshot (no marker,
+    or no committed version at all)."""
+    d = _read_version_meta(spark, target_dir, version, _TRIM_MARKER)
+    return None if d is None else (int(d["epoch"]), int(d["align_s"]))
+
+
+def read_grain(
+    spark: SparkSession, target_dir: str, version: int | None = None
+) -> int | None:
+    """The bucket grain (seconds) ``compact_rollup_grain`` recorded with
+    the given (default: newest) destination version, or ``None`` for a
+    pre-r12 or hand-built snapshot. The trim's coverage clamp uses it as
+    the DETERMINISTIC grain cross-check (code-review r12, second pass:
+    the max-bucket alignment probe alone misses a wrong grain whose
+    current max happens to be aligned — e.g. 300 s buckets checked
+    against a configured 600 pass every other commit, and the over-trim
+    destroys buckets nothing owns)."""
+    d = _read_version_meta(spark, target_dir, version, _GRAIN_MARKER)
+    return None if d is None else int(d["interval_s"])
 
 
 def _check_retain(retain_versions: int | None) -> None:
@@ -505,6 +552,25 @@ def incremental_rollup(
                 else ((int(row.e) - trim_horizon_s) // trim_coarse_interval_s)
                 * trim_coarse_interval_s
             )
+            # grain cross-check BEFORE trusting coverage: a coarse dir
+            # compacted at a different grain (or some other rollup's tail)
+            # would claim coverage past its real end and the trim would
+            # destroy buckets nothing owns — fail the batch before losing
+            # data (code-review r12). DETERMINISTIC when the destination
+            # carries compact_rollup_grain's _grain.json marker (second
+            # review pass: the max-bucket probe alone passes a 300-vs-600
+            # mismatch every other commit); markerless (pre-r12 or
+            # hand-built) dirs fall back to the max-bucket alignment
+            # probe, and a mismatch surviving it is still caught loudly
+            # at read time by the per-row span guards.
+            recorded = read_grain(spark, trim_coarse_dir)
+            if recorded is not None and recorded != trim_coarse_interval_s:
+                raise ValueError(
+                    f"coarse snapshot at {trim_coarse_dir!r} records grain "
+                    f"{recorded}s, not the configured "
+                    f"trim_coarse_interval_s={trim_coarse_interval_s} — "
+                    "wrong grain or wrong directory; refusing to trim"
+                )
             # coverage clamp: trim only what the coarse tail provably owns
             # (aligned discipline makes max-coarse-bucket + grain exact);
             # an empty/absent coarse snapshot means no coverage -> no trim
@@ -513,13 +579,6 @@ def incremental_rollup(
                 .agg(F.max(F.unix_timestamp("bucket")).alias("e"))
                 .first()
             )
-            # grain cross-check BEFORE trusting coverage: a coarse dir
-            # compacted at a different grain (or some other rollup's tail)
-            # whose max bucket is unaligned would claim coverage past its
-            # real end and the trim would destroy buckets nothing owns —
-            # fail the batch before losing data (code-review r12). Cheap
-            # (max-bucket only); an aligned-by-accident foreign dir is
-            # still caught loudly at read time by the per-row span guards.
             if cov.e is not None and int(cov.e) % trim_coarse_interval_s:
                 raise ValueError(
                     f"coarse snapshot at {trim_coarse_dir!r} has max bucket "
@@ -605,7 +664,7 @@ def compact_rollup_grain(
 
     obs = Observation()
     out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-    _commit_snapshot(out, dst_dir, vs[-1], retain_versions)
+    _commit_snapshot(out, dst_dir, vs[-1], retain_versions, grain_s=dst_interval_s)
     return obs.get["rows"]
 
 

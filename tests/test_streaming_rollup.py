@@ -990,5 +990,30 @@ def test_spanned_guards_from_r12_review(spark, tmp_path):
         bucket="1 minute",
         trim_horizon_s=300, trim_coarse_dir=target, trim_coarse_interval_s=300,
     )
-    with _pytest.raises(Exception, match="not aligned to\\s+trim_coarse_interval_s|refusing to trim"):
+    with _pytest.raises(Exception, match="refusing to trim"):
         q.awaitTermination()
+    # the guard's whole point: the batch failed BEFORE anything committed
+    # or trimmed — target2 has no version at all (code-review r12,
+    # second pass: 'raises' alone would stay green if a refactor raised
+    # after a partial commit)
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        _versions,
+        read_grain,
+    )
+
+    assert _versions(spark, target2) == []
+
+    # (c) DETERMINISTIC grain cross-check (second review pass): the
+    # compaction records its grain with the destination, and a trim
+    # configured with a DIFFERENT grain refuses even when the max bucket
+    # happens to be aligned to it (the probe alone passes 300-vs-600
+    # every other commit)
+    assert read_grain(spark, coarse) == 300
+    q2 = _ir(
+        spark.readStream.schema(SCHEMA).json(src), target2, str(tmp_path / "ckpt3"),
+        bucket="1 minute",
+        trim_horizon_s=300, trim_coarse_dir=coarse, trim_coarse_interval_s=600,
+    )
+    with _pytest.raises(Exception, match="records grain 300s"):
+        q2.awaitTermination()
+    assert _versions(spark, target2) == []
