@@ -868,14 +868,6 @@ def _resolve_span(
     return epoch, v
 
 
-def resolve_span_boundary(
-    spark: SparkSession, fine_dir: str, boundary, coarse_interval_s: int
-) -> int:
-    """The spanned split as epoch seconds (see ``_resolve_span`` for the
-    'auto' and stale-static-boundary contracts)."""
-    return _resolve_span(spark, fine_dir, boundary, coarse_interval_s)[0]
-
-
 def read_rollup_spanned(
     spark: SparkSession,
     fine_dir: str,
