@@ -552,41 +552,50 @@ def incremental_rollup(
                 else ((int(row.e) - trim_horizon_s) // trim_coarse_interval_s)
                 * trim_coarse_interval_s
             )
-            # grain cross-check BEFORE trusting coverage: a coarse dir
-            # compacted at a different grain (or some other rollup's tail)
-            # would claim coverage past its real end and the trim would
-            # destroy buckets nothing owns — fail the batch before losing
-            # data (code-review r12). DETERMINISTIC when the destination
-            # carries compact_rollup_grain's _grain.json marker (second
-            # review pass: the max-bucket probe alone passes a 300-vs-600
-            # mismatch every other commit); markerless (pre-r12 or
-            # hand-built) dirs fall back to the max-bucket alignment
-            # probe, and a mismatch surviving it is still caught loudly
-            # at read time by the per-row span guards.
-            recorded = read_grain(spark, trim_coarse_dir)
-            if recorded is not None and recorded != trim_coarse_interval_s:
-                raise ValueError(
-                    f"coarse snapshot at {trim_coarse_dir!r} records grain "
-                    f"{recorded}s, not the configured "
-                    f"trim_coarse_interval_s={trim_coarse_interval_s} — "
-                    "wrong grain or wrong directory; refusing to trim"
+            # ONE coarse-dir listing per batch; the grain marker and the
+            # coverage data are read from the SAME pinned version — the
+            # unpinned pairing pattern _resolve_span fixed, applied here
+            # too (code-review r12, third pass; also one fewer remote
+            # globStatus per 30 s batch forever).
+            cvs = _versions(spark, trim_coarse_dir)
+            coverage = None
+            if cvs:
+                cv = cvs[-1]
+                # grain cross-check BEFORE trusting coverage: a coarse dir
+                # compacted at a different grain (or some other rollup's
+                # tail) would claim coverage past its real end and the
+                # trim would destroy buckets nothing owns — fail the batch
+                # before losing data (code-review r12). DETERMINISTIC when
+                # the destination carries compact_rollup_grain's
+                # _grain.json marker (the max-bucket probe alone passes a
+                # 300-vs-600 mismatch every other commit); markerless
+                # (pre-r12 or hand-built) dirs fall back to the probe, and
+                # a mismatch surviving it is still caught loudly at read
+                # time by the per-row span guards.
+                recorded = read_grain(spark, trim_coarse_dir, cv)
+                if recorded is not None and recorded != trim_coarse_interval_s:
+                    raise ValueError(
+                        f"coarse snapshot at {trim_coarse_dir!r} records "
+                        f"grain {recorded}s, not the configured "
+                        f"trim_coarse_interval_s={trim_coarse_interval_s} — "
+                        "wrong grain or wrong directory; refusing to trim"
+                    )
+                # coverage clamp: trim only what the coarse tail provably
+                # owns (aligned discipline makes max-bucket + grain exact)
+                cov = (
+                    _read_version(spark, trim_coarse_dir, cv, dims)
+                    .agg(F.max(F.unix_timestamp("bucket")).alias("e"))
+                    .first()
                 )
-            # coverage clamp: trim only what the coarse tail provably owns
-            # (aligned discipline makes max-coarse-bucket + grain exact);
-            # an empty/absent coarse snapshot means no coverage -> no trim
-            cov = (
-                read_rollup(spark, trim_coarse_dir, dims)
-                .agg(F.max(F.unix_timestamp("bucket")).alias("e"))
-                .first()
-            )
-            if cov.e is not None and int(cov.e) % trim_coarse_interval_s:
-                raise ValueError(
-                    f"coarse snapshot at {trim_coarse_dir!r} has max bucket "
-                    f"epoch {int(cov.e)}, not aligned to "
-                    f"trim_coarse_interval_s={trim_coarse_interval_s} — "
-                    "wrong grain or wrong directory; refusing to trim"
-                )
-            coverage = None if cov.e is None else int(cov.e) + trim_coarse_interval_s
+                if cov.e is not None and int(cov.e) % trim_coarse_interval_s:
+                    raise ValueError(
+                        f"coarse snapshot at {trim_coarse_dir!r} has max "
+                        f"bucket epoch {int(cov.e)}, not aligned to "
+                        f"trim_coarse_interval_s={trim_coarse_interval_s} — "
+                        "wrong grain or wrong directory; refusing to trim"
+                    )
+                if cov.e is not None:
+                    coverage = int(cov.e) + trim_coarse_interval_s
             if desired is not None and coverage is not None:
                 cand = min(desired, coverage)
                 trim_e = max(prior_epoch, cand) if prior_epoch is not None else cand

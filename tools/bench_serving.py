@@ -201,24 +201,32 @@ def main() -> None:
     # union from a SECOND endpoint — the first endpoint's rollup rows
     # keep their single-snapshot meaning. The spanned rows measure the
     # steady-state production layout (fine recent + coarse tail).
-    import datetime as _dt2
-
     from demo_otel_parquet_antalya_spark.streaming.rollup import (
         compact_rollup_grain,
         read_rollup,
     )
     from pyspark.sql import functions as F
 
-    mx = (
+    mn, mx = (
         read_rollup(spark, rollup, ROLLUP_DIMS)
-        .agg(F.max(F.unix_timestamp("bucket")))
-        .first()[0]
+        .agg(
+            F.min(F.unix_timestamp("bucket")),
+            F.max(F.unix_timestamp("bucket")),
+        )
+        .first()
     )
-    boundary_epoch = ((int(mx) - 3600) // 300) * 300
+    # tail = everything older than 1 h before the data's end, but never
+    # past the data's start: at spans under ~1 h (the 200k default covers
+    # ~49 min) the old mx-3600 boundary predated ALL buckets, the coarse
+    # tail compacted to 0 rows, and the "spanned" rows silently measured
+    # a fine-only read (code-review r12, third pass) — fall back to the
+    # mid-span cut so the union always has both sides
+    cut = max(int(mx) - 3600, int(mn) + (int(mx) - int(mn)) // 2)
+    boundary_epoch = (cut // 300) * 300
     # session tz is UTC (get_spark), so a UTC-rendered naive literal is
     # the session-clock form compact/serving expect
-    boundary = _dt2.datetime.fromtimestamp(
-        boundary_epoch, _dt2.timezone.utc
+    boundary = datetime.datetime.fromtimestamp(
+        boundary_epoch, datetime.timezone.utc
     ).strftime("%Y-%m-%d %H:%M:%S")
     coarse_dir = os.path.join(work, "rollup_tail")
     t0 = time.perf_counter()
