@@ -773,6 +773,53 @@ def q_rollup_spanned_rebucket(spark, sf_dir):
 
 
 @register(
+    "m4_spanned_rebucket",
+    "WITH s AS (SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) * 86400 AS bucket, "
+    "ts, event_id, value FROM events), "
+    "w AS (SELECT bucket, value, "
+    "ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn_a, "
+    "ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn_d "
+    "FROM s) "
+    "SELECT bucket, "
+    "MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first, "
+    "MIN(value) AS v_min, MAX(value) AS v_max, "
+    "MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last "
+    "FROM w GROUP BY bucket ORDER BY bucket",
+    doc=(
+        "Mixed-grain M4 (r12): the hourly M4 state's tail coarsened to 4 h "
+        "buckets (sketches.m4_remerge — min/max re-aggregate outright, "
+        "first/last by their carried (epoch-micros, id) arg keys), spanned "
+        "with the recent hourly side at a coarse-aligned boundary "
+        "(2024-01-21), then re-merged to daily pixels. Exact at any grain "
+        "mix, so the oracle replays it as DIRECT daily M4 over raw events "
+        "— the downsample twin of rollup_spanned_rebucket."
+    ),
+    tags=("timeseries", "streaming"),
+)
+def q_m4_spanned_rebucket(spark, sf_dir):
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        _m4_with_start,
+        m4_remerge,
+    )
+
+    boundary = 1705795200  # 2024-01-21 00:00:00 UTC; % 14400 == % 86400 == 0
+    fine = _m4_with_start(
+        _m4_batch(_t(spark, sf_dir, "events"), "ts", "event_id", "value"), 3600
+    )
+    coarse = m4_remerge(fine.filter(F.col("bucket_start") < boundary), 14400)
+    spanned = fine.filter(F.col("bucket_start") >= boundary).unionByName(coarse)
+    return (
+        m4_remerge(spanned, 86400)
+        .select(
+            F.col("bucket_start").alias("bucket"),
+            "v_first", "v_min", "v_max", "v_last",
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "sort_topk_orders",
     "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
     doc="Top-K sort: Spark plans TakeOrderedAndProject (per-partition heap + driver merge, no full sort).",

@@ -26,9 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    RollupRouteIncompatible,
     _check_retain,
     _commit_snapshot,
     _versions,
+    read_grain,
 )
 
 SKETCH_SCHEMA = "hour timestamp, hll binary, kll binary"
@@ -190,3 +192,164 @@ def incremental_m4(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-grain M4 (r12): all six M4 stats re-aggregate exactly across ANY
+# grain coarsening — min/max outright, first/last because the state CARRIES
+# their composite (epoch-micros, id) argument keys — so the rollup tier's
+# steady-state layout (fine recent history + coarse long tail,
+# rollup.compact_rollup_grain / span_snapshots) extends to the M4
+# downsample unchanged in spirit: compact the tail to a coarser pixel
+# grain, span the two snapshots at a boundary, re-merge to any multiple of
+# the coarse grain.
+# ---------------------------------------------------------------------------
+
+# the maintained stream's bucket unit (_m4_batch floors unix seconds by it)
+M4_INTERVAL_S = 3600
+
+
+def m4_remerge(states: DataFrame, interval_s: int) -> DataFrame:
+    """Re-aggregate M4 rows carrying a ``bucket_start`` epoch column to
+    ``interval_s`` buckets — exact at any coarsening (the arg keys travel).
+    Returns rows in the M4 state shape plus ``bucket_start``."""
+    coarse = (F.floor(F.col("bucket_start") / interval_s) * interval_s).cast("long")
+    return (
+        states.groupBy(coarse.alias("bucket_start"))
+        .agg(
+            F.expr("min_by(k_first, k_first)").alias("k_first"),
+            F.expr("min_by(v_first, k_first)").alias("v_first"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+            F.expr("max_by(k_last, k_last)").alias("k_last"),
+            F.expr("max_by(v_last, k_last)").alias("v_last"),
+        )
+    )
+
+
+def _m4_with_start(states: DataFrame, interval_s: int) -> DataFrame:
+    """Convert an M4 snapshot's index-unit ``bucket`` to an absolute
+    ``bucket_start`` epoch column, so snapshots of DIFFERENT grains become
+    comparable (the maintained snapshot indexes hours; a compacted one
+    indexes its own coarser grain)."""
+    return states.withColumn(
+        "bucket_start", (F.col("bucket") * interval_s).cast("long")
+    ).drop("bucket")
+
+
+def compact_m4_grain(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    dst_interval_s: int,
+    src_interval_s: int = M4_INTERVAL_S,
+    older_than_epoch: int | None = None,
+    retain_versions: int | None = 3,
+) -> int:
+    """Re-aggregate the maintained M4 snapshot into a coarser pixel grain
+    (the M4 twin of ``rollup.compact_rollup_grain``): exact, because every
+    M4 stat re-aggregates with its carried arg keys. The destination's
+    ``bucket`` column is in DST-interval units (the same
+    floor(unix/interval) convention as the source) and the destination
+    version records its grain (``_grain.json``), so the spanned reader can
+    cross-check the configured grain deterministically.
+    ``older_than_epoch`` (epoch seconds, must be dst-aligned) compacts only
+    buckets starting strictly before it; ``retain_versions`` vacuums the
+    destination as in the rollup compaction (None keeps all versions).
+    Returns the number of coarse rows written."""
+    _check_retain(retain_versions)
+    if src_interval_s <= 0 or dst_interval_s <= 0 or dst_interval_s % src_interval_s:
+        raise ValueError(
+            f"dst_interval_s={dst_interval_s} is not a positive multiple "
+            f"of src_interval_s={src_interval_s} — M4 buckets would mis-bin"
+        )
+    if older_than_epoch is not None and older_than_epoch % dst_interval_s:
+        raise ValueError(
+            f"older_than_epoch={older_than_epoch} is not aligned to the "
+            f"{dst_interval_s}s destination grain — the compacted tail "
+            "would cut a coarse bucket"
+        )
+    vs = _versions(spark, src_dir)
+    if not vs:
+        raise ValueError(f"no committed M4 snapshot under {src_dir!r}")
+    snap = _m4_with_start(
+        spark.read.schema(M4_SCHEMA).parquet(f"{src_dir}/v={vs[-1]}"),
+        src_interval_s,
+    )
+    if older_than_epoch is not None:
+        snap = snap.filter(F.col("bucket_start") < F.lit(older_than_epoch))
+    out = m4_remerge(snap, dst_interval_s).select(
+        (F.col("bucket_start") / dst_interval_s).cast("long").alias("bucket"),
+        "k_first", "v_first", "v_min", "v_max", "k_last", "v_last",
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+    _commit_snapshot(out, dst_dir, vs[-1], retain_versions, grain_s=dst_interval_s)
+    return obs.get["rows"]
+
+
+def read_m4_spanned(
+    spark: SparkSession,
+    fine_dir: str,
+    coarse_dir: str,
+    boundary_epoch: int,
+    fine_interval_s: int = M4_INTERVAL_S,
+    coarse_interval_s: int | None = None,
+) -> DataFrame:
+    """The mixed-grain M4 union: bucket starts ``>= boundary_epoch`` from
+    the fine snapshot, ``< boundary_epoch`` from the compacted tail, in
+    the absolute ``bucket_start`` shape ``m4_remerge`` consumes. The
+    boundary must be aligned to the COARSE grain; the coarse side's
+    recorded ``_grain.json`` is cross-checked against the configured
+    ``coarse_interval_s`` (plain ValueError — config mismatch), and a
+    missing side raises ``RollupRouteIncompatible`` (serve from raw).
+    Exact for any downstream re-merge whose interval is a multiple of the
+    coarse grain — same argument as ``rollup.span_snapshots``, with the
+    arg keys carrying first/last."""
+    cvs = _versions(spark, coarse_dir)
+    if not cvs:
+        raise RollupRouteIncompatible(
+            f"no committed M4 snapshot under {coarse_dir!r} yet"
+        )
+    cv = cvs[-1]
+    recorded = read_grain(spark, coarse_dir, cv)
+    if coarse_interval_s is None:
+        if recorded is None:
+            raise ValueError(
+                f"coarse M4 snapshot at {coarse_dir!r} records no grain "
+                "marker — pass coarse_interval_s explicitly"
+            )
+        coarse_interval_s = recorded
+    elif recorded is not None and recorded != coarse_interval_s:
+        raise ValueError(
+            f"coarse M4 snapshot at {coarse_dir!r} records grain "
+            f"{recorded}s, not the configured {coarse_interval_s}s — "
+            "wrong grain or wrong directory"
+        )
+    if fine_interval_s <= 0 or coarse_interval_s % fine_interval_s:
+        raise ValueError(
+            f"coarse_interval_s={coarse_interval_s} is not a multiple of "
+            f"fine_interval_s={fine_interval_s} — not this M4's compaction"
+        )
+    if boundary_epoch % coarse_interval_s:
+        raise ValueError(
+            f"boundary epoch {boundary_epoch} is not aligned to the "
+            f"coarse {coarse_interval_s}s grain — the split would cut a "
+            "bucket"
+        )
+    fvs = _versions(spark, fine_dir)
+    if not fvs:
+        raise RollupRouteIncompatible(
+            f"no committed M4 snapshot under {fine_dir!r} yet"
+        )
+    fine = _m4_with_start(
+        spark.read.schema(M4_SCHEMA).parquet(f"{fine_dir}/v={fvs[-1]}"),
+        fine_interval_s,
+    ).filter(F.col("bucket_start") >= F.lit(boundary_epoch))
+    coarse = _m4_with_start(
+        spark.read.schema(M4_SCHEMA).parquet(f"{coarse_dir}/v={cv}"),
+        coarse_interval_s,
+    ).filter(F.col("bucket_start") < F.lit(boundary_epoch))
+    return fine.unionByName(coarse)

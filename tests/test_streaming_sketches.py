@@ -193,3 +193,86 @@ def test_sketch_retention_bounds_versions(spark, tmp_path):
     assert set(got) == set(want)
     for h, users in want.items():
         assert abs(got[h] - users) <= max(2, int(0.05 * users))
+
+
+def test_m4_grain_compaction_and_spanned_read_exact(spark, tmp_path):
+    """r12: the M4 downsample joins the mixed-grain layout — compact the
+    hourly tail to 4 h buckets (exact: min/max re-aggregate outright,
+    first/last by their carried arg keys), span at a coarse-aligned
+    boundary, re-merge to daily — and the result must equal DIRECT daily
+    M4 over the raw events. Guards: misaligned boundary / older_than,
+    recorded-grain mismatch, missing side."""
+    import os
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        RollupRouteIncompatible,
+        read_grain,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        _m4_with_start,
+        compact_m4_grain,
+        incremental_m4,
+        m4_remerge,
+        read_m4_spanned,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    base_epoch = 1704067200
+    src = str(tmp_path / "events")
+    os.makedirs(src, exist_ok=True)
+    # ~30 h of events: the tail below +24 h compacts to 4 h buckets
+    with open(f"{src}/b1.json", "w") as f:
+        for i in range(300):
+            f.write(json.dumps({
+                "ts": str(base + pd.Timedelta(seconds=i * 361)),
+                "event_id": i, "value": float((i * 13) % 71),
+            }) + "\n")
+    stream = spark.readStream.schema(
+        "ts timestamp, event_id bigint, value double"
+    ).json(src)
+    m4_dir, coarse_dir = str(tmp_path / "m4"), str(tmp_path / "m4_tail")
+    incremental_m4(
+        stream, m4_dir, str(tmp_path / "ckpt"),
+        ts_col="ts", id_col="event_id", value_col="value",
+    ).awaitTermination()
+
+    boundary = base_epoch + 86400  # day 2 start; aligned to 14400
+    n = compact_m4_grain(
+        spark, m4_dir, coarse_dir, 14400, older_than_epoch=boundary
+    )
+    assert n > 0 and read_grain(spark, coarse_dir) == 14400
+
+    # spanned + daily re-merge == direct daily M4 over raw
+    spanned = read_m4_spanned(spark, m4_dir, coarse_dir, boundary)
+    got = {
+        (r.bucket_start, r.v_first, r.v_min, r.v_max, r.v_last)
+        for r in m4_remerge(spanned, 86400).collect()
+    }
+    raw = spark.read.schema("ts timestamp, event_id bigint, value double").json(src)
+    daily = m4_remerge(
+        _m4_with_start(_m4_batch(raw, "ts", "event_id", "value"), 3600), 86400
+    )
+    want = {
+        (r.bucket_start, r.v_first, r.v_min, r.v_max, r.v_last)
+        for r in daily.collect()
+    }
+    assert got == want and len(got) == 2  # both days present, both sides real
+    assert spanned.filter(F.col("bucket_start") < boundary).count() > 0
+    assert spanned.filter(F.col("bucket_start") >= boundary).count() > 0
+
+    # guards
+    with _pytest.raises(ValueError, match="not aligned"):
+        compact_m4_grain(spark, m4_dir, coarse_dir, 14400,
+                         older_than_epoch=boundary + 3600)
+    with _pytest.raises(ValueError, match="multiple"):
+        compact_m4_grain(spark, m4_dir, coarse_dir, 5400)
+    with _pytest.raises(ValueError, match="not aligned"):
+        read_m4_spanned(spark, m4_dir, coarse_dir, boundary + 3600)
+    with _pytest.raises(ValueError, match="records grain"):
+        read_m4_spanned(spark, m4_dir, coarse_dir, boundary,
+                        coarse_interval_s=28800)
+    with _pytest.raises(RollupRouteIncompatible, match="no committed"):
+        read_m4_spanned(spark, m4_dir, str(tmp_path / "nowhere"), boundary)
