@@ -2,9 +2,13 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+Prints ONE JSON line on stdout (compact, driver-parsed — its serialized
+length is pinned under the driver's 2000-char tail capture by
+tests/test_bench_contract.py):
+  {"metric": "headline_suite_total", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "calibration_sec": ..., "sf": <sf>}
+plus a diagnostics JSON line on stderr (per-run pairs, normalized
+per-query view) that the driver never needs to parse.
 
 Each query is forced with a count() action (full plan execution, no driver
 collect of large results). A warmup query amortizes JVM/session start.
@@ -174,42 +178,90 @@ def main() -> None:
     ingest_rate = bench_ingest(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "core_total": core_total,
-                "northstar_total": northstar_total,
-                "rel_spread_max": rel_spread_max,
-                # drift calibration (r12): per-query times divided by the
-                # same-session pure-CPU reference row — box wander that
-                # shifts ALL rows (loadavg, thermal, page-cache state)
-                # cancels out of the normalized view, so the
-                # round-over-round ledger compares code, not box state
-                "calibration_sec": calibration,
-                "total_normalized": round(total / calibration, 3)
-                if calibration > 0 else None,
-                "queries_normalized": {
-                    n: round(t / calibration, 3) for n, t in timings.items()
-                }
-                if calibration > 0 else {},
-                # 1/5/15-min load average at exit + the gated start value:
-                # lets the round-over-round ledger distinguish a contended
-                # machine from a regression
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-                "loadavg_start": round(load_start, 2),
-                "contended": contended,
-                "ingest_logs_per_sec": ingest_rate,
-                "ingest_loadavg_start": round(ingest_load, 2),
-                "ingest_contended": ingest_contended,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    headline, diagnostics = build_output(
+        timings=timings,
+        runs=runs,
+        total=total,
+        core_total=core_total,
+        northstar_total=northstar_total,
+        rel_spread_max=rel_spread_max,
+        calibration=calibration,
+        loadavg=[round(x, 2) for x in os.getloadavg()],
+        loadavg_start=round(load_start, 2),
+        contended=contended,
+        ingest_rate=ingest_rate,
+        ingest_load=round(ingest_load, 2),
+        ingest_contended=ingest_contended,
+        sf=float(sf) if sf.replace(".", "").isdigit() else sf,
     )
+    # diagnostics FIRST and on stderr (flushed): the driver captures the
+    # LAST 2000 chars of output and parses the headline JSON line from it,
+    # and r12's single fat line (runs + queries_normalized inline) grew to
+    # ~2.7k chars — front-truncated, BENCH_r12.json parsed:null (VERDICT
+    # r12 #1). The per-run pairs and the normalized per-query view stay
+    # available (stderr + BENCH_local twins); the driver-facing stdout
+    # line stays compact and LAST.
+    print(json.dumps(diagnostics), file=sys.stderr, flush=True)
+    print(json.dumps(headline))
+
+
+def build_output(
+    *,
+    timings: dict,
+    runs: dict,
+    total: float,
+    core_total: float,
+    northstar_total: float,
+    rel_spread_max: float,
+    calibration: float,
+    loadavg: list,
+    loadavg_start: float,
+    contended: bool,
+    ingest_rate: float,
+    ingest_load: float,
+    ingest_contended: bool,
+    sf,
+) -> tuple[dict, dict]:
+    """(headline, diagnostics): the compact driver-facing final line and
+    the bulky per-run/normalized companion. Split out so the line-length
+    contract is unit-testable (tests/test_bench_contract.py pins the
+    serialized headline under the driver's 2000-char tail capture with
+    margin) — the r12 regression was exactly this line outgrowing it."""
+    headline = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "core_total": core_total,
+        "northstar_total": northstar_total,
+        "rel_spread_max": rel_spread_max,
+        # drift calibration (r12): a same-session pure-CPU reference row —
+        # value / calibration_sec normalizes out box wander that shifts
+        # ALL rows (loadavg, thermal), so the round-over-round ledger
+        # compares code, not box state
+        "calibration_sec": calibration,
+        "total_normalized": round(total / calibration, 3)
+        if calibration > 0 else None,
+        # 1/5/15-min load average at exit + the gated start value:
+        # lets the round-over-round ledger distinguish a contended
+        # machine from a regression
+        "loadavg": loadavg,
+        "loadavg_start": loadavg_start,
+        "contended": contended,
+        "ingest_logs_per_sec": ingest_rate,
+        "ingest_loadavg_start": ingest_load,
+        "ingest_contended": ingest_contended,
+        "sf": sf,
+    }
+    diagnostics = {
+        "metric": "headline_suite_diagnostics",
+        "runs": runs,
+        "queries_normalized": {
+            n: round(t / calibration, 3) for n, t in timings.items()
+        }
+        if calibration > 0 else {},
+    }
+    return headline, diagnostics
 
 
 if __name__ == "__main__":
