@@ -257,8 +257,15 @@ def _write_version_meta(
 ) -> None:
     """One small JSON sidecar INSIDE a committed version dir (it travels
     with the version through vacuum and replay-overwrite). Underscore
-    names are invisible to parquet reads. Local roots write directly;
-    everything else goes through the Hadoop FS (fsutil)."""
+    names are invisible to parquet reads. Local roots write a temp file
+    in the same directory and ``os.replace`` it into place — ATOMIC, so
+    a ``boundary='auto'`` reader racing the marker write can never see a
+    partial marker (ADVICE r12: the old plain open/write let a reader
+    json.loads half a marker and 500 instead of the documented
+    markerless raw fallback). Remote roots keep the single Hadoop-FS
+    create (rename-over-existing is not portable across FSs and replay
+    overwrites markers); their partial-visibility window is covered by
+    ``_read_version_meta`` treating undecodable content as absent."""
     import json
 
     text = json.dumps(payload)
@@ -266,8 +273,11 @@ def _write_version_meta(
     if local is not None:
         import os
 
-        with open(os.path.join(local, f"v={version}", name), "w") as f:
+        dst = os.path.join(local, f"v={version}", name)
+        tmp = dst + ".tmp"
+        with open(tmp, "w") as f:
             f.write(text)
+        os.replace(tmp, dst)
     else:
         hadoop_write_text(
             spark, f"{target_dir.rstrip('/')}/v={version}/{name}", text
@@ -278,7 +288,13 @@ def _read_version_meta(
     spark: SparkSession, target_dir: str, version: int | None, name: str
 ) -> dict | None:
     """The sidecar's payload, or ``None`` when absent (absence is a state
-    — untrimmed / pre-r12 snapshot — not an error)."""
+    — untrimmed / pre-r12 snapshot — not an error). Empty or undecodable
+    content reads as absent too (ADVICE r12): the remote marker write is
+    a non-atomic create, so a reader racing it can observe a partial
+    file — that is the same crash-window state as a missing marker, and
+    it must route the same way (``boundary='auto'`` →
+    ``RollupRouteIncompatible`` → raw fallback), never an unhandled
+    json error surfacing as a 500."""
     import json
 
     if version is None:
@@ -301,7 +317,13 @@ def _read_version_meta(
         )
         if raw is None:
             return None
-    return json.loads(raw)
+    try:
+        out = json.loads(raw)
+    except ValueError:
+        return None
+    # a marker holds a JSON object; any other decodable content (e.g. a
+    # truncated write that happens to parse, like `3`) is equally partial
+    return out if isinstance(out, dict) else None
 
 
 def _write_trim_marker(
@@ -474,6 +496,17 @@ def incremental_rollup(
     warehouse still has the row — rebuild from raw to recover). Choose
     ``trim_horizon_s`` >> the watermark delay; this is the standard
     downsampling-retention trade, made explicit instead of silent.
+
+    Replay determinism bound (ADVICE r12, documented): the DESIRED
+    boundary is derived from the batch's own rows (same batch → same
+    max), but the coverage clamp reads the coarse dir's LIVE state, so a
+    batch replayed after compaction advanced can commit a
+    further-trimmed ``v=N`` (and marker) than the original run did. The
+    extra-trimmed range is always owned by the coarse tail that caused
+    the advance (coverage only grows, and the clamp only trims what
+    coverage proves), so the spanned union over the replayed version is
+    value-identical to the original — snapshot CONTENT is replay-equal
+    only up to that owned range, not byte-identical.
     """
     trim_cfg = (trim_horizon_s, trim_coarse_dir, trim_coarse_interval_s)
     if any(v is not None for v in trim_cfg) and any(v is None for v in trim_cfg):
@@ -897,9 +930,64 @@ def read_rollup_spanned(
     boundary; the boundary and the fine version it was read from are
     pinned together (``_resolve_span``), so a maintenance commit landing
     between the marker read and the data read cannot open a transient
-    gap (code-review r12)."""
+    gap (code-review r12).
+
+    The coarse side's recorded grain (the ``_grain.json`` marker
+    ``compact_rollup_grain`` commits) is cross-checked against the
+    configured ``coarse_interval_s`` on the SAME pinned version that is
+    read (ADVICE r12, medium): a coarse dir actually compacted at a
+    coarser grain than configured (real 600 s, configured 300 s) passes
+    the boundary-alignment check AND every per-row ``_aligned_n`` guard
+    (600-aligned buckets are 300-aligned), so a 300-but-not-600-aligned
+    boundary would let the top coarse bucket straddle the split and
+    double-count its overlap — the silent-wrong-numbers class this
+    layout refuses everywhere else. Markerless (pre-r12 / hand-built)
+    coarse dirs keep the probabilistic per-row guards only, as before.
+
+    A STATIC boundary additionally runs the gap probe (ADVICE r12): the
+    fine side's trim never outruns coarse coverage (the trim clamp), so
+    any bucket in [coverage end, boundary) — served by NEITHER side —
+    must still be present in the fine snapshot; if the fine side holds
+    such a bucket, this raises (plain ValueError → 400: stale boundary
+    or lagging compaction) instead of silently dropping it. The probe is
+    exact — a quiet period or a fresh deployment with genuinely no data
+    below the boundary does NOT trip it — and costs two column-pruned
+    aggregates over the two snapshots. ``boundary='auto'`` skips it:
+    the recorded trim boundary was itself clamped to coarse coverage
+    when it was committed."""
     _check_span_grains(fine_interval_s, coarse_interval_s)
     epoch, v = _resolve_span(spark, fine_dir, boundary, coarse_interval_s)
     fine = _read_version(spark, fine_dir, v, dim_cols)
-    coarse = read_rollup(spark, coarse_dir, dim_cols, require_snapshot=True)
+    cvs = _versions(spark, coarse_dir)
+    if not cvs:
+        raise RollupRouteIncompatible(
+            f"no committed rollup snapshot under {coarse_dir!r} yet"
+        )
+    cv = cvs[-1]
+    recorded = read_grain(spark, coarse_dir, cv)
+    if recorded is not None and recorded != coarse_interval_s:
+        raise ValueError(
+            f"coarse snapshot at {coarse_dir!r} records grain {recorded}s, "
+            f"not the configured coarse_interval_s={coarse_interval_s} — "
+            "wrong grain or wrong directory"
+        )
+    coarse = _read_version(spark, coarse_dir, cv, dim_cols)
+    auto = isinstance(boundary, str) and boundary == "auto"
+    if not auto:
+        cov = coarse.agg(F.max(F.unix_timestamp("bucket")).alias("e")).first()
+        coverage = None if cov.e is None else int(cov.e) + coarse_interval_s
+        if coverage is None or coverage < epoch:
+            lo = F.lit(coverage) if coverage is not None else None
+            gap = fine.filter(F.col("bucket") < F.timestamp_seconds(F.lit(epoch)))
+            if lo is not None:
+                gap = gap.filter(F.col("bucket") >= F.timestamp_seconds(lo))
+            if gap.select("bucket").limit(1).count():
+                raise ValueError(
+                    f"span boundary (epoch {epoch}) exceeds what the coarse "
+                    f"snapshot at {coarse_dir!r} covers (up to "
+                    f"{coverage if coverage is not None else 'nothing'}) and "
+                    "the fine snapshot still holds buckets in between — "
+                    "they would be served by neither side; re-run the grain "
+                    "compaction or lower the boundary"
+                )
     return span_snapshots(fine, coarse, epoch, fine_interval_s, coarse_interval_s)

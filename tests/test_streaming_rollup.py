@@ -1017,3 +1017,104 @@ def test_spanned_guards_from_r12_review(spark, tmp_path):
     with _pytest.raises(Exception, match="records grain 300s"):
         q2.awaitTermination()
     assert _versions(spark, target2) == []
+
+
+def test_spanned_read_guards_from_advice_r12(spark, tmp_path):
+    """ADVICE r12: (a, medium) the spanned READ cross-checks the coarse
+    side's recorded _grain.json against the configured grain — a coarse
+    dir compacted at a different grain passes the boundary-alignment and
+    per-row guards (600-aligned buckets are 300-aligned), so without the
+    check the top coarse bucket could straddle the split and double-count;
+    (b) a static boundary beyond what the coarse tail covers, with the
+    fine snapshot still holding the uncovered buckets, is a refused gap
+    (ValueError -> 400), while genuinely-empty gaps (fresh deployment,
+    quiet period) serve fine; (c) a partial/empty trim marker reads as
+    absent, so boundary='auto' routes to raw instead of a json 500."""
+    import os
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        RollupRouteIncompatible,
+        _versions,
+        compact_rollup_grain,
+        read_rollup_spanned,
+        read_trim_boundary,
+    )
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC (the _write base)
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "rollup")
+    coarse = str(tmp_path / "coarse")
+    # 20 minutes of traffic, untrimmed fine rollup, tail coarsened at 00:10
+    _write(src, "b0.json", [(i, 15 * i, "click" if i % 3 else "view") for i in range(80)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, str(tmp_path / "ckpt"),
+        bucket="1 minute",
+    ).awaitTermination()
+    compact_rollup_grain(spark, target, coarse, 60, 300, older_than="2024-01-01 00:10:00")
+
+    # (a) recorded grain 300 vs configured 600: both pass alignment checks
+    # (base+600 is 600-aligned; every 300 s bucket is 300-aligned), only
+    # the recorded-grain cross-check can catch it
+    with _pytest.raises(ValueError, match="records grain 300s"):
+        read_rollup_spanned(spark, target, coarse, "2024-01-01 00:10:00", 60, 600)
+
+    # (b) boundary 00:15 but the coarse tail only covers up to 00:10 and
+    # the fine snapshot still holds [00:10, 00:15) — a real gap, refused
+    with _pytest.raises(ValueError, match="served by neither side"):
+        read_rollup_spanned(spark, target, coarse, "2024-01-01 00:15:00", 60, 300)
+
+    # (b benign, fresh deployment) a committed-but-empty coarse tail with
+    # NO fine data below the boundary serves (no false positive)
+    empty_coarse = str(tmp_path / "empty_coarse")
+    compact_rollup_grain(
+        spark, target, empty_coarse, 60, 300, older_than="2024-01-01 00:00:00"
+    )
+    spanned = read_rollup_spanned(
+        spark, target, empty_coarse, "2024-01-01 00:00:00", 60, 300
+    )
+    raw = spark.read.schema(SCHEMA).json(src)
+    assert spanned.agg(F.sum("n")).first()[0] == raw.count()
+
+    # (b benign, quiet period) coverage < boundary but the fine snapshot
+    # holds nothing in between: data only below 00:10 and at/after 00:15
+    src2 = str(tmp_path / "events2")
+    _write(src2, "b0.json",
+           [(i, 15 * i, "click") for i in range(40)]        # [00:00, 00:10)
+           + [(100 + i, 900 + 15 * i, "click") for i in range(20)])  # >= 00:15
+    target2 = str(tmp_path / "rollup2")
+    coarse2 = str(tmp_path / "coarse2")
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src2), target2,
+        str(tmp_path / "ckpt2"), bucket="1 minute",
+    ).awaitTermination()
+    compact_rollup_grain(
+        spark, target2, coarse2, 60, 300, older_than="2024-01-01 00:15:00"
+    )
+    # max coarse bucket is 00:05 (quiet 00:10-00:15) -> coverage 00:10 <
+    # boundary 00:15, but no fine bucket lives in the gap
+    spanned2 = read_rollup_spanned(
+        spark, target2, coarse2, "2024-01-01 00:15:00", 60, 300
+    )
+    raw2 = spark.read.schema(SCHEMA).json(src2)
+    assert spanned2.agg(F.sum("n")).first()[0] == raw2.count()
+
+    # (c) a torn/empty marker reads as ABSENT: auto -> route incompatible
+    # (raw fallback), never a json decode error surfacing as 500
+    v = _versions(spark, target)[-1]
+    marker = os.path.join(target, f"v={v}", "_trim_boundary.json")
+    for content in ("", '{"epoch": 17040', "3"):
+        with open(marker, "w") as f:
+            f.write(content)
+        assert read_trim_boundary(spark, target) is None
+        with _pytest.raises(RollupRouteIncompatible, match="auto"):
+            read_rollup_spanned(spark, target, coarse, "auto", 60, 300)
+    os.remove(marker)
+
+    # the atomic-write discipline leaves no temp droppings behind
+    compact_rollup_grain(spark, target, coarse, 60, 300, older_than="2024-01-01 00:10:00")
+    cv = _versions(spark, coarse)[-1]
+    assert not [
+        n for n in os.listdir(os.path.join(coarse, f"v={cv}")) if n.endswith(".tmp")
+    ]
