@@ -107,6 +107,30 @@ def derived_broadcast_state_max(spark, avg_key_bytes: float = 8.0) -> int:
     n_exec = max(
         1, spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
     )
+    # Dynamic-allocation floor (VERDICT r12): at job start an autoscaling
+    # cluster's REGISTERED count can read low (executors not yet granted),
+    # which RAISES the derived limit — the unsafe direction, because the
+    # broadcast lands on every executor the cluster scales up to. When the
+    # session declares a scaling ceiling, size against it instead of the
+    # momentary registration; a ceiling left at Spark's infinity default
+    # is ignored (it is not a statement about cluster size). Static
+    # clusters and local mode are unaffected.
+    if (
+        str(spark.conf.get("spark.dynamicAllocation.enabled", "false")).lower()
+        == "true"
+    ):
+        for key in (
+            "spark.dynamicAllocation.maxExecutors",
+            "spark.executor.instances",
+        ):
+            declared = spark.conf.get(key, None)
+            try:
+                ceiling = int(declared)
+            except (TypeError, ValueError):
+                continue
+            if 0 < ceiling < 2**31 - 1:  # set, finite (not the Int.MaxValue default)
+                n_exec = max(n_exec, ceiling)
+                break
     row_bytes = HASH_RELATION_ROW_BYTES + avg_key_bytes + 8.0
     return int(thresh // (row_bytes * n_exec))
 

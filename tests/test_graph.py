@@ -487,3 +487,54 @@ def test_derived_broadcast_state_max_brackets_the_measured_crossover(spark):
     strs = longs.select(F.col("node").cast("string").alias("node"))
     n, small = _pick_small(strs, "node", None)
     assert (n, small) == (10, True)
+
+
+def test_derived_limit_floors_executor_count_under_dynamic_allocation(
+    spark, monkeypatch
+):
+    """r13 (VERDICT r12 #6): under dynamic allocation the registered
+    executor count can read LOW at job start, which RAISES the derived
+    limit — the unsafe direction. With a declared scaling ceiling
+    (maxExecutors, else executor.instances) the derivation must size
+    against the ceiling: the limit SHRINKS by that factor. An unset /
+    infinity-default ceiling and a disabled dynamicAllocation keep the
+    registered-count behavior. dynamicAllocation.* are core (non-SQL)
+    confs a live session cannot .set(), so the conf reads are mocked —
+    which is also what lets the test pin exact factors."""
+    from demo_otel_parquet_antalya_spark.operators.graph import (
+        derived_broadcast_state_max,
+    )
+
+    base = derived_broadcast_state_max(spark, 8.0)
+    assert base > 0  # local mode, stock threshold
+
+    overrides = {}
+    real_get = spark.conf.get
+
+    def fake_get(key, default=None):
+        if key in overrides:
+            return overrides[key]
+        return real_get(key, default)
+
+    # SparkSession.conf is a cached RuntimeConfig, so patching the
+    # instance is what derived_broadcast_state_max sees
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+
+    overrides["spark.dynamicAllocation.enabled"] = "true"
+    # no ceiling declared: behavior unchanged
+    assert derived_broadcast_state_max(spark, 8.0) == base
+    # Spark's literal infinity default is NOT a cluster-size statement
+    overrides["spark.dynamicAllocation.maxExecutors"] = str(2**31 - 1)
+    assert derived_broadcast_state_max(spark, 8.0) == base
+    # a declared ceiling floors the executor count -> the limit shrinks
+    overrides["spark.dynamicAllocation.maxExecutors"] = "25"
+    assert derived_broadcast_state_max(spark, 8.0) == base // 25
+    # maxExecutors wins over executor.instances when both are set
+    overrides["spark.executor.instances"] = "100"
+    assert derived_broadcast_state_max(spark, 8.0) == base // 25
+    # ...and instances is the fallback when maxExecutors is unparseable
+    overrides["spark.dynamicAllocation.maxExecutors"] = "infinity"
+    assert derived_broadcast_state_max(spark, 8.0) == base // 100
+    # dynamicAllocation off: ceilings are ignored entirely
+    overrides["spark.dynamicAllocation.enabled"] = "false"
+    assert derived_broadcast_state_max(spark, 8.0) == base
