@@ -44,7 +44,6 @@ _DRIVER_WINDOW: tuple = (
     "agg_pandas_udaf_iqr",  # PandasUDF GROUPED_AGG
     # windows / sessions / time buckets (§2.C rows 18-20)
     "window_first_order_per_customer",
-    "time_bucket_30s_series",  # reference dashboard Q5 shape
     # sort / set / scalars (§2.C rows 21-28)
     "sort_topk_orders",
     "string_functions",
@@ -117,12 +116,24 @@ _DRIVER_WINDOW: tuple = (
     # represented by multimodal_audio_spectrum (which decodes the same
     # PCM path and adds the FFT) and re-proven locally every run.
     "rollup_spanned_rebucket",  # r12-in: mixed-grain fine+coarse span read
+    # r13-in (VERDICT r12 #3, the standing window rule applied to the
+    # late-r12 M4 twin): the mixed-grain M4 downsample (hourly fine +
+    # 4 h compacted tail re-merged to daily == direct daily M4 — the
+    # downsample family's first window rep); rotates out
+    # time_bucket_30s_series, whose 30 s bucketing shape is strictly
+    # contained in rollup_spanned_rebucket's fine side (the r8
+    # "supersedes" rule) and stays bench=True + locally oracle-proven
+    # every run.
+    "m4_spanned_rebucket",  # r13-in: mixed-grain M4 span + daily re-merge
 )
 
 # next-most-important — first in line if the driver window ever widens.
 # The leading block is the r4 rotation: all CORRECTNESS_r03-green, oracles
 # retained, re-proved locally by tests/test_queries_oracle.py every run.
 _SECOND_WINDOW: tuple = (
+    # r13 rotate-out (driver-green r1-r12; its 30 s bucketing is the fine
+    # side of rollup_spanned_rebucket, and it stays in the bench suite)
+    "time_bucket_30s_series",
     # r12 rotate-out (driver-green r5-r11; WAV-PCM audio decode stays
     # window-represented by multimodal_audio_spectrum)
     "multimodal_audio_features",
