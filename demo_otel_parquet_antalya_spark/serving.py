@@ -656,6 +656,18 @@ class _SQLHandler(BaseHTTPRequestHandler):
     # "auto", or the epoch int start_sql_endpoint resolved the caller's
     # ISO string to (never a raw string at serve time)
     rollup_boundary: str | int | None = None
+    # M4 downsample panel (r13, VERDICT r12 #3): the maintained M4 state
+    # dir + its grain, with the optional mixed-grain trio (static epoch
+    # boundary only — the M4 maintenance stream records no trim marker,
+    # so there is no 'auto' to follow; resolved at START like the rollup
+    # boundary). No raw fallback exists for this panel: the M4 snapshot
+    # IS the production source (raw events may be beyond retention), so
+    # every incompatibility is a 400, never a silent rescan.
+    m4_dir: str | None = None
+    m4_interval_s: int = 3600
+    m4_coarse_dir: str | None = None
+    m4_coarse_interval_s: int | None = None
+    m4_boundary: int | None = None
     row_cap: int = DEFAULT_ROW_CAP
     request_timeout_s: float | None = 30.0
     scheduler_pool: str = "serving"
@@ -772,6 +784,53 @@ class _SQLHandler(BaseHTTPRequestHandler):
                 200,
                 {name: (spec.doc or "").split(". ")[0] for name, spec in QUERIES.items()},
             )
+            return
+        if path == "/panels/m4_downsample":
+            # the downsample panel (r13): served from the maintained M4
+            # snapshot layout ONLY — no logs warehouse needed and no raw
+            # fallback possible (raw events may be beyond retention at
+            # the panel's horizon), so every incompatibility is a 400.
+            import urllib.parse
+
+            qs = urllib.parse.parse_qs(query)
+            params = {k: v[0] for k, v in qs.items()}
+            try:
+                if qs.get("filter"):
+                    raise ValueError(
+                        "m4_downsample takes no ad-hoc filters (the M4 "
+                        "state is a per-bucket value reduction, not "
+                        "dimensional)"
+                    )
+                if params.get("source") not in (None, "m4"):
+                    raise ValueError(
+                        "m4_downsample is served from the maintained M4 "
+                        "snapshot only (source=m4)"
+                    )
+                if self.m4_dir is None:
+                    raise ValueError(
+                        "no M4 snapshot configured for this endpoint "
+                        "(start_sql_endpoint(..., m4_dir=...))"
+                    )
+                from demo_otel_parquet_antalya_spark.streaming.sketches import (
+                    m4_panel,
+                )
+
+                def m4_work():
+                    frame = m4_panel(
+                        self.spark, self.m4_dir,
+                        interval_s=int(params.get("interval", self.m4_interval_s)),
+                        fine_interval_s=self.m4_interval_s,
+                        coarse_dir=self.m4_coarse_dir,
+                        coarse_interval_s=self.m4_coarse_interval_s,
+                        boundary_epoch=self.m4_boundary,
+                    )
+                    return _df_payload(frame, self.row_cap, source="m4")
+
+                self._send(200, self._run_bounded(m4_work))
+            except _RequestCancelled as exc:
+                self._answer_error(408, {"error": str(exc)})
+            except Exception as exc:
+                self._answer_error(400, {"error": f"{type(exc).__name__}: {exc}"})
             return
         if path.startswith("/panels/"):
             if self.logs_dir is None:
@@ -1106,6 +1165,11 @@ def start_sql_endpoint(
     rollup_coarse_dir: str | None = None,
     rollup_coarse_interval_s: int | None = None,
     rollup_boundary: str | int | None = None,
+    m4_dir: str | None = None,
+    m4_interval_s: int = 3600,
+    m4_coarse_dir: str | None = None,
+    m4_coarse_interval_s: int | None = None,
+    m4_boundary: str | int | None = None,
     request_timeout_s: float | None = 30.0,
     scheduler_pool: str = "serving",
     disable_sql_on_files: bool = True,
@@ -1166,7 +1230,21 @@ def start_sql_endpoint(
     ``RollupRouteIncompatible`` (auto → raw scan, forced → 400), which is
     honest: once the tail is coarse, the raw scan is the only exact
     answer at that grain. A partially-specified trio is a config error at
-    start, not a surprise at serve time."""
+    start, not a surprise at serve time.
+
+    M4 downsample panel (r13, VERDICT r12 #3): pass ``m4_dir`` (the
+    ``incremental_m4`` snapshot, maintained at ``m4_interval_s`` buckets)
+    to enable ``/panels/m4_downsample?interval=N`` — first/min/max/last
+    per N-second pixel bucket, served from the maintained state ONLY
+    (needs no ``logs_dir``; there is deliberately NO raw fallback — the
+    M4 state is the production source and raw events may be beyond
+    retention at the panel's horizon, so every incompatibility is a 400,
+    including a non-multiple interval). The optional static trio
+    ``m4_coarse_dir`` / ``m4_coarse_interval_s`` / ``m4_boundary``
+    (``compact_m4_grain`` output; ISO/epoch, coarse-aligned, resolved at
+    start — ``'auto'`` is refused because the M4 stream records no trim
+    marker) serves the mixed-grain fine-recent + coarse-tail layout;
+    intervals must then be multiples of the coarse grain."""
     _spanned_cfg = (rollup_coarse_dir, rollup_coarse_interval_s, rollup_boundary)
     if any(v is not None for v in _spanned_cfg):
         if any(v is None for v in _spanned_cfg) or rollup_dir is None:
@@ -1190,6 +1268,29 @@ def start_sql_endpoint(
             rollup_boundary = _boundary_epoch(
                 spark, rollup_boundary, rollup_coarse_interval_s
             )
+    # M4 downsample panel config (r13, VERDICT r12 #3): same all-or-
+    # nothing trio discipline as the rollup span; the boundary is STATIC
+    # only (resolved to an epoch int here) because the M4 maintenance
+    # stream records no trim marker for 'auto' to follow
+    _m4_span_cfg = (m4_coarse_dir, m4_coarse_interval_s, m4_boundary)
+    if any(v is not None for v in _m4_span_cfg):
+        if any(v is None for v in _m4_span_cfg) or m4_dir is None:
+            raise ValueError(
+                "mixed-grain M4 serving needs m4_dir plus ALL of "
+                "m4_coarse_dir, m4_coarse_interval_s and m4_boundary — a "
+                "partial trio would silently serve single-snapshot history"
+            )
+        if m4_boundary == "auto":
+            raise ValueError(
+                "m4_boundary='auto' is not supported: the M4 maintenance "
+                "stream records no trim marker to follow — pass a static "
+                "coarse-aligned timestamp or epoch"
+            )
+        from demo_otel_parquet_antalya_spark.streaming.rollup import (
+            _boundary_epoch as _m4_bepoch,
+        )
+
+        m4_boundary = _m4_bepoch(spark, m4_boundary, m4_coarse_interval_s)
     if disable_sql_on_files:
         spark.conf.set("spark.sql.runSQLOnFiles", "false")
     for name in tables:
@@ -1210,6 +1311,11 @@ def start_sql_endpoint(
             "rollup_coarse_dir": rollup_coarse_dir,
             "rollup_coarse_interval_s": rollup_coarse_interval_s,
             "rollup_boundary": rollup_boundary,
+            "m4_dir": m4_dir,
+            "m4_interval_s": m4_interval_s,
+            "m4_coarse_dir": m4_coarse_dir,
+            "m4_coarse_interval_s": m4_coarse_interval_s,
+            "m4_boundary": m4_boundary,
             "request_timeout_s": request_timeout_s,
             "scheduler_pool": scheduler_pool,
             "disable_sql_on_files": disable_sql_on_files,

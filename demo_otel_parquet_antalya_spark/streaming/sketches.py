@@ -353,3 +353,70 @@ def read_m4_spanned(
         coarse_interval_s,
     ).filter(F.col("bucket_start") < F.lit(boundary_epoch))
     return fine.unionByName(coarse)
+
+
+def m4_panel(
+    spark: SparkSession,
+    fine_dir: str,
+    interval_s: int,
+    fine_interval_s: int = M4_INTERVAL_S,
+    coarse_dir: str | None = None,
+    coarse_interval_s: int | None = None,
+    boundary_epoch: int | None = None,
+) -> DataFrame:
+    """The downsample PANEL frame (r13, VERDICT r12 #3): per ``interval_s``
+    pixel bucket, the four M4 stats (first/min/max/last of the maintained
+    value) read from the maintained snapshot — never raw events. With the
+    spanned trio (``coarse_dir``, ``coarse_interval_s``,
+    ``boundary_epoch``) the read spans the mixed-grain layout
+    (``read_m4_spanned``); without it, the latest fine snapshot alone.
+
+    Exactness rule, refused loudly when unmet (``RollupRouteIncompatible``
+    — serving maps it to 400, because unlike the count rollup there is NO
+    raw fallback route: the M4 state is the production source and raw
+    events may be beyond retention at the panel's horizon):
+    ``interval_s`` must be a positive multiple of the layout's coarsest
+    grain (the coarse grain when spanned, else the maintained grain).
+    The internal first/last ARG KEYS are re-merge machinery and stay out
+    of the panel payload."""
+    spanned_cfg = (coarse_dir, coarse_interval_s, boundary_epoch)
+    if any(v is not None for v in spanned_cfg) and any(
+        v is None for v in spanned_cfg
+    ):
+        raise ValueError(
+            "spanned M4 serving needs ALL of coarse_dir, coarse_interval_s "
+            "and boundary_epoch — a partial trio would silently serve "
+            "single-snapshot history"
+        )
+    if coarse_dir is not None:
+        base_grain = int(coarse_interval_s)
+        states = read_m4_spanned(
+            spark, fine_dir, coarse_dir, boundary_epoch,
+            fine_interval_s=fine_interval_s,
+            coarse_interval_s=coarse_interval_s,
+        )
+    else:
+        base_grain = int(fine_interval_s)
+        vs = _versions(spark, fine_dir)
+        if not vs:
+            raise RollupRouteIncompatible(
+                f"no committed M4 snapshot under {fine_dir!r} yet"
+            )
+        states = _m4_with_start(
+            spark.read.schema(M4_SCHEMA).parquet(f"{fine_dir}/v={vs[-1]}"),
+            fine_interval_s,
+        )
+    if interval_s <= 0 or interval_s % base_grain:
+        raise RollupRouteIncompatible(
+            f"interval={interval_s}s is not a positive multiple of the "
+            f"maintained M4 grain ({base_grain}s) — the snapshot cannot "
+            "serve it exactly"
+        )
+    return (
+        m4_remerge(states, interval_s)
+        .select(
+            F.timestamp_seconds(F.col("bucket_start")).alias("t"),
+            "v_first", "v_min", "v_max", "v_last",
+        )
+        .orderBy("t")
+    )

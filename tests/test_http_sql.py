@@ -1909,3 +1909,116 @@ def test_misaligned_static_boundary_fails_at_start(spark):
                 rollup_coarse_dir="/nonexistent-coarse",
                 rollup_coarse_interval_s=300, rollup_boundary=bad,
             )
+
+
+@pytest.fixture(scope="module")
+def m4_endpoint(spark, tmp_path_factory):
+    """An endpoint over the mixed-grain M4 downsample layout (r13, VERDICT
+    r12 #3): an hourly M4 state maintained over the events table, its tail
+    compacted to 4 h pixels below a static coarse-aligned boundary that
+    splits the data range."""
+    from demo_otel_parquet_antalya_spark.plans.tables import load_table
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        compact_m4_grain,
+        incremental_m4,
+    )
+
+    tmp = tmp_path_factory.mktemp("serving_m4")
+    src = str(tmp / "events_src")
+    events = load_table(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    events.write.parquet(src)
+    m4_dir = str(tmp / "m4")
+    incremental_m4(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        m4_dir, str(tmp / "m4_ckpt"),
+    ).awaitTermination()
+    boundary = 1705795200  # 2024-01-21 00:00:00 UTC, 14400-aligned
+    coarse = str(tmp / "m4_coarse")
+    compact_m4_grain(
+        spark, m4_dir, coarse, dst_interval_s=14400, older_than_epoch=boundary
+    )
+    server = start_sql_endpoint(
+        spark, SF_DIR, row_cap=5000,
+        m4_dir=m4_dir, m4_interval_s=3600,
+        m4_coarse_dir=coarse, m4_coarse_interval_s=14400, m4_boundary=boundary,
+        request_timeout_s=10.0,
+    )
+    host, port = server.server_address
+    yield f"http://{host}:{port}", src
+    server.shutdown()
+
+
+def test_m4_downsample_panel_matches_direct_m4_over_raw(m4_endpoint, spark):
+    """/panels/m4_downsample serves first/min/max/last per pixel bucket
+    from the maintained fine+coarse M4 layout; at any coarse-multiple
+    interval the payload must equal DIRECT M4 over the raw events — the
+    spanned plumbing (boundary split, grain markers, arg-key re-merge)
+    changes cost, never answers."""
+    from pyspark.sql import functions as F
+
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        _m4_with_start,
+        m4_remerge,
+    )
+
+    base, src = m4_endpoint
+    with urllib.request.urlopen(f"{base}/panels/m4_downsample?interval=86400") as r:
+        got = json.loads(r.read())
+    assert got["source"] == "m4"
+    assert got["columns"] == ["t", "v_first", "v_min", "v_max", "v_last"]
+    raw = spark.read.parquet(src)
+    want = {
+        (str(r.t), r.v_first, r.v_min, r.v_max, r.v_last)
+        for r in m4_remerge(
+            _m4_with_start(_m4_batch(raw, "ts", "event_id", "value"), 3600), 86400
+        )
+        .select(
+            F.timestamp_seconds("bucket_start").alias("t"),
+            "v_first", "v_min", "v_max", "v_last",
+        )
+        .collect()
+    }
+    assert {
+        (r[0].replace("T", " "), r[1], r[2], r[3], r[4]) for r in got["rows"]
+    } == {(t.replace("T", " "), *rest) for (t, *rest) in want}
+    assert got["row_count"] == len(want) > 0
+
+
+def test_m4_downsample_refusals_are_loud(m4_endpoint, endpoint):
+    """There is NO raw fallback for the downsample panel: a non-multiple
+    interval, a filter, a foreign source and an unconfigured endpoint are
+    all 400s — never a silent rescan or silently-wrong pixels."""
+    base, _src = m4_endpoint
+    cases = [
+        (f"{base}/panels/m4_downsample?interval=3600", "not a positive multiple"),
+        (f"{base}/panels/m4_downsample?interval=0", "not a positive multiple"),
+        (f"{base}/panels/m4_downsample?interval=86400&filter=a=b", "no ad-hoc"),
+        (f"{base}/panels/m4_downsample?source=raw", "maintained M4 snapshot only"),
+        (f"{endpoint}/panels/m4_downsample?interval=86400", "no M4 snapshot"),
+    ]
+    for url, needle in cases:
+        try:
+            urllib.request.urlopen(url)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, url
+            assert needle in json.loads(e.read())["error"], url
+        else:
+            raise AssertionError(f"expected 400 for {url}")
+
+
+def test_m4_config_guards_at_start(spark):
+    """The M4 trio is all-or-nothing at endpoint START, and 'auto' is
+    refused (the M4 maintenance stream records no trim marker to follow)."""
+    with pytest.raises(ValueError, match="mixed-grain M4"):
+        start_sql_endpoint(spark, SF_DIR, m4_dir="/x", m4_coarse_dir="/y")
+    with pytest.raises(ValueError, match="auto.*not supported"):
+        start_sql_endpoint(
+            spark, SF_DIR, m4_dir="/x", m4_coarse_dir="/y",
+            m4_coarse_interval_s=14400, m4_boundary="auto",
+        )
+    with pytest.raises(ValueError, match="not aligned"):
+        start_sql_endpoint(
+            spark, SF_DIR, m4_dir="/x", m4_coarse_dir="/y",
+            m4_coarse_interval_s=14400, m4_boundary=1705795230,
+        )

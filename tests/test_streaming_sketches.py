@@ -276,3 +276,74 @@ def test_m4_grain_compaction_and_spanned_read_exact(spark, tmp_path):
                         coarse_interval_s=28800)
     with _pytest.raises(RollupRouteIncompatible, match="no committed"):
         read_m4_spanned(spark, m4_dir, str(tmp_path / "nowhere"), boundary)
+
+
+def test_m4_panel_unspanned_equals_direct_and_refuses_loudly(spark, tmp_path):
+    """r13 (VERDICT r12 #3): the panel frame over a single maintained M4
+    snapshot (no coarse tail) re-merges to any multiple of the maintained
+    grain exactly; a non-multiple interval and a missing snapshot refuse
+    as RollupRouteIncompatible (serving maps them to 400 — the M4 panel
+    has no raw fallback); a partial spanned trio is a plain config error."""
+    import os
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        RollupRouteIncompatible,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        incremental_m4,
+        m4_panel,
+        m4_remerge,
+        _m4_with_start,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    src = str(tmp_path / "events")
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/b1.json", "w") as f:
+        for i in range(90):
+            f.write(
+                json.dumps(
+                    {
+                        "ts": str(base + pd.Timedelta(seconds=i * 397)),
+                        "event_id": i,
+                        "value": float((i * 13) % 71),
+                    }
+                )
+                + "\n"
+            )
+    stream = spark.readStream.schema(
+        "ts timestamp, event_id bigint, value double"
+    ).json(src)
+    m4_dir = str(tmp_path / "m4")
+    incremental_m4(
+        stream, m4_dir, str(tmp_path / "ckpt"),
+        ts_col="ts", id_col="event_id", value_col="value",
+    ).awaitTermination()
+
+    got = {
+        (str(r.t), r.v_first, r.v_min, r.v_max, r.v_last)
+        for r in m4_panel(spark, m4_dir, interval_s=7200).collect()
+    }
+    raw = spark.read.schema("ts timestamp, event_id bigint, value double").json(src)
+    want = {
+        (str(r.t), r.v_first, r.v_min, r.v_max, r.v_last)
+        for r in m4_remerge(
+            _m4_with_start(_m4_batch(raw, "ts", "event_id", "value"), 3600), 7200
+        )
+        .select(
+            F.timestamp_seconds("bucket_start").alias("t"),
+            "v_first", "v_min", "v_max", "v_last",
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 2
+
+    with _pytest.raises(RollupRouteIncompatible, match="not a positive multiple"):
+        m4_panel(spark, m4_dir, interval_s=5400)
+    with _pytest.raises(RollupRouteIncompatible, match="no committed"):
+        m4_panel(spark, str(tmp_path / "nowhere"), interval_s=7200)
+    with _pytest.raises(ValueError, match="ALL of"):
+        m4_panel(spark, m4_dir, interval_s=7200, coarse_dir="/x")
