@@ -823,6 +823,10 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         coarse_dir=self.m4_coarse_dir,
                         coarse_interval_s=self.m4_coarse_interval_s,
                         boundary_epoch=self.m4_boundary,
+                        # $timeFilter window, on whole output pixels only
+                        # (an unaligned edge 400s — no exact answer exists)
+                        start=params.get("start"),
+                        end=params.get("end"),
                     )
                     return _df_payload(frame, self.row_cap, source="m4")
 

@@ -363,6 +363,8 @@ def m4_panel(
     coarse_dir: str | None = None,
     coarse_interval_s: int | None = None,
     boundary_epoch: int | None = None,
+    start=None,
+    end=None,
 ) -> DataFrame:
     """The downsample PANEL frame (r13, VERDICT r12 #3): per ``interval_s``
     pixel bucket, the four M4 stats (first/min/max/last of the maintained
@@ -378,7 +380,15 @@ def m4_panel(
     ``interval_s`` must be a positive multiple of the layout's coarsest
     grain (the coarse grain when spanned, else the maintained grain).
     The internal first/last ARG KEYS are re-merge machinery and stay out
-    of the panel payload."""
+    of the panel payload.
+
+    ``start`` / ``end`` (optional; ISO timestamp or epoch int) window the
+    panel to pixel buckets in ``[start, end)``. Both must be aligned to
+    the REQUESTED ``interval_s`` (a window that cuts a pixel bucket has
+    no exact answer from the state — plain ValueError, a 400 on the
+    serving path, never silently-wrong edge pixels). The filter applies
+    to the base buckets BEFORE the re-merge (equivalent, since the
+    window is a whole number of output pixels, and cheaper)."""
     spanned_cfg = (coarse_dir, coarse_interval_s, boundary_epoch)
     if any(v is not None for v in spanned_cfg) and any(
         v is None for v in spanned_cfg
@@ -411,6 +421,19 @@ def m4_panel(
             f"interval={interval_s}s is not a positive multiple of the "
             f"maintained M4 grain ({base_grain}s) — the snapshot cannot "
             "serve it exactly"
+        )
+    # window on WHOLE output pixels: resolve each edge against the
+    # requested interval (rollup._boundary_epoch validates alignment and
+    # parses ISO/epoch with session-timezone semantics)
+    from demo_otel_parquet_antalya_spark.streaming.rollup import _boundary_epoch
+
+    if start is not None:
+        states = states.filter(
+            F.col("bucket_start") >= F.lit(_boundary_epoch(spark, start, interval_s))
+        )
+    if end is not None:
+        states = states.filter(
+            F.col("bucket_start") < F.lit(_boundary_epoch(spark, end, interval_s))
         )
     return (
         m4_remerge(states, interval_s)

@@ -1984,6 +1984,20 @@ def test_m4_downsample_panel_matches_direct_m4_over_raw(m4_endpoint, spark):
     } == {(t.replace("T", " "), *rest) for (t, *rest) in want}
     assert got["row_count"] == len(want) > 0
 
+    # $timeFilter window on whole output pixels: [start, end) filters the
+    # same daily buckets the direct computation yields
+    lo, hi = "2024-01-19 00:00:00", "2024-01-23 00:00:00"
+    import urllib.parse as _up
+
+    qs = _up.urlencode({"interval": 86400, "start": lo, "end": hi})
+    with urllib.request.urlopen(f"{base}/panels/m4_downsample?{qs}") as r:
+        windowed = json.loads(r.read())
+    want_w = {row for row in want if lo <= row[0].replace("T", " ") < hi}
+    assert {
+        (r[0].replace("T", " "), r[1], r[2], r[3], r[4]) for r in windowed["rows"]
+    } == want_w
+    assert 0 < windowed["row_count"] < got["row_count"]
+
 
 def test_m4_downsample_refusals_are_loud(m4_endpoint, endpoint):
     """There is NO raw fallback for the downsample panel: a non-multiple
@@ -1996,6 +2010,12 @@ def test_m4_downsample_refusals_are_loud(m4_endpoint, endpoint):
         (f"{base}/panels/m4_downsample?interval=86400&filter=a=b", "no ad-hoc"),
         (f"{base}/panels/m4_downsample?source=raw", "maintained M4 snapshot only"),
         (f"{endpoint}/panels/m4_downsample?interval=86400", "no M4 snapshot"),
+        # a window edge that cuts an output pixel has no exact answer
+        (
+            f"{base}/panels/m4_downsample?interval=86400"
+            "&start=2024-01-19%2012:00:00",
+            "not aligned",
+        ),
     ]
     for url, needle in cases:
         try:
