@@ -360,6 +360,22 @@ def read_grain(
     return None if d is None else int(d["interval_s"])
 
 
+def _read_grain_meta(
+    spark: SparkSession, target_dir: str, version: int
+) -> tuple[int | None, int | None]:
+    """``(interval_s, coverage_end)`` from the pinned version's grain
+    sidecar — ``(None, None)`` for a markerless dir, ``(grain, None)``
+    for a pre-r13 marker (coverage must then be derived with a job).
+    ``coverage_end`` is the first epoch second the compacted tail does
+    NOT own (max bucket + grain), recorded at compaction time so the
+    trim clamp and the spanned gap check read it as metadata."""
+    d = _read_version_meta(spark, target_dir, version, _GRAIN_MARKER)
+    if d is None:
+        return None, None
+    cov = d.get("coverage_end")
+    return int(d["interval_s"]), (int(cov) if cov is not None else None)
+
+
 def _check_retain(retain_versions: int | None) -> None:
     """Up-front validation for the maintenance streams: an invalid
     retention must fail at stream CONSTRUCTION, not inside the first
@@ -605,7 +621,7 @@ def incremental_rollup(
                 # (pre-r12 or hand-built) dirs fall back to the probe, and
                 # a mismatch surviving it is still caught loudly at read
                 # time by the per-row span guards.
-                recorded = read_grain(spark, trim_coarse_dir, cv)
+                recorded, coverage = _read_grain_meta(spark, trim_coarse_dir, cv)
                 if recorded is not None and recorded != trim_coarse_interval_s:
                     raise ValueError(
                         f"coarse snapshot at {trim_coarse_dir!r} records "
@@ -613,22 +629,36 @@ def incremental_rollup(
                         f"trim_coarse_interval_s={trim_coarse_interval_s} — "
                         "wrong grain or wrong directory; refusing to trim"
                     )
-                # coverage clamp: trim only what the coarse tail provably
-                # owns (aligned discipline makes max-bucket + grain exact)
-                cov = (
-                    _read_version(spark, trim_coarse_dir, cv, dims)
-                    .agg(F.max(F.unix_timestamp("bucket")).alias("e"))
-                    .first()
-                )
-                if cov.e is not None and int(cov.e) % trim_coarse_interval_s:
+                if coverage is not None and coverage % trim_coarse_interval_s:
+                    # compact_rollup_grain always writes aligned coverage;
+                    # an unaligned value means a tampered/foreign marker —
+                    # clamping to it would record an unaligned trim
+                    # boundary that every auto reader then refuses
                     raise ValueError(
-                        f"coarse snapshot at {trim_coarse_dir!r} has max "
-                        f"bucket epoch {int(cov.e)}, not aligned to "
+                        f"coarse snapshot at {trim_coarse_dir!r} records "
+                        f"coverage_end {coverage}, not aligned to "
                         f"trim_coarse_interval_s={trim_coarse_interval_s} — "
                         "wrong grain or wrong directory; refusing to trim"
                     )
-                if cov.e is not None:
-                    coverage = int(cov.e) + trim_coarse_interval_s
+                if coverage is None:
+                    # no recorded coverage (pre-r13 marker / hand-built
+                    # dir): derive the clamp with one column-pruned job —
+                    # the marker path costs the micro-batch no job at all
+                    # (aligned discipline makes max-bucket + grain exact)
+                    cov = (
+                        _read_version(spark, trim_coarse_dir, cv, dims)
+                        .agg(F.max(F.unix_timestamp("bucket")).alias("e"))
+                        .first()
+                    )
+                    if cov.e is not None and int(cov.e) % trim_coarse_interval_s:
+                        raise ValueError(
+                            f"coarse snapshot at {trim_coarse_dir!r} has max "
+                            f"bucket epoch {int(cov.e)}, not aligned to "
+                            f"trim_coarse_interval_s={trim_coarse_interval_s} — "
+                            "wrong grain or wrong directory; refusing to trim"
+                        )
+                    if cov.e is not None:
+                        coverage = int(cov.e) + trim_coarse_interval_s
             if desired is not None and coverage is not None:
                 cand = min(desired, coverage)
                 trim_e = max(prior_epoch, cand) if prior_epoch is not None else cand
@@ -701,13 +731,37 @@ def compact_rollup_grain(
     out = _coarsen(snap, src_interval_s, dst_interval_s, dim_cols)
     # the returned row count rides the WRITE job as an Observation metric —
     # the r11 form re-read the just-written destination in a second job
-    # just to count it (VERDICT r11 #5)
+    # just to count it (VERDICT r11 #5). r13: the destination's max bucket
+    # rides the SAME job, so the coverage end (max bucket + grain — what
+    # the trim clamp and the spanned gap check need) can be recorded in
+    # the grain sidecar and read back as METADATA: without it, every
+    # static-boundary spanned request and every trimming micro-batch pays
+    # a Spark job just to re-derive a value that is fixed per compaction.
     from pyspark.sql import Observation
 
     obs = Observation()
-    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.max(F.unix_timestamp("bucket")).alias("max_e"),
+    )
     _commit_snapshot(out, dst_dir, vs[-1], retain_versions, grain_s=dst_interval_s)
-    return obs.get["rows"]
+    rows = obs.get["rows"]
+    max_e = obs.get["max_e"]
+    if max_e is not None:
+        # enrich the grain marker with the coverage end (atomic overwrite;
+        # a crash in between leaves the interval-only marker and readers
+        # fall back to deriving coverage with a job — never wrong, just
+        # slower). Alignment holds by construction: _coarsen floors every
+        # bucket to dst_interval_s.
+        _write_version_meta(
+            spark, dst_dir, vs[-1], _GRAIN_MARKER,
+            {
+                "interval_s": int(dst_interval_s),
+                "coverage_end": int(max_e) + int(dst_interval_s),
+            },
+        )
+    return rows
 
 
 def _aligned_n(interval_s: int, what: str):
@@ -951,10 +1005,14 @@ def read_rollup_spanned(
     such a bucket, this raises (plain ValueError → 400: stale boundary
     or lagging compaction) instead of silently dropping it. The probe is
     exact — a quiet period or a fresh deployment with genuinely no data
-    below the boundary does NOT trip it — and costs two column-pruned
-    aggregates over the two snapshots. ``boundary='auto'`` skips it:
-    the recorded trim boundary was itself clamped to coarse coverage
-    when it was committed."""
+    below the boundary does NOT trip it — and in the steady state costs
+    NO extra job: the coverage end is read from the grain sidecar
+    ``compact_rollup_grain`` records (r13), and the fine-side existence
+    probe only runs in the suspicious ``coverage < boundary`` case
+    (markerless pre-r13 tails derive coverage with one column-pruned
+    aggregate). ``boundary='auto'`` skips it entirely: the recorded trim
+    boundary was itself clamped to coarse coverage when it was
+    committed."""
     _check_span_grains(fine_interval_s, coarse_interval_s)
     epoch, v = _resolve_span(spark, fine_dir, boundary, coarse_interval_s)
     fine = _read_version(spark, fine_dir, v, dim_cols)
@@ -964,7 +1022,7 @@ def read_rollup_spanned(
             f"no committed rollup snapshot under {coarse_dir!r} yet"
         )
     cv = cvs[-1]
-    recorded = read_grain(spark, coarse_dir, cv)
+    recorded, coverage = _read_grain_meta(spark, coarse_dir, cv)
     if recorded is not None and recorded != coarse_interval_s:
         raise ValueError(
             f"coarse snapshot at {coarse_dir!r} records grain {recorded}s, "
@@ -974,8 +1032,12 @@ def read_rollup_spanned(
     coarse = _read_version(spark, coarse_dir, cv, dim_cols)
     auto = isinstance(boundary, str) and boundary == "auto"
     if not auto:
-        cov = coarse.agg(F.max(F.unix_timestamp("bucket")).alias("e")).first()
-        coverage = None if cov.e is None else int(cov.e) + coarse_interval_s
+        if coverage is None:
+            # markerless / pre-r13 tail: derive the coverage end with one
+            # column-pruned job over the pinned version (the marker path
+            # is metadata-only — no per-request job)
+            cov = coarse.agg(F.max(F.unix_timestamp("bucket")).alias("e")).first()
+            coverage = None if cov.e is None else int(cov.e) + coarse_interval_s
         if coverage is None or coverage < epoch:
             lo = F.lit(coverage) if coverage is not None else None
             gap = fine.filter(F.col("bucket") < F.timestamp_seconds(F.lit(epoch)))

@@ -1118,3 +1118,63 @@ def test_spanned_read_guards_from_advice_r12(spark, tmp_path):
     assert not [
         n for n in os.listdir(os.path.join(coarse, f"v={cv}")) if n.endswith(".tmp")
     ]
+
+
+def test_grain_marker_records_coverage_and_fallbacks_hold(spark, tmp_path):
+    """r13: compact_rollup_grain records the tail's coverage end in the
+    grain sidecar, so the spanned gap check and the trim clamp read it as
+    METADATA (no per-request / per-batch Spark job). A pre-r13 marker
+    (interval only) falls back to deriving coverage with a job — same
+    answers; a tampered unaligned coverage refuses the trim."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        _read_grain_meta,
+        _versions,
+        compact_rollup_grain,
+        read_rollup_spanned,
+    )
+
+    base = 1704067200
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "rollup")
+    coarse = str(tmp_path / "coarse")
+    _write(src, "b0.json", [(i, 15 * i, "click" if i % 3 else "view") for i in range(80)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, str(tmp_path / "ckpt"),
+        bucket="1 minute",
+    ).awaitTermination()
+    compact_rollup_grain(spark, target, coarse, 60, 300, older_than="2024-01-01 00:10:00")
+
+    cv = _versions(spark, coarse)[-1]
+    grain, coverage = _read_grain_meta(spark, coarse, cv)
+    # max coarse bucket is 00:05, so the tail owns up to 00:10 exactly
+    assert (grain, coverage) == (300, base + 600)
+
+    # strip coverage_end (a pre-r13 marker): the spanned read derives the
+    # same refusal/serve decisions with the fallback job
+    marker = os.path.join(coarse, f"v={cv}", "_grain.json")
+    with open(marker, "w") as f:
+        f.write(_json.dumps({"interval_s": 300}))
+    assert _read_grain_meta(spark, coarse, cv) == (300, None)
+    raw = spark.read.schema(SCHEMA).json(src)
+    spanned = read_rollup_spanned(spark, target, coarse, "2024-01-01 00:10:00", 60, 300)
+    assert spanned.agg(F.sum("n")).first()[0] == raw.count()
+    with _pytest.raises(ValueError, match="served by neither side"):
+        read_rollup_spanned(spark, target, coarse, "2024-01-01 00:15:00", 60, 300)
+
+    # a tampered, unaligned coverage_end refuses the trim before any data
+    # could be destroyed
+    with open(marker, "w") as f:
+        f.write(_json.dumps({"interval_s": 300, "coverage_end": base + 601}))
+    _write(src, "b1.json", [(100 + i, 1260 + 15 * i, "view") for i in range(16)])
+    q = incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), target, str(tmp_path / "ckpt"),
+        bucket="1 minute",
+        trim_horizon_s=300, trim_coarse_dir=coarse, trim_coarse_interval_s=300,
+    )
+    with _pytest.raises(Exception, match="coverage_end.*not aligned"):
+        q.awaitTermination()
