@@ -27,10 +27,12 @@ from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.streaming.rollup import (
     RollupRouteIncompatible,
+    _GRAIN_MARKER,
     _check_retain,
     _commit_snapshot,
+    _read_grain_meta,
     _versions,
-    read_grain,
+    _write_version_meta,
 )
 
 SKETCH_SCHEMA = "hour timestamp, hll binary, kll binary"
@@ -285,9 +287,28 @@ def compact_m4_grain(
     from pyspark.sql import Observation
 
     obs = Observation()
-    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.max("bucket").alias("max_b"),
+    )
     _commit_snapshot(out, dst_dir, vs[-1], retain_versions, grain_s=dst_interval_s)
-    return obs.get["rows"]
+    rows = obs.get["rows"]
+    max_b = obs.get["max_b"]
+    if max_b is not None:
+        # record the tail's coverage end (first epoch second it does NOT
+        # own) next to the grain, the rollup tier's r13 discipline: the
+        # spanned reader's gap check then costs a metadata read, not a
+        # job. Crash window leaves the interval-only marker -> readers
+        # derive coverage with one job instead (same answers).
+        _write_version_meta(
+            spark, dst_dir, vs[-1], _GRAIN_MARKER,
+            {
+                "interval_s": int(dst_interval_s),
+                "coverage_end": (int(max_b) + 1) * int(dst_interval_s),
+            },
+        )
+    return rows
 
 
 def read_m4_spanned(
@@ -303,18 +324,21 @@ def read_m4_spanned(
     the absolute ``bucket_start`` shape ``m4_remerge`` consumes. The
     boundary must be aligned to the COARSE grain; the coarse side's
     recorded ``_grain.json`` is cross-checked against the configured
-    ``coarse_interval_s`` (plain ValueError — config mismatch), and a
-    missing side raises ``RollupRouteIncompatible`` (serve from raw).
-    Exact for any downstream re-merge whose interval is a multiple of the
-    coarse grain — same argument as ``rollup.span_snapshots``, with the
-    arg keys carrying first/last."""
+    ``coarse_interval_s`` (plain ValueError — config mismatch), a
+    missing side raises ``RollupRouteIncompatible`` (serve from raw),
+    and a boundary beyond the coarse tail's recorded/derived coverage is
+    refused when the fine state still holds the uncovered buckets (the
+    rollup tier's gap check, r13 — see the inline comment). Exact for
+    any downstream re-merge whose interval is a multiple of the coarse
+    grain — same argument as ``rollup.span_snapshots``, with the arg
+    keys carrying first/last."""
     cvs = _versions(spark, coarse_dir)
     if not cvs:
         raise RollupRouteIncompatible(
             f"no committed M4 snapshot under {coarse_dir!r} yet"
         )
     cv = cvs[-1]
-    recorded = read_grain(spark, coarse_dir, cv)
+    recorded, coverage = _read_grain_meta(spark, coarse_dir, cv)
     if coarse_interval_s is None:
         if recorded is None:
             raise ValueError(
@@ -344,10 +368,39 @@ def read_m4_spanned(
         raise RollupRouteIncompatible(
             f"no committed M4 snapshot under {fine_dir!r} yet"
         )
-    fine = _m4_with_start(
+    fine_all = _m4_with_start(
         spark.read.schema(M4_SCHEMA).parquet(f"{fine_dir}/v={fvs[-1]}"),
         fine_interval_s,
-    ).filter(F.col("bucket_start") >= F.lit(boundary_epoch))
+    )
+    # gap refusal (r13, the rollup tier's ADVICE-r12 check applied to its
+    # M4 twin): a boundary beyond what the coarse tail covers would drop
+    # buckets in [coverage end, boundary) from BOTH sides even though the
+    # (never-trimmed) fine M4 state still holds them — silent missing
+    # pixels. Exact probe: only raises when the fine side actually holds
+    # such a bucket, so fresh deployments / quiet periods serve fine.
+    # Coverage reads from the grain sidecar (metadata); pre-r13 markers
+    # derive it with one column-pruned job.
+    if coverage is None:
+        cov = (
+            spark.read.schema(M4_SCHEMA).parquet(f"{coarse_dir}/v={cv}")
+            .agg(F.max("bucket").alias("b"))
+            .first()
+        )
+        coverage = None if cov.b is None else (int(cov.b) + 1) * coarse_interval_s
+    if coverage is None or coverage < boundary_epoch:
+        gap = fine_all.filter(F.col("bucket_start") < F.lit(boundary_epoch))
+        if coverage is not None:
+            gap = gap.filter(F.col("bucket_start") >= F.lit(coverage))
+        if gap.select("bucket_start").limit(1).count():
+            raise ValueError(
+                f"M4 span boundary (epoch {boundary_epoch}) exceeds what "
+                f"the coarse snapshot at {coarse_dir!r} covers (up to "
+                f"{coverage if coverage is not None else 'nothing'}) and "
+                "the fine snapshot still holds buckets in between — they "
+                "would be served by neither side; re-run the grain "
+                "compaction or lower the boundary"
+            )
+    fine = fine_all.filter(F.col("bucket_start") >= F.lit(boundary_epoch))
     coarse = _m4_with_start(
         spark.read.schema(M4_SCHEMA).parquet(f"{coarse_dir}/v={cv}"),
         coarse_interval_s,

@@ -347,3 +347,65 @@ def test_m4_panel_unspanned_equals_direct_and_refuses_loudly(spark, tmp_path):
         m4_panel(spark, str(tmp_path / "nowhere"), interval_s=7200)
     with _pytest.raises(ValueError, match="ALL of"):
         m4_panel(spark, m4_dir, interval_s=7200, coarse_dir="/x")
+
+
+def test_m4_spanned_gap_check_and_coverage_marker(spark, tmp_path):
+    """r13 (the rollup tier's ADVICE-r12 gap check, applied to its M4
+    twin): a boundary beyond what the coarse tail covers is refused when
+    the fine state still holds the uncovered buckets (silent missing
+    pixels otherwise); benign cases — boundary at coverage, genuinely no
+    data in the gap — serve. compact_m4_grain records coverage_end in the
+    grain sidecar so the steady-state check is a metadata read; a pre-r13
+    interval-only marker falls back to deriving coverage with a job."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        _read_grain_meta,
+        _versions,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        compact_m4_grain,
+        incremental_m4,
+        read_m4_spanned,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    base_epoch = 1704067200
+    src = str(tmp_path / "events")
+    os.makedirs(src, exist_ok=True)
+    # ~30 h of events
+    with open(f"{src}/b1.json", "w") as f:
+        for i in range(300):
+            f.write(json.dumps({
+                "ts": str(base + pd.Timedelta(seconds=i * 361)),
+                "event_id": i, "value": float((i * 13) % 71),
+            }) + "\n")
+    m4_dir, coarse_dir = str(tmp_path / "m4"), str(tmp_path / "m4_tail")
+    incremental_m4(
+        spark.readStream.schema("ts timestamp, event_id bigint, value double").json(src),
+        m4_dir, str(tmp_path / "ckpt"),
+        ts_col="ts", id_col="event_id", value_col="value",
+    ).awaitTermination()
+
+    # tail compacted only up to hour 12; coverage_end recorded with it
+    cover_to = base_epoch + 43200
+    compact_m4_grain(spark, m4_dir, coarse_dir, 14400, older_than_epoch=cover_to)
+    cv = _versions(spark, coarse_dir)[-1]
+    assert _read_grain_meta(spark, coarse_dir, cv) == (14400, cover_to)
+
+    # boundary at exactly the coverage end: serves (no gap)
+    assert read_m4_spanned(spark, m4_dir, coarse_dir, cover_to).count() > 0
+    # boundary a day past it: the fine state holds [12 h, 24 h) — refused
+    with _pytest.raises(ValueError, match="served by neither side"):
+        read_m4_spanned(spark, m4_dir, coarse_dir, base_epoch + 86400)
+
+    # pre-r13 marker (interval only): same decisions via the fallback job
+    marker = os.path.join(coarse_dir, f"v={cv}", "_grain.json")
+    with open(marker, "w") as f:
+        f.write(_json.dumps({"interval_s": 14400}))
+    assert read_m4_spanned(spark, m4_dir, coarse_dir, cover_to).count() > 0
+    with _pytest.raises(ValueError, match="served by neither side"):
+        read_m4_spanned(spark, m4_dir, coarse_dir, base_epoch + 86400)
