@@ -128,6 +128,44 @@ def main() -> None:
     print(f"trim boundary recorded at epoch {tb[0]} (align {tb[1]}s); "
           "spanned read with boundary='auto' == raw over all traffic")
 
+    print("\n== 2d. M4 downsample maintenance + panel read (r13) ==")
+    # the pixel-perfect dashboard reduction (first/min/max/last of
+    # severity_number per hour bucket) maintained continuously, then
+    # served as a panel frame at any multiple of the maintained grain —
+    # equal to direct M4 over the raw warehouse, without rescanning it
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        _m4_with_start,
+        incremental_m4,
+        m4_panel,
+        m4_remerge,
+    )
+    from pyspark.sql import functions as F
+
+    incremental_m4(
+        spark.readStream.schema(logs.schema).parquet(land),
+        f"{work}/m4", f"{work}/m4_ckpt",
+        ts_col="timestamp", id_col="trace_id", value_col="severity_number",
+    ).awaitTermination()
+    panel = m4_panel(spark, f"{work}/m4", interval_s=7200)
+    direct = (
+        m4_remerge(
+            _m4_with_start(
+                _m4_batch(spark.read.parquet(land), "timestamp", "trace_id",
+                          "severity_number"),
+                3600,
+            ),
+            7200,
+        )
+        .select(
+            F.timestamp_seconds("bucket_start").alias("t"),
+            "v_first", "v_min", "v_max", "v_last",
+        )
+    )
+    assert sorted(map(tuple, panel.collect())) == sorted(map(tuple, direct.collect()))
+    print(f"m4 panel @7200s: {panel.count()} pixel rows == direct M4 over raw "
+          "(serving: /panels/m4_downsample)")
+
     print("\n== 3. small files -> compaction ==")
     part_cols = ["service_name", "year", "month", "day", "hour"]
     n_parts = small_file_report(spark, wh, part_cols, target_rows_per_file=200).count()
