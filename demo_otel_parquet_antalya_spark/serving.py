@@ -668,6 +668,11 @@ class _SQLHandler(BaseHTTPRequestHandler):
     m4_coarse_dir: str | None = None
     m4_coarse_interval_s: int | None = None
     m4_boundary: int | None = None
+    # approx-analytics panel (r13): the continuously-maintained hourly
+    # HLL/KLL sketch snapshot (streaming/sketches.py). Same no-raw-
+    # fallback contract as the M4 panel; estimates are approximate BY
+    # CONTRACT (the sketches' published error).
+    sketch_dir: str | None = None
     row_cap: int = DEFAULT_ROW_CAP
     request_timeout_s: float | None = 30.0
     scheduler_pool: str = "serving"
@@ -831,6 +836,51 @@ class _SQLHandler(BaseHTTPRequestHandler):
                     return _df_payload(frame, self.row_cap, source="m4")
 
                 self._send(200, self._run_bounded(m4_work))
+            except _RequestCancelled as exc:
+                self._answer_error(408, {"error": str(exc)})
+            except Exception as exc:
+                self._answer_error(400, {"error": f"{type(exc).__name__}: {exc}"})
+            return
+        if path == "/panels/approx_rollup":
+            # approx analytics (r13): distinct users + value quantiles per
+            # bucket from the maintained hourly sketch states — same
+            # maintained-state-only contract as m4_downsample (no raw
+            # fallback; every incompatibility a 400). Estimates carry the
+            # sketches' published error by contract.
+            import urllib.parse
+
+            qs = urllib.parse.parse_qs(query)
+            params = {k: v[0] for k, v in qs.items()}
+            try:
+                if qs.get("filter"):
+                    raise ValueError(
+                        "approx_rollup takes no ad-hoc filters (the sketch "
+                        "state is per-hour, not dimensional)"
+                    )
+                if params.get("source") not in (None, "sketch"):
+                    raise ValueError(
+                        "approx_rollup is served from the maintained sketch "
+                        "snapshot only (source=sketch)"
+                    )
+                if self.sketch_dir is None:
+                    raise ValueError(
+                        "no sketch snapshot configured for this endpoint "
+                        "(start_sql_endpoint(..., sketch_dir=...))"
+                    )
+                from demo_otel_parquet_antalya_spark.streaming.sketches import (
+                    sketch_panel,
+                )
+
+                def sketch_work():
+                    frame = sketch_panel(
+                        self.spark, self.sketch_dir,
+                        interval_s=int(params.get("interval", 3600)),
+                        start=params.get("start"),
+                        end=params.get("end"),
+                    )
+                    return _df_payload(frame, self.row_cap, source="sketch")
+
+                self._send(200, self._run_bounded(sketch_work))
             except _RequestCancelled as exc:
                 self._answer_error(408, {"error": str(exc)})
             except Exception as exc:
@@ -1174,6 +1224,7 @@ def start_sql_endpoint(
     m4_coarse_dir: str | None = None,
     m4_coarse_interval_s: int | None = None,
     m4_boundary: str | int | None = None,
+    sketch_dir: str | None = None,
     request_timeout_s: float | None = 30.0,
     scheduler_pool: str = "serving",
     disable_sql_on_files: bool = True,
@@ -1248,7 +1299,16 @@ def start_sql_endpoint(
     (``compact_m4_grain`` output; ISO/epoch, coarse-aligned, resolved at
     start — ``'auto'`` is refused because the M4 stream records no trim
     marker) serves the mixed-grain fine-recent + coarse-tail layout;
-    intervals must then be multiples of the coarse grain."""
+    intervals must then be multiples of the coarse grain.
+
+    Approx-analytics panel (r13): pass ``sketch_dir`` (the
+    ``incremental_sketches`` snapshot — hourly HLL/KLL states) to enable
+    ``/panels/approx_rollup?interval=N`` — distinct users + value
+    p50/p95 per N-second bucket, re-MERGED from the states (N must be a
+    multiple of the hour grain; ``start``/``end`` window on whole output
+    buckets). Same maintained-state-only contract as the M4 panel: no
+    raw fallback, incompatibilities are 400s; estimates carry the
+    sketches' published error by contract."""
     _spanned_cfg = (rollup_coarse_dir, rollup_coarse_interval_s, rollup_boundary)
     if any(v is not None for v in _spanned_cfg):
         if any(v is None for v in _spanned_cfg) or rollup_dir is None:
@@ -1320,6 +1380,7 @@ def start_sql_endpoint(
             "m4_coarse_dir": m4_coarse_dir,
             "m4_coarse_interval_s": m4_coarse_interval_s,
             "m4_boundary": m4_boundary,
+            "sketch_dir": sketch_dir,
             "request_timeout_s": request_timeout_s,
             "scheduler_pool": scheduler_pool,
             "disable_sql_on_files": disable_sql_on_files,

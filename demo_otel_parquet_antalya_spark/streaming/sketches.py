@@ -496,3 +496,65 @@ def m4_panel(
         )
         .orderBy("t")
     )
+
+
+def sketch_panel(
+    spark: SparkSession,
+    sketch_dir: str,
+    interval_s: int = 3600,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """The approx-analytics PANEL frame (r13): distinct users (HLL) and
+    value p50/p95 (KLL) per ``interval_s`` bucket, read from the
+    continuously-maintained hourly sketch states — never raw events.
+    Coarser buckets re-MERGE the states (``hll_union_agg`` /
+    ``kll_merge_agg_double`` — the same mergeability the maintenance
+    stream itself relies on), so a daily panel touches 24 tiny state
+    rows per day, independent of raw volume.
+
+    Same serving contract as ``m4_panel``: NO raw fallback (the sketch
+    state is the production source; raw may be beyond retention), so a
+    missing snapshot or a non-hour-multiple ``interval_s`` raises
+    ``RollupRouteIncompatible`` (a 400 at the endpoint) instead of a
+    silent rescan; ``start``/``end`` window on WHOLE output buckets
+    (edges must align to ``interval_s`` — a cut bucket has no exact
+    state answer). Estimates carry the sketches' published error —
+    approximate BY CONTRACT, which is why this family's queries are
+    rows-only in the oracle suite (t2-exempt); the serving test pins
+    HTTP == the library's own merge over the same state instead."""
+    if interval_s <= 0 or interval_s % 3600:
+        raise RollupRouteIncompatible(
+            f"interval={interval_s}s is not a positive multiple of the "
+            "maintained hourly sketch grain — the states cannot serve it "
+            "exactly"
+        )
+    vs = _versions(spark, sketch_dir)
+    if not vs:
+        raise RollupRouteIncompatible(
+            f"no committed sketch snapshot under {sketch_dir!r} yet"
+        )
+    states = spark.read.schema(SKETCH_SCHEMA).parquet(f"{sketch_dir}/v={vs[-1]}")
+    from demo_otel_parquet_antalya_spark.streaming.rollup import _boundary_epoch
+
+    if start is not None:
+        states = states.filter(
+            F.unix_timestamp("hour") >= F.lit(_boundary_epoch(spark, start, interval_s))
+        )
+    if end is not None:
+        states = states.filter(
+            F.unix_timestamp("hour") < F.lit(_boundary_epoch(spark, end, interval_s))
+        )
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("hour") / interval_s).cast("long") * interval_s
+    )
+    merged = states.groupBy(bucket.alias("t")).agg(
+        F.expr("hll_union_agg(hll)").alias("hll"),
+        F.expr("kll_merge_agg_double(kll, 256)").alias("kll"),
+    )
+    return merged.select(
+        "t",
+        F.expr("CAST(hll_sketch_estimate(hll) AS BIGINT)").alias("approx_users"),
+        F.round(F.expr("kll_sketch_get_quantile_double(kll, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("kll_sketch_get_quantile_double(kll, 0.95)"), 6).alias("p95"),
+    ).orderBy("t")

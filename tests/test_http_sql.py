@@ -2042,3 +2042,84 @@ def test_m4_config_guards_at_start(spark):
             spark, SF_DIR, m4_dir="/x", m4_coarse_dir="/y",
             m4_coarse_interval_s=14400, m4_boundary=1705795230,
         )
+
+
+def test_approx_rollup_panel_serves_sketch_states(spark, tmp_path):
+    """r13: /panels/approx_rollup serves distinct-users + p50/p95 per
+    bucket by re-MERGING the maintained hourly HLL/KLL states (the same
+    mergeability the maintenance stream relies on) — HTTP must equal the
+    library's own merge over the same state, windowing must align to
+    whole output buckets, and incompatibilities are 400s (no raw
+    fallback; the sketch state is the production source)."""
+    from demo_otel_parquet_antalya_spark.plans.tables import load_table
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        incremental_sketches,
+        sketch_panel,
+    )
+
+    src = str(tmp_path / "events_src")
+    load_table(spark, SF_DIR, "events").select("ts", "user_id", "value").write.parquet(src)
+    sketch_dir = str(tmp_path / "sketches")
+    incremental_sketches(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        sketch_dir, str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    server = start_sql_endpoint(
+        spark, SF_DIR, row_cap=5000, sketch_dir=sketch_dir, request_timeout_s=10.0,
+    )
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/panels/approx_rollup?interval=86400") as r:
+            got = json.loads(r.read())
+        assert got["source"] == "sketch"
+        assert got["columns"] == ["t", "approx_users", "p50", "p95"]
+        want = {
+            (str(r.t).replace("T", " "), r.approx_users, r.p50, r.p95)
+            for r in sketch_panel(spark, sketch_dir, 86400).collect()
+        }
+        assert {
+            (r[0].replace("T", " "), r[1], r[2], r[3]) for r in got["rows"]
+        } == want
+        assert got["row_count"] == len(want) > 1
+
+        # window on whole output buckets
+        lo = "2024-01-19 00:00:00"
+        with urllib.request.urlopen(
+            f"{base}/panels/approx_rollup?interval=86400&start="
+            + lo.replace(" ", "%20")
+        ) as r:
+            windowed = json.loads(r.read())
+        assert 0 < windowed["row_count"] < got["row_count"]
+        assert {r[0].replace("T", " ") for r in windowed["rows"]} == {
+            t for (t, *_rest) in want if t >= lo
+        }
+
+        # refusals: non-hour-multiple interval, unaligned edge, filters,
+        # foreign source — all 400
+        for qstr, needle in (
+            ("interval=5400", "not a positive multiple"),
+            ("interval=86400&start=2024-01-19%2012:00:00", "not aligned"),
+            ("interval=86400&filter=a=b", "no ad-hoc"),
+            ("source=raw", "maintained sketch snapshot only"),
+        ):
+            try:
+                urllib.request.urlopen(f"{base}/panels/approx_rollup?{qstr}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400 and needle in json.loads(e.read())["error"], qstr
+            else:
+                raise AssertionError(f"expected 400 for {qstr}")
+    finally:
+        server.shutdown()
+
+    # unconfigured endpoint: 400, not a blank panel
+    bare = start_sql_endpoint(spark, SF_DIR, row_cap=500)
+    bhost, bport = bare.server_address
+    try:
+        urllib.request.urlopen(f"http://{bhost}:{bport}/panels/approx_rollup")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "no sketch snapshot" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")
+    finally:
+        bare.shutdown()

@@ -409,3 +409,20 @@ def test_m4_spanned_gap_check_and_coverage_marker(spark, tmp_path):
     assert read_m4_spanned(spark, m4_dir, coarse_dir, cover_to).count() > 0
     with _pytest.raises(ValueError, match="served by neither side"):
         read_m4_spanned(spark, m4_dir, coarse_dir, base_epoch + 86400)
+
+
+def test_sketch_panel_refuses_missing_snapshot_and_bad_interval(spark, tmp_path):
+    """r13: the approx panel's library core refuses a never-committed
+    snapshot and a non-hour-multiple interval as RollupRouteIncompatible
+    (the serving layer maps both to 400 — no raw fallback exists)."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        RollupRouteIncompatible,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import sketch_panel
+
+    with _pytest.raises(RollupRouteIncompatible, match="no committed"):
+        sketch_panel(spark, str(tmp_path / "nowhere"), 86400)
+    with _pytest.raises(RollupRouteIncompatible, match="not a positive multiple"):
+        sketch_panel(spark, str(tmp_path / "nowhere"), 5400)
