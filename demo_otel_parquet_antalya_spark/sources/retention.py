@@ -1,0 +1,143 @@
+"""Raw-warehouse retention: expire whole hour PARTITIONS older than a
+horizon — the day-2 operator that bounds the raw logs warehouse itself.
+
+The r12/r13 work bounded the maintained aggregates (rollup tail trim,
+grain compaction); this bounds the raw data they were built from, the way
+a 100 TB deployment actually retains: whole-directory deletes at the
+layout's hour grain (service_name/year/month/day/hour — SURVEY §2.A A7),
+driven by PARTITION VALUES from one directory listing. No file footer is
+opened, no row is read or rewritten, and cost is O(hour directories in
+the doomed range) regardless of data volume — the same reason the pruned
+panel routes read the listing instead of the data (plans/facade.py's
+``_hour_dir_entries``, reused here).
+
+Semantics (whole-partition discipline, stated not silent):
+
+- an hour directory is expired iff its (year, month, day, hour) tuple is
+  STRICTLY before the cutoff's — the cutoff's own (partial) hour always
+  survives, so no surviving directory ever needs a rewrite;
+- tuple comparison uses the same session-timezone rendering the writer
+  used to derive the partition values (the cutoff's tuple is computed by
+  Spark's own year()/month()/dayofmonth()/hour() on a one-row plan —
+  never a drifting Python reimplementation; the facade's r10 tz lessons);
+- ``hour=__HIVE_DEFAULT_PARTITION__`` directories (NULL-timestamp rows)
+  have no age and are NEVER expired — rows that could not be placed in
+  time must not silently vanish on a time-based policy;
+- ``dry_run=True`` (the DEFAULT — ``vacuum_orphans``' dry-run-first
+  discipline) returns the doomed directory list without deleting;
+- idempotent and crash-safe: each hour directory is one recursive
+  delete; a crash mid-sweep leaves fewer old directories and a re-run
+  converges (returns the remainder, then []).
+
+Streaming-manifest rule (same contract as ``compaction.compact``): a
+warehouse still carrying a file-sink ``_spark_metadata`` manifest routes
+reads through the manifest, which pins the exact file set — deleting
+files under it breaks every read. Expiry therefore REFUSES on such a
+root unless ``finalize_streaming=True`` (the sink is done writing here);
+live pipelines should retire history by compacting into a new root and
+flipping the catalog pointer (sources/registry.py), or use the Iceberg
+path's snapshot expiry (``LogTableRegistry.expire_snapshots`` +
+``vacuum_orphans``) where deletes are metadata transactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from demo_otel_parquet_antalya_spark.fsutil import hadoop_delete
+from demo_otel_parquet_antalya_spark.fsutil import local_root as _local_root
+from demo_otel_parquet_antalya_spark.sources.compaction import (
+    finalize_streaming_warehouse,
+    has_streaming_manifest,
+)
+
+
+def _cutoff_tuple(spark: SparkSession, older_than) -> tuple[int, int, int, int]:
+    """(year, month, day, hour) of the cutoff, rendered by the SESSION's
+    own calendar/timezone semantics — the same clock that derived the
+    partition values at write time. Ints are epoch seconds; strings /
+    datetimes are timestamp literals (naive = session timezone).
+    Unparseable input is a ValueError (a wrongly configured retention
+    must fail loudly, never expire an unintended range)."""
+    if isinstance(older_than, bool) or older_than is None:
+        raise ValueError(f"unusable retention cutoff {older_than!r}")
+    if isinstance(older_than, int):
+        ts = F.timestamp_seconds(F.lit(older_than))
+    else:
+        ts = F.lit(older_than).try_cast("timestamp")
+    row = (
+        spark.range(1)
+        .select(
+            F.year(ts).alias("y"), F.month(ts).alias("m"),
+            F.dayofmonth(ts).alias("d"), F.hour(ts).alias("h"),
+        )
+        .first()
+    )
+    if row.y is None:
+        raise ValueError(f"unparseable retention cutoff {older_than!r}")
+    return (int(row.y), int(row.m), int(row.d), int(row.h))
+
+
+def expire_partitions(
+    spark: SparkSession,
+    root: str,
+    older_than,
+    dry_run: bool = True,
+    finalize_streaming: bool = False,
+) -> list[str]:
+    """Expire (or, by default, just LIST — ``dry_run=True``) every hour
+    partition directory of the warehouse under ``root`` whose
+    (year, month, day, hour) is strictly before ``older_than``'s hour.
+    Returns the affected directory paths, sorted oldest-first. See the
+    module docstring for the whole-partition semantics, the NULL-
+    partition exemption and the streaming-manifest rule."""
+    if has_streaming_manifest(spark, root):
+        if not finalize_streaming:
+            raise ValueError(
+                "root was written by a streaming sink (_spark_metadata "
+                "present): deleting files under the manifest breaks every "
+                "manifest-routed read. Pass finalize_streaming=True if "
+                "this streaming query is done writing here, or retire "
+                "history via a new root + catalog flip "
+                "(sources/registry.py) / Iceberg snapshot expiry."
+            )
+        if not dry_run:
+            # drop the manifest BEFORE deleting (the compact() crash-point
+            # argument, ADVICE r8): once the caller declares the sink
+            # finished, manifest-routed reads are already invalid, and
+            # deleting data first would leave a manifest pinning missing
+            # files on every crash in between
+            finalize_streaming_warehouse(spark, root)
+    cutoff = _cutoff_tuple(spark, older_than)
+    from demo_otel_parquet_antalya_spark.plans.facade import _hour_dir_entries
+
+    doomed = sorted(
+        (t, p) for p, t in _hour_dir_entries(spark, root)
+        if t is not None and t < cutoff
+    )
+    paths = [p for _t, p in doomed]
+    if dry_run:
+        return paths
+    local = _local_root(root)
+    for p in paths:
+        if local is not None:
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            hadoop_delete(spark, p, True)
+    if local is not None:
+        # best-effort prune of now-empty parent directories (day/month/
+        # year/service); harmless if skipped — listings ignore empties
+        import os
+
+        for p in paths:
+            parent = os.path.dirname(p)
+            while len(parent) > len(local):
+                try:
+                    os.rmdir(parent)
+                except OSError:
+                    break
+                parent = os.path.dirname(parent)
+    return paths

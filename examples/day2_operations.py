@@ -173,6 +173,34 @@ def main() -> None:
     spark.catalog.refreshByPath(wh)  # drop cached file listings of rewritten partitions
     print(f"{n_parts} partitions reported, {n} rewritten")
 
+    print("\n== 3b. raw retention: expire whole hour partitions (r13) ==")
+    # the raw warehouse itself gets a horizon: whole-directory deletes at
+    # the hour grain, dry-run first, no rewrite; the boundary (partial)
+    # hour and any NULL-timestamp partition always survive
+    from demo_otel_parquet_antalya_spark.sources.retention import expire_partitions
+
+    # land one batch of two-hours-older traffic so there IS a whole hour
+    # beyond the horizon (the demo's main traffic spans a single hour)
+    generate_files(f"{work}/otlp_old", n_files=1, records_per_file=20,
+                   base_ns=1_700_000_000_000_000_000 - 7_200_000_000_000)
+    write_logs(ingest_otlp_json(spark, f"{work}/otlp_old"), wh)
+    spark.catalog.refreshByPath(wh)
+    hi_ts = spark.read.parquet(wh).agg({"timestamp": "max"}).first()[0]
+    cutoff = hi_ts.replace(minute=0, second=0, microsecond=0)
+    doomed = expire_partitions(spark, wh, cutoff)  # dry run
+    assert doomed  # the old hour qualifies
+    before = spark.read.option("basePath", wh).parquet(wh).count()
+    gone = expire_partitions(spark, wh, cutoff, dry_run=False)
+    assert gone == doomed
+    left = spark.read.option("basePath", wh).parquet(wh)
+    assert left.count() < before
+    assert left.filter(F.col("timestamp") < F.lit(cutoff)).count() == left.filter(
+        F.col("timestamp").isNull()
+    ).count()  # only the (absent here) NULL rows may predate the cutoff
+    print(f"expired {len(gone)} hour partition(s) before {cutoff}; "
+          f"{left.count()} rows remain (boundary hour kept whole)")
+    spark.catalog.refreshByPath(wh)
+
     print("\n== 4. corruption quarantine ==")
     svc_dir = next(
         os.path.join(r, d) for r, ds, _ in os.walk(wh) for d in ds if d.startswith("hour=")
