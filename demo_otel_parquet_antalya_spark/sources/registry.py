@@ -143,6 +143,38 @@ class LogTableRegistry:
             expired.append(snap["snapshot_id"])
         return expired
 
+    def retire_missing(self) -> list[str]:
+        """Commit a new snapshot DROPPING registered files that no longer
+        exist on disk — the registry half of raw retention (r13): after
+        ``sources/retention.expire_partitions`` deletes whole hour
+        partitions, the HEAD snapshot still lists their files and
+        ``table()`` would fail at scan time with FileNotFound. This is a
+        metadata-only delete commit (Iceberg's delete semantics in the
+        fake-catalog layout): the registered set shrinks, sync() stays
+        idempotent (the files are gone from the listing too), and
+        time-traveling to a PRE-retirement snapshot still lists the dead
+        files — such reads fail loudly, exactly like Iceberg time travel
+        past an expired file GC; ``expire_snapshots`` ages those
+        snapshots out. Returns the retired paths (empty = no-op, no
+        commit written).
+
+        Refused on an Iceberg-mirrored registry (``iceberg_table=``):
+        the Iceberg table's own manifests would still reference the
+        files, and silently desyncing the two catalogs is worse than the
+        error — route deletes through the Iceberg catalog (DELETE /
+        expire + vacuum) instead."""
+        if self.iceberg_table is not None:
+            raise ValueError(
+                "retire_missing on an Iceberg-mirrored registry would "
+                "desync the Iceberg table (its manifests still reference "
+                "the files) — handle deletes through the Iceberg catalog"
+            )
+        known = self.registered()
+        missing = sorted(known - _list_parquet_files(self.root))
+        if missing:
+            self._write_state(known - set(missing))
+        return missing
+
     def _write_state(self, files: set[str]) -> int:
         """Commit one registered-set transition: immutable snapshot file ->
         atomic HEAD swap -> legacy text state kept in lockstep. Crash at any

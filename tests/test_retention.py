@@ -143,3 +143,46 @@ def test_remote_branch_routes_through_hadoop_fs(spark, tmp_path, monkeypatch):
     # the data is untouched on disk (the fake remote delete proved the
     # routing without destroying the local fixture)
     assert os.path.exists(gone[0])
+
+
+def test_retention_composes_with_registry_retire(spark, tmp_path):
+    """r13: expire_partitions + LogTableRegistry.retire_missing keep
+    catalog-mediated reads green across a retention sweep — the registry
+    half of raw retention. Also: the retire commit is metadata-only
+    (snapshot history advances), idempotent, and refused on an
+    Iceberg-mirrored registry (it would desync the Iceberg manifests)."""
+    from demo_otel_parquet_antalya_spark.sources.registry import LogTableRegistry
+
+    root = str(tmp_path / "wh")
+    write_logs(
+        _mini_logs(spark, [
+            ("2024-01-01 08:10:00", "api"),
+            ("2024-01-01 11:00:00", "api"),
+            ("2024-01-01 12:05:00", "web"),
+        ]),
+        root,
+    )
+    reg = LogTableRegistry(spark, root)
+    assert len(reg.sync()) == 3
+    head_before = reg.current_snapshot_id()
+
+    gone = expire_partitions(spark, root, "2024-01-01 11:00:00", dry_run=False)
+    assert len(gone) == 1
+    retired = reg.retire_missing()
+    assert len(retired) == 1 and "hour=8" in retired[0]
+    # catalog-mediated read works and sees exactly the survivors
+    got = {str(r.timestamp) for r in reg.table().select("timestamp").collect()}
+    assert got == {"2024-01-01 11:00:00", "2024-01-01 12:05:00"}
+    # metadata-only commit: history advanced, re-run is a no-op commit-wise
+    assert reg.current_snapshot_id() == head_before + 1
+    assert reg.retire_missing() == []
+    assert reg.current_snapshot_id() == head_before + 1
+    # sync stays idempotent after retirement (nothing new to register)
+    assert reg.sync() == []
+
+    # Iceberg-mirrored registries refuse (desync hazard)
+    reg_ice = LogTableRegistry(
+        spark, root, iceberg_table="local.db.logs", run_sql=lambda *_a: None
+    )
+    with pytest.raises(ValueError, match="desync"):
+        reg_ice.retire_missing()
