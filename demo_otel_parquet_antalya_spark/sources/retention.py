@@ -38,6 +38,14 @@ live pipelines should retire history by compacting into a new root and
 flipping the catalog pointer (sources/registry.py), or use the Iceberg
 path's snapshot expiry (``LogTableRegistry.expire_snapshots`` +
 ``vacuum_orphans``) where deletes are metadata transactions.
+
+Catalog composition: a fake-catalog registry over the same root keeps
+reading green by following expiry with
+``LogTableRegistry.retire_missing()`` (a metadata-only delete commit);
+the recorded trim boundary of the rollup tier
+(``rollup.read_trim_boundary``) is directly a valid ``older_than`` (the
+epoch-int form), so 'expire raw that the coarse tail already owns' is a
+two-call composition.
 """
 
 from __future__ import annotations
