@@ -1041,6 +1041,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         return rollup_route()
                     if source == "pruned":
                         return pruned_route()
+                    fallback_reason = None  # set when auto routing falls back
                     if source is None:
                         # default routing (r11, VERDICT r10 #3): Grafana
                         # sends PLAIN panel queries, so the default must
@@ -1069,11 +1070,21 @@ class _SQLHandler(BaseHTTPRequestHandler):
                                 return rollup_route(auto=True)
                             if name in _PRUNED_PANELS:
                                 return pruned_route()
-                        except RollupRouteIncompatible:
-                            pass
+                        except RollupRouteIncompatible as exc:
+                            # remember WHY auto routing fell back: the raw
+                            # answer is equally exact, but its cost grows
+                            # with history — a fleet of e.g. default-
+                            # interval dashboards against a spanned
+                            # endpoint would quietly pay O(raw) forever
+                            # (VERDICT r12 'worth keeping visible'), so
+                            # the payload says so instead of hiding it
+                            fallback_reason = str(exc)
                     logs = self.spark.read.parquet(self.logs_dir)
                     frame = _panel_frame(logs, name, params, filters)
-                    return _df_payload(frame, self.row_cap, source="raw")
+                    payload = _df_payload(frame, self.row_cap, source="raw")
+                    if fallback_reason is not None:
+                        payload["fallback_reason"] = fallback_reason
+                    return payload
 
                 self._send(200, self._run_bounded(work))
             except KeyError as exc:

