@@ -87,6 +87,27 @@ def _cutoff_tuple(spark: SparkSession, older_than) -> tuple[int, int, int, int]:
     return (int(row.y), int(row.m), int(row.d), int(row.h))
 
 
+def _has_any_parquet(spark: SparkSession, root: str) -> bool:
+    """Does the root hold ANY .parquet file (at any depth)? Local roots
+    walk the filesystem; remote roots ask the Hadoop FS for a bounded
+    recursive glob (5 levels — the layout's own depth)."""
+    local = _local_root(root)
+    if local is not None:
+        import os
+
+        for _dir, _subdirs, files in os.walk(local):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+    from demo_otel_parquet_antalya_spark.fsutil import hadoop_glob
+
+    base = root.rstrip("/")
+    return any(
+        hadoop_glob(spark, base + "/*" * depth + "/*.parquet")
+        for depth in range(0, 6)
+    )
+
+
 def expire_partitions(
     spark: SparkSession,
     root: str,
@@ -120,8 +141,20 @@ def expire_partitions(
     cutoff = _cutoff_tuple(spark, older_than)
     from demo_otel_parquet_antalya_spark.plans.facade import _hour_dir_entries
 
+    entries = _hour_dir_entries(spark, root)
+    if not entries and _has_any_parquet(spark, root):
+        # a root holding data but NO hour-layout directories is a
+        # mis-pointed retention (wrong directory, or a warehouse written
+        # without the partition layout): returning [] here would read as
+        # "nothing old enough" while the disk fills forever — the silent
+        # no-op is the dangerous direction for a retention operator
+        raise ValueError(
+            f"{root!r} holds parquet data but no "
+            "service/year/month/day/hour partition directories — not the "
+            "hive hour layout this retention expires; wrong root?"
+        )
     doomed = sorted(
-        (t, p) for p, t in _hour_dir_entries(spark, root)
+        (t, p) for p, t in entries
         if t is not None and t < cutoff
     )
     paths = [p for _t, p in doomed]

@@ -186,3 +186,18 @@ def test_retention_composes_with_registry_retire(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="desync"):
         reg_ice.retire_missing()
+
+
+def test_mispointed_root_refuses_instead_of_silent_noop(spark, tmp_path):
+    """A root that holds parquet data but no hour layout is a mis-pointed
+    retention — returning [] would read as 'nothing old enough' while the
+    disk fills forever, so it refuses loudly. Empty/absent roots (a fresh
+    deployment with no data yet) stay a clean no-op."""
+    flat = str(tmp_path / "flat")
+    _mini_logs(spark, [("2024-01-01 08:10:00", "api")]).write.parquet(flat)
+    with pytest.raises(ValueError, match="not the hive hour layout"):
+        expire_partitions(spark, flat, "2024-01-01 11:00:00")
+    # no data at all: nothing to protect, nothing to expire
+    assert expire_partitions(
+        spark, str(tmp_path / "empty"), "2024-01-01 11:00:00"
+    ) == []
