@@ -56,9 +56,14 @@ def sketch_estimates(states: DataFrame) -> DataFrame:
 
 
 def _sketch_batch(df: DataFrame, ts_col: str, user_col: str, value_col: str) -> DataFrame:
+    # CAST to double: kll_sketch_agg_double hard-requires FLOAT/DOUBLE and
+    # integer value columns are common (e.g. severity_number) — a lossless
+    # widening here beats every caller failing at stream runtime (r13,
+    # surfaced by the serving bench maintaining sketches over the logs
+    # warehouse). No-op for already-double columns.
     return df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour")).agg(
         F.expr(f"hll_sketch_agg({user_col})").alias("hll"),
-        F.expr(f"kll_sketch_agg_double({value_col}, 256)").alias("kll"),
+        F.expr(f"kll_sketch_agg_double(CAST({value_col} AS DOUBLE), 256)").alias("kll"),
     )
 
 
