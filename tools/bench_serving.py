@@ -254,6 +254,47 @@ def main() -> None:
         results[name] = _time_http(sbase + path, reps)
     spanned_server.shutdown()
 
+    # maintained-state panels (r13): the M4 downsample and the HLL/KLL
+    # approx panel read O(state rows) per refresh by construction — these
+    # rows record the measured constant next to the rollup rows above.
+    # States are maintained once per work dir (stamped like the warehouse)
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        incremental_m4,
+        incremental_sketches,
+    )
+
+    m4_dir = os.path.join(work, "m4")
+    sk_dir = os.path.join(work, "sketches")
+    state_stamp = os.path.join(work, "states_built")
+    t0 = time.perf_counter()
+    if not os.path.exists(state_stamp):
+        logs_schema = spark.read.parquet(warehouse).schema
+        incremental_m4(
+            spark.readStream.schema(logs_schema).parquet(warehouse),
+            m4_dir, os.path.join(work, "m4_ckpt"),
+            ts_col="timestamp", id_col="trace_id", value_col="severity_number",
+        ).awaitTermination()
+        incremental_sketches(
+            spark.readStream.schema(logs_schema).parquet(warehouse),
+            sk_dir, os.path.join(work, "sk_ckpt"),
+            ts_col="timestamp", user_col="trace_id", value_col="severity_number",
+        ).awaitTermination()
+        open(state_stamp, "w").close()
+    m4_build_s = time.perf_counter() - t0
+    state_server = start_sql_endpoint(
+        spark, "/root/testdata/sf0.001", port=0,
+        m4_dir=m4_dir, sketch_dir=sk_dir, request_timeout_s=600.0,
+    )
+    thost, tport = state_server.server_address
+    tbase = f"http://{thost}:{tport}"
+    for name, path in {
+        "m4_downsample_7200": "/panels/m4_downsample?interval=7200",
+        "approx_rollup_3600": "/panels/approx_rollup?interval=3600",
+        "approx_rollup_86400": "/panels/approx_rollup?interval=86400",
+    }.items():
+        results[name] = _time_http(tbase + path, reps)
+    state_server.shutdown()
+
     raw_rows = spark.read.parquet(warehouse).count()
     # snapshot growth check (VERDICT r9 #5): the per-batch rewrite is a
     # coalesce(1) overwrite of the whole key space, so record its size —
@@ -272,6 +313,7 @@ def main() -> None:
         "spanned_boundary": boundary,
         "coarse_tail_rows": coarse_rows,
         "compact_grain_s": round(compact_grain_s, 2),
+        "state_build_s": round(m4_build_s, 2),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
 
