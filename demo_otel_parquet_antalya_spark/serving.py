@@ -567,6 +567,22 @@ def _df_payload(df, cap: int, source: str | None = None) -> dict:
 
 # panels with a flat production route (served by default when the
 # endpoint is configured for it — see work() in do_GET)
+def _int_param(params: dict, key: str, default: int) -> int:
+    """An integer query parameter, refused with a message that names the
+    parameter (VERDICT r13: a bare ``int(...)`` ValueError reached the
+    client as Python's own "invalid literal" text — consistent with the
+    panels' 400 contract but context-free)."""
+    raw = params.get(key)
+    if raw is None:
+        return int(default)
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{key}={raw!r} is not an integer (seconds)"
+        ) from None
+
+
 _ROLLUP_PANELS = ("q5_timeseries", "q3_severity_counts")
 _PRUNED_PANELS = ("q2_recent_logs", "q6_log_panel")
 
@@ -657,17 +673,18 @@ class _SQLHandler(BaseHTTPRequestHandler):
     # ISO string to (never a raw string at serve time)
     rollup_boundary: str | int | None = None
     # M4 downsample panel (r13, VERDICT r12 #3): the maintained M4 state
-    # dir + its grain, with the optional mixed-grain trio (static epoch
-    # boundary only — the M4 maintenance stream records no trim marker,
-    # so there is no 'auto' to follow; resolved at START like the rollup
-    # boundary). No raw fallback exists for this panel: the M4 snapshot
-    # IS the production source (raw events may be beyond retention), so
-    # every incompatibility is a 400, never a silent rescan.
+    # dir + its grain, with the optional mixed-grain trio — "auto" (r14:
+    # follow the trimming incremental_m4 stream's recorded trim marker as
+    # it advances) or the epoch int start_sql_endpoint resolved a static
+    # ISO boundary to. No raw fallback exists for this panel: the M4
+    # snapshot IS the production source (raw events may be beyond
+    # retention), so every incompatibility is a 400, never a silent
+    # rescan.
     m4_dir: str | None = None
     m4_interval_s: int = 3600
     m4_coarse_dir: str | None = None
     m4_coarse_interval_s: int | None = None
-    m4_boundary: int | None = None
+    m4_boundary: str | int | None = None
     # approx-analytics panel (r13): the continuously-maintained hourly
     # HLL/KLL sketch snapshot (streaming/sketches.py). Same no-raw-
     # fallback contract as the M4 panel; estimates are approximate BY
@@ -820,10 +837,19 @@ class _SQLHandler(BaseHTTPRequestHandler):
                     m4_panel,
                 )
 
+                # default to the layout's COARSEST grain: on a spanned
+                # endpoint the fine grain is never a coarse multiple, so
+                # the old fine-grain default made every bare GET 400
+                # (ADVICE r13)
+                interval = _int_param(
+                    params, "interval",
+                    self.m4_coarse_interval_s or self.m4_interval_s,
+                )
+
                 def m4_work():
                     frame = m4_panel(
                         self.spark, self.m4_dir,
-                        interval_s=int(params.get("interval", self.m4_interval_s)),
+                        interval_s=interval,
                         fine_interval_s=self.m4_interval_s,
                         coarse_dir=self.m4_coarse_dir,
                         coarse_interval_s=self.m4_coarse_interval_s,
@@ -871,10 +897,12 @@ class _SQLHandler(BaseHTTPRequestHandler):
                     sketch_panel,
                 )
 
+                interval = _int_param(params, "interval", 3600)
+
                 def sketch_work():
                     frame = sketch_panel(
                         self.spark, self.sketch_dir,
-                        interval_s=int(params.get("interval", 3600)),
+                        interval_s=interval,
                         start=params.get("start"),
                         end=params.get("end"),
                     )
@@ -1305,12 +1333,15 @@ def start_sql_endpoint(
     (needs no ``logs_dir``; there is deliberately NO raw fallback — the
     M4 state is the production source and raw events may be beyond
     retention at the panel's horizon, so every incompatibility is a 400,
-    including a non-multiple interval). The optional static trio
+    including a non-multiple interval). The optional trio
     ``m4_coarse_dir`` / ``m4_coarse_interval_s`` / ``m4_boundary``
-    (``compact_m4_grain`` output; ISO/epoch, coarse-aligned, resolved at
-    start — ``'auto'`` is refused because the M4 stream records no trim
-    marker) serves the mixed-grain fine-recent + coarse-tail layout;
-    intervals must then be multiples of the coarse grain.
+    (``compact_m4_grain`` output; ISO/epoch coarse-aligned and resolved
+    at start, or ``'auto'`` (r14) to follow the trimming
+    ``incremental_m4`` stream's recorded trim boundary as it advances —
+    a markerless snapshot then 400s, never a silently truncated fine
+    side) serves the mixed-grain fine-recent + coarse-tail layout;
+    intervals must then be multiples of the coarse grain, and a bare
+    request defaults to the layout's coarsest grain (ADVICE r13).
 
     Approx-analytics panel (r13): pass ``sketch_dir`` (the
     ``incremental_sketches`` snapshot — hourly HLL/KLL states) to enable
@@ -1344,9 +1375,10 @@ def start_sql_endpoint(
                 spark, rollup_boundary, rollup_coarse_interval_s
             )
     # M4 downsample panel config (r13, VERDICT r12 #3): same all-or-
-    # nothing trio discipline as the rollup span; the boundary is STATIC
-    # only (resolved to an epoch int here) because the M4 maintenance
-    # stream records no trim marker for 'auto' to follow
+    # nothing trio discipline as the rollup span. 'auto' (r14) follows
+    # the trimming incremental_m4 stream's recorded trim marker per
+    # request — the trim advances the serving split without a restart;
+    # a static boundary resolves to an epoch int here, at start.
     _m4_span_cfg = (m4_coarse_dir, m4_coarse_interval_s, m4_boundary)
     if any(v is not None for v in _m4_span_cfg):
         if any(v is None for v in _m4_span_cfg) or m4_dir is None:
@@ -1355,17 +1387,12 @@ def start_sql_endpoint(
                 "m4_coarse_dir, m4_coarse_interval_s and m4_boundary — a "
                 "partial trio would silently serve single-snapshot history"
             )
-        if m4_boundary == "auto":
-            raise ValueError(
-                "m4_boundary='auto' is not supported: the M4 maintenance "
-                "stream records no trim marker to follow — pass a static "
-                "coarse-aligned timestamp or epoch"
+        if m4_boundary != "auto":
+            from demo_otel_parquet_antalya_spark.streaming.rollup import (
+                _boundary_epoch as _m4_bepoch,
             )
-        from demo_otel_parquet_antalya_spark.streaming.rollup import (
-            _boundary_epoch as _m4_bepoch,
-        )
 
-        m4_boundary = _m4_bepoch(spark, m4_boundary, m4_coarse_interval_s)
+            m4_boundary = _m4_bepoch(spark, m4_boundary, m4_coarse_interval_s)
     if disable_sql_on_files:
         spark.conf.set("spark.sql.runSQLOnFiles", "false")
     for name in tables:

@@ -31,8 +31,11 @@ from demo_otel_parquet_antalya_spark.streaming.rollup import (
     _check_retain,
     _commit_snapshot,
     _read_grain_meta,
+    _resolve_span,
     _versions,
     _write_version_meta,
+    read_grain,
+    read_trim_boundary,
 )
 
 SKETCH_SCHEMA = "hour timestamp, hll binary, kll binary"
@@ -124,9 +127,22 @@ M4_SCHEMA = (
     "v_max double, k_last string, v_last double"
 )
 
+# the maintained stream's default bucket unit (_m4_batch floors unix
+# seconds by it); r14 parameterizes the grain — a real M4 deployment
+# maintains PIXEL-width buckets (a 2,000-px panel over an hour is ~2 s
+# buckets), which is exactly where the untrimmed snapshot's O(history)
+# per-batch rewrite stops being hypothetical
+M4_INTERVAL_S = 3600
 
-def _m4_batch(df: DataFrame, ts_col: str, id_col: str, value_col: str) -> DataFrame:
-    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / 3600).cast("long")
+
+def _m4_batch(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    interval_s: int = M4_INTERVAL_S,
+) -> DataFrame:
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_s).cast("long")
     # orderable composite key for first/last: zero-padded epoch-micros + id
     key = F.concat_ws(
         "#",
@@ -172,25 +188,174 @@ def incremental_m4(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    interval_s: int = M4_INTERVAL_S,
     watermark_delay: str = "10 minutes",
     retain_versions: int | None = 3,
+    trim_horizon_s: int | None = None,
+    trim_coarse_dir: str | None = None,
+    trim_coarse_interval_s: int | None = None,
 ):
     """Maintain the M4 dashboard reduction continuously; returns the
-    query. ``retain_versions`` as in ``incremental_sketches``."""
+    query. ``interval_s`` is the maintained pixel grain (default hourly;
+    a dashboard-pixel deployment uses seconds — which is exactly where
+    the untrimmed snapshot's growth bites). ``retain_versions`` as in
+    ``incremental_sketches``.
+
+    **Tail trim (r14, VERDICT r13 #1)** — the rollup tier's bound applied
+    to the M4 state (without it the per-batch ``coalesce(1)`` snapshot
+    rewrite is O(all history) forever — the class ``tools/bench_trim.py``
+    measured at 13.5 s/batch vs 0.58 s at 100 days on the rollup tier):
+    pass the all-or-nothing trio ``trim_horizon_s`` (keep at least this
+    many seconds of recent pixel buckets), ``trim_coarse_dir`` (the
+    ``compact_m4_grain`` output that owns the tail) and
+    ``trim_coarse_interval_s`` (its grain — a multiple of ``interval_s``,
+    validated). Each batch derives a DESIRED boundary from its own rows
+    (max event epoch − horizon, floored to the coarse grain —
+    deterministic on replay), clamps it to what the coarse tail PROVABLY
+    covers, takes the max with the prior version's recorded boundary
+    (monotone — trimmed pixels are gone), drops fine buckets below it,
+    and records the boundary as the same ``_trim_boundary.json`` marker
+    the rollup trim writes — which is what lets the M4 panel's spanned
+    route serve ``boundary='auto'`` (``read_m4_spanned``).
+
+    Coverage clamp, one M4-specific tightening vs the rollup trim: M4
+    snapshot buckets are GRAIN-RELATIVE integers (``floor(epoch/grain)``),
+    so a coarse dir with no recorded ``_grain.json`` marker has no
+    verifiable grain (the rollup's per-row epoch-alignment probe has no
+    M4 equivalent) — such a dir contributes NO coverage and the trim
+    stalls (the fine snapshot grows; data never silently vanishes). A
+    marker recording a DIFFERENT grain than configured fails the batch.
+    ``compact_m4_grain`` always records the marker, so the stall only
+    covers its crash window and hand-built dirs.
+
+    Grain discipline (r14): every committed version records the
+    maintained ``interval_s`` in its ``_grain.json`` sidecar, and the
+    merge validates the prior version's recorded grain — a stream
+    restarted with a different ``interval_s`` over an old target would
+    otherwise silently merge bucket INDICES across units (pre-r14
+    markerless priors are accepted as-is; they cannot be verified).
+
+    Lateness contract as in ``incremental_rollup``: a row later than the
+    trim horizon lands below the boundary and is DROPPED from the
+    maintained state (the compacted tail was already written without it;
+    rebuild from raw to recover). Choose ``trim_horizon_s`` >> the
+    watermark delay."""
     _check_retain(retain_versions)
+    if interval_s <= 0:
+        raise ValueError(f"interval_s={interval_s} must be positive")
+    trim_cfg = (trim_horizon_s, trim_coarse_dir, trim_coarse_interval_s)
+    if any(v is not None for v in trim_cfg) and any(v is None for v in trim_cfg):
+        raise ValueError(
+            "tail trim needs ALL of trim_horizon_s, trim_coarse_dir and "
+            "trim_coarse_interval_s — a partial trio could trim a tail "
+            "nothing covers"
+        )
+    if trim_horizon_s is not None:
+        if trim_horizon_s <= 0 or trim_coarse_interval_s <= 0:
+            raise ValueError(
+                "trim_horizon_s and trim_coarse_interval_s must be positive"
+            )
+        if trim_coarse_interval_s % interval_s:
+            raise ValueError(
+                f"trim_coarse_interval_s={trim_coarse_interval_s} is not a "
+                f"multiple of the maintained interval_s={interval_s} — the "
+                "trim boundary would cut a fine pixel bucket"
+            )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        inc = _m4_batch(batch_df, ts_col, id_col, value_col)
+        inc = _m4_batch(batch_df, ts_col, id_col, value_col, interval_s)
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         if prior_vs:
+            recorded_fine = read_grain(spark, target_dir, prior_vs[-1])
+            if recorded_fine is not None and recorded_fine != interval_s:
+                raise ValueError(
+                    f"prior M4 snapshot v={prior_vs[-1]} at {target_dir!r} "
+                    f"records grain {recorded_fine}s, not the configured "
+                    f"interval_s={interval_s} — merging would mix bucket "
+                    "units; wrong grain or wrong directory"
+                )
             prior = spark.read.schema(M4_SCHEMA).parquet(
                 f"{target_dir}/v={prior_vs[-1]}"
             )
             merged = _m4_merge(prior.unionByName(inc))
         else:
             merged = inc
-        _commit_snapshot(merged, target_dir, batch_id, retain_versions)
+        # trimmed-ness is a property of the CONTENT the merge inherits:
+        # the prior boundary is STICKY (re-asserted and re-filtered even
+        # without the trio) — the rollup trim's r12 rule
+        prior_tb = (
+            read_trim_boundary(spark, target_dir, prior_vs[-1])
+            if prior_vs else None
+        )
+        if trim_horizon_s is not None:
+            prior_epoch = prior_tb[0] if prior_tb else None
+            row = batch_df.agg(
+                F.max(F.unix_timestamp(F.col(ts_col))).alias("e")
+            ).first()
+            desired = (
+                None if row.e is None
+                else ((int(row.e) - trim_horizon_s) // trim_coarse_interval_s)
+                * trim_coarse_interval_s
+            )
+            cvs = _versions(spark, trim_coarse_dir)
+            coverage = None
+            if cvs:
+                cv = cvs[-1]
+                recorded, coverage = _read_grain_meta(spark, trim_coarse_dir, cv)
+                if recorded is None:
+                    # M4 buckets are grain-relative ints: a markerless dir
+                    # has NO verifiable grain, so it proves no coverage —
+                    # the trim stalls (fine grows) rather than trusting a
+                    # unit it cannot check (see docstring)
+                    coverage = None
+                elif recorded != trim_coarse_interval_s:
+                    raise ValueError(
+                        f"coarse M4 snapshot at {trim_coarse_dir!r} records "
+                        f"grain {recorded}s, not the configured "
+                        f"trim_coarse_interval_s={trim_coarse_interval_s} — "
+                        "wrong grain or wrong directory; refusing to trim"
+                    )
+                elif coverage is not None and coverage % trim_coarse_interval_s:
+                    # compact_m4_grain writes (max_b+1)*grain — always
+                    # aligned; anything else is a tampered/foreign marker
+                    raise ValueError(
+                        f"coarse M4 snapshot at {trim_coarse_dir!r} records "
+                        f"coverage_end {coverage}, not aligned to "
+                        f"trim_coarse_interval_s={trim_coarse_interval_s} — "
+                        "wrong grain or wrong directory; refusing to trim"
+                    )
+                elif coverage is None:
+                    # grain recorded but coverage missing (the pre-r13 /
+                    # crash-window marker): derive it with one
+                    # column-pruned job — safe, the units are verified
+                    cov = (
+                        spark.read.schema(M4_SCHEMA)
+                        .parquet(f"{trim_coarse_dir}/v={cv}")
+                        .agg(F.max("bucket").alias("b"))
+                        .first()
+                    )
+                    if cov.b is not None:
+                        coverage = (int(cov.b) + 1) * trim_coarse_interval_s
+            if desired is not None and coverage is not None:
+                cand = min(desired, coverage)
+                trim_e = max(prior_epoch, cand) if prior_epoch is not None else cand
+            else:
+                trim_e = prior_epoch  # empty batch / no coverage: re-assert
+            trim = None if trim_e is None else (trim_e, trim_coarse_interval_s)
+        else:
+            trim = prior_tb  # sticky re-assert (None for never-trimmed)
+        if trim is not None:
+            # coarse-aligned epoch over fine-unit buckets: exact division
+            # (trim_coarse_interval_s % interval_s == 0 validated above;
+            # a sticky boundary was written by a past trio and respects
+            # the same rule as long as the grain is unchanged — which the
+            # prior-grain check above pins)
+            merged = merged.filter(F.col("bucket") >= trim[0] // interval_s)
+        _commit_snapshot(
+            merged, target_dir, batch_id, retain_versions,
+            trim_boundary=trim, grain_s=interval_s,
+        )
 
     keyed = events.withWatermark(ts_col, watermark_delay)
     return (
@@ -211,10 +376,6 @@ def incremental_m4(
 # grain, span the two snapshots at a boundary, re-merge to any multiple of
 # the coarse grain.
 # ---------------------------------------------------------------------------
-
-# the maintained stream's bucket unit (_m4_batch floors unix seconds by it)
-M4_INTERVAL_S = 3600
-
 
 def m4_remerge(states: DataFrame, interval_s: int) -> DataFrame:
     """Re-aggregate M4 rows carrying a ``bucket_start`` epoch column to
@@ -279,6 +440,18 @@ def compact_m4_grain(
     vs = _versions(spark, src_dir)
     if not vs:
         raise ValueError(f"no committed M4 snapshot under {src_dir!r}")
+    # r14: the maintenance stream records its grain with every commit —
+    # cross-check the claimed src grain (M4 buckets are grain-relative
+    # ints, so a unit mismatch here would silently mis-place every
+    # compacted bucket in absolute time); markerless pre-r14 snapshots
+    # are accepted as claimed
+    recorded_src = read_grain(spark, src_dir, vs[-1])
+    if recorded_src is not None and recorded_src != src_interval_s:
+        raise ValueError(
+            f"source M4 snapshot at {src_dir!r} records grain "
+            f"{recorded_src}s, not the claimed src_interval_s="
+            f"{src_interval_s} — wrong grain or wrong directory"
+        )
     snap = _m4_with_start(
         spark.read.schema(M4_SCHEMA).parquet(f"{src_dir}/v={vs[-1]}"),
         src_interval_s,
@@ -320,20 +493,38 @@ def read_m4_spanned(
     spark: SparkSession,
     fine_dir: str,
     coarse_dir: str,
-    boundary_epoch: int,
+    boundary_epoch,
     fine_interval_s: int = M4_INTERVAL_S,
     coarse_interval_s: int | None = None,
 ) -> DataFrame:
     """The mixed-grain M4 union: bucket starts ``>= boundary_epoch`` from
     the fine snapshot, ``< boundary_epoch`` from the compacted tail, in
-    the absolute ``bucket_start`` shape ``m4_remerge`` consumes. The
-    boundary must be aligned to the COARSE grain; the coarse side's
-    recorded ``_grain.json`` is cross-checked against the configured
-    ``coarse_interval_s`` (plain ValueError — config mismatch), a
-    missing side raises ``RollupRouteIncompatible`` (serve from raw),
-    and a boundary beyond the coarse tail's recorded/derived coverage is
-    refused when the fine state still holds the uncovered buckets (the
-    rollup tier's gap check, r13 — see the inline comment). Exact for
+    the absolute ``bucket_start`` shape ``m4_remerge`` consumes.
+
+    ``boundary_epoch`` is a coarse-aligned epoch int / ISO timestamp, or
+    ``'auto'`` (r14, VERDICT r13 #1): ``'auto'`` follows the trimming
+    ``incremental_m4`` stream's recorded ``_trim_boundary.json`` marker
+    (resolved and PINNED with the fine version it belongs to via the
+    rollup tier's ``_resolve_span`` — a maintenance commit landing
+    mid-read cannot pair a newer, further-trimmed snapshot with an older
+    boundary), so the serving split advances with the trim without a
+    config flag day; a markerless fine snapshot (untrimmed stream, or
+    the marker-write crash window) is ``RollupRouteIncompatible`` — and
+    the M4 panel has no raw fallback, so the endpoint answers 400 rather
+    than serving a fine side that may be silently missing its tail.
+
+    The coarse side's recorded ``_grain.json`` is cross-checked against
+    the configured ``coarse_interval_s`` (plain ValueError — config
+    mismatch), and the FINE side's recorded grain (every r14 maintenance
+    commit records it) against ``fine_interval_s``; a missing side raises
+    ``RollupRouteIncompatible``. A STATIC boundary beyond the coarse
+    tail's recorded/derived coverage is refused when the fine state still
+    holds the uncovered buckets (the rollup tier's gap check, r13);
+    ``'auto'`` skips the probe entirely — the recorded trim boundary was
+    itself clamped to coarse coverage when it was committed, so the gap
+    cannot exist (the r14 simplification the trim unlocks). A static
+    boundary older than the fine side's recorded trim is a stale config
+    (ValueError — buckets in between belong to neither side). Exact for
     any downstream re-merge whose interval is a multiple of the coarse
     grain — same argument as ``rollup.span_snapshots``, with the arg
     keys carrying first/last."""
@@ -362,54 +553,55 @@ def read_m4_spanned(
             f"coarse_interval_s={coarse_interval_s} is not a multiple of "
             f"fine_interval_s={fine_interval_s} — not this M4's compaction"
         )
-    if boundary_epoch % coarse_interval_s:
+    # boundary + fine version pinned together from one listing (auto reads
+    # the trim marker; static cross-checks against it — _resolve_span)
+    epoch, fv = _resolve_span(spark, fine_dir, boundary_epoch, coarse_interval_s)
+    recorded_fine = read_grain(spark, fine_dir, fv)
+    if recorded_fine is not None and recorded_fine != fine_interval_s:
         raise ValueError(
-            f"boundary epoch {boundary_epoch} is not aligned to the "
-            f"coarse {coarse_interval_s}s grain — the split would cut a "
-            "bucket"
-        )
-    fvs = _versions(spark, fine_dir)
-    if not fvs:
-        raise RollupRouteIncompatible(
-            f"no committed M4 snapshot under {fine_dir!r} yet"
+            f"fine M4 snapshot at {fine_dir!r} records grain "
+            f"{recorded_fine}s, not the configured {fine_interval_s}s — "
+            "wrong grain or wrong directory"
         )
     fine_all = _m4_with_start(
-        spark.read.schema(M4_SCHEMA).parquet(f"{fine_dir}/v={fvs[-1]}"),
+        spark.read.schema(M4_SCHEMA).parquet(f"{fine_dir}/v={fv}"),
         fine_interval_s,
     )
     # gap refusal (r13, the rollup tier's ADVICE-r12 check applied to its
-    # M4 twin): a boundary beyond what the coarse tail covers would drop
-    # buckets in [coverage end, boundary) from BOTH sides even though the
-    # (never-trimmed) fine M4 state still holds them — silent missing
-    # pixels. Exact probe: only raises when the fine side actually holds
-    # such a bucket, so fresh deployments / quiet periods serve fine.
-    # Coverage reads from the grain sidecar (metadata); pre-r13 markers
-    # derive it with one column-pruned job.
-    if coverage is None:
-        cov = (
-            spark.read.schema(M4_SCHEMA).parquet(f"{coarse_dir}/v={cv}")
-            .agg(F.max("bucket").alias("b"))
-            .first()
-        )
-        coverage = None if cov.b is None else (int(cov.b) + 1) * coarse_interval_s
-    if coverage is None or coverage < boundary_epoch:
-        gap = fine_all.filter(F.col("bucket_start") < F.lit(boundary_epoch))
-        if coverage is not None:
-            gap = gap.filter(F.col("bucket_start") >= F.lit(coverage))
-        if gap.select("bucket_start").limit(1).count():
-            raise ValueError(
-                f"M4 span boundary (epoch {boundary_epoch}) exceeds what "
-                f"the coarse snapshot at {coarse_dir!r} covers (up to "
-                f"{coverage if coverage is not None else 'nothing'}) and "
-                "the fine snapshot still holds buckets in between — they "
-                "would be served by neither side; re-run the grain "
-                "compaction or lower the boundary"
+    # M4 twin): a STATIC boundary beyond what the coarse tail covers would
+    # drop buckets in [coverage end, boundary) from BOTH sides even though
+    # the fine M4 state may still hold them — silent missing pixels.
+    # Exact probe: only raises when the fine side actually holds such a
+    # bucket, so fresh deployments / quiet periods serve fine. Coverage
+    # reads from the grain sidecar (metadata); pre-r13 markers derive it
+    # with one column-pruned job. 'auto' skips it: the recorded trim
+    # boundary was clamped to coarse coverage at commit time (r14).
+    if not (isinstance(boundary_epoch, str) and boundary_epoch == "auto"):
+        if coverage is None:
+            cov = (
+                spark.read.schema(M4_SCHEMA).parquet(f"{coarse_dir}/v={cv}")
+                .agg(F.max("bucket").alias("b"))
+                .first()
             )
-    fine = fine_all.filter(F.col("bucket_start") >= F.lit(boundary_epoch))
+            coverage = None if cov.b is None else (int(cov.b) + 1) * coarse_interval_s
+        if coverage is None or coverage < epoch:
+            gap = fine_all.filter(F.col("bucket_start") < F.lit(epoch))
+            if coverage is not None:
+                gap = gap.filter(F.col("bucket_start") >= F.lit(coverage))
+            if gap.select("bucket_start").limit(1).count():
+                raise ValueError(
+                    f"M4 span boundary (epoch {epoch}) exceeds what "
+                    f"the coarse snapshot at {coarse_dir!r} covers (up to "
+                    f"{coverage if coverage is not None else 'nothing'}) and "
+                    "the fine snapshot still holds buckets in between — they "
+                    "would be served by neither side; re-run the grain "
+                    "compaction or lower the boundary"
+                )
+    fine = fine_all.filter(F.col("bucket_start") >= F.lit(epoch))
     coarse = _m4_with_start(
         spark.read.schema(M4_SCHEMA).parquet(f"{coarse_dir}/v={cv}"),
         coarse_interval_s,
-    ).filter(F.col("bucket_start") < F.lit(boundary_epoch))
+    ).filter(F.col("bucket_start") < F.lit(epoch))
     return fine.unionByName(coarse)
 
 
@@ -420,7 +612,7 @@ def m4_panel(
     fine_interval_s: int = M4_INTERVAL_S,
     coarse_dir: str | None = None,
     coarse_interval_s: int | None = None,
-    boundary_epoch: int | None = None,
+    boundary_epoch=None,
     start=None,
     end=None,
 ) -> DataFrame:
@@ -428,8 +620,10 @@ def m4_panel(
     pixel bucket, the four M4 stats (first/min/max/last of the maintained
     value) read from the maintained snapshot — never raw events. With the
     spanned trio (``coarse_dir``, ``coarse_interval_s``,
-    ``boundary_epoch``) the read spans the mixed-grain layout
-    (``read_m4_spanned``); without it, the latest fine snapshot alone.
+    ``boundary_epoch`` — a coarse-aligned epoch/ISO, or ``'auto'`` to
+    follow the trimming maintenance stream's recorded boundary, r14) the
+    read spans the mixed-grain layout (``read_m4_spanned``); without it,
+    the latest fine snapshot alone.
 
     Exactness rule, refused loudly when unmet (``RollupRouteIncompatible``
     — serving maps it to 400, because unlike the count rollup there is NO
@@ -456,29 +650,42 @@ def m4_panel(
             "and boundary_epoch — a partial trio would silently serve "
             "single-snapshot history"
         )
+    # interval validity is knowable from the ARGUMENTS alone (the layout's
+    # coarsest grain is the coarse grain when spanned, else the maintained
+    # grain) — check it BEFORE the spanned read's eager work (version
+    # listings, grain markers, possibly the gap probe's Spark job), so an
+    # invalid request 400s without paying for a read (ADVICE r13)
+    base_grain = int(coarse_interval_s) if coarse_dir is not None else int(
+        fine_interval_s
+    )
+    if interval_s <= 0 or interval_s % base_grain:
+        raise RollupRouteIncompatible(
+            f"interval={interval_s}s is not a positive multiple of the "
+            f"maintained M4 grain ({base_grain}s) — the snapshot cannot "
+            "serve it exactly"
+        )
     if coarse_dir is not None:
-        base_grain = int(coarse_interval_s)
         states = read_m4_spanned(
             spark, fine_dir, coarse_dir, boundary_epoch,
             fine_interval_s=fine_interval_s,
             coarse_interval_s=coarse_interval_s,
         )
     else:
-        base_grain = int(fine_interval_s)
         vs = _versions(spark, fine_dir)
         if not vs:
             raise RollupRouteIncompatible(
                 f"no committed M4 snapshot under {fine_dir!r} yet"
             )
+        recorded_fine = read_grain(spark, fine_dir, vs[-1])
+        if recorded_fine is not None and recorded_fine != fine_interval_s:
+            raise ValueError(
+                f"M4 snapshot at {fine_dir!r} records grain "
+                f"{recorded_fine}s, not the configured {fine_interval_s}s "
+                "— wrong grain or wrong directory"
+            )
         states = _m4_with_start(
             spark.read.schema(M4_SCHEMA).parquet(f"{fine_dir}/v={vs[-1]}"),
             fine_interval_s,
-        )
-    if interval_s <= 0 or interval_s % base_grain:
-        raise RollupRouteIncompatible(
-            f"interval={interval_s}s is not a positive multiple of the "
-            f"maintained M4 grain ({base_grain}s) — the snapshot cannot "
-            "serve it exactly"
         )
     # window on WHOLE output pixels: resolve each edge against the
     # requested interval (rollup._boundary_epoch validates alignment and

@@ -1967,6 +1967,13 @@ def test_m4_downsample_panel_matches_direct_m4_over_raw(m4_endpoint, spark):
         got = json.loads(r.read())
     assert got["source"] == "m4"
     assert got["columns"] == ["t", "v_first", "v_min", "v_max", "v_last"]
+
+    # a BARE GET defaults to the layout's coarsest grain (ADVICE r13: the
+    # old fine-grain default could never be a coarse multiple on a
+    # spanned endpoint, so every bare GET 400'd)
+    with urllib.request.urlopen(f"{base}/panels/m4_downsample") as r:
+        bare = json.loads(r.read())
+    assert bare["source"] == "m4" and bare["row_count"] > 0
     raw = spark.read.parquet(src)
     want = {
         (str(r.t), r.v_first, r.v_min, r.v_max, r.v_last)
@@ -2008,6 +2015,7 @@ def test_m4_downsample_refusals_are_loud(m4_endpoint, endpoint):
         (f"{base}/panels/m4_downsample?interval=3600", "not a positive multiple"),
         (f"{base}/panels/m4_downsample?interval=0", "not a positive multiple"),
         (f"{base}/panels/m4_downsample?interval=86400&filter=a=b", "no ad-hoc"),
+        (f"{base}/panels/m4_downsample?interval=abc", "not an integer"),
         (f"{base}/panels/m4_downsample?source=raw", "maintained M4 snapshot only"),
         (f"{endpoint}/panels/m4_downsample?interval=86400", "no M4 snapshot"),
         # a window edge that cuts an output pixel has no exact answer
@@ -2028,20 +2036,35 @@ def test_m4_downsample_refusals_are_loud(m4_endpoint, endpoint):
 
 
 def test_m4_config_guards_at_start(spark):
-    """The M4 trio is all-or-nothing at endpoint START, and 'auto' is
-    refused (the M4 maintenance stream records no trim marker to follow)."""
+    """The M4 trio is all-or-nothing at endpoint START; a misaligned
+    static boundary fails at start; 'auto' (r14) starts fine — it
+    resolves per request from the trimming stream's recorded marker, and
+    a snapshotless/markerless layout answers 400, never a silently
+    truncated fine side."""
     with pytest.raises(ValueError, match="mixed-grain M4"):
         start_sql_endpoint(spark, SF_DIR, m4_dir="/x", m4_coarse_dir="/y")
-    with pytest.raises(ValueError, match="auto.*not supported"):
-        start_sql_endpoint(
-            spark, SF_DIR, m4_dir="/x", m4_coarse_dir="/y",
-            m4_coarse_interval_s=14400, m4_boundary="auto",
-        )
     with pytest.raises(ValueError, match="not aligned"):
         start_sql_endpoint(
             spark, SF_DIR, m4_dir="/x", m4_coarse_dir="/y",
             m4_coarse_interval_s=14400, m4_boundary=1705795230,
         )
+    server = start_sql_endpoint(
+        spark, SF_DIR, m4_dir="/nonexistent-m4",
+        m4_coarse_dir="/nonexistent-coarse",
+        m4_coarse_interval_s=14400, m4_boundary="auto",
+    )
+    host, port = server.server_address
+    try:
+        urllib.request.urlopen(
+            f"http://{host}:{port}/panels/m4_downsample?interval=14400"
+        )
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "no committed" in json.loads(e.read())["error"]
+    else:
+        raise AssertionError("expected 400")
+    finally:
+        server.shutdown()
 
 
 def test_approx_rollup_panel_serves_sketch_states(spark, tmp_path):
@@ -2145,3 +2168,77 @@ def test_auto_fallback_reason_is_observable(spanned_endpoint):
     with urllib.request.urlopen(f"{base}/panels/q5_timeseries?interval=300") as r:
         flat = json.loads(r.read())
     assert flat["source"] == "rollup" and "fallback_reason" not in flat
+
+
+def test_m4_auto_boundary_http_equals_static(spark, tmp_path):
+    """r14 (VERDICT r13 #1): an endpoint configured with
+    m4_boundary='auto' follows the trimming incremental_m4 stream's
+    recorded trim marker and serves EXACTLY what the static-boundary
+    endpoint serves at the same split — the trim advances the serving
+    boundary without a restart or a config flag day."""
+    import os
+
+    import pandas as pd
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        read_trim_boundary,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        compact_m4_grain,
+        incremental_m4,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    base_epoch = 1704067200
+    src = str(tmp_path / "events")
+    m4_dir, coarse_dir = str(tmp_path / "m4"), str(tmp_path / "m4_tail")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def _write(fname, rows):
+        with open(f"{src}/{fname}", "w") as f:
+            for off, eid, val in rows:
+                f.write(json.dumps({
+                    "ts": str(base + pd.Timedelta(seconds=off)),
+                    "event_id": eid, "value": val,
+                }) + "\n")
+
+    def _stream():
+        return (
+            spark.readStream
+            .schema("ts timestamp, event_id bigint, value double")
+            .option("maxFilesPerTrigger", 1).json(src)
+        )
+
+    # 30 h of history, tail below day 2 compacted to 4 h pixels, then one
+    # trimming batch that clamps the boundary to the compaction cut
+    _write("b0.json", [(i * 361, i, float((i * 13) % 71)) for i in range(300)])
+    incremental_m4(_stream(), m4_dir, ckpt).awaitTermination()
+    boundary = base_epoch + 86400
+    compact_m4_grain(spark, m4_dir, coarse_dir, 14400, older_than_epoch=boundary)
+    _write("b1.json", [(108000 + i * 37, 1000 + i, float(i % 7)) for i in range(40)])
+    incremental_m4(
+        _stream(), m4_dir, ckpt, trim_horizon_s=7200,
+        trim_coarse_dir=coarse_dir, trim_coarse_interval_s=14400,
+    ).awaitTermination()
+    assert read_trim_boundary(spark, m4_dir) == (boundary, 14400)
+
+    payloads = {}
+    for key, b in (("auto", "auto"), ("static", boundary)):
+        server = start_sql_endpoint(
+            spark, SF_DIR, row_cap=5000, m4_dir=m4_dir,
+            m4_coarse_dir=coarse_dir, m4_coarse_interval_s=14400,
+            m4_boundary=b, request_timeout_s=10.0,
+        )
+        host, port = server.server_address
+        try:
+            # bare GET: defaults to the coarsest grain (14400) on both
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/panels/m4_downsample"
+            ) as r:
+                payloads[key] = json.loads(r.read())
+        finally:
+            server.shutdown()
+    assert payloads["auto"]["rows"] == payloads["static"]["rows"]
+    assert payloads["auto"]["row_count"] > 0
+    assert payloads["auto"]["source"] == "m4"

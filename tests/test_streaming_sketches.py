@@ -426,3 +426,240 @@ def test_sketch_panel_refuses_missing_snapshot_and_bad_interval(spark, tmp_path)
         sketch_panel(spark, str(tmp_path / "nowhere"), 86400)
     with _pytest.raises(RollupRouteIncompatible, match="not a positive multiple"):
         sketch_panel(spark, str(tmp_path / "nowhere"), 5400)
+
+
+# ---------------------------------------------------------------------------
+# r14 (VERDICT r13 #1): the M4 tail trim — the rollup tier's bound ported to
+# the last O(history) maintained state in the layout.
+# ---------------------------------------------------------------------------
+
+M4_EVENT_SCHEMA = "ts timestamp, event_id bigint, value double"
+BASE_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def _write_m4_events(src: str, fname: str, rows):
+    """rows: (epoch_offset_s, event_id, value) triples."""
+    import os
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/{fname}", "w") as f:
+        for off, eid, val in rows:
+            f.write(json.dumps({
+                "ts": str(base + pd.Timedelta(seconds=off)),
+                "event_id": eid, "value": val,
+            }) + "\n")
+
+
+def _m4_stream(spark, src):
+    return (
+        spark.readStream.schema(M4_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+
+
+def test_m4_trim_bounds_state_marker_and_spanned_reads(spark, tmp_path):
+    """The trimmed M4 maintenance stream: (a) drops fine pixel buckets the
+    coarse tail owns and records the boundary as the rollup tier's
+    _trim_boundary.json marker, clamped to coarse coverage; (b) the
+    spanned read with boundary='auto' follows the marker and equals BOTH
+    the static-boundary read and direct batch M4 over the raw events
+    (stream == batch through a trim); (c) the boundary is sticky across a
+    restart without the trio, and a row later than the horizon is DROPPED
+    (the documented lateness contract)."""
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        read_trim_boundary,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        _m4_with_start,
+        compact_m4_grain,
+        incremental_m4,
+        m4_panel,
+        m4_remerge,
+        read_m4,
+        read_m4_spanned,
+    )
+
+    src = str(tmp_path / "events")
+    m4_dir = str(tmp_path / "m4")
+    coarse_dir = str(tmp_path / "m4_tail")
+    ckpt = str(tmp_path / "ckpt")
+    fine_s, coarse_s, horizon_s = 600, 3600, 7200
+
+    # ~30 h of history at a 10-minute pixel grain (non-default: the grain
+    # is parameterized in r14 exactly because real M4 grains are fine)
+    hist = [(i * 361, i, float((i * 13) % 71)) for i in range(300)]
+    _write_m4_events(src, "b0.json", hist)
+    incremental_m4(
+        _m4_stream(spark, src), m4_dir, ckpt,
+        ts_col="ts", id_col="event_id", value_col="value", interval_s=fine_s,
+    ).awaitTermination()
+    assert read_trim_boundary(spark, m4_dir) is None  # untrimmed so far
+
+    # compact the first day into the 1 h coarse tail
+    boundary = BASE_EPOCH + 86400
+    compact_m4_grain(
+        spark, m4_dir, coarse_dir, coarse_s, src_interval_s=fine_s,
+        older_than_epoch=boundary,
+    )
+
+    # resume WITH the trim trio: one new on-time batch around hour 30
+    fresh = [(108000 + i * 37, 1000 + i, float(i % 7)) for i in range(40)]
+    _write_m4_events(src, "b1.json", fresh)
+    incremental_m4(
+        _m4_stream(spark, src), m4_dir, ckpt,
+        ts_col="ts", id_col="event_id", value_col="value", interval_s=fine_s,
+        trim_horizon_s=horizon_s, trim_coarse_dir=coarse_dir,
+        trim_coarse_interval_s=coarse_s,
+    ).awaitTermination()
+
+    # the desired boundary (max_e - 2 h ~ hour 28) exceeds coarse coverage
+    # (hour 24), so the clamp wins: trim == coverage == the compaction cut
+    assert read_trim_boundary(spark, m4_dir) == (boundary, coarse_s)
+    fine_buckets = [r.bucket for r in read_m4(spark, m4_dir).collect()]
+    assert fine_buckets and min(fine_buckets) * fine_s >= boundary
+
+    # spanned auto == spanned static == direct batch M4 over ALL raw rows
+    raw = spark.read.schema(M4_EVENT_SCHEMA).json(src)
+    direct_daily = {
+        (r.bucket_start, r.v_first, r.v_min, r.v_max, r.v_last)
+        for r in m4_remerge(
+            _m4_with_start(_m4_batch(raw, "ts", "event_id", "value", fine_s), fine_s),
+            86400,
+        ).collect()
+    }
+    for b in ("auto", boundary):
+        got = {
+            (r.bucket_start, r.v_first, r.v_min, r.v_max, r.v_last)
+            for r in m4_remerge(
+                read_m4_spanned(
+                    spark, m4_dir, coarse_dir, b, fine_interval_s=fine_s
+                ),
+                86400,
+            ).collect()
+        }
+        assert got == direct_daily and len(got) == 2, b
+
+    # the panel frame agrees between auto and static boundaries too
+    kw = dict(
+        fine_interval_s=fine_s, coarse_dir=coarse_dir,
+        coarse_interval_s=coarse_s,
+    )
+    p_auto = [tuple(r) for r in m4_panel(
+        spark, m4_dir, 86400, boundary_epoch="auto", **kw).collect()]
+    p_static = [tuple(r) for r in m4_panel(
+        spark, m4_dir, 86400, boundary_epoch=boundary, **kw).collect()]
+    assert p_auto == p_static and len(p_auto) == 2
+
+    # restart WITHOUT the trio: boundary sticky, late row dropped
+    late_and_new = [(3600 * 10, 9999, 999999.0)] + [
+        (111600 + i * 31, 2000 + i, float(i % 5)) for i in range(20)
+    ]
+    _write_m4_events(src, "b2.json", late_and_new)
+    incremental_m4(
+        _m4_stream(spark, src), m4_dir, ckpt,
+        ts_col="ts", id_col="event_id", value_col="value", interval_s=fine_s,
+    ).awaitTermination()
+    assert read_trim_boundary(spark, m4_dir) == (boundary, coarse_s)
+    snap = read_m4(spark, m4_dir)
+    assert snap.filter(F.col("bucket") < boundary // fine_s).count() == 0
+    assert snap.agg(F.max("v_max")).first()[0] < 999999.0  # late row gone
+    # ...and the on-time rows of the restart batch ARE maintained
+    assert snap.filter(F.col("bucket") >= 111600 // fine_s).count() > 0
+
+
+def test_m4_trim_validation_and_markerless_coarse_stall(spark, tmp_path):
+    """Constructor guards: partial trio, non-positive values, a coarse
+    grain that is not a multiple of the maintained grain. Runtime: a
+    coarse dir with NO grain marker proves no coverage for the
+    grain-relative M4 buckets, so the trim STALLS (fine snapshot keeps
+    the tail, no marker) instead of trusting an unverifiable unit; a
+    marker recording a different grain fails the batch loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        read_trim_boundary,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        incremental_m4,
+        read_m4,
+    )
+
+    src = str(tmp_path / "events")
+    _write_m4_events(src, "b0.json", [(i * 600, i, float(i)) for i in range(200)])
+    stream = _m4_stream(spark, src)
+
+    with _pytest.raises(ValueError, match="ALL of"):
+        incremental_m4(stream, "/t", "/c", trim_horizon_s=3600)
+    with _pytest.raises(ValueError, match="positive"):
+        incremental_m4(stream, "/t", "/c", trim_horizon_s=0,
+                       trim_coarse_dir="/x", trim_coarse_interval_s=3600)
+    with _pytest.raises(ValueError, match="multiple"):
+        incremental_m4(stream, "/t", "/c", interval_s=600,
+                       trim_horizon_s=3600, trim_coarse_dir="/x",
+                       trim_coarse_interval_s=1000)
+    with _pytest.raises(ValueError, match="positive"):
+        incremental_m4(stream, "/t", "/c", interval_s=0)
+
+    # markerless coarse dir: grain-relative buckets are unverifiable ->
+    # no coverage -> the trim stalls (nothing deleted, no marker)
+    m4_dir, ckpt = str(tmp_path / "m4"), str(tmp_path / "ckpt")
+    coarse_dir = str(tmp_path / "fake_coarse")
+    spark.range(1).selectExpr(
+        "CAST(0 AS LONG) bucket", "'k' k_first", "CAST(1 AS DOUBLE) v_first",
+        "CAST(1 AS DOUBLE) v_min", "CAST(1 AS DOUBLE) v_max", "'k' k_last",
+        "CAST(1 AS DOUBLE) v_last",
+    ).coalesce(1).write.parquet(os.path.join(coarse_dir, "v=0"))
+    incremental_m4(
+        _m4_stream(spark, src), m4_dir, ckpt, interval_s=600,
+        trim_horizon_s=600, trim_coarse_dir=coarse_dir,
+        trim_coarse_interval_s=3600,
+    ).awaitTermination()
+    assert read_trim_boundary(spark, m4_dir) is None
+    assert read_m4(spark, m4_dir).count() == 200  # every bucket kept
+
+    # grain-mismatch marker: the batch fails loudly instead of trimming
+    with open(os.path.join(coarse_dir, "v=0", "_grain.json"), "w") as f:
+        f.write(json.dumps({"interval_s": 7200}))
+    _write_m4_events(src, "b1.json", [(200 * 600, 999, 1.0)])
+    q = incremental_m4(
+        _m4_stream(spark, src), m4_dir, ckpt, interval_s=600,
+        trim_horizon_s=600, trim_coarse_dir=coarse_dir,
+        trim_coarse_interval_s=3600,
+    )
+    with _pytest.raises(Exception, match="records grain"):
+        q.awaitTermination()
+
+
+def test_m4_fine_grain_recorded_and_restart_mismatch_fails(spark, tmp_path):
+    """r14: every maintained M4 commit records its grain; a stream
+    restarted with a DIFFERENT interval_s over the same target must fail
+    loudly (bucket indices in different units would silently mis-merge),
+    and readers cross-check the recorded grain the same way."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import read_grain
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        incremental_m4,
+        m4_panel,
+    )
+
+    src = str(tmp_path / "events")
+    m4_dir, ckpt = str(tmp_path / "m4"), str(tmp_path / "ckpt")
+    _write_m4_events(src, "b0.json", [(i * 97, i, float(i)) for i in range(60)])
+    incremental_m4(_m4_stream(spark, src), m4_dir, ckpt, interval_s=600)\
+        .awaitTermination()
+    assert read_grain(spark, m4_dir) == 600
+
+    _write_m4_events(src, "b1.json", [(9000, 99, 5.0)])
+    q = incremental_m4(_m4_stream(spark, src), m4_dir, ckpt, interval_s=300)
+    with _pytest.raises(Exception, match="records grain"):
+        q.awaitTermination()
+
+    with _pytest.raises(ValueError, match="records grain"):
+        m4_panel(spark, m4_dir, 3600, fine_interval_s=300)
+    assert m4_panel(spark, m4_dir, 3600, fine_interval_s=600).count() > 0
