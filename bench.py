@@ -27,6 +27,18 @@ from demo_otel_parquet_antalya_spark.plans import QUERIES  # noqa: E402
 from demo_otel_parquet_antalya_spark.session import get_spark  # noqa: E402
 
 
+def pinned_order(bench_queries: dict) -> list[str]:
+    """The bench suite's EXECUTION order: sorted by name, independent of
+    registration/window order (VERDICT r13 #2). The r13 window rotation
+    moved one query from 6th to last in the suite and thereby shifted
+    every query's predecessor chain (page-cache/JIT state), confounding
+    the round-over-round ledger on a box whose dominant wander is
+    per-query I/O state. With a pinned order, rotations change the
+    ledger's ROW SET only — never the execution neighborhood of the
+    queries that stayed."""
+    return sorted(bench_queries)
+
+
 def bench_calibration(spark) -> float:
     """Drift-calibration row (r12, VERDICT r11 #2): a fixed, deterministic,
     CPU-bound reference op with NO I/O and NO code under test — 2B
@@ -124,7 +136,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name, spec in bench_queries.items():
+    for name in pinned_order(bench_queries):
+        spec = bench_queries[name]
         spark.catalog.clearCache()
         gc.collect()  # drop PyDataFrame refs so ContextCleaner can release
         # localCheckpoint blocks (clearCache alone doesn't touch them)

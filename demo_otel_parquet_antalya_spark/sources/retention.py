@@ -61,6 +61,28 @@ from demo_otel_parquet_antalya_spark.sources.compaction import (
 )
 
 
+class RetentionDeleteError(RuntimeError):
+    """A non-dry-run sweep could not delete every doomed partition
+    (permissions, concurrent writers, transient IO). Raised AFTER every
+    doomed path was attempted — the sweep is maximal, the report honest
+    (ADVICE r13: the old ignore_errors=True form reported a failed
+    delete as expired, so a permission failure silently read as a
+    completed retention sweep and re-runs believed the data gone).
+    ``expired`` holds the paths that WERE removed this run, ``failed``
+    the survivors — a re-run converges on exactly the failed set, and
+    callers composing with ``LogTableRegistry.retire_missing`` can
+    retire the expired paths before re-raising or retrying."""
+
+    def __init__(self, expired: list[str], failed: list[str]):
+        self.expired = expired
+        self.failed = failed
+        super().__init__(
+            f"retention sweep deleted {len(expired)} partition(s) but "
+            f"FAILED on {len(failed)}: {failed[:5]}"
+            + ("..." if len(failed) > 5 else "")
+        )
+
+
 def _cutoff_tuple(spark: SparkSession, older_than) -> tuple[int, int, int, int]:
     """(year, month, day, hour) of the cutoff, rendered by the SESSION's
     own calendar/timezone semantics — the same clock that derived the
@@ -118,9 +140,13 @@ def expire_partitions(
     """Expire (or, by default, just LIST — ``dry_run=True``) every hour
     partition directory of the warehouse under ``root`` whose
     (year, month, day, hour) is strictly before ``older_than``'s hour.
-    Returns the affected directory paths, sorted oldest-first. See the
-    module docstring for the whole-partition semantics, the NULL-
-    partition exemption and the streaming-manifest rule."""
+    Returns the affected directory paths, sorted oldest-first. A
+    non-dry-run sweep verifies every delete and raises
+    ``RetentionDeleteError`` (after attempting all doomed paths) when
+    any failed — the return value only ever lists partitions that are
+    PROVABLY gone (ADVICE r13). See the module docstring for the
+    whole-partition semantics, the NULL-partition exemption and the
+    streaming-manifest rule."""
     if has_streaming_manifest(spark, root):
         if not finalize_streaming:
             raise ValueError(
@@ -160,20 +186,36 @@ def expire_partitions(
     paths = [p for _t, p in doomed]
     if dry_run:
         return paths
+    # every delete's outcome is CHECKED (ADVICE r13): the sweep attempts
+    # all doomed paths, then reports failures loudly instead of returning
+    # them as expired — a permission/IO failure must never read as a
+    # completed retention sweep
     local = _local_root(root)
+    expired: list[str] = []
+    failed: list[str] = []
     for p in paths:
         if local is not None:
             import shutil
 
-            shutil.rmtree(p, ignore_errors=True)
+            try:
+                shutil.rmtree(p)
+            except FileNotFoundError:
+                expired.append(p)  # a racing/prior sweep got it — gone is gone
+            except OSError:
+                failed.append(p)
+            else:
+                expired.append(p)
         else:
-            hadoop_delete(spark, p, True)
+            # the FS's success flag; delete() on a missing path returns
+            # False on Hadoop filesystems, but a path we just listed and
+            # then cannot delete is a failure either way — report it
+            (expired if hadoop_delete(spark, p, True) else failed).append(p)
     if local is not None:
         # best-effort prune of now-empty parent directories (day/month/
         # year/service); harmless if skipped — listings ignore empties
         import os
 
-        for p in paths:
+        for p in expired:
             parent = os.path.dirname(p)
             while len(parent) > len(local):
                 try:
@@ -181,4 +223,6 @@ def expire_partitions(
                 except OSError:
                     break
                 parent = os.path.dirname(parent)
-    return paths
+    if failed:
+        raise RetentionDeleteError(expired, failed)
+    return expired

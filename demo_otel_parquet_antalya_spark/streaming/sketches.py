@@ -149,8 +149,18 @@ def _m4_batch(
         F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
         F.lpad(F.col(id_col).cast("string"), 20, "0"),
     )
+    # CAST to double at sketch time: M4_SCHEMA declares the four value
+    # stats double, and an integer value column (severity_number is the
+    # day-2 example's) would otherwise commit int32 parquet that every
+    # reader must widen on trust — the KLL input-widen rule (r13) applied
+    # to the M4 twin (r14 input-type sweep, VERDICT r13 #4). Lossless for
+    # ints below 2^53; no-op for already-double columns.
     return (
-        df.select(bucket.alias("bucket"), key.alias("k"), F.col(value_col).alias("v"))
+        df.select(
+            bucket.alias("bucket"),
+            key.alias("k"),
+            F.col(value_col).cast("double").alias("v"),
+        )
         .groupBy("bucket")
         .agg(
             F.expr("min_by(k, k)").alias("k_first"),

@@ -117,3 +117,23 @@ def test_zero_calibration_yields_null_normalized():
     )
     assert out["total_normalized"] is None
     assert diag["queries_normalized"] == {}
+
+
+def test_bench_order_is_pinned_and_rotation_independent():
+    """VERDICT r13 #2: the suite executes in a PINNED (name-sorted) order,
+    decoupled from registration/window order — a window rotation must not
+    shift every query's predecessor chain (page-cache/JIT state) in the
+    round-over-round ledger."""
+    import inspect
+
+    import bench
+
+    # the order function sorts by name regardless of insertion order
+    assert bench.pinned_order({"zeta": 1, "alpha": 2, "mid": 3}) == [
+        "alpha", "mid", "zeta",
+    ]
+    assert bench.pinned_order(dict(reversed(list(_R12_TIMINGS.items())))) == sorted(
+        _R12_TIMINGS
+    )
+    # ...and main() actually iterates through it
+    assert "for name in pinned_order(bench_queries)" in inspect.getsource(bench.main)

@@ -201,3 +201,334 @@ def test_mispointed_root_refuses_instead_of_silent_noop(spark, tmp_path):
     assert expire_partitions(
         spark, str(tmp_path / "empty"), "2024-01-01 11:00:00"
     ) == []
+
+
+def test_failed_deletes_raise_after_maximal_sweep(spark, warehouse, monkeypatch):
+    """ADVICE r13: a delete failure must never read as a completed sweep.
+    The sweep attempts EVERY doomed path, then raises
+    RetentionDeleteError carrying both the provably-gone and the failed
+    paths; a re-run converges on exactly the failed remainder. Covers
+    both the local (rmtree) and the remote (hadoop_delete flag) branch."""
+    import shutil as _shutil
+
+    import demo_otel_parquet_antalya_spark.sources.retention as ret
+    from demo_otel_parquet_antalya_spark.sources.retention import (
+        RetentionDeleteError,
+    )
+
+    cutoff = "2024-01-01 11:00:00"
+    doomed = expire_partitions(spark, warehouse, cutoff)
+    assert len(doomed) == 4
+
+    # local branch: fail exactly one path, transiently
+    real_rmtree = _shutil.rmtree
+    victim = doomed[1]
+
+    def flaky(path, *a, **k):
+        if path == victim:
+            raise OSError("permission denied (simulated)")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(ret.shutil if hasattr(ret, "shutil") else _shutil,
+                        "rmtree", flaky)
+    with pytest.raises(RetentionDeleteError, match="FAILED on 1") as ei:
+        expire_partitions(spark, warehouse, cutoff, dry_run=False)
+    assert ei.value.failed == [victim]
+    assert sorted(ei.value.expired) == sorted(p for p in doomed if p != victim)
+    assert os.path.exists(victim)  # honestly still there
+    for p in ei.value.expired:
+        assert not os.path.exists(p)
+
+    # re-run after the failure clears: converges on the remainder only
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    assert expire_partitions(spark, warehouse, cutoff, dry_run=False) == [victim]
+
+    # remote branch: hadoop_delete's success flag is honored
+    monkeypatch.setattr(ret, "_local_root", lambda p: None)
+    monkeypatch.setattr(ret, "hadoop_delete", lambda _s, _p, _r: False)
+    # hour 11/12 + NULL survive above; push the cutoff past them
+    with pytest.raises(RetentionDeleteError, match="FAILED on"):
+        expire_partitions(spark, warehouse, "2024-01-02 00:00:00", dry_run=False)
+
+
+def test_full_retention_lifecycle_keeps_every_panel_honest(spark, tmp_path):
+    """VERDICT r13 #3 — the three bounding operators composed END TO END,
+    one chain: ingest -> maintain (rollup + M4 + sketches) -> grain-compact
+    both tails -> trim both fine states (markers recorded) -> EXPIRE the
+    raw hours the coarse tails own -> retire them from the catalog ->
+    and then every serving surface still answers correctly:
+
+    - the maintained-state panels (q5-from-rollup spanned at
+      boundary='auto', /panels/m4_downsample at 'auto',
+      /panels/approx_rollup) serve FULL history — including the hours
+      whose raw data no longer exists — exactly (M4/rollup) or within
+      the published sketch error (approx);
+    - the raw-window panels (q2 newest-N, q6 window) stay green over the
+      surviving window;
+    - expired windows answer HONESTLY: raw holds nothing (q6: empty), and
+      requests only the trimmed fine state could have served exactly are
+      400 — never silently-wrong numbers."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from demo_otel_parquet_antalya_spark.plans import facade
+    from demo_otel_parquet_antalya_spark.serving import start_sql_endpoint
+    from demo_otel_parquet_antalya_spark.sources.registry import LogTableRegistry
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        incremental_rollup,
+        read_trim_boundary,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        _m4_with_start,
+        compact_m4_grain,
+        incremental_m4,
+        incremental_sketches,
+        m4_remerge,
+        sketch_panel,
+    )
+
+    base_epoch = 1704067200  # 2024-01-01 00:00:00 UTC
+    boundary = base_epoch + 4 * 3600  # hour 04 — aligned to 300 AND 7200
+    dims = ("service_name", "severity_text")
+
+    def _rows(hours, tag):
+        out = []
+        for h in hours:
+            for i in range(6):
+                svc = "api" if i % 2 == 0 else "web"
+                sev = "ERROR" if i % 3 == 0 else "INFO"
+                out.append((
+                    f"2024-01-01 {h:02d}:{(i * 9) % 60:02d}:{(i * 17) % 60:02d}",
+                    svc, sev, 17 if sev == "ERROR" else 9, f"{tag}-{h}-{i}",
+                    "app",
+                ))
+        return out
+
+    rows_a = _rows(range(0, 4), "old")      # raw will be expired
+    rows_b = _rows(range(4, 6), "recent")   # raw survives
+    rows_c = [  # the fresh batch that drives the trimming resume
+        (f"2024-01-01 05:5{i}:00", "api", "INFO", 9, f"fresh-{i}", "app")
+        for i in range(4)
+    ]
+
+    def _frame(rows):
+        return spark.createDataFrame(
+            rows,
+            "ts string, service_name string, severity_text string, "
+            "severity_number int, body string, scope_name string",
+        ).select(
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            "service_name", "severity_text", "severity_number", "body",
+            "scope_name",
+        )
+
+    def _land(fname, rows):
+        import json as _json
+
+        os.makedirs(str(tmp_path / "land"), exist_ok=True)
+        with open(str(tmp_path / "land" / fname), "w") as f:
+            for ts, svc, sev, num, body, scope in rows:
+                f.write(_json.dumps({
+                    "timestamp": ts, "service_name": svc,
+                    "severity_text": sev, "severity_number": num,
+                    "body": body, "scope_name": scope,
+                }) + "\n")
+
+    schema = (
+        "timestamp timestamp, service_name string, severity_text string, "
+        "severity_number int, body string, scope_name string"
+    )
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(tmp_path / "land"))
+        )
+
+    wh = str(tmp_path / "wh")
+    rollup_dir, rollup_tail = str(tmp_path / "ru"), str(tmp_path / "ru_tail")
+    m4_dir, m4_tail = str(tmp_path / "m4"), str(tmp_path / "m4_tail")
+    sketch_dir = str(tmp_path / "sk")
+
+    # 1. ingest history into the partitioned warehouse + catalog
+    write_logs(_frame(rows_a + rows_b), wh)
+    reg = LogTableRegistry(spark, wh)
+    assert reg.sync()
+
+    # 2. maintain all three states over the same history
+    _land("a.json", rows_a + rows_b)
+    incremental_rollup(
+        _stream(), rollup_dir, str(tmp_path / "ck_ru"),
+        bucket="30 seconds", ts_col="timestamp", dim_cols=dims,
+    ).awaitTermination()
+    incremental_m4(
+        _stream(), m4_dir, str(tmp_path / "ck_m4"),
+        ts_col="timestamp", id_col="body", value_col="severity_number",
+    ).awaitTermination()
+    incremental_sketches(
+        _stream(), sketch_dir, str(tmp_path / "ck_sk"),
+        ts_col="timestamp", user_col="service_name",
+        value_col="severity_number",
+    ).awaitTermination()
+
+    # 3. compact both tails below the boundary, 4. trim both fine states
+    compact_rollup_grain(spark, rollup_dir, rollup_tail, 30, 300,
+                         dim_cols=dims, older_than="2024-01-01 04:00:00")
+    compact_m4_grain(spark, m4_dir, m4_tail, 7200, older_than_epoch=boundary)
+    _land("c.json", rows_c)
+    write_logs(_frame(rows_c), wh)
+    reg.sync()
+    incremental_rollup(
+        _stream(), rollup_dir, str(tmp_path / "ck_ru"),
+        bucket="30 seconds", ts_col="timestamp", dim_cols=dims,
+        trim_horizon_s=3600, trim_coarse_dir=rollup_tail,
+        trim_coarse_interval_s=300,
+    ).awaitTermination()
+    incremental_m4(
+        _stream(), m4_dir, str(tmp_path / "ck_m4"),
+        ts_col="timestamp", id_col="body", value_col="severity_number",
+        trim_horizon_s=3600, trim_coarse_dir=m4_tail,
+        trim_coarse_interval_s=7200,
+    ).awaitTermination()
+    incremental_sketches(
+        _stream(), sketch_dir, str(tmp_path / "ck_sk"),
+        ts_col="timestamp", user_col="service_name",
+        value_col="severity_number",
+    ).awaitTermination()
+    # the rollup trim clamps to PROVEN coverage = max coarse bucket + grain
+    # (the last hour's data ends at :45, so its 300 s coverage ends 03:50,
+    # ten minutes shy of the compaction cut); the M4 trim's 7200 s pixels
+    # land exactly on the boundary
+    assert read_trim_boundary(spark, rollup_dir) == (boundary - 600, 300)
+    assert read_trim_boundary(spark, m4_dir) == (boundary, 7200)
+
+    # 5. expire the raw hours the coarse tails own, retire from catalog
+    doomed = expire_partitions(spark, wh, boundary)
+    assert len(doomed) > 0
+    gone = expire_partitions(spark, wh, boundary, dry_run=False)
+    assert gone == doomed
+    assert reg.retire_missing()
+    spark.catalog.refreshByPath(wh)
+    survivors = {str(r.timestamp) for r in reg.table().select("timestamp").collect()}
+    assert survivors == {r[0] for r in rows_b + rows_c}
+
+    # 6. every serving surface still answers, and honestly
+    oracle = _frame(rows_a + rows_b + rows_c)  # full history incl. expired
+    server = start_sql_endpoint(
+        spark, "/root/testdata/sf0.001", row_cap=5000, logs_dir=wh,
+        rollup_dir=rollup_dir, rollup_interval_s=30, rollup_dims=dims,
+        rollup_coarse_dir=rollup_tail, rollup_coarse_interval_s=300,
+        rollup_boundary="auto",
+        m4_dir=m4_dir, m4_interval_s=3600, m4_coarse_dir=m4_tail,
+        m4_coarse_interval_s=7200, m4_boundary="auto",
+        sketch_dir=sketch_dir, request_timeout_s=15.0,
+    )
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+
+    def _get(path):
+        with urllib.request.urlopen(base + path) as r:
+            return json.loads(r.read())
+
+    def _norm_t(rows):
+        return sorted((r[0].replace("T", " "), *r[1:]) for r in rows)
+
+    try:
+        # q5 full history at the coarse grain: served from the spanned
+        # rollup (boundary follows the trim marker) — EXACT counts for
+        # hours whose raw data is gone
+        q5 = _get("/panels/q5_timeseries?interval=300")
+        assert q5["source"] == "rollup"
+        want5 = [
+            (str(r.t), r.series, r.value)
+            for r in facade.q5_timeseries(oracle, interval_seconds=300).collect()
+        ]
+        assert _norm_t(q5["rows"]) == sorted(want5)
+
+        # q3 severity counts: spanned rollup, full history, exact
+        q3 = _get("/panels/q3_severity_counts")
+        assert q3["source"] == "rollup"
+        want3 = [
+            tuple(r) for r in facade.q3_severity_counts(oracle).collect()
+        ]
+        assert sorted(map(tuple, q3["rows"])) == sorted(want3)
+
+        # M4 panel at 'auto': bare GET (coarsest-grain default) == direct
+        # M4 over the FULL history
+        m4 = _get("/panels/m4_downsample")
+        assert m4["source"] == "m4"
+        want_m4 = {
+            (str(r.t), r.v_first, r.v_min, r.v_max, r.v_last)
+            for r in m4_remerge(
+                _m4_with_start(
+                    _m4_batch(oracle, "timestamp", "body", "severity_number"),
+                    3600,
+                ), 7200,
+            ).select(
+                F.timestamp_seconds("bucket_start").alias("t"),
+                "v_first", "v_min", "v_max", "v_last",
+            ).collect()
+        }
+        assert set(_norm_t(m4["rows"])) == {
+            (t.replace("T", " "), *rest) for (t, *rest) in want_m4
+        }
+        assert m4["row_count"] == 3  # 6 h of history at 2 h pixels
+
+        # approx panel: HTTP == the library's own merge over the state
+        ap = _get("/panels/approx_rollup?interval=7200")
+        want_ap = {
+            (str(r.t), r.approx_users, r.p50, r.p95)
+            for r in sketch_panel(spark, sketch_dir, 7200).collect()
+        }
+        assert set(_norm_t(ap["rows"])) == {
+            (t.replace("T", " "), *rest) for (t, *rest) in want_ap
+        }
+        assert ap["row_count"] == 3
+
+        # raw-window panels over the SURVIVING window: green and exact
+        q2 = _get("/panels/q2_recent_logs?limit=5")
+        assert q2["source"] == "pruned" and q2["row_count"] == 5
+        q6 = _get(
+            "/panels/q6_log_panel?start=2024-01-01%2004:00:00"
+            "&end=2024-01-01%2005:00:00"
+        )
+        assert q6["source"] == "pruned"
+        # Grafana $timeFilter is inclusive on BOTH ends (the facade's q6
+        # contract), so hour 04's six rows plus the 05:00:00 row qualify
+        assert q6["row_count"] == 7
+
+        # an EXPIRED window: raw honestly holds nothing
+        q6_old = _get(
+            "/panels/q6_log_panel?start=2024-01-01%2001:00:00"
+            "&end=2024-01-01%2002:00:00"
+        )
+        assert q6_old["row_count"] == 0
+
+        # a fine-grain request only the trimmed fine state could serve
+        # exactly: forced rollup route answers 400 (trimmed + coarse tail
+        # cannot serve 30 s buckets below the boundary), never wrong bins
+        try:
+            urllib.request.urlopen(
+                f"{base}/panels/q5_timeseries?interval=30&source=rollup"
+                "&start=2024-01-01%2000:00:00&end=2024-01-01%2006:00:00"
+            )
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        else:
+            raise AssertionError("expected 400 for fine-grain expired window")
+
+        # the M4 panel at the fine grain (not a coarse multiple): 400 —
+        # no raw fallback exists, and raw is partly expired anyway
+        try:
+            urllib.request.urlopen(f"{base}/panels/m4_downsample?interval=3600")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "not a positive multiple" in json.loads(e.read())["error"]
+        else:
+            raise AssertionError("expected 400 for fine-grain M4 interval")
+    finally:
+        server.shutdown()
