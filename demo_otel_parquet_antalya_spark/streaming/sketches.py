@@ -58,15 +58,40 @@ def sketch_estimates(states: DataFrame) -> DataFrame:
     )
 
 
+def _hll_input(df: DataFrame, user_col: str):
+    """``hll_sketch_agg`` hard-accepts INT/BIGINT/STRING/BINARY only
+    (probed on this Spark; the r14 input-type sweep, VERDICT r13 #4 —
+    same failure class as the r13 KLL crash, but on the USER column).
+    Narrow integrals widen losslessly to INT; accepted types pass
+    through UNCHANGED (a cast would change the hash domain and
+    double-count every user against states an existing deployment
+    already committed); everything else (float/double/decimal/...)
+    casts to its canonical STRING form — injective per distinct value,
+    so the distinct count is preserved, and no prior state can exist in
+    those types because they crashed outright before r14."""
+    dt = df.schema[user_col].dataType.simpleString()
+    if dt in ("tinyint", "smallint"):
+        return F.col(user_col).cast("int")
+    if dt in ("int", "bigint", "string", "binary"):
+        return F.col(user_col)
+    return F.col(user_col).cast("string")
+
+
 def _sketch_batch(df: DataFrame, ts_col: str, user_col: str, value_col: str) -> DataFrame:
     # CAST to double: kll_sketch_agg_double hard-requires FLOAT/DOUBLE and
     # integer value columns are common (e.g. severity_number) — a lossless
     # widening here beats every caller failing at stream runtime (r13,
     # surfaced by the serving bench maintaining sketches over the logs
-    # warehouse). No-op for already-double columns.
-    return df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour")).agg(
-        F.expr(f"hll_sketch_agg({user_col})").alias("hll"),
-        F.expr(f"kll_sketch_agg_double(CAST({value_col} AS DOUBLE), 256)").alias("kll"),
+    # warehouse). No-op for already-double columns. The user column gets
+    # the matching hll input normalization (r14, _hll_input).
+    norm = df.select(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        _hll_input(df, user_col).alias("__sk_user"),
+        F.col(value_col).cast("double").alias("__sk_value"),
+    )
+    return norm.groupBy("hour").agg(
+        F.expr("hll_sketch_agg(__sk_user)").alias("hll"),
+        F.expr("kll_sketch_agg_double(__sk_value, 256)").alias("kll"),
     )
 
 
