@@ -183,10 +183,140 @@ def measure_cell(spark, work: str, hours: int, batches: int, trimmed: bool) -> d
     }
 
 
+# ---------------------------------------------------------------------------
+# M4 cells (r14, VERDICT r13 #1): the same steady-state measurement for the
+# M4 maintenance stream. The maintained grain is a realistic PIXEL width
+# (10 s — a 2,000-px panel over ~5.5 h), where 100 days of history is
+# 864k fine buckets and the untrimmed per-batch coalesce(1) rewrite is the
+# measured O(history) class; trimmed, the fine snapshot holds one horizon.
+# ---------------------------------------------------------------------------
+
+M4_FINE_S = 10
+M4_COARSE_S = 300
+M4_HORIZON_S = 3600
+
+
+def _m4_history_frame(spark, hours: int):
+    """One event per 10 s pixel bucket — the minimum that populates every
+    fine bucket of the history."""
+    from pyspark.sql import functions as F
+
+    n_rows = hours * 360  # 360 ten-second buckets per hour
+    return spark.range(n_rows, numPartitions=32).select(
+        F.timestamp_seconds(
+            F.lit(BASE_EPOCH) + F.col("id") * M4_FINE_S
+        ).alias("timestamp"),
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("value"),
+    )
+
+
+def _m4_batch_frame(spark, hist_end: int, i: int, rows: int = 2000):
+    from pyspark.sql import functions as F
+
+    return spark.range(rows).select(
+        F.timestamp_seconds(
+            F.lit(hist_end) + i * 30 + (F.col("id") % 30)
+        ).alias("timestamp"),
+        (F.lit(hist_end) + i * 10_000 + F.col("id")).alias("event_id"),
+        ((F.col("id") * 13) % 997).cast("double").alias("value"),
+    )
+
+
+def _run_m4_stream(spark, src: str, target: str, ckpt: str, trim: dict | None):
+    from demo_otel_parquet_antalya_spark.streaming.sketches import incremental_m4
+
+    schema = "timestamp timestamp, event_id bigint, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+    )
+    q = incremental_m4(
+        stream, target, ckpt, ts_col="timestamp", id_col="event_id",
+        value_col="value", interval_s=M4_FINE_S, **(trim or {}),
+    )
+    q.awaitTermination()
+    out = []
+    for p in q.recentProgress:
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        if d.get("numInputRows", 0) > 0:
+            out.append(round(d["durationMs"]["triggerExecution"] / 1000.0, 3))
+    return out
+
+
+def measure_m4_cell(spark, work: str, hours: int, batches: int, trimmed: bool) -> dict:
+    """The M4 twin of measure_cell: seed `hours` of 10 s-pixel history
+    through the real incremental_m4 stream, optionally compact the tail
+    to 300 s pixels and resume with the trim trio, and report the
+    steady-state per-batch cost."""
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        compact_m4_grain,
+        read_m4,
+    )
+
+    tag = f"m4_{hours}h_{'trim' if trimmed else 'notrim'}"
+    cell = os.path.join(work, tag)
+    src = os.path.join(cell, "src")
+    target = os.path.join(cell, "m4")
+    ckpt = os.path.join(cell, "ckpt")
+    coarse = os.path.join(cell, "coarse")
+    os.makedirs(src, exist_ok=True)
+
+    hist_end = BASE_EPOCH + hours * 3600
+    t0 = time.perf_counter()
+    _m4_history_frame(spark, hours).coalesce(1).write.parquet(
+        os.path.join(src, "f000_history")
+    )
+    gen_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _run_m4_stream(spark, src, target, ckpt, trim=None)
+    seed_s = time.perf_counter() - t0
+
+    trim_kw = None
+    compact_s = None
+    if trimmed:
+        boundary_epoch = ((hist_end - M4_HORIZON_S) // M4_COARSE_S) * M4_COARSE_S
+        t0 = time.perf_counter()
+        compact_m4_grain(
+            spark, target, coarse, M4_COARSE_S, src_interval_s=M4_FINE_S,
+            older_than_epoch=boundary_epoch,
+        )
+        compact_s = round(time.perf_counter() - t0, 3)
+        trim_kw = {
+            "trim_horizon_s": M4_HORIZON_S,
+            "trim_coarse_dir": coarse,
+            "trim_coarse_interval_s": M4_COARSE_S,
+        }
+
+    for i in range(1, batches + 1):
+        _m4_batch_frame(spark, hist_end, i).coalesce(1).write.parquet(
+            os.path.join(src, f"f{i:03d}_batch")
+        )
+    durations = _run_m4_stream(spark, src, target, ckpt, trim=trim_kw)
+    snap_rows = read_m4(spark, target).count()
+    steady = durations[1:] if len(durations) > 1 else durations
+    return {
+        "kind": "m4",
+        "history_hours": hours,
+        "trimmed": trimmed,
+        "snapshot_rows_after": snap_rows,
+        "gen_s": round(gen_s, 3),
+        "seed_batch_s": round(seed_s, 3),
+        "compact_grain_s": compact_s,
+        "batch_s": durations,
+        "first_resumed_batch_s": durations[0] if durations else None,
+        "steady_median_s": round(statistics.median(steady), 3) if steady else None,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hours", type=int, nargs="+", default=[24, 2400])
     ap.add_argument("--batches", type=int, default=5)
+    ap.add_argument("--kind", nargs="+", choices=["rollup", "m4"],
+                    default=["rollup", "m4"])
     ap.add_argument("--keep", action="store_true", help="keep the scratch dir")
     ap.add_argument("--work", default="/tmp/bench_trim")
     args = ap.parse_args()
@@ -199,9 +329,17 @@ def main() -> None:
     try:
         for hours in args.hours:
             for trimmed in (False, True):
-                cell = measure_cell(spark, args.work, hours, args.batches, trimmed)
-                print(json.dumps(cell), file=sys.stderr)
-                cells.append(cell)
+                if "rollup" in args.kind:
+                    cell = measure_cell(spark, args.work, hours, args.batches, trimmed)
+                    cell["kind"] = "rollup"
+                    print(json.dumps(cell), file=sys.stderr)
+                    cells.append(cell)
+                if "m4" in args.kind:
+                    cell = measure_m4_cell(
+                        spark, args.work, hours, args.batches, trimmed
+                    )
+                    print(json.dumps(cell), file=sys.stderr)
+                    cells.append(cell)
     finally:
         if not args.keep:
             shutil.rmtree(args.work, ignore_errors=True)
@@ -209,6 +347,7 @@ def main() -> None:
         "metric": "rollup_trim_steady_state",
         "batches_per_cell": args.batches,
         "dims_cardinality": SERVICES * SEVERITIES,
+        "m4_fine_interval_s": M4_FINE_S,
         "cells": cells,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
