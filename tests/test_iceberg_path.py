@@ -7,7 +7,7 @@ docker-compose.yaml:150-175).
 
 Sandbox constraint, recorded: the iceberg-spark-runtime jar is NOT in this
 image and the sandbox has no network (curl to repo1.maven.org fails DNS —
-attempted again rounds 3-13, last 2026-08-16 r13: curl exit 6), so the real
+attempted again rounds 3-14, last 2026-08-16 r14: curl exit 6), so the real
 ``CALL <cat>.system.add_files`` cannot execute against a live catalog here. What IS tested, per the judge's
 fallback contract:
 

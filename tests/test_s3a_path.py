@@ -3,7 +3,7 @@
 Sandbox constraint, recorded: executing a real s3a round trip needs the
 hadoop-aws + aws-sdk-bundle jars, which are not in this image, and the
 sandbox has no network to fetch them or to reach any S3 endpoint (curl to
-repo1.maven.org fails DNS — attempted rounds 3-13, last 2026-08-16 r13: curl exit 6). A MinIO/rustfs stand-in
+repo1.maven.org fails DNS — attempted rounds 3-14, last 2026-08-16 r14: curl exit 6). A MinIO/rustfs stand-in
 cannot be installed either (no pip/apt). Per the judge's fallback contract,
 what IS tested:
 
