@@ -720,15 +720,93 @@ def compact_rollup_grain(
        versions on every run. A caller that relied on historical coarse
        versions surviving must pass ``retain_versions=None`` to get the
        old keep-everything behavior back.
+
+    **Trim-aware accumulation (r14)**: compacting a TRIMMED source
+    carries the destination's prior version forward for the buckets the
+    fine snapshot no longer holds. The r13 form always re-coarsened
+    whatever the fine snapshot currently held — correct only before the
+    first trim: once the maintenance stream trims the fine tail, the
+    next compaction would commit a destination version MISSING
+    everything below the trim, and the spanned read would silently lose
+    the pre-trim history (measured on a 5-hour fixture: 40% of the
+    counts gone after the second compaction). Now the split point is
+    the SOURCE version's recorded trim boundary: prior destination rows
+    below it carry over verbatim (the fine snapshot cannot re-derive
+    them; the trim clamp guaranteed the destination covered them when
+    the trim was committed — cross-checked here), and everything at or
+    after it re-coarsens from the fine snapshot exactly as before — so
+    an untrimmed source keeps the original full-refresh semantics
+    (open/partial coarse buckets and late rows keep refreshing), and a
+    trimmed source loses nothing. The carried base is the newest
+    destination version with a SMALLER id than the one being written
+    (the maintenance streams' replay rule), so repeated runs with the
+    same source version stay idempotent overwrites. Guards, all loud: a
+    base recording a different grain; a trim boundary not aligned to
+    the destination grain (not this layout's tail); a covering base
+    whose coverage ends below the trim boundary (buckets in between
+    would be owned by neither side — wrong destination directory).
     """
     _check_retain(retain_versions)
     vs = _versions(spark, src_dir)
     if not vs:
         raise ValueError(f"no committed rollup snapshot under {src_dir!r}")
-    snap = _read_version(spark, src_dir, vs[-1], dim_cols)
+    new_v = vs[-1]
+    snap = _read_version(spark, src_dir, new_v, dim_cols)
+    tb = read_trim_boundary(spark, src_dir, new_v)
+    prior = None
+    if tb is not None:
+        trim_e = tb[0]
+        if trim_e % dst_interval_s:
+            raise ValueError(
+                f"source snapshot's trim boundary (epoch {trim_e}) is not "
+                f"aligned to dst_interval_s={dst_interval_s} — this "
+                "destination grain cannot own the trimmed tail exactly; "
+                "compact at the trim's own grain or into a fresh layout"
+            )
+        pvs = [v for v in _versions(spark, dst_dir) if v < new_v]
+        if pvs:
+            pv = pvs[-1]
+            recorded, coverage = _read_grain_meta(spark, dst_dir, pv)
+            if recorded is not None and recorded != dst_interval_s:
+                raise ValueError(
+                    f"destination snapshot at {dst_dir!r} records grain "
+                    f"{recorded}s, not the configured dst_interval_s="
+                    f"{dst_interval_s} — wrong grain or wrong directory"
+                )
+            prior_df = _read_version(spark, dst_dir, pv, dim_cols)
+            if coverage is None:
+                cov = prior_df.agg(
+                    F.max(F.unix_timestamp("bucket")).alias("e")
+                ).first()
+                if cov.e is not None and int(cov.e) % dst_interval_s:
+                    raise ValueError(
+                        f"destination snapshot at {dst_dir!r} has max "
+                        f"bucket epoch {int(cov.e)}, not aligned to "
+                        f"dst_interval_s={dst_interval_s} — wrong grain "
+                        "or wrong directory"
+                    )
+                coverage = None if cov.e is None else int(cov.e) + dst_interval_s
+            if coverage is not None:
+                if coverage < trim_e:
+                    raise ValueError(
+                        f"destination at {dst_dir!r} covers only up to "
+                        f"epoch {coverage}, below the source's trim "
+                        f"boundary ({trim_e}) — buckets in between would "
+                        "be owned by neither side; wrong destination for "
+                        "this rollup's tail"
+                    )
+                prior = prior_df.filter(
+                    F.col("bucket") < F.timestamp_seconds(F.lit(trim_e))
+                )
+        # the fine side re-coarsens only what it authoritatively holds
+        snap = snap.filter(F.col("bucket") >= F.timestamp_seconds(F.lit(trim_e)))
     if older_than is not None:
         snap = snap.filter(F.col("bucket") < F.lit(older_than))
     out = _coarsen(snap, src_interval_s, dst_interval_s, dim_cols)
+    if prior is not None:
+        out = prior.withColumn(
+            "n", _aligned_n(dst_interval_s, "not this rollup's coarse snapshot")
+        ).unionByName(out)
     # the returned row count rides the WRITE job as an Observation metric —
     # the r11 form re-read the just-written destination in a second job
     # just to count it (VERDICT r11 #5). r13: the destination's max bucket

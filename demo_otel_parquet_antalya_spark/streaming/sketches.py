@@ -459,7 +459,22 @@ def compact_m4_grain(
     ``older_than_epoch`` (epoch seconds, must be dst-aligned) compacts only
     buckets starting strictly before it; ``retain_versions`` vacuums the
     destination as in the rollup compaction (None keeps all versions).
-    Returns the number of coarse rows written."""
+    Returns the number of coarse rows written.
+
+    **Trim-aware accumulation (r14)**: as in ``compact_rollup_grain``,
+    compacting a TRIMMED source carries the destination's prior version
+    forward for the pixel buckets the fine snapshot no longer holds —
+    split at the source version's recorded trim boundary, prior rows
+    below it verbatim, everything at/after it re-coarsened from the
+    fine snapshot (an untrimmed source keeps the original full-refresh
+    semantics). Without this, the first compaction after an M4 trim
+    would overwrite the tail with only what the trimmed fine snapshot
+    still holds — silent pixel loss. One M4-specific tightening: a BASE
+    version with no grain marker raises when the source is trimmed (M4
+    buckets are grain-relative ints, so an unverifiable base can
+    neither prove its coverage nor be safely carried); the marker is
+    written by every compaction, so this is only the marker-write crash
+    window."""
     _check_retain(retain_versions)
     if src_interval_s <= 0 or dst_interval_s <= 0 or dst_interval_s % src_interval_s:
         raise ValueError(
@@ -491,12 +506,65 @@ def compact_m4_grain(
         spark.read.schema(M4_SCHEMA).parquet(f"{src_dir}/v={vs[-1]}"),
         src_interval_s,
     )
+    # trim-aware accumulation (r14, see docstring): carry prior
+    # destination rows below the source's recorded trim boundary; the
+    # fine snapshot re-coarsens only what it authoritatively holds
+    tb = read_trim_boundary(spark, src_dir, vs[-1])
+    prior = None
+    if tb is not None:
+        trim_e = tb[0]
+        if trim_e % dst_interval_s:
+            raise ValueError(
+                f"source M4 snapshot's trim boundary (epoch {trim_e}) is "
+                f"not aligned to dst_interval_s={dst_interval_s} — this "
+                "destination grain cannot own the trimmed tail exactly; "
+                "compact at the trim's own grain or into a fresh layout"
+            )
+        pvs = [v for v in _versions(spark, dst_dir) if v < vs[-1]]
+        if pvs:
+            pv = pvs[-1]
+            recorded, coverage = _read_grain_meta(spark, dst_dir, pv)
+            if recorded is None:
+                raise ValueError(
+                    f"destination M4 snapshot v={pv} at {dst_dir!r} records "
+                    "no grain marker (the marker-write crash window, or a "
+                    "foreign dir) — its grain-relative buckets cannot be "
+                    "carried for a trimmed source; re-stamp the marker or "
+                    "compact into a fresh destination"
+                )
+            if recorded != dst_interval_s:
+                raise ValueError(
+                    f"destination M4 snapshot at {dst_dir!r} records grain "
+                    f"{recorded}s, not the configured dst_interval_s="
+                    f"{dst_interval_s} — wrong grain or wrong directory"
+                )
+            prior_df = spark.read.schema(M4_SCHEMA).parquet(f"{dst_dir}/v={pv}")
+            if coverage is None:
+                cov = prior_df.agg(F.max("bucket").alias("b")).first()
+                coverage = (
+                    None if cov.b is None else (int(cov.b) + 1) * dst_interval_s
+                )
+            if coverage is not None:
+                if coverage < trim_e:
+                    raise ValueError(
+                        f"destination at {dst_dir!r} covers only up to "
+                        f"epoch {coverage}, below the source's trim "
+                        f"boundary ({trim_e}) — pixels in between would be "
+                        "owned by neither side; wrong destination for this "
+                        "M4's tail"
+                    )
+                prior = prior_df.filter(
+                    F.col("bucket") < F.lit(trim_e // dst_interval_s)
+                )
+        snap = snap.filter(F.col("bucket_start") >= F.lit(trim_e))
     if older_than_epoch is not None:
         snap = snap.filter(F.col("bucket_start") < F.lit(older_than_epoch))
     out = m4_remerge(snap, dst_interval_s).select(
         (F.col("bucket_start") / dst_interval_s).cast("long").alias("bucket"),
         "k_first", "v_first", "v_min", "v_max", "k_last", "v_last",
     )
+    if prior is not None:
+        out = prior.unionByName(out)
     from pyspark.sql import Observation
 
     obs = Observation()

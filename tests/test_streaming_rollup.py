@@ -1178,3 +1178,107 @@ def test_grain_marker_records_coverage_and_fallbacks_hold(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="coverage_end.*not aligned"):
         q.awaitTermination()
+
+
+def test_compact_rollup_grain_carries_trimmed_tail_forward(spark, tmp_path):
+    """r14: the steady-state compaction CADENCE — compact, trim, new data,
+    compact again at a later cutoff, repeatedly. The r13 form re-coarsened
+    only what the (now trimmed) fine snapshot held, so the second
+    compaction overwrote the destination with a version MISSING the
+    pre-trim history and the spanned read silently lost counts. Now prior
+    destination rows below the source's recorded trim boundary carry
+    forward, so the spanned 'auto' read equals raw after EVERY cycle;
+    re-runs stay idempotent; a destination that cannot own the trimmed
+    tail (short coverage / misaligned trim grain) is refused loudly."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        read_rollup,
+        read_rollup_spanned,
+    )
+
+    src = str(tmp_path / "events")
+    ru, tail, ck = str(tmp_path / "ru"), str(tmp_path / "tail"), str(tmp_path / "ck")
+
+    def _spanned_total():
+        return (
+            read_rollup_spanned(spark, ru, tail, "auto", 30, 300)
+            .agg(F.sum("n")).first()[0]
+        )
+
+    def _raw_total():
+        return spark.read.schema(SCHEMA).json(src).count()
+
+    # hours 0-3, compact the tail below hour 2, then trim against it
+    _write(src, "a.json", [(i, h * 3600 + m * 60, "e")
+                           for i, (h, m) in enumerate(
+                               (h, m) for h in range(4) for m in range(0, 60, 10))])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src),
+        ru, ck, bucket="30 seconds",
+    ).awaitTermination()
+    compact_rollup_grain(spark, ru, tail, 30, 300,
+                         older_than="2024-01-01 02:00:00")
+
+    # cycle 1: new hour arrives, trimmed maintenance, compaction advances
+    _write(src, "b.json", [(100 + m, 4 * 3600 + m * 60, "e")
+                           for m in range(0, 60, 10)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src),
+        ru, ck, bucket="30 seconds",
+        trim_horizon_s=3600, trim_coarse_dir=tail, trim_coarse_interval_s=300,
+    ).awaitTermination()
+    n1 = compact_rollup_grain(spark, ru, tail, 30, 300,
+                              older_than="2024-01-01 04:00:00")
+    assert _spanned_total() == _raw_total() == 30
+
+    # idempotent re-run of the same source version
+    assert compact_rollup_grain(spark, ru, tail, 30, 300,
+                                older_than="2024-01-01 04:00:00") == n1
+    assert _spanned_total() == 30
+
+    # cycle 2: the same cadence again — nothing lost across cycles
+    _write(src, "c.json", [(200 + m, 5 * 3600 + m * 60, "e")
+                           for m in range(0, 60, 10)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src),
+        ru, ck, bucket="30 seconds",
+        trim_horizon_s=3600, trim_coarse_dir=tail, trim_coarse_interval_s=300,
+    ).awaitTermination()
+    compact_rollup_grain(spark, ru, tail, 30, 300,
+                         older_than="2024-01-01 05:00:00")
+    assert _spanned_total() == _raw_total() == 36
+    # ...and the destination alone owns everything below the trim
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        read_trim_boundary,
+    )
+
+    trim_e = read_trim_boundary(spark, ru)[0]
+    tail_total = read_rollup(spark, tail).filter(
+        F.unix_timestamp("bucket") < trim_e
+    ).agg(F.sum("n")).first()[0]
+    fine_total = read_rollup(spark, ru).agg(F.sum("n")).first()[0]
+    assert tail_total + fine_total >= 36  # overlap allowed above the trim
+
+    # guards: a trimmed source refuses a destination that cannot own its
+    # tail — a base whose coverage ends below the trim boundary, and a
+    # trim misaligned to the destination grain
+    import datetime as _dt
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        _GRAIN_MARKER,
+        _write_version_meta,
+    )
+
+    short = str(tmp_path / "short_tail")
+    spark.createDataFrame(
+        [(_dt.datetime(2024, 1, 1, 0, 0, 0), "e", 1)],
+        "bucket timestamp, event_type string, n long",
+    ).coalesce(1).write.parquet(f"{short}/v=0")
+    _write_version_meta(spark, short, 0, _GRAIN_MARKER,
+                        {"interval_s": 300, "coverage_end": 1704067500})
+    with _pytest.raises(ValueError, match="covers only up to"):
+        compact_rollup_grain(spark, ru, short, 30, 300)
+    with _pytest.raises(ValueError, match="not aligned to dst_interval_s"):
+        compact_rollup_grain(spark, ru, str(tmp_path / "t7"), 30, 700)

@@ -663,3 +663,103 @@ def test_m4_fine_grain_recorded_and_restart_mismatch_fails(spark, tmp_path):
     with _pytest.raises(ValueError, match="records grain"):
         m4_panel(spark, m4_dir, 3600, fine_interval_s=300)
     assert m4_panel(spark, m4_dir, 3600, fine_interval_s=600).count() > 0
+
+
+def test_compact_m4_grain_carries_trimmed_tail_forward(spark, tmp_path):
+    """r14: the M4 steady-state compaction cadence — compact, trim, new
+    pixels, compact again at a later cutoff. Prior destination rows below
+    the source's recorded trim boundary carry forward (the r13 form
+    overwrote them with only what the trimmed fine snapshot held —
+    silent pixel loss); spanned 'auto' re-merge equals direct batch M4
+    over ALL raw events after every cycle; a markerless destination base
+    is refused for a trimmed source."""
+    import os
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        _m4_with_start,
+        compact_m4_grain,
+        incremental_m4,
+        m4_remerge,
+        read_m4_spanned,
+    )
+
+    src = str(tmp_path / "events")
+    m4_dir, tail = str(tmp_path / "m4"), str(tmp_path / "m4_tail")
+    ckpt = str(tmp_path / "ckpt")
+    fine_s, coarse_s = 600, 3600
+
+    def _direct_daily():
+        raw = spark.read.schema(M4_EVENT_SCHEMA).json(src)
+        return {
+            (r.bucket_start, r.v_first, r.v_min, r.v_max, r.v_last)
+            for r in m4_remerge(
+                _m4_with_start(
+                    _m4_batch(raw, "ts", "event_id", "value", fine_s), fine_s
+                ), 86400,
+            ).collect()
+        }
+
+    def _spanned_daily():
+        return {
+            (r.bucket_start, r.v_first, r.v_min, r.v_max, r.v_last)
+            for r in m4_remerge(
+                read_m4_spanned(spark, m4_dir, tail, "auto",
+                                fine_interval_s=fine_s),
+                86400,
+            ).collect()
+        }
+
+    # ~30 h of history; compact day 1, trim against it
+    _write_m4_events(src, "a.json",
+                     [(i * 361, i, float((i * 13) % 71)) for i in range(300)])
+    incremental_m4(
+        _m4_stream(spark, src), m4_dir, ckpt, interval_s=fine_s,
+    ).awaitTermination()
+    day2 = BASE_EPOCH + 86400
+    compact_m4_grain(spark, m4_dir, tail, coarse_s, src_interval_s=fine_s,
+                     older_than_epoch=day2)
+    _write_m4_events(src, "b.json",
+                     [(108000 + i * 37, 1000 + i, float(i % 7)) for i in range(40)])
+    incremental_m4(
+        _m4_stream(spark, src), m4_dir, ckpt, interval_s=fine_s,
+        trim_horizon_s=7200, trim_coarse_dir=tail,
+        trim_coarse_interval_s=coarse_s,
+    ).awaitTermination()
+
+    # cycle: compaction advances past the trim — prior tail must carry
+    n1 = compact_m4_grain(spark, m4_dir, tail, coarse_s,
+                          src_interval_s=fine_s,
+                          older_than_epoch=day2 + 4 * 3600)
+    assert _spanned_daily() == _direct_daily()
+    # idempotent re-run
+    assert compact_m4_grain(spark, m4_dir, tail, coarse_s,
+                            src_interval_s=fine_s,
+                            older_than_epoch=day2 + 4 * 3600) == n1
+    assert _spanned_daily() == _direct_daily()
+
+    # second cycle with fresh pixels
+    _write_m4_events(src, "c.json",
+                     [(115200 + i * 53, 2000 + i, float(i % 11)) for i in range(30)])
+    incremental_m4(
+        _m4_stream(spark, src), m4_dir, ckpt, interval_s=fine_s,
+        trim_horizon_s=7200, trim_coarse_dir=tail,
+        trim_coarse_interval_s=coarse_s,
+    ).awaitTermination()
+    compact_m4_grain(spark, m4_dir, tail, coarse_s, src_interval_s=fine_s,
+                     older_than_epoch=day2 + 7 * 3600)
+    assert _spanned_daily() == _direct_daily()
+
+    # a markerless base cannot be carried for a trimmed source: the base
+    # is the newest destination version STRICTLY BELOW the source's
+    # latest id (the idempotent-overwrite rule), so strip THAT marker
+    from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
+
+    sv = _versions(spark, m4_dir)[-1]
+    base_v = [v for v in _versions(spark, tail) if v < sv][-1]
+    os.remove(os.path.join(tail, f"v={base_v}", "_grain.json"))
+    with _pytest.raises(ValueError, match="records no"):
+        compact_m4_grain(spark, m4_dir, tail, coarse_s,
+                         src_interval_s=fine_s)
