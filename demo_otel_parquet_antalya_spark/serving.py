@@ -639,18 +639,18 @@ def _panel_frame(logs, name: str, params: dict, filters=()):
     if name == "q1_projection":
         return facade.q1_projection(logs)
     if name == "q2_recent_logs":
-        return facade.q2_recent_logs(logs, limit=int(params.get("limit", 10)))
+        return facade.q2_recent_logs(logs, limit=_int_param(params, "limit", 10))
     if name == "q3_severity_counts":
         return facade.q3_severity_counts(logs)
     if name == "q4_select_all":
         return facade.q4_select_all(logs)
     if name == "q5_timeseries":
         return facade.q5_timeseries(
-            logs, start, end, interval_seconds=int(params.get("interval", 30))
+            logs, start, end, interval_seconds=_int_param(params, "interval", 30)
         )
     if name == "q6_log_panel":
         return facade.q6_log_panel(
-            logs, start, end, limit=int(params.get("limit", 1000))
+            logs, start, end, limit=_int_param(params, "limit", 1000)
         )
     raise KeyError(name)
 
@@ -1006,7 +1006,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                             self.spark, self.rollup_dir,
                             self.rollup_coarse_dir, self.rollup_boundary,
                             params.get("start"), params.get("end"),
-                            interval_seconds=int(params.get("interval", 30)),
+                            interval_seconds=_int_param(params, "interval", 30),
                             fine_interval_s=self.rollup_interval_s,
                             coarse_interval_s=self.rollup_coarse_interval_s,
                             dim_cols=self.rollup_dims, filters=filters,
@@ -1016,7 +1016,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         frame = facade.q5_timeseries_from_rollup(
                             self.spark, self.rollup_dir,
                             params.get("start"), params.get("end"),
-                            interval_seconds=int(params.get("interval", 30)),
+                            interval_seconds=_int_param(params, "interval", 30),
                             base_interval_s=self.rollup_interval_s,
                             dim_cols=self.rollup_dims, filters=filters,
                             series_dim="service_name" if auto else None,
@@ -1045,7 +1045,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         # stays bounded)
                         frame = facade.q2_recent_logs_pruned(
                             self.spark, self.logs_dir,
-                            limit=min(int(params.get("limit", 10)), self.row_cap + 1),
+                            limit=min(_int_param(params, "limit", 10), self.row_cap + 1),
                             filters=filters,
                         )
                     else:
@@ -1053,7 +1053,8 @@ class _SQLHandler(BaseHTTPRequestHandler):
                             self.spark, self.logs_dir,
                             params.get("start"), params.get("end"),
                             limit=min(
-                                int(params.get("limit", 1000)), self.row_cap + 1
+                                _int_param(params, "limit", 1000),
+                                self.row_cap + 1,
                             ),
                             filters=filters,
                         )
