@@ -459,7 +459,11 @@ def q5_timeseries_from_rollup(
 
     _check_q5_interval(interval_seconds, base_interval_s)  # before any I/O
     series = _resolve_series_dim(dim_cols, series_dim)
-    snap = read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True)
+    # require_untrimmed (r14): a trimmed snapshot no longer holds its full
+    # history — this single-snapshot route would serve silently truncated
+    # panels; incompatible -> auto serves raw, spanned config serves state
+    snap = read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True,
+                       require_untrimmed=True)
     return _q5_from_snapshot(
         snap, dim_cols, series, start, end,
         interval_seconds, base_interval_s, filters,
@@ -585,7 +589,9 @@ def q3_severity_counts_from_rollup(
 
     _require_q3_dims(dim_cols)
     snap = _dim_filtered(
-        read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True),
+        # require_untrimmed (r14): see q5_timeseries_from_rollup
+        read_rollup(spark, rollup_dir, dim_cols, require_snapshot=True,
+                    require_untrimmed=True),
         dim_cols,
         filters,
     )

@@ -392,6 +392,7 @@ def read_rollup(
     target_dir: str,
     dim_cols: tuple = DEFAULT_DIMS,
     require_snapshot: bool = False,
+    require_untrimmed: bool = False,
 ) -> DataFrame:
     """Latest committed snapshot (empty frame if none yet, unless
     ``require_snapshot`` — panel routes pass True so an endpoint pointed
@@ -404,7 +405,16 @@ def read_rollup(
     columns, because schema-on-read would fill a mis-claimed dimension
     with NULLs and the panel would serve silently wrong all-null groups
     instead of the promised error (code-review r10, confirmed live with
-    a single-dim snapshot read as two-dim)."""
+    a single-dim snapshot read as two-dim).
+
+    ``require_untrimmed`` (r14): the UNSPANNED panel routes pass True —
+    a snapshot carrying a trim marker no longer holds its full history
+    (the tail lives in the grain-compacted coarse dir), so serving a
+    full-history panel from it alone would be silently truncated; the
+    refusal is ``RollupRouteIncompatible`` (auto routing falls back to
+    the exact raw scan — loud cost; forced/explicit routes 400 and name
+    the spanned configuration). Checked on the SAME pinned version that
+    is read."""
     vs = _versions(spark, target_dir)
     if not vs:
         if require_snapshot:
@@ -412,6 +422,15 @@ def read_rollup(
                 f"no committed rollup snapshot under {target_dir!r} yet"
             )
         return spark.createDataFrame([], rollup_schema(dim_cols))
+    if require_untrimmed:
+        tb = read_trim_boundary(spark, target_dir, vs[-1])
+        if tb is not None:
+            raise RollupRouteIncompatible(
+                f"rollup snapshot at {target_dir!r} is trimmed (boundary "
+                f"epoch {tb[0]}): its history below the boundary lives in "
+                "the grain-compacted tail — serve the spanned layout "
+                "(coarse dir + boundary) or raw, never this snapshot alone"
+            )
     return _read_version(spark, target_dir, vs[-1], dim_cols)
 
 

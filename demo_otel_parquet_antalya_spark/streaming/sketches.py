@@ -786,6 +786,20 @@ def m4_panel(
                 f"{recorded_fine}s, not the configured {fine_interval_s}s "
                 "— wrong grain or wrong directory"
             )
+        # a TRIMMED snapshot no longer holds its full history — this
+        # single-snapshot panel would serve silently truncated pixels;
+        # the M4 panel has no raw fallback, so this is a 400 naming the
+        # spanned configuration (r14, the read_rollup require_untrimmed
+        # rule applied to its M4 twin; pinned to the version read)
+        tb = read_trim_boundary(spark, fine_dir, vs[-1])
+        if tb is not None:
+            raise RollupRouteIncompatible(
+                f"M4 snapshot at {fine_dir!r} is trimmed (boundary epoch "
+                f"{tb[0]}): its pixels below the boundary live in the "
+                "grain-compacted tail — configure the spanned trio "
+                "(coarse_dir/coarse_interval_s/boundary), never this "
+                "snapshot alone"
+            )
         states = _m4_with_start(
             spark.read.schema(M4_SCHEMA).parquet(f"{fine_dir}/v={vs[-1]}"),
             fine_interval_s,

@@ -128,6 +128,25 @@ def main() -> None:
     print(f"trim boundary recorded at epoch {tb[0]} (align {tb[1]}s); "
           "spanned read with boundary='auto' == raw over all traffic")
 
+    # the steady-state CADENCE (r14): compaction runs again after the trim
+    # — the destination carries its prior tail forward for the buckets the
+    # trimmed fine snapshot no longer holds, so repeated compact->trim
+    # cycles never lose history
+    compact_rollup_grain(
+        spark, f"{work}/rollup", f"{work}/rollup_tail", 30, 300,
+        dim_cols=dims,
+    )
+    spanned_again = facade.q5_timeseries_from_spanned_rollup(
+        spark, f"{work}/rollup", f"{work}/rollup_tail", "auto",
+        interval_seconds=300, fine_interval_s=30, coarse_interval_s=300,
+        dim_cols=dims,
+    )
+    assert sorted(map(tuple, spanned_again.collect())) == sorted(
+        map(tuple, flat_all.collect())
+    )
+    print("re-compaction after the trim: prior tail carried forward, "
+          "spanned read still == raw")
+
     print("\n== 2d. M4 downsample maintenance + panel read (r13) ==")
     # the pixel-perfect dashboard reduction (first/min/max/last of
     # severity_number per hour bucket) maintained continuously, then

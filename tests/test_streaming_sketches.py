@@ -763,3 +763,79 @@ def test_compact_m4_grain_carries_trimmed_tail_forward(spark, tmp_path):
     with _pytest.raises(ValueError, match="records no"):
         compact_m4_grain(spark, m4_dir, tail, coarse_s,
                          src_interval_s=fine_s)
+
+
+def test_unspanned_reads_refuse_trimmed_snapshots(spark, tmp_path):
+    """r14: an UNSPANNED panel over a TRIMMED snapshot would silently
+    serve truncated history — refused as RollupRouteIncompatible on both
+    tiers (rollup: auto routing falls back to the exact raw scan; M4:
+    a 400 naming the spanned configuration, since no raw fallback
+    exists). The spanned forms keep serving the same layouts."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.plans.facade import (
+        q3_severity_counts_from_rollup,
+        q5_timeseries_from_rollup,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        RollupRouteIncompatible,
+        compact_rollup_grain,
+        incremental_rollup,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        compact_m4_grain,
+        incremental_m4,
+        m4_panel,
+    )
+
+    src = str(tmp_path / "events")
+    _write_m4_events(src, "a.json",
+                     [(i * 361, i, float((i * 13) % 71)) for i in range(300)])
+    boundary = BASE_EPOCH + 86400
+
+    # M4 tier
+    m4_dir, m4_tail = str(tmp_path / "m4"), str(tmp_path / "m4_tail")
+    incremental_m4(_m4_stream(spark, src), m4_dir, str(tmp_path / "ck1"))\
+        .awaitTermination()
+    compact_m4_grain(spark, m4_dir, m4_tail, 14400, older_than_epoch=boundary)
+    _write_m4_events(src, "b.json", [(108000, 999, 3.0)])
+    incremental_m4(
+        _m4_stream(spark, src), m4_dir, str(tmp_path / "ck1"),
+        trim_horizon_s=7200, trim_coarse_dir=m4_tail,
+        trim_coarse_interval_s=14400,
+    ).awaitTermination()
+    with _pytest.raises(RollupRouteIncompatible, match="is trimmed"):
+        m4_panel(spark, m4_dir, 7200)
+    assert m4_panel(spark, m4_dir, 14400, coarse_dir=m4_tail,
+                    coarse_interval_s=14400,
+                    boundary_epoch="auto").count() > 0
+
+    # rollup tier (dims default event_type; reuse event_id as the dim)
+    ru, ru_tail = str(tmp_path / "ru"), str(tmp_path / "ru_tail")
+    stream = (
+        spark.readStream.schema(M4_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(src)
+        .selectExpr("ts", "'e' AS service_name", "'INFO' AS severity_text")
+    )
+    dims = ("service_name", "severity_text")
+    incremental_rollup(
+        stream, ru, str(tmp_path / "ck2"), bucket="30 seconds",
+        ts_col="ts", dim_cols=dims,
+    ).awaitTermination()
+    compact_rollup_grain(spark, ru, ru_tail, 30, 300, dim_cols=dims,
+                         older_than="2024-01-02 00:00:00")
+    _write_m4_events(src, "c.json", [(111600, 1000, 1.0)])
+    incremental_rollup(
+        (spark.readStream.schema(M4_EVENT_SCHEMA)
+         .option("maxFilesPerTrigger", 1).json(src)
+         .selectExpr("ts", "'e' AS service_name", "'INFO' AS severity_text")),
+        ru, str(tmp_path / "ck2"), bucket="30 seconds", ts_col="ts",
+        dim_cols=dims,
+        trim_horizon_s=3600, trim_coarse_dir=ru_tail,
+        trim_coarse_interval_s=300,
+    ).awaitTermination()
+    with _pytest.raises(RollupRouteIncompatible, match="is trimmed"):
+        q5_timeseries_from_rollup(spark, ru, interval_seconds=300,
+                                  dim_cols=dims)
+    with _pytest.raises(RollupRouteIncompatible, match="is trimmed"):
+        q3_severity_counts_from_rollup(spark, ru, dim_cols=dims)
