@@ -567,11 +567,11 @@ def _df_payload(df, cap: int, source: str | None = None) -> dict:
 
 # panels with a flat production route (served by default when the
 # endpoint is configured for it — see work() in do_GET)
-def _int_param(params: dict, key: str, default: int) -> int:
+def _int_param(params: dict, key: str, default: int, unit: str = "seconds") -> int:
     """An integer query parameter, refused with a message that names the
-    parameter (VERDICT r13: a bare ``int(...)`` ValueError reached the
-    client as Python's own "invalid literal" text — consistent with the
-    panels' 400 contract but context-free)."""
+    parameter and its unit (VERDICT r13: a bare ``int(...)`` ValueError
+    reached the client as Python's own "invalid literal" text —
+    consistent with the panels' 400 contract but context-free)."""
     raw = params.get(key)
     if raw is None:
         return int(default)
@@ -579,7 +579,7 @@ def _int_param(params: dict, key: str, default: int) -> int:
         return int(raw)
     except ValueError:
         raise ValueError(
-            f"{key}={raw!r} is not an integer (seconds)"
+            f"{key}={raw!r} is not an integer ({unit})"
         ) from None
 
 
@@ -639,7 +639,7 @@ def _panel_frame(logs, name: str, params: dict, filters=()):
     if name == "q1_projection":
         return facade.q1_projection(logs)
     if name == "q2_recent_logs":
-        return facade.q2_recent_logs(logs, limit=_int_param(params, "limit", 10))
+        return facade.q2_recent_logs(logs, limit=_int_param(params, "limit", 10, "rows"))
     if name == "q3_severity_counts":
         return facade.q3_severity_counts(logs)
     if name == "q4_select_all":
@@ -650,7 +650,7 @@ def _panel_frame(logs, name: str, params: dict, filters=()):
         )
     if name == "q6_log_panel":
         return facade.q6_log_panel(
-            logs, start, end, limit=_int_param(params, "limit", 1000)
+            logs, start, end, limit=_int_param(params, "limit", 1000, "rows")
         )
     raise KeyError(name)
 
@@ -1045,7 +1045,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                         # stays bounded)
                         frame = facade.q2_recent_logs_pruned(
                             self.spark, self.logs_dir,
-                            limit=min(_int_param(params, "limit", 10), self.row_cap + 1),
+                            limit=min(_int_param(params, "limit", 10, "rows"), self.row_cap + 1),
                             filters=filters,
                         )
                     else:
@@ -1053,7 +1053,7 @@ class _SQLHandler(BaseHTTPRequestHandler):
                             self.spark, self.logs_dir,
                             params.get("start"), params.get("end"),
                             limit=min(
-                                _int_param(params, "limit", 1000),
+                                _int_param(params, "limit", 1000, "rows"),
                                 self.row_cap + 1,
                             ),
                             filters=filters,

@@ -208,8 +208,16 @@ def expire_partitions(
         else:
             # the FS's success flag; delete() on a missing path returns
             # False on Hadoop filesystems, but a path we just listed and
-            # then cannot delete is a failure either way — report it
-            (expired if hadoop_delete(spark, p, True) else failed).append(p)
+            # then cannot delete is a failure either way — report it.
+            # A THROWING delete (permission/transient IO surfacing as a
+            # java exception, not a false flag) must not abort the sweep
+            # mid-way either: the maximal-sweep contract says every
+            # doomed path is attempted before the error (code-review r14)
+            try:
+                ok = hadoop_delete(spark, p, True)
+            except Exception:
+                ok = False
+            (expired if ok else failed).append(p)
     if local is not None:
         # best-effort prune of now-empty parent directories (day/month/
         # year/service); harmless if skipped — listings ignore empties

@@ -580,6 +580,19 @@ def incremental_rollup(
             )
             .agg(F.count("*").alias("n"))
         )
+        if trim_horizon_s is not None:
+            # the desired-boundary derivation below runs a job over inc
+            # BEFORE the commit job reuses it — persist so the batch
+            # source is scanned once, not twice (code-review r14; the
+            # r11 #5 redundant-job class)
+            inc = inc.persist()
+        try:
+            _apply_inner(spark, inc, batch_id)
+        finally:
+            if trim_horizon_s is not None:
+                inc.unpersist()
+
+    def _apply_inner(spark, inc: DataFrame, batch_id: int) -> None:
         # merge with the snapshot strictly BEFORE this batch id, so a
         # replayed batch merges the same base it did the first time;
         # _read_version validates the prior snapshot's columns, so a
@@ -609,11 +622,17 @@ def incremental_rollup(
         )
         if trim_horizon_s is not None:
             prior_epoch = prior_tb[0] if prior_tb else None
-            # desired boundary from the BATCH's own data — deterministic on
-            # replay (same batch -> same max); epoch computed Spark-side so
-            # session-timezone semantics match the stored buckets'
-            row = batch_df.agg(
-                F.max(F.unix_timestamp(F.col(ts_col))).alias("e")
+            # desired boundary from the BATCH's own data — deterministic
+            # on replay (same batch -> same increment -> same max); epoch
+            # computed Spark-side so session-timezone semantics match the
+            # stored buckets'. r14: derived from the INCREMENT's newest
+            # bucket start (persisted — one source scan per batch, not
+            # two) rather than the raw max event time; a bucket start is
+            # at most one bucket below the max event, so the boundary can
+            # only land EARLIER — the horizon guarantee ("keep at least
+            # this many seconds") is preserved or exceeded.
+            row = inc.agg(
+                F.max(F.unix_timestamp("bucket")).alias("e")
             ).first()
             desired = (
                 None if row.e is None
@@ -782,41 +801,10 @@ def compact_rollup_grain(
                 "destination grain cannot own the trimmed tail exactly; "
                 "compact at the trim's own grain or into a fresh layout"
             )
-        pvs = [v for v in _versions(spark, dst_dir) if v < new_v]
-        if pvs:
-            pv = pvs[-1]
-            recorded, coverage = _read_grain_meta(spark, dst_dir, pv)
-            if recorded is not None and recorded != dst_interval_s:
-                raise ValueError(
-                    f"destination snapshot at {dst_dir!r} records grain "
-                    f"{recorded}s, not the configured dst_interval_s="
-                    f"{dst_interval_s} — wrong grain or wrong directory"
-                )
-            prior_df = _read_version(spark, dst_dir, pv, dim_cols)
-            if coverage is None:
-                cov = prior_df.agg(
-                    F.max(F.unix_timestamp("bucket")).alias("e")
-                ).first()
-                if cov.e is not None and int(cov.e) % dst_interval_s:
-                    raise ValueError(
-                        f"destination snapshot at {dst_dir!r} has max "
-                        f"bucket epoch {int(cov.e)}, not aligned to "
-                        f"dst_interval_s={dst_interval_s} — wrong grain "
-                        "or wrong directory"
-                    )
-                coverage = None if cov.e is None else int(cov.e) + dst_interval_s
-            if coverage is not None:
-                if coverage < trim_e:
-                    raise ValueError(
-                        f"destination at {dst_dir!r} covers only up to "
-                        f"epoch {coverage}, below the source's trim "
-                        f"boundary ({trim_e}) — buckets in between would "
-                        "be owned by neither side; wrong destination for "
-                        "this rollup's tail"
-                    )
-                prior = prior_df.filter(
-                    F.col("bucket") < F.timestamp_seconds(F.lit(trim_e))
-                )
+        prior = _resolve_carry_base(
+            spark, dst_dir, new_v, dst_interval_s, trim_e, m4=False,
+            read=lambda pv: _read_version(spark, dst_dir, pv, dim_cols),
+        )
         # the fine side re-coarsens only what it authoritatively holds
         snap = snap.filter(F.col("bucket") >= F.timestamp_seconds(F.lit(trim_e)))
     if older_than is not None:
@@ -859,6 +847,96 @@ def compact_rollup_grain(
             },
         )
     return rows
+
+
+def _resolve_carry_base(
+    spark: SparkSession,
+    dst_dir: str,
+    new_v: int,
+    dst_interval_s: int,
+    trim_e: int,
+    m4: bool,
+    read,
+):
+    """The trim-aware compactions' shared base resolution (r14, one home
+    so the two tiers cannot drift — code-review r14): the newest
+    destination version with a SMALLER id than the one being written
+    (idempotent-overwrite rule), its recorded grain cross-checked, its
+    coverage end resolved (marker first; derived with one
+    alignment-guarded job for a markerless ROLLUP base; refused outright
+    for a markerless M4 base — grain-relative buckets are unverifiable),
+    and the guard that makes the carry exact: the base must cover at
+    least up to the source's trim boundary.
+
+    A trimmed source with NO base (or an empty one) is refused too
+    (code-review r14): the fine snapshot cannot re-derive its trimmed
+    tail, so compacting it into a fresh destination would commit a tail
+    silently missing everything below the trim — the exact class the
+    short-coverage guard already refuses. In the legitimate lifecycle
+    the first compaction always precedes the first trim (the trim clamp
+    needs a covering coarse dir to exist), so a trimmed source meeting
+    a fresh destination is always a mis-pointed directory.
+
+    ``read(version) -> DataFrame`` is the caller's own validated read of
+    a destination version (the rollup tier's ``_read_version`` with its
+    dim validation; the M4 tier's schema-pinned parquet read). Returns
+    the base rows filtered to buckets strictly below ``trim_e``."""
+    pvs = [v for v in _versions(spark, dst_dir) if v < new_v]
+    neither_side = (
+        f"destination at {dst_dir!r} {{got}} the source's trim boundary "
+        f"(epoch {trim_e}) — buckets below it would be owned by neither "
+        "side; a trimmed source can only compact into the destination "
+        "that already owns its tail"
+    )
+    if not pvs:
+        raise ValueError(
+            neither_side.format(got="has no committed version to carry below")
+        )
+    pv = pvs[-1]
+    recorded, coverage = _read_grain_meta(spark, dst_dir, pv)
+    kind = "M4 " if m4 else ""
+    if m4 and recorded is None:
+        raise ValueError(
+            f"destination M4 snapshot v={pv} at {dst_dir!r} records no "
+            "grain marker (the marker-write crash window, or a foreign "
+            "dir) — its grain-relative buckets cannot be carried for a "
+            "trimmed source; re-stamp the marker or compact into a fresh "
+            "destination"
+        )
+    if recorded is not None and recorded != dst_interval_s:
+        raise ValueError(
+            f"destination {kind}snapshot at {dst_dir!r} records grain "
+            f"{recorded}s, not the configured dst_interval_s="
+            f"{dst_interval_s} — wrong grain or wrong directory"
+        )
+    prior_df = read(pv)
+    if coverage is None:
+        if m4:
+            cov = prior_df.agg(F.max("bucket").alias("b")).first()
+            coverage = (
+                None if cov.b is None else (int(cov.b) + 1) * dst_interval_s
+            )
+        else:
+            cov = prior_df.agg(F.max(F.unix_timestamp("bucket")).alias("e")).first()
+            if cov.e is not None and int(cov.e) % dst_interval_s:
+                raise ValueError(
+                    f"destination snapshot at {dst_dir!r} has max bucket "
+                    f"epoch {int(cov.e)}, not aligned to dst_interval_s="
+                    f"{dst_interval_s} — wrong grain or wrong directory"
+                )
+            coverage = None if cov.e is None else int(cov.e) + dst_interval_s
+    if coverage is None:
+        raise ValueError(neither_side.format(got="is empty below"))
+    if coverage < trim_e:
+        raise ValueError(
+            f"destination at {dst_dir!r} covers only up to epoch "
+            f"{coverage}, below the source's trim boundary ({trim_e}) — "
+            "buckets in between would be owned by neither side; wrong "
+            "destination for this layout's tail"
+        )
+    if m4:
+        return prior_df.filter(F.col("bucket") < F.lit(trim_e // dst_interval_s))
+    return prior_df.filter(F.col("bucket") < F.timestamp_seconds(F.lit(trim_e)))
 
 
 def _aligned_n(interval_s: int, what: str):

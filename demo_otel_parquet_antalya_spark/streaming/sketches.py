@@ -31,6 +31,7 @@ from demo_otel_parquet_antalya_spark.streaming.rollup import (
     _check_retain,
     _commit_snapshot,
     _read_grain_meta,
+    _resolve_carry_base,
     _resolve_span,
     _versions,
     _write_version_meta,
@@ -300,6 +301,18 @@ def incremental_m4(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         inc = _m4_batch(batch_df, ts_col, id_col, value_col, interval_s)
+        if trim_horizon_s is not None:
+            # the desired-boundary job below runs over inc BEFORE the
+            # commit job reuses it — persist so the batch source is
+            # scanned once per batch, not twice (code-review r14)
+            inc = inc.persist()
+        try:
+            _apply_inner(spark, inc, batch_id)
+        finally:
+            if trim_horizon_s is not None:
+                inc.unpersist()
+
+    def _apply_inner(spark, inc: DataFrame, batch_id: int) -> None:
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         if prior_vs:
             recorded_fine = read_grain(spark, target_dir, prior_vs[-1])
@@ -325,13 +338,16 @@ def incremental_m4(
         )
         if trim_horizon_s is not None:
             prior_epoch = prior_tb[0] if prior_tb else None
-            row = batch_df.agg(
-                F.max(F.unix_timestamp(F.col(ts_col))).alias("e")
-            ).first()
+            # desired from the INCREMENT's newest pixel bucket (persisted
+            # — one source scan per batch, not two; a bucket start is at
+            # most one pixel below the max event time, so the boundary
+            # can only land earlier and the "keep at least horizon"
+            # guarantee holds — code-review r14, the rollup twin's rule)
+            row = inc.agg(F.max("bucket").alias("b")).first()
             desired = (
-                None if row.e is None
-                else ((int(row.e) - trim_horizon_s) // trim_coarse_interval_s)
-                * trim_coarse_interval_s
+                None if row.b is None
+                else ((int(row.b) * interval_s - trim_horizon_s)
+                      // trim_coarse_interval_s) * trim_coarse_interval_s
             )
             cvs = _versions(spark, trim_coarse_dir)
             coverage = None
@@ -520,42 +536,12 @@ def compact_m4_grain(
                 "destination grain cannot own the trimmed tail exactly; "
                 "compact at the trim's own grain or into a fresh layout"
             )
-        pvs = [v for v in _versions(spark, dst_dir) if v < vs[-1]]
-        if pvs:
-            pv = pvs[-1]
-            recorded, coverage = _read_grain_meta(spark, dst_dir, pv)
-            if recorded is None:
-                raise ValueError(
-                    f"destination M4 snapshot v={pv} at {dst_dir!r} records "
-                    "no grain marker (the marker-write crash window, or a "
-                    "foreign dir) — its grain-relative buckets cannot be "
-                    "carried for a trimmed source; re-stamp the marker or "
-                    "compact into a fresh destination"
-                )
-            if recorded != dst_interval_s:
-                raise ValueError(
-                    f"destination M4 snapshot at {dst_dir!r} records grain "
-                    f"{recorded}s, not the configured dst_interval_s="
-                    f"{dst_interval_s} — wrong grain or wrong directory"
-                )
-            prior_df = spark.read.schema(M4_SCHEMA).parquet(f"{dst_dir}/v={pv}")
-            if coverage is None:
-                cov = prior_df.agg(F.max("bucket").alias("b")).first()
-                coverage = (
-                    None if cov.b is None else (int(cov.b) + 1) * dst_interval_s
-                )
-            if coverage is not None:
-                if coverage < trim_e:
-                    raise ValueError(
-                        f"destination at {dst_dir!r} covers only up to "
-                        f"epoch {coverage}, below the source's trim "
-                        f"boundary ({trim_e}) — pixels in between would be "
-                        "owned by neither side; wrong destination for this "
-                        "M4's tail"
-                    )
-                prior = prior_df.filter(
-                    F.col("bucket") < F.lit(trim_e // dst_interval_s)
-                )
+        prior = _resolve_carry_base(
+            spark, dst_dir, vs[-1], dst_interval_s, trim_e, m4=True,
+            read=lambda pv: spark.read.schema(M4_SCHEMA).parquet(
+                f"{dst_dir}/v={pv}"
+            ),
+        )
         snap = snap.filter(F.col("bucket_start") >= F.lit(trim_e))
     if older_than_epoch is not None:
         snap = snap.filter(F.col("bucket_start") < F.lit(older_than_epoch))

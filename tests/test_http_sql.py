@@ -2242,3 +2242,17 @@ def test_m4_auto_boundary_http_equals_static(spark, tmp_path):
     assert payloads["auto"]["rows"] == payloads["static"]["rows"]
     assert payloads["auto"]["row_count"] > 0
     assert payloads["auto"]["source"] == "m4"
+
+
+def test_limit_param_400_names_rows_not_seconds(logs_endpoint):
+    """code-review r14: the named-parameter 400 must state the RIGHT unit
+    — q2/q6 'limit' is a row count, not seconds."""
+    base, _wh = logs_endpoint
+    try:
+        urllib.request.urlopen(f"{base}/panels/q2_recent_logs?limit=abc")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        msg = json.loads(e.read())["error"]
+        assert "limit='abc' is not an integer (rows)" in msg, msg
+    else:
+        raise AssertionError("expected 400")

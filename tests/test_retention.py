@@ -250,6 +250,26 @@ def test_failed_deletes_raise_after_maximal_sweep(spark, warehouse, monkeypatch)
     with pytest.raises(RetentionDeleteError, match="FAILED on"):
         expire_partitions(spark, warehouse, "2024-01-02 00:00:00", dry_run=False)
 
+    # remote branch, THROWING delete (java exception, not a false flag):
+    # the sweep still attempts every path before raising — maximal, and
+    # the non-throwing deletes are reported expired (code-review r14)
+    doomed_all = expire_partitions(spark, warehouse, "2024-01-02 00:00:00")
+    assert len(doomed_all) >= 2
+    calls = []
+
+    def throwing(_s, p, _r):
+        calls.append(p)
+        if p == doomed_all[0]:
+            raise RuntimeError("simulated IOException")
+        return True
+
+    monkeypatch.setattr(ret, "hadoop_delete", throwing)
+    with pytest.raises(RetentionDeleteError) as ei2:
+        expire_partitions(spark, warehouse, "2024-01-02 00:00:00", dry_run=False)
+    assert calls == doomed_all  # every path attempted
+    assert ei2.value.failed == [doomed_all[0]]
+    assert ei2.value.expired == doomed_all[1:]
+
 
 def test_full_retention_lifecycle_keeps_every_panel_honest(spark, tmp_path):
     """VERDICT r13 #3 — the three bounding operators composed END TO END,

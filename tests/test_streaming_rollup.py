@@ -1282,3 +1282,33 @@ def test_compact_rollup_grain_carries_trimmed_tail_forward(spark, tmp_path):
         compact_rollup_grain(spark, ru, short, 30, 300)
     with _pytest.raises(ValueError, match="not aligned to dst_interval_s"):
         compact_rollup_grain(spark, ru, str(tmp_path / "t7"), 30, 700)
+
+
+def test_trimmed_source_refuses_fresh_destination(spark, tmp_path):
+    """code-review r14: a TRIMMED source compacted into a destination with
+    no committed version (or an empty one) would commit a tail silently
+    missing everything below the trim — the same neither-side class the
+    short-coverage guard refuses; now both refuse."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+    )
+
+    src = str(tmp_path / "events")
+    ru, tail, ck = str(tmp_path / "ru"), str(tmp_path / "tail"), str(tmp_path / "ck")
+    _write(src, "a.json", [(i, 15 * i, "e") for i in range(80)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), ru, ck, bucket="1 minute",
+    ).awaitTermination()
+    compact_rollup_grain(spark, ru, tail, 60, 300,
+                         older_than="2024-01-01 00:10:00")
+    _write(src, "b.json", [(100 + i, 1260 + 15 * i, "e") for i in range(16)])
+    incremental_rollup(
+        spark.readStream.schema(SCHEMA).json(src), ru, ck, bucket="1 minute",
+        trim_horizon_s=300, trim_coarse_dir=tail, trim_coarse_interval_s=300,
+    ).awaitTermination()
+    with _pytest.raises(ValueError, match="no committed version to carry"):
+        compact_rollup_grain(spark, ru, str(tmp_path / "fresh"), 60, 300)
+    # the REAL tail still compacts fine
+    compact_rollup_grain(spark, ru, tail, 60, 300)

@@ -839,3 +839,31 @@ def test_unspanned_reads_refuse_trimmed_snapshots(spark, tmp_path):
                                   dim_cols=dims)
     with _pytest.raises(RollupRouteIncompatible, match="is trimmed"):
         q3_severity_counts_from_rollup(spark, ru, dim_cols=dims)
+
+
+def test_m4_trimmed_source_refuses_fresh_destination(spark, tmp_path):
+    """code-review r14 (M4 twin): a trimmed M4 source meeting a fresh
+    destination would silently commit a tail missing every pre-trim
+    pixel; refused, while the real tail keeps compacting."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        compact_m4_grain,
+        incremental_m4,
+    )
+
+    src = str(tmp_path / "events")
+    m4_dir, tail, ck = str(tmp_path / "m4"), str(tmp_path / "tail"), str(tmp_path / "ck")
+    _write_m4_events(src, "a.json",
+                     [(i * 361, i, float(i % 7)) for i in range(300)])
+    incremental_m4(_m4_stream(spark, src), m4_dir, ck).awaitTermination()
+    compact_m4_grain(spark, m4_dir, tail, 14400,
+                     older_than_epoch=BASE_EPOCH + 86400)
+    _write_m4_events(src, "b.json", [(108000, 999, 3.0)])
+    incremental_m4(
+        _m4_stream(spark, src), m4_dir, ck, trim_horizon_s=7200,
+        trim_coarse_dir=tail, trim_coarse_interval_s=14400,
+    ).awaitTermination()
+    with _pytest.raises(ValueError, match="no committed version to carry"):
+        compact_m4_grain(spark, m4_dir, str(tmp_path / "fresh"), 14400)
+    compact_m4_grain(spark, m4_dir, tail, 14400)  # the real tail still works

@@ -344,7 +344,7 @@ def main() -> None:
         if not args.keep:
             shutil.rmtree(args.work, ignore_errors=True)
     print(json.dumps({
-        "metric": "rollup_trim_steady_state",
+        "metric": "trim_steady_state",
         "batches_per_cell": args.batches,
         "dims_cardinality": SERVICES * SEVERITIES,
         "m4_fine_interval_s": M4_FINE_S,
