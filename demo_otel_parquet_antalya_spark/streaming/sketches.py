@@ -42,11 +42,38 @@ from demo_otel_parquet_antalya_spark.streaming.rollup import (
 SKETCH_SCHEMA = "hour timestamp, hll binary, kll binary"
 
 
+def _read_state(
+    spark: SparkSession, target_dir: str, version: int, schema: str
+) -> DataFrame:
+    """Column-validated read of a committed state version — the rollup
+    tier's ``_read_version`` discipline applied to the schema-pinned
+    sketch/M4 tiers (r14): ``spark.read.schema(...)`` NULL-FILLS columns
+    the files do not have, so a maintenance stream pointed at a foreign
+    or wrong directory would silently merge all-null states forward into
+    every later version, and panels would serve null-keyed garbage
+    (probed: a rollup snapshot read under SKETCH_SCHEMA yields
+    ``Row(hour=None, hll=None, kll=None)``). One footer-only schema
+    inference per read is the cost; a column-set mismatch is a loud
+    ValueError naming both sets."""
+    from pyspark.sql.types import StructType
+
+    path = f"{target_dir}/v={version}"
+    want = [f.name for f in StructType.fromDDL(schema).fields]
+    actual = spark.read.parquet(path).columns
+    if set(actual) != set(want):
+        raise ValueError(
+            f"state snapshot at {path!r} has columns {sorted(actual)}, "
+            f"not the expected {sorted(want)} — not a snapshot this "
+            "layout wrote (schema-on-read would silently null-fill it)"
+        )
+    return spark.read.schema(schema).parquet(path)
+
+
 def read_sketches(spark: SparkSession, target_dir: str) -> DataFrame:
     vs = _versions(spark, target_dir)
     if not vs:
         return spark.createDataFrame([], SKETCH_SCHEMA)
-    return spark.read.schema(SKETCH_SCHEMA).parquet(f"{target_dir}/v={vs[-1]}")
+    return _read_state(spark, target_dir, vs[-1], SKETCH_SCHEMA)
 
 
 def sketch_estimates(states: DataFrame) -> DataFrame:
@@ -116,8 +143,8 @@ def incremental_sketches(
         inc = _sketch_batch(batch_df, ts_col, user_col, value_col)
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         if prior_vs:
-            prior = spark.read.schema(SKETCH_SCHEMA).parquet(
-                f"{target_dir}/v={prior_vs[-1]}"
+            prior = _read_state(
+                spark, target_dir, prior_vs[-1], SKETCH_SCHEMA
             )
             merged = (
                 prior.unionByName(inc)
@@ -214,7 +241,7 @@ def read_m4(spark: SparkSession, target_dir: str) -> DataFrame:
     vs = _versions(spark, target_dir)
     if not vs:
         return spark.createDataFrame([], M4_SCHEMA)
-    return spark.read.schema(M4_SCHEMA).parquet(f"{target_dir}/v={vs[-1]}")
+    return _read_state(spark, target_dir, vs[-1], M4_SCHEMA)
 
 
 def incremental_m4(
@@ -323,8 +350,8 @@ def incremental_m4(
                     f"interval_s={interval_s} — merging would mix bucket "
                     "units; wrong grain or wrong directory"
                 )
-            prior = spark.read.schema(M4_SCHEMA).parquet(
-                f"{target_dir}/v={prior_vs[-1]}"
+            prior = _read_state(
+                spark, target_dir, prior_vs[-1], M4_SCHEMA
             )
             merged = _m4_merge(prior.unionByName(inc))
         else:
@@ -381,8 +408,7 @@ def incremental_m4(
                     # crash-window marker): derive it with one
                     # column-pruned job — safe, the units are verified
                     cov = (
-                        spark.read.schema(M4_SCHEMA)
-                        .parquet(f"{trim_coarse_dir}/v={cv}")
+                        _read_state(spark, trim_coarse_dir, cv, M4_SCHEMA)
                         .agg(F.max("bucket").alias("b"))
                         .first()
                     )
@@ -519,7 +545,7 @@ def compact_m4_grain(
             f"{src_interval_s} — wrong grain or wrong directory"
         )
     snap = _m4_with_start(
-        spark.read.schema(M4_SCHEMA).parquet(f"{src_dir}/v={vs[-1]}"),
+        _read_state(spark, src_dir, vs[-1], M4_SCHEMA),
         src_interval_s,
     )
     # trim-aware accumulation (r14, see docstring): carry prior
@@ -538,9 +564,7 @@ def compact_m4_grain(
             )
         prior = _resolve_carry_base(
             spark, dst_dir, vs[-1], dst_interval_s, trim_e, m4=True,
-            read=lambda pv: spark.read.schema(M4_SCHEMA).parquet(
-                f"{dst_dir}/v={pv}"
-            ),
+            read=lambda pv: _read_state(spark, dst_dir, pv, M4_SCHEMA),
         )
         snap = snap.filter(F.col("bucket_start") >= F.lit(trim_e))
     if older_than_epoch is not None:
@@ -653,7 +677,7 @@ def read_m4_spanned(
             "wrong grain or wrong directory"
         )
     fine_all = _m4_with_start(
-        spark.read.schema(M4_SCHEMA).parquet(f"{fine_dir}/v={fv}"),
+        _read_state(spark, fine_dir, fv, M4_SCHEMA),
         fine_interval_s,
     )
     # gap refusal (r13, the rollup tier's ADVICE-r12 check applied to its
@@ -668,7 +692,7 @@ def read_m4_spanned(
     if not (isinstance(boundary_epoch, str) and boundary_epoch == "auto"):
         if coverage is None:
             cov = (
-                spark.read.schema(M4_SCHEMA).parquet(f"{coarse_dir}/v={cv}")
+                _read_state(spark, coarse_dir, cv, M4_SCHEMA)
                 .agg(F.max("bucket").alias("b"))
                 .first()
             )
@@ -688,7 +712,7 @@ def read_m4_spanned(
                 )
     fine = fine_all.filter(F.col("bucket_start") >= F.lit(epoch))
     coarse = _m4_with_start(
-        spark.read.schema(M4_SCHEMA).parquet(f"{coarse_dir}/v={cv}"),
+        _read_state(spark, coarse_dir, cv, M4_SCHEMA),
         coarse_interval_s,
     ).filter(F.col("bucket_start") < F.lit(epoch))
     return fine.unionByName(coarse)
@@ -787,7 +811,7 @@ def m4_panel(
                 "snapshot alone"
             )
         states = _m4_with_start(
-            spark.read.schema(M4_SCHEMA).parquet(f"{fine_dir}/v={vs[-1]}"),
+            _read_state(spark, fine_dir, vs[-1], M4_SCHEMA),
             fine_interval_s,
         )
     # window on WHOLE output pixels: resolve each edge against the
@@ -849,7 +873,7 @@ def sketch_panel(
         raise RollupRouteIncompatible(
             f"no committed sketch snapshot under {sketch_dir!r} yet"
         )
-    states = spark.read.schema(SKETCH_SCHEMA).parquet(f"{sketch_dir}/v={vs[-1]}")
+    states = _read_state(spark, sketch_dir, vs[-1], SKETCH_SCHEMA)
     from demo_otel_parquet_antalya_spark.streaming.rollup import _boundary_epoch
 
     if start is not None:

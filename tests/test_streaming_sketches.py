@@ -867,3 +867,60 @@ def test_m4_trimmed_source_refuses_fresh_destination(spark, tmp_path):
     with _pytest.raises(ValueError, match="no committed version to carry"):
         compact_m4_grain(spark, m4_dir, str(tmp_path / "fresh"), 14400)
     compact_m4_grain(spark, m4_dir, tail, 14400)  # the real tail still works
+
+
+def test_state_reads_refuse_foreign_snapshots(spark, tmp_path):
+    """r14 (probed): spark.read.schema(...) NULL-FILLS columns the files
+    lack, so a sketch/M4 read or maintenance merge pointed at a foreign
+    directory would silently propagate all-null states (the rollup
+    tier's r10 NULL-dims class). Every sketch/M4 state read now
+    validates the snapshot's actual columns first."""
+    import datetime
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        incremental_sketches,
+        m4_panel,
+        read_m4,
+        read_sketches,
+        sketch_panel,
+    )
+
+    # a committed ROLLUP-shaped snapshot standing in for the wrong dir
+    foreign = str(tmp_path / "foreign")
+    spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 0), "click", 4)],
+        "bucket timestamp, event_type string, n long",
+    ).coalesce(1).write.parquet(f"{foreign}/v=0")
+
+    for reader in (read_sketches, read_m4):
+        with _pytest.raises(ValueError, match="not the expected"):
+            reader(spark, foreign).collect()
+    with _pytest.raises(ValueError, match="not the expected"):
+        sketch_panel(spark, foreign, 3600)
+    with _pytest.raises(ValueError, match="not the expected"):
+        m4_panel(spark, foreign, 3600)
+
+    # the maintenance MERGE is the dangerous site: batch N>0 reads the
+    # newest version below its id as the merge base — stage a legit
+    # batch 0, swap its snapshot for the foreign one, resume: the merge
+    # must fail the batch, not write null states forward
+    import shutil
+
+    src = str(tmp_path / "events")
+    target, ckpt = str(tmp_path / "sk"), str(tmp_path / "ckpt")
+    _write(src, "b0.json", [(i, i % 5, float(i)) for i in range(20)])
+    incremental_sketches(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src),
+        target, ckpt,
+    ).awaitTermination()
+    shutil.rmtree(f"{target}/v=0")
+    shutil.copytree(f"{foreign}/v=0", f"{target}/v=0")
+    _write(src, "b1.json", [(3600 + i, i % 5, float(i)) for i in range(20)])
+    q = incremental_sketches(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src),
+        target, ckpt,
+    )
+    with _pytest.raises(Exception, match="not the expected"):
+        q.awaitTermination()
