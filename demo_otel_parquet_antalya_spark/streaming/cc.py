@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.operators.dedup import connected_components
-from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
+from demo_otel_parquet_antalya_spark.streaming.rollup import _read_state, _versions
 
 LABEL_SCHEMA = "id long, cluster_id long"
 
@@ -45,7 +45,7 @@ def read_components(spark: SparkSession, target_dir: str) -> DataFrame:
     vs = _versions(spark, target_dir)
     if not vs:
         return spark.createDataFrame([], LABEL_SCHEMA)
-    return spark.read.schema(LABEL_SCHEMA).parquet(f"{target_dir}/v={vs[-1]}")
+    return _read_state(spark, target_dir, vs[-1], LABEL_SCHEMA)
 
 
 def merge_components(prior: DataFrame, new_edges: DataFrame) -> DataFrame:
@@ -95,7 +95,7 @@ def incremental_components(
         )
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         prior = (
-            spark.read.schema(LABEL_SCHEMA).parquet(f"{target_dir}/v={prior_vs[-1]}")
+            _read_state(spark, target_dir, prior_vs[-1], LABEL_SCHEMA)
             if prior_vs
             else spark.createDataFrame([], LABEL_SCHEMA)
         )

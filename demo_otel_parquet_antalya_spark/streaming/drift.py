@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
+from demo_otel_parquet_antalya_spark.streaming.rollup import _read_state, _versions
 
 COUNTS_SCHEMA = "category string, n long"
 
@@ -44,8 +44,8 @@ def incremental_category_counts(
         )
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         if prior_vs:
-            prior = spark.read.schema(COUNTS_SCHEMA).parquet(
-                f"{target_dir}/v={prior_vs[-1]}"
+            prior = _read_state(
+                spark, target_dir, prior_vs[-1], COUNTS_SCHEMA
             )
             inc = (
                 prior.unionByName(inc)
@@ -70,7 +70,7 @@ def read_psi(spark: SparkSession, target_dir: str, reference: DataFrame) -> Data
         return spark.createDataFrame(
             [], "category string, p_ref double, q_cur double, psi_term double"
         )
-    cur = spark.read.schema(COUNTS_SCHEMA).parquet(f"{target_dir}/v={vs[-1]}")
+    cur = _read_state(spark, target_dir, vs[-1], COUNTS_SCHEMA)
     tot = cur.agg(F.sum("n").alias("t"))
     q = cur.join(F.broadcast(tot)).select(
         "category", (F.col("n") / F.col("t")).alias("q")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
+from demo_otel_parquet_antalya_spark.streaming.rollup import _read_state, _versions
 
 
 def _sample_schema(key_col: str, payload_cols: list[str], weighted: bool = False) -> str:
@@ -79,7 +79,7 @@ def read_sample(
     schema = _sample_schema(key_col, payload_cols, weighted)
     if not vs:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(f"{target_dir}/v={vs[-1]}")
+    return _read_state(spark, target_dir, vs[-1], schema)
 
 
 def incremental_sample(
@@ -103,7 +103,7 @@ def incremental_sample(
         cand = batch_sample(batch_df, k, key_col, payload, weight_col)
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         if prior_vs:
-            prior = spark.read.schema(schema).parquet(f"{target_dir}/v={prior_vs[-1]}")
+            prior = _read_state(spark, target_dir, prior_vs[-1], schema)
             order = F.col("__sk").desc() if weight_col is not None else F.col("__sk")
             cand = prior.unionByName(cand).orderBy(order, key_col).limit(k)
         cand.coalesce(1).write.mode("overwrite").parquet(f"{target_dir}/v={batch_id}")

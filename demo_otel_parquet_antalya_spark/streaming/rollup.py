@@ -130,6 +130,33 @@ def _versions(spark: SparkSession, target_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _read_state(
+    spark: SparkSession, target_dir: str, version: int, schema: str
+) -> DataFrame:
+    """Column-validated read of a committed state version — the rollup
+    tier's ``_read_version`` discipline applied to the schema-pinned
+    sketch/M4 tiers (r14): ``spark.read.schema(...)`` NULL-FILLS columns
+    the files do not have, so a maintenance stream pointed at a foreign
+    or wrong directory would silently merge all-null states forward into
+    every later version, and panels would serve null-keyed garbage
+    (probed: a rollup snapshot read under SKETCH_SCHEMA yields
+    ``Row(hour=None, hll=None, kll=None)``). One footer-only schema
+    inference per read is the cost; a column-set mismatch is a loud
+    ValueError naming both sets."""
+    from pyspark.sql.types import StructType
+
+    path = f"{target_dir}/v={version}"
+    want = [f.name for f in StructType.fromDDL(schema).fields]
+    actual = spark.read.parquet(path).columns
+    if set(actual) != set(want):
+        raise ValueError(
+            f"state snapshot at {path!r} has columns {sorted(actual)}, "
+            f"not the expected {sorted(want)} — not a snapshot this "
+            "layout wrote (schema-on-read would silently null-fill it)"
+        )
+    return spark.read.schema(schema).parquet(path)
+
+
 def vacuum_versions(
     spark: SparkSession,
     target_dir: str,

@@ -31,6 +31,7 @@ from demo_otel_parquet_antalya_spark.streaming.rollup import (
     _check_retain,
     _commit_snapshot,
     _read_grain_meta,
+    _read_state,
     _resolve_carry_base,
     _resolve_span,
     _versions,
@@ -41,32 +42,6 @@ from demo_otel_parquet_antalya_spark.streaming.rollup import (
 
 SKETCH_SCHEMA = "hour timestamp, hll binary, kll binary"
 
-
-def _read_state(
-    spark: SparkSession, target_dir: str, version: int, schema: str
-) -> DataFrame:
-    """Column-validated read of a committed state version — the rollup
-    tier's ``_read_version`` discipline applied to the schema-pinned
-    sketch/M4 tiers (r14): ``spark.read.schema(...)`` NULL-FILLS columns
-    the files do not have, so a maintenance stream pointed at a foreign
-    or wrong directory would silently merge all-null states forward into
-    every later version, and panels would serve null-keyed garbage
-    (probed: a rollup snapshot read under SKETCH_SCHEMA yields
-    ``Row(hour=None, hll=None, kll=None)``). One footer-only schema
-    inference per read is the cost; a column-set mismatch is a loud
-    ValueError naming both sets."""
-    from pyspark.sql.types import StructType
-
-    path = f"{target_dir}/v={version}"
-    want = [f.name for f in StructType.fromDDL(schema).fields]
-    actual = spark.read.parquet(path).columns
-    if set(actual) != set(want):
-        raise ValueError(
-            f"state snapshot at {path!r} has columns {sorted(actual)}, "
-            f"not the expected {sorted(want)} — not a snapshot this "
-            "layout wrote (schema-on-read would silently null-fill it)"
-        )
-    return spark.read.schema(schema).parquet(path)
 
 
 def read_sketches(spark: SparkSession, target_dir: str) -> DataFrame:

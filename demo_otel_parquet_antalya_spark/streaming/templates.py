@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.functions.text import log_template
-from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
+from demo_otel_parquet_antalya_spark.streaming.rollup import _read_state, _versions
 
 CATALOG_SCHEMA = (
     "template string, n_events long, first_seen timestamp, last_seen timestamp"
@@ -39,7 +39,7 @@ def read_template_catalog(spark: SparkSession, target_dir: str) -> DataFrame:
     vs = _versions(spark, target_dir)
     if not vs:
         return spark.createDataFrame([], CATALOG_SCHEMA)
-    return spark.read.schema(CATALOG_SCHEMA).parquet(f"{target_dir}/v={vs[-1]}")
+    return _read_state(spark, target_dir, vs[-1], CATALOG_SCHEMA)
 
 
 def _mine(df: DataFrame, message_col: str, ts_col: str) -> DataFrame:
@@ -75,8 +75,8 @@ def incremental_template_catalog(
         inc = _mine(batch_df, message_col, ts_col)
         prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
         if prior_vs:
-            prior = spark.read.schema(CATALOG_SCHEMA).parquet(
-                f"{target_dir}/v={prior_vs[-1]}"
+            prior = _read_state(
+                spark, target_dir, prior_vs[-1], CATALOG_SCHEMA
             )
             merged = (
                 prior.unionByName(inc)

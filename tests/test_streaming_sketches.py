@@ -924,3 +924,37 @@ def test_state_reads_refuse_foreign_snapshots(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="not the expected"):
         q.awaitTermination()
+
+
+def test_all_versioned_state_readers_refuse_foreign_snapshots(spark, tmp_path):
+    """r14 sweep of the remaining versioned-state tiers (drift counts,
+    reservoir samples, template catalog, CC labels): every pinned-schema
+    reader goes through the shared column validation — a foreign
+    snapshot raises instead of null-filling."""
+    import datetime
+
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.cc import read_components
+    from demo_otel_parquet_antalya_spark.streaming.drift import read_psi
+    from demo_otel_parquet_antalya_spark.streaming.reservoir import read_sample
+    from demo_otel_parquet_antalya_spark.streaming.templates import (
+        read_template_catalog,
+    )
+
+    foreign = str(tmp_path / "foreign")
+    spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 0), "click", 4)],
+        "bucket timestamp, event_type string, n long",
+    ).coalesce(1).write.parquet(f"{foreign}/v=0")
+
+    ref = spark.createDataFrame([("a", 1)], "category string, n long")
+    readers = [
+        lambda: read_components(spark, foreign),
+        lambda: read_psi(spark, foreign, ref),
+        lambda: read_sample(spark, foreign, "event_id", ["value"]),
+        lambda: read_template_catalog(spark, foreign),
+    ]
+    for r in readers:
+        with _pytest.raises(ValueError, match="not the expected"):
+            r().collect()
