@@ -403,6 +403,48 @@ def _read_grain_meta(
     return int(d["interval_s"]), (int(cov) if cov is not None else None)
 
 
+def _read_src_hwm(
+    spark: SparkSession, target_dir: str, version: int
+) -> int | None:
+    """The SOURCE snapshot's data high-water mark (max fine bucket start,
+    epoch seconds) recorded by the compaction that wrote this destination
+    version — ``None`` for a marker predating the stale-coverage fix or
+    a markerless dir. The trim clamp needs it because ``coverage_end``
+    is a bucket-RANGE claim frozen at compaction time: data arriving
+    AFTER the compaction into an already-covered (then-live, partial)
+    coarse bucket is invisible to it, and a trim that trusts the range
+    alone deletes fine buckets the coarse tail never actually saw."""
+    d = _read_version_meta(spark, target_dir, version, _GRAIN_MARKER)
+    if d is None:
+        return None
+    hwm = d.get("src_hwm")
+    return int(hwm) if hwm is not None else None
+
+
+def _safe_trim_cand(
+    desired: int, coverage: int, hwm: int | None,
+    trim_horizon_s: int, trim_coarse_interval_s: int,
+) -> int:
+    """The largest boundary the coarse tail PROVABLY owns, given data may
+    have kept arriving after the compaction (the r14 stale-coverage fix;
+    shared by both tiers). Under the lateness contract (every event
+    arrives within ``trim_horizon_s`` of the live head), the head at
+    compaction time was >= the recorded source high-water mark ``hwm``,
+    so every post-compaction arrival is >= ``hwm - horizon`` — floored
+    to the coarse grain, that is the last boundary below which NO pixel
+    the compaction missed can exist. Markers predating the fix carry no
+    ``src_hwm``; the sound fallback is ``coverage_end - coarse`` (the
+    last coarse bucket was non-empty at compaction, so an event at or
+    above its start existed — conservative by at most the source's
+    extent past the compaction cutoff)."""
+    if hwm is None:
+        hwm = coverage - trim_coarse_interval_s
+    safe = (
+        (hwm - trim_horizon_s) // trim_coarse_interval_s
+    ) * trim_coarse_interval_s
+    return min(desired, coverage, safe)
+
+
 def _check_retain(retain_versions: int | None) -> None:
     """Up-front validation for the maintenance streams: an invalid
     retention must fail at stream CONSTRUCTION, not inside the first
@@ -541,9 +583,17 @@ def incremental_rollup(
     aligns the boundary). Each batch computes a DESIRED boundary from its
     own data (max event epoch − horizon, floored to the coarse grain —
     deterministic on replay), clamps it to what the coarse snapshot
-    PROVABLY COVERS (max coarse bucket + grain; a stalled compaction
-    stalls the trim — the fine snapshot grows instead of data silently
-    vanishing), takes the max with the prior version's recorded boundary
+    PROVABLY COVERS — both its bucket range (max coarse bucket + grain)
+    AND, r14 stale-coverage fix, the compaction's recorded source
+    high-water mark minus the horizon (``_safe_trim_cand``: the range
+    alone is frozen at compaction time, so in-order rows landing in the
+    then-live partial coarse bucket after the compaction would be
+    trimmed without the tail ever having seen them; each compaction
+    records a fresh hwm and re-licenses the advance, so the fine
+    snapshot grows with the COMPACTION CADENCE, never with history; a
+    stalled compaction stalls the trim — the fine snapshot grows
+    instead of data silently vanishing), takes the max with the prior
+    version's recorded boundary
     (monotone: a trim never retreats, because trimmed buckets are gone),
     drops buckets below it from the merged snapshot, and records the
     boundary as a ``_trim_boundary.json`` marker inside the committed
@@ -725,7 +775,24 @@ def incremental_rollup(
                     if cov.e is not None:
                         coverage = int(cov.e) + trim_coarse_interval_s
             if desired is not None and coverage is not None:
-                cand = min(desired, coverage)
+                # THREE-way clamp (r14 stale-coverage fix): desired
+                # (keep >= horizon), coverage (the tail's bucket range),
+                # AND the safe bound derived from the compaction's
+                # recorded source high-water mark — coverage alone is
+                # frozen at compaction time, so in-order rows landing in
+                # the then-live partial coarse bucket AFTER the
+                # compaction would be trimmed from fine without the
+                # coarse tail ever having seen them (measured: a
+                # compact -> arrive -> trim interleaving with no
+                # re-compaction in between silently lost the arrivals).
+                # Each compaction re-coarsens everything >= the current
+                # boundary and records a fresh hwm, re-licensing the
+                # advance — fine grows with the COMPACTION CADENCE, not
+                # with history.
+                cand = _safe_trim_cand(
+                    desired, coverage, _read_src_hwm(spark, trim_coarse_dir, cv),
+                    trim_horizon_s, trim_coarse_interval_s,
+                )
                 trim_e = max(prior_epoch, cand) if prior_epoch is not None else cand
             else:
                 trim_e = prior_epoch  # empty batch / no coverage: re-assert
@@ -773,7 +840,10 @@ def compact_rollup_grain(
     coarsens. The destination is written as version ``v=<max src
     version>`` in the same versioned layout, so ``read_rollup`` serves it
     and repeated compactions of the same source are idempotent
-    overwrites; ``retain_versions`` (default 3, None keeps all) vacuums
+    overwrites; the destination's grain marker additionally records the
+    SOURCE snapshot's high-water mark (``src_hwm``, r14) — the bound the
+    trim clamp needs to know which boundaries this compaction licenses
+    (``_safe_trim_cand``); ``retain_versions`` (default 3, None keeps all) vacuums
     the DESTINATION after each commit — without it a periodic compaction
     accumulates one full coarse snapshot per run forever, the exact
     unbounded growth the maintenance streams' retention bounds
@@ -817,6 +887,16 @@ def compact_rollup_grain(
         raise ValueError(f"no committed rollup snapshot under {src_dir!r}")
     new_v = vs[-1]
     snap = _read_version(spark, src_dir, new_v, dim_cols)
+    # source high-water mark BEFORE the older_than cutoff filter — the
+    # trim clamp needs the head position at compaction time (not the
+    # cutoff) to know which boundaries this compaction licenses
+    # (stale-coverage fix, r14). One dedicated column-pruned job at
+    # compaction cadence, NOT an inner Observation riding the commit
+    # job: AQE's empty-relation propagation eliminates an inner
+    # CollectMetrics when the cutoff filters everything out, and the
+    # later .get then dies on a JVM assertion.
+    hwm_row = snap.agg(F.max(F.unix_timestamp("bucket")).alias("hwm")).first()
+    src_hwm = None if hwm_row.hwm is None else int(hwm_row.hwm)
     tb = read_trim_boundary(spark, src_dir, new_v)
     prior = None
     if tb is not None:
@@ -865,14 +945,16 @@ def compact_rollup_grain(
         # a crash in between leaves the interval-only marker and readers
         # fall back to deriving coverage with a job — never wrong, just
         # slower). Alignment holds by construction: _coarsen floors every
-        # bucket to dst_interval_s.
-        _write_version_meta(
-            spark, dst_dir, vs[-1], _GRAIN_MARKER,
-            {
-                "interval_s": int(dst_interval_s),
-                "coverage_end": int(max_e) + int(dst_interval_s),
-            },
-        )
+        # bucket to dst_interval_s. src_hwm (r14 stale-coverage fix) is
+        # the source's max fine bucket start — what the trim clamp uses
+        # to bound post-compaction arrivals (see _safe_trim_cand).
+        payload = {
+            "interval_s": int(dst_interval_s),
+            "coverage_end": int(max_e) + int(dst_interval_s),
+        }
+        if src_hwm is not None:
+            payload["src_hwm"] = src_hwm
+        _write_version_meta(spark, dst_dir, vs[-1], _GRAIN_MARKER, payload)
     return rows
 
 

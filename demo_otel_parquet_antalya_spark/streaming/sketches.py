@@ -31,9 +31,11 @@ from demo_otel_parquet_antalya_spark.streaming.rollup import (
     _check_retain,
     _commit_snapshot,
     _read_grain_meta,
+    _read_src_hwm,
     _read_state,
     _resolve_carry_base,
     _resolve_span,
+    _safe_trim_cand,
     _versions,
     _write_version_meta,
     read_grain,
@@ -250,8 +252,14 @@ def incremental_m4(
     validated). Each batch derives a DESIRED boundary from its own rows
     (max event epoch − horizon, floored to the coarse grain —
     deterministic on replay), clamps it to what the coarse tail PROVABLY
-    covers, takes the max with the prior version's recorded boundary
-    (monotone — trimmed pixels are gone), drops fine buckets below it,
+    covers — both its recorded bucket range and the compaction's
+    recorded source high-water mark minus the horizon
+    (``_safe_trim_cand``, the r14 stale-coverage fix shared with the
+    rollup tier: pixels landing in the then-live partial coarse bucket
+    AFTER a compaction must not be trimmed until a re-compaction has
+    seen them) — takes the max with the prior version's recorded
+    boundary (monotone — trimmed pixels are gone), drops fine buckets
+    below it,
     and records the boundary as the same ``_trim_boundary.json`` marker
     the rollup trim writes — which is what lets the M4 panel's spanned
     route serve ``boundary='auto'`` (``read_m4_spanned``).
@@ -390,7 +398,17 @@ def incremental_m4(
                     if cov.b is not None:
                         coverage = (int(cov.b) + 1) * trim_coarse_interval_s
             if desired is not None and coverage is not None:
-                cand = min(desired, coverage)
+                # three-way clamp (r14 stale-coverage fix, shared with
+                # the rollup tier): coverage_end alone is frozen at
+                # compaction time, so pixels landing in the then-live
+                # partial coarse bucket AFTER the compaction would be
+                # trimmed from fine without the tail ever having seen
+                # them; the compaction's recorded source high-water mark
+                # bounds what it can have missed (_safe_trim_cand)
+                cand = _safe_trim_cand(
+                    desired, coverage, _read_src_hwm(spark, trim_coarse_dir, cv),
+                    trim_horizon_s, trim_coarse_interval_s,
+                )
                 trim_e = max(prior_epoch, cand) if prior_epoch is not None else cand
             else:
                 trim_e = prior_epoch  # empty batch / no coverage: re-assert
@@ -476,6 +494,9 @@ def compact_m4_grain(
     ``older_than_epoch`` (epoch seconds, must be dst-aligned) compacts only
     buckets starting strictly before it; ``retain_versions`` vacuums the
     destination as in the rollup compaction (None keeps all versions).
+    The destination's grain marker additionally records the SOURCE
+    snapshot's high-water mark (``src_hwm``, r14) — the trim clamp's
+    bound on post-compaction arrivals (``_safe_trim_cand``).
     Returns the number of coarse rows written.
 
     **Trim-aware accumulation (r14)**: as in ``compact_rollup_grain``,
@@ -523,6 +544,14 @@ def compact_m4_grain(
         _read_state(spark, src_dir, vs[-1], M4_SCHEMA),
         src_interval_s,
     )
+    # source high-water mark BEFORE the cutoff filter — the trim clamp's
+    # stale-coverage bound (r14; see rollup._safe_trim_cand). A
+    # dedicated column-pruned job at compaction cadence, not an inner
+    # Observation: AQE's empty-relation propagation eliminates an inner
+    # CollectMetrics when the cutoff filters everything out (see the
+    # rollup twin).
+    hwm_row = snap.agg(F.max("bucket_start").alias("hwm")).first()
+    src_hwm = None if hwm_row.hwm is None else int(hwm_row.hwm)
     # trim-aware accumulation (r14, see docstring): carry prior
     # destination rows below the source's recorded trim boundary; the
     # fine snapshot re-coarsens only what it authoritatively holds
@@ -566,14 +595,16 @@ def compact_m4_grain(
         # own) next to the grain, the rollup tier's r13 discipline: the
         # spanned reader's gap check then costs a metadata read, not a
         # job. Crash window leaves the interval-only marker -> readers
-        # derive coverage with one job instead (same answers).
-        _write_version_meta(
-            spark, dst_dir, vs[-1], _GRAIN_MARKER,
-            {
-                "interval_s": int(dst_interval_s),
-                "coverage_end": (int(max_b) + 1) * int(dst_interval_s),
-            },
-        )
+        # derive coverage with one job instead (same answers). src_hwm
+        # (r14 stale-coverage fix): the source's max fine bucket start,
+        # the trim clamp's bound on post-compaction arrivals.
+        payload = {
+            "interval_s": int(dst_interval_s),
+            "coverage_end": (int(max_b) + 1) * int(dst_interval_s),
+        }
+        if src_hwm is not None:
+            payload["src_hwm"] = src_hwm
+        _write_version_meta(spark, dst_dir, vs[-1], _GRAIN_MARKER, payload)
     return rows
 
 

@@ -1863,7 +1863,13 @@ def test_spanned_auto_boundary_follows_trim_marker(spark, tmp_path):
         ts_col="timestamp", dim_cols=dims,
         trim_horizon_s=120, trim_coarse_dir=coarse, trim_coarse_interval_s=300,
     ).awaitTermination()
-    assert read_trim_boundary(spark, rollup) == (1_700_000_100, 300)
+    # the compaction cut (22:15:00) sits right AT the original traffic's
+    # head, so its coverage claims the then-live partial coarse bucket;
+    # the r14 stale-coverage clamp (_safe_trim_cand) therefore licenses
+    # only hwm - horizon floored = one coarse bucket below the cut —
+    # in-contract arrivals could still land in [22:10, 22:15) until a
+    # re-compaction sees them. The boundary is sound, not the cut.
+    assert read_trim_boundary(spark, rollup) == (1_699_999_800, 300)
 
     server = start_sql_endpoint(
         spark, SF_DIR, row_cap=5000, logs_dir=wh, rollup_dir=rollup,

@@ -1312,3 +1312,67 @@ def test_trimmed_source_refuses_fresh_destination(spark, tmp_path):
         compact_rollup_grain(spark, ru, str(tmp_path / "fresh"), 60, 300)
     # the REAL tail still compacts fine
     compact_rollup_grain(spark, ru, tail, 60, 300)
+
+def test_rollup_trim_stale_coverage_cannot_lose_posthoc_arrivals(spark, tmp_path):
+    """r14 second review, rollup twin of the M4 case: in-order rows
+    landing in the then-live partial coarse bucket AFTER a compaction
+    used to be trimmed away once the head advanced far enough for
+    desired AND the (stale) coverage_end to allow it — the coarse tail
+    never saw them. The trim's third clamp (the compaction's recorded
+    src_hwm minus horizon, _safe_trim_cand) stalls the boundary until a
+    re-compaction re-coarsens the arrivals, then advances it."""
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        compact_rollup_grain,
+        read_rollup_spanned,
+        read_trim_boundary,
+    )
+
+    base_epoch = 1704067200
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "rollup")
+    coarse = str(tmp_path / "coarse")
+    ckpt = str(tmp_path / "ckpt")
+    trim_kw = dict(trim_horizon_s=600, trim_coarse_dir=coarse,
+                   trim_coarse_interval_s=300)
+
+    def stream():
+        incremental_rollup(
+            spark.readStream.schema(SCHEMA).json(src), target, ckpt,
+            bucket="1 minute", **trim_kw,
+        ).awaitTermination()
+
+    def spanned_equals_raw():
+        raw = spark.read.schema(SCHEMA).json(src)
+        spanned = read_rollup_spanned(spark, target, coarse, "auto", 60, 300)
+        got = {(r.event_type, r.n) for r in spanned.groupBy("event_type")
+               .agg(F.sum("n").alias("n")).collect()}
+        want = {(r.event_type, r.n) for r in raw.groupBy("event_type")
+                .agg(F.count("*").alias("n")).collect()}
+        assert got == want and got
+
+    # b0 -> compact covering the LIVE partial coarse bucket [300, 600)
+    _write(src, "b0.json", [(i, i * 25, "early") for i in range(23)])  # to 550
+    stream()
+    compact_rollup_grain(spark, target, coarse, 60, 300,
+                         older_than="2024-01-01 00:10:00")
+    # b1: in-order arrivals INTO the covered bucket (within horizon of
+    # the head at 550); b2: the head jumps so desired (1200) and the
+    # stale coverage (600) would both allow trimming b1's bucket 540
+    _write(src, "b1.json", [(100, 560, "mid"), (101, 590, "mid")])
+    stream()
+    _write(src, "b2.json", [(200 + i, 1800 + i * 40, "late") for i in range(6)])
+    stream()
+    tb = read_trim_boundary(spark, target)
+    assert tb is not None and tb[0] < base_epoch + 600  # stalled, not 600
+    spanned_equals_raw()  # the 'mid' rows survive in the fine snapshot
+
+    # re-compaction re-coarsens the arrivals and records a fresh hwm
+    # (bucket 1980 -> safe 1200); coverage_end stays 600 (the [600,1800)
+    # range holds no data, so no coarse bucket extends past it) and now
+    # correctly binds: the next batch advances exactly to the coverage
+    compact_rollup_grain(spark, target, coarse, 60, 300,
+                         older_than="2024-01-01 00:20:00")
+    _write(src, "b3.json", [(300 + i, 3000 + i * 30, "tail") for i in range(4)])
+    stream()
+    assert read_trim_boundary(spark, target) == (base_epoch + 600, 300)
+    spanned_equals_raw()  # 'mid' now served from the coarse side

@@ -958,3 +958,201 @@ def test_all_versioned_state_readers_refuse_foreign_snapshots(spark, tmp_path):
     for r in readers:
         with _pytest.raises(ValueError, match="not the expected"):
             r().collect()
+
+def test_m4_trim_stale_coverage_cannot_lose_posthoc_arrivals(spark, tmp_path):
+    """r14 second review (found while building the randomized lifecycle
+    sweep): coverage_end is a bucket-RANGE claim frozen at compaction
+    time, so IN-ORDER, in-contract pixels landing in the then-live
+    partial coarse bucket AFTER a compaction used to be trimmed from
+    fine once the head advanced — without the coarse tail ever having
+    seen them (measured: served v_max 35.0 vs direct 999.0). The trim
+    now also clamps to the compaction's recorded source high-water mark
+    minus the horizon (_safe_trim_cand): the boundary STALLS until a
+    re-compaction has re-coarsened the arrivals, then advances."""
+    import os
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        read_trim_boundary,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        _m4_with_start,
+        compact_m4_grain,
+        incremental_m4,
+        m4_remerge,
+        read_m4_spanned,
+    )
+
+    src = str(tmp_path / "events")
+    m4_dir, tail = str(tmp_path / "m4"), str(tmp_path / "tail")
+    ckpt = str(tmp_path / "ckpt")
+    fine_s, coarse_s, horizon_s = 600, 3600, 7200
+
+    def stream():
+        incremental_m4(
+            _m4_stream(spark, src), m4_dir, ckpt, interval_s=fine_s,
+            trim_horizon_s=horizon_s, trim_coarse_dir=tail,
+            trim_coarse_interval_s=coarse_s,
+        ).awaitTermination()
+
+    def daily(df):
+        return {
+            (r.bucket_start, r.v_first, r.v_min, r.v_max, r.v_last)
+            for r in m4_remerge(df, 86400).collect()
+        }
+
+    def direct_vs_served():
+        raw = spark.read.schema(M4_EVENT_SCHEMA).json(src)
+        direct = daily(_m4_with_start(
+            _m4_batch(raw, "ts", "event_id", "value", fine_s), fine_s))
+        served = daily(read_m4_spanned(
+            spark, m4_dir, tail, "auto", fine_interval_s=fine_s))
+        return direct, served
+
+    # b1 -> compact covering the LIVE partial coarse bucket -> b2 lands
+    # more pixels in that covered bucket (in-order, within horizon of the
+    # head) -> b3 jumps the head far enough that desired AND coverage
+    # would both allow trimming b2's pixels
+    _write_m4_events(src, "b1.json", [(i * 100, i, float(i)) for i in range(36)])
+    stream()
+    compact_m4_grain(spark, m4_dir, tail, coarse_s, src_interval_s=fine_s,
+                     older_than_epoch=BASE_EPOCH + coarse_s)
+    _write_m4_events(src, "b2.json", [(3550, 100, 999.0), (3590, 101, 888.0)])
+    stream()
+    _write_m4_events(src, "b3.json",
+                     [(10800 + i * 20, 200 + i, float(i)) for i in range(11)])
+    stream()
+
+    direct, served = direct_vs_served()
+    assert served == direct  # b2's 999.0 v_max survives
+    # the boundary stalled BELOW the stale coverage_end instead of
+    # trusting it (src_hwm at the compaction was bucket 3000; safe =
+    # floor((3000 - 7200) / 3600) * 3600 < 0)
+    tb = read_trim_boundary(spark, m4_dir)
+    assert tb is not None and tb[0] < BASE_EPOCH + coarse_s
+
+    # a re-compaction re-coarsens b2's pixels and records a fresh hwm
+    # (~bucket 10800), re-licensing the advance: the next batch trims to
+    # the coverage cut exactly, and nothing is lost
+    compact_m4_grain(spark, m4_dir, tail, coarse_s, src_interval_s=fine_s,
+                     older_than_epoch=BASE_EPOCH + coarse_s)
+    _write_m4_events(src, "b4.json",
+                     [(18000 + i * 20, 300 + i, float(i)) for i in range(5)])
+    stream()
+    assert read_trim_boundary(spark, m4_dir) == (BASE_EPOCH + coarse_s, coarse_s)
+    direct, served = direct_vs_served()
+    assert served == direct
+
+    # pre-fix marker (no src_hwm): the sound fallback is coverage - one
+    # coarse bucket; the boundary holds monotone, still no loss
+    from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
+
+    cv = _versions(spark, tail)[-1]
+    marker = os.path.join(tail, f"v={cv}", "_grain.json")
+    with open(marker) as f:
+        d = json.loads(f.read())
+    d.pop("src_hwm")
+    with open(marker, "w") as f:
+        f.write(json.dumps(d))
+    _write_m4_events(src, "b5.json", [(25200 + i * 20, 400 + i, 5.0) for i in range(5)])
+    stream()
+    assert read_trim_boundary(spark, m4_dir) == (BASE_EPOCH + coarse_s, coarse_s)
+    direct, served = direct_vs_served()
+    assert served == direct
+
+def test_m4_lifecycle_random_schedules(spark, tmp_path):
+    """Seeded RANDOM interleavings of the M4 steady-state lifecycle —
+    {append+maintain with the trim trio, append+maintain without it,
+    grain-compact at a random coarse-aligned cutoff (idempotent re-run
+    asserted each time)} — checking after EVERY step that what the
+    layout serves equals direct batch M4 over every raw event ever
+    ingested: the spanned 'auto' union once a trim boundary exists, the
+    full fine snapshot before one (markerless 'auto' must refuse). The
+    hand-written cadence tests pin FIXED interleavings; this sweeps the
+    schedule space the composition rules (three-way clamped monotone
+    trim, carry-forward compaction, sticky boundary) must hold over —
+    building this sweep is what surfaced the stale-coverage loss fixed
+    in _safe_trim_cand. Schedules stay in-contract: event time advances
+    monotonically and each batch spans at most the trim horizon."""
+    import random
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        RollupRouteIncompatible,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        _m4_batch,
+        _m4_with_start,
+        compact_m4_grain,
+        incremental_m4,
+        m4_remerge,
+        read_m4,
+        read_m4_spanned,
+    )
+
+    fine_s, coarse_s, horizon_s = 600, 3600, 7200
+
+    def daily(df):
+        return {
+            (r.bucket_start, r.v_first, r.v_min, r.v_max, r.v_last)
+            for r in m4_remerge(df, 86400).collect()
+        }
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        root = tmp_path / f"s{seed}"
+        src = str(root / "events")
+        m4_dir, tail = str(root / "m4"), str(root / "tail")
+        ckpt = str(root / "ckpt")
+        state = {"off": 0, "eid": 0, "files": 0}
+
+        def direct():
+            raw = spark.read.schema(M4_EVENT_SCHEMA).json(src)
+            return daily(_m4_with_start(
+                _m4_batch(raw, "ts", "event_id", "value", fine_s), fine_s))
+
+        def served():
+            try:
+                return daily(read_m4_spanned(
+                    spark, m4_dir, tail, "auto", fine_interval_s=fine_s))
+            except RollupRouteIncompatible:
+                # no trim marker yet <=> nothing ever trimmed: the full
+                # fine snapshot is the authoritative history
+                return daily(_m4_with_start(read_m4(spark, m4_dir), fine_s))
+
+        def append_and_stream(trim):
+            n = rng.randint(5, 30)
+            dur = rng.randint(1, 4) * 1800  # batch span <= horizon
+            rows = [
+                (state["off"] + rng.randrange(dur), state["eid"] + i,
+                 float(rng.randrange(1000)) / 8.0)
+                for i in range(n)
+            ]
+            state["off"] += dur + rng.randrange(1200)
+            state["eid"] += n
+            _write_m4_events(src, f"f{state['files']}.json", rows)
+            state["files"] += 1
+            kw = dict(trim_horizon_s=horizon_s, trim_coarse_dir=tail,
+                      trim_coarse_interval_s=coarse_s) if trim else {}
+            incremental_m4(
+                _m4_stream(spark, src), m4_dir, ckpt, interval_s=fine_s, **kw,
+            ).awaitTermination()
+
+        append_and_stream(trim=rng.random() < 0.5)  # compact needs a snapshot
+        assert served() == direct(), f"seed={seed} after first batch"
+        for step in range(5):
+            op = rng.choice(["plain", "trim", "trim", "compact"])
+            if op == "compact":
+                hi = max(state["off"] // coarse_s, 1)
+                cutoff = BASE_EPOCH + rng.randint(1, hi) * coarse_s
+                n1 = compact_m4_grain(
+                    spark, m4_dir, tail, coarse_s, src_interval_s=fine_s,
+                    older_than_epoch=cutoff,
+                )
+                n2 = compact_m4_grain(
+                    spark, m4_dir, tail, coarse_s, src_interval_s=fine_s,
+                    older_than_epoch=cutoff,
+                )
+                assert n1 == n2, f"seed={seed} step={step} non-idempotent"
+            else:
+                append_and_stream(trim=op == "trim")
+            assert served() == direct(), f"seed={seed} step={step} op={op}"
