@@ -1376,3 +1376,113 @@ def test_rollup_trim_stale_coverage_cannot_lose_posthoc_arrivals(spark, tmp_path
     stream()
     assert read_trim_boundary(spark, target) == (base_epoch + 600, 300)
     spanned_equals_raw()  # 'mid' now served from the coarse side
+
+def test_rollup_lifecycle_random_schedules(spark, tmp_path):
+    """Rollup twin of the M4 randomized lifecycle sweep: seeded random
+    interleavings of {append+maintain (trim trio on/off), grain-compact
+    at a random coarse-aligned cutoff + idempotent re-run, strip the
+    coarse marker's coverage/hwm fields (the pre-r13/pre-fix marker
+    states — the rollup tier's derive-coverage and hwm-fallback paths,
+    which the M4 tier refuses by policy)} — asserting after EVERY step
+    that per-coarse-bucket, per-dimension sums from what the layout
+    serves (spanned 'auto', or the full fine snapshot while no trim
+    marker exists) equal direct counts over every raw event ingested.
+    Schedules stay in-contract: monotone event time, batch span <= the
+    trim horizon."""
+    import os
+    import random
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        RollupRouteIncompatible,
+        compact_rollup_grain,
+        read_rollup,
+        read_rollup_spanned,
+    )
+
+    horizon_s, coarse_s = 600, 300
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        root = tmp_path / f"s{seed}"
+        src = str(root / "events")
+        target, coarse = str(root / "rollup"), str(root / "coarse")
+        ckpt = str(root / "ckpt")
+        state = {"off": 0, "uid": 0, "files": 0}
+
+        def direct():
+            raw = spark.read.schema(SCHEMA).json(src)
+            return {
+                (r.cb, r.event_type, r.n)
+                for r in raw.groupBy(
+                    (F.floor(F.unix_timestamp("ts") / coarse_s)).alias("cb"),
+                    "event_type",
+                ).agg(F.count("*").alias("n")).collect()
+            }
+
+        def served():
+            try:
+                df = read_rollup_spanned(spark, target, coarse, "auto", 60, coarse_s)
+            except RollupRouteIncompatible:
+                df = read_rollup(spark, target)
+            return {
+                (r.cb, r.event_type, r.n)
+                for r in df.groupBy(
+                    (F.floor(F.unix_timestamp("bucket") / coarse_s)).alias("cb"),
+                    "event_type",
+                ).agg(F.sum("n").alias("n")).collect()
+            }
+
+        def append_and_stream(trim):
+            n = rng.randint(5, 25)
+            dur = rng.randint(1, 4) * 150  # batch span <= horizon
+            rows = [
+                (state["uid"] + i, state["off"] + rng.randrange(dur),
+                 rng.choice(["view", "click", "buy"]))
+                for i in range(n)
+            ]
+            state["off"] += dur + rng.randrange(300)
+            state["uid"] += n
+            _write(src, f"f{state['files']}.json", rows)
+            state["files"] += 1
+            kw = dict(trim_horizon_s=horizon_s, trim_coarse_dir=coarse,
+                      trim_coarse_interval_s=coarse_s) if trim else {}
+            incremental_rollup(
+                spark.readStream.schema(SCHEMA).json(src), target, ckpt,
+                bucket="1 minute", **kw,
+            ).awaitTermination()
+
+        append_and_stream(trim=rng.random() < 0.5)
+        assert served() == direct(), f"seed={seed} after first batch"
+        for step in range(6):
+            op = rng.choice(["plain", "trim", "trim", "compact", "strip"])
+            if op == "compact":
+                hi = max(state["off"] // coarse_s, 1)
+                cut_epoch = 1704067200 + rng.randint(1, hi) * coarse_s
+                import datetime
+
+                cut = datetime.datetime.fromtimestamp(
+                    cut_epoch, datetime.timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%S")
+                n1 = compact_rollup_grain(spark, target, coarse, 60, coarse_s,
+                                          older_than=cut)
+                n2 = compact_rollup_grain(spark, target, coarse, 60, coarse_s,
+                                          older_than=cut)
+                assert n1 == n2, f"seed={seed} step={step} non-idempotent"
+            elif op == "strip":
+                # degrade the newest coarse marker to its pre-r13 shape
+                # (grain only): the next trimming batch must take the
+                # derive-coverage job + the hwm fallback, still lossless
+                from demo_otel_parquet_antalya_spark.streaming.rollup import (
+                    _versions,
+                )
+
+                cvs = _versions(spark, coarse)
+                if cvs:
+                    p = os.path.join(coarse, f"v={cvs[-1]}", "_grain.json")
+                    with open(p) as f:
+                        d = json.loads(f.read())
+                    with open(p, "w") as f:
+                        f.write(json.dumps({"interval_s": d["interval_s"]}))
+            else:
+                append_and_stream(trim=op == "trim")
+            assert served() == direct(), f"seed={seed} step={step} op={op}"
