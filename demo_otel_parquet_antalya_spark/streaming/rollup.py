@@ -389,36 +389,30 @@ def read_grain(
 
 def _read_grain_meta(
     spark: SparkSession, target_dir: str, version: int
-) -> tuple[int | None, int | None]:
-    """``(interval_s, coverage_end)`` from the pinned version's grain
-    sidecar — ``(None, None)`` for a markerless dir, ``(grain, None)``
-    for a pre-r13 marker (coverage must then be derived with a job).
-    ``coverage_end`` is the first epoch second the compacted tail does
-    NOT own (max bucket + grain), recorded at compaction time so the
-    trim clamp and the spanned gap check read it as metadata."""
+) -> tuple[int | None, int | None, int | None]:
+    """``(interval_s, coverage_end, src_hwm)`` from the pinned version's
+    grain sidecar, all in ONE read (a trimming micro-batch pays exactly
+    one sidecar round-trip) — ``(None, None, None)`` for a markerless
+    dir, ``(grain, None, None)`` for a pre-r13 marker (coverage must
+    then be derived with a job). ``coverage_end`` is the first epoch
+    second the compacted tail does NOT own (max bucket + grain).
+    ``src_hwm`` (r14 stale-coverage fix) is the SOURCE snapshot's data
+    high-water mark at compaction time — ``None`` for markers predating
+    the fix; the trim clamp needs it because ``coverage_end`` is a
+    bucket-RANGE claim frozen at compaction time: data arriving AFTER
+    the compaction into an already-covered (then-live, partial) coarse
+    bucket is invisible to it, and a trim that trusts the range alone
+    deletes fine buckets the coarse tail never actually saw."""
     d = _read_version_meta(spark, target_dir, version, _GRAIN_MARKER)
     if d is None:
-        return None, None
+        return None, None, None
     cov = d.get("coverage_end")
-    return int(d["interval_s"]), (int(cov) if cov is not None else None)
-
-
-def _read_src_hwm(
-    spark: SparkSession, target_dir: str, version: int
-) -> int | None:
-    """The SOURCE snapshot's data high-water mark (max fine bucket start,
-    epoch seconds) recorded by the compaction that wrote this destination
-    version — ``None`` for a marker predating the stale-coverage fix or
-    a markerless dir. The trim clamp needs it because ``coverage_end``
-    is a bucket-RANGE claim frozen at compaction time: data arriving
-    AFTER the compaction into an already-covered (then-live, partial)
-    coarse bucket is invisible to it, and a trim that trusts the range
-    alone deletes fine buckets the coarse tail never actually saw."""
-    d = _read_version_meta(spark, target_dir, version, _GRAIN_MARKER)
-    if d is None:
-        return None
     hwm = d.get("src_hwm")
-    return int(hwm) if hwm is not None else None
+    return (
+        int(d["interval_s"]),
+        (int(cov) if cov is not None else None),
+        (int(hwm) if hwm is not None else None),
+    )
 
 
 def _safe_trim_cand(
@@ -736,7 +730,9 @@ def incremental_rollup(
                 # (pre-r12 or hand-built) dirs fall back to the probe, and
                 # a mismatch surviving it is still caught loudly at read
                 # time by the per-row span guards.
-                recorded, coverage = _read_grain_meta(spark, trim_coarse_dir, cv)
+                recorded, coverage, hwm = _read_grain_meta(
+                    spark, trim_coarse_dir, cv
+                )
                 if recorded is not None and recorded != trim_coarse_interval_s:
                     raise ValueError(
                         f"coarse snapshot at {trim_coarse_dir!r} records "
@@ -790,7 +786,7 @@ def incremental_rollup(
                 # advance — fine grows with the COMPACTION CADENCE, not
                 # with history.
                 cand = _safe_trim_cand(
-                    desired, coverage, _read_src_hwm(spark, trim_coarse_dir, cv),
+                    desired, coverage, hwm,
                     trim_horizon_s, trim_coarse_interval_s,
                 )
                 trim_e = max(prior_epoch, cand) if prior_epoch is not None else cand
@@ -1002,7 +998,7 @@ def _resolve_carry_base(
             neither_side.format(got="has no committed version to carry below")
         )
     pv = pvs[-1]
-    recorded, coverage = _read_grain_meta(spark, dst_dir, pv)
+    recorded, coverage, _ = _read_grain_meta(spark, dst_dir, pv)
     kind = "M4 " if m4 else ""
     if m4 and recorded is None:
         raise ValueError(
@@ -1306,7 +1302,7 @@ def read_rollup_spanned(
             f"no committed rollup snapshot under {coarse_dir!r} yet"
         )
     cv = cvs[-1]
-    recorded, coverage = _read_grain_meta(spark, coarse_dir, cv)
+    recorded, coverage, _ = _read_grain_meta(spark, coarse_dir, cv)
     if recorded is not None and recorded != coarse_interval_s:
         raise ValueError(
             f"coarse snapshot at {coarse_dir!r} records grain {recorded}s, "

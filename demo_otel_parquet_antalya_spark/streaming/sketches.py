@@ -31,7 +31,6 @@ from demo_otel_parquet_antalya_spark.streaming.rollup import (
     _check_retain,
     _commit_snapshot,
     _read_grain_meta,
-    _read_src_hwm,
     _read_state,
     _resolve_carry_base,
     _resolve_span,
@@ -363,7 +362,9 @@ def incremental_m4(
             coverage = None
             if cvs:
                 cv = cvs[-1]
-                recorded, coverage = _read_grain_meta(spark, trim_coarse_dir, cv)
+                recorded, coverage, hwm = _read_grain_meta(
+                    spark, trim_coarse_dir, cv
+                )
                 if recorded is None:
                     # M4 buckets are grain-relative ints: a markerless dir
                     # has NO verifiable grain, so it proves no coverage —
@@ -406,7 +407,7 @@ def incremental_m4(
                 # them; the compaction's recorded source high-water mark
                 # bounds what it can have missed (_safe_trim_cand)
                 cand = _safe_trim_cand(
-                    desired, coverage, _read_src_hwm(spark, trim_coarse_dir, cv),
+                    desired, coverage, hwm,
                     trim_horizon_s, trim_coarse_interval_s,
                 )
                 trim_e = max(prior_epoch, cand) if prior_epoch is not None else cand
@@ -653,7 +654,7 @@ def read_m4_spanned(
             f"no committed M4 snapshot under {coarse_dir!r} yet"
         )
     cv = cvs[-1]
-    recorded, coverage = _read_grain_meta(spark, coarse_dir, cv)
+    recorded, coverage, _ = _read_grain_meta(spark, coarse_dir, cv)
     if coarse_interval_s is None:
         if recorded is None:
             raise ValueError(
