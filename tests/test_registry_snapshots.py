@@ -152,3 +152,120 @@ def test_expire_snapshots_keeps_head_and_recent(spark, reg):
     # data files untouched — a fresh registry over the same warehouse re-syncs all
     with pytest.raises(ValueError):
         reg.expire_snapshots(keep_last=0)
+
+def test_registry_snapshot_lifecycle_random_schedules(tmp_path):
+    """Seeded random interleavings of the whole registry lifecycle —
+    {add file to disk, delete a registered file from disk, sync,
+    retire_missing, rollback to a random surviving snapshot, rollback
+    to an expired one (must refuse), expire_snapshots at a random
+    keep_last, vacuum_orphans dry + real} — checked after EVERY op
+    against an exact in-test model of the commit log: registered set ==
+    model HEAD, surviving snapshot ids and their file lists == model,
+    diff_snapshots between random surviving ids == model set diff (row
+    counts from real parquet footers). Pure metadata + pyarrow — no
+    Spark session, so the sweep is wide and fast. Same method as the
+    streaming-tier randomized lifecycle sweeps (r14)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.sources.registry import LogTableRegistry
+
+    for seed in (3, 17, 29, 55, 71):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"s{seed}")
+        os.makedirs(root, exist_ok=True)
+        reg = LogTableRegistry(None, root)
+        # model: surviving commit log + live disk set
+        snaps: dict[int, frozenset] = {}
+        expired: set[int] = set()
+        head: int | None = None
+        disk: set[str] = set()
+        nfile = 0
+
+        def head_files() -> frozenset:
+            return snaps[head] if head is not None else frozenset()
+
+        def check():
+            assert reg.registered() == set(head_files())
+            assert reg.current_snapshot_id() == head
+            got = {s["snapshot_id"]: frozenset(s["files"]) for s in reg.snapshots()}
+            assert got == snaps
+            if len(snaps) >= 2:
+                a, b = sorted(rng.sample(sorted(snaps), 2))
+                changed = (snaps[b] - snaps[a]) | (snaps[a] - snaps[b])
+                if changed <= disk:
+                    d = reg.diff_snapshots(a, b)
+                    assert set(d["added_files"]) == set(snaps[b] - snaps[a])
+                    assert set(d["removed_files"]) == set(snaps[a] - snaps[b])
+                    # one row per file (written below): footers match
+                    assert d["added_rows"] == len(d["added_files"])
+                    assert d["removed_rows"] == len(d["removed_files"])
+                else:
+                    # the diff's row counts come from parquet footers, so
+                    # a diff spanning files deleted from disk fails LOUDLY
+                    # (the documented time-travel-past-GC behavior), never
+                    # fabricates counts
+                    with _pytest.raises(FileNotFoundError):
+                        reg.diff_snapshots(a, b)
+
+        def commit(files: frozenset):
+            nonlocal head
+            new_id = (head or 0) + 1
+            snaps[new_id] = files
+            head = new_id
+
+        for step in range(60):
+            op = rng.choice(
+                ["add", "add", "delete", "sync", "sync", "retire",
+                 "rollback", "rollback_expired", "expire", "vacuum_dry",
+                 "vacuum_real"]
+            )
+            if op == "add":
+                sub = os.path.join(root, f"h={rng.randint(0, 3)}")
+                os.makedirs(sub, exist_ok=True)
+                p = os.path.join(sub, f"f{nfile:04d}.parquet")
+                nfile += 1
+                pq.write_table(pa.table({"v": [rng.randint(0, 9)]}), p)
+                disk.add(p)
+            elif op == "delete" and (head_files() & disk):
+                p = rng.choice(sorted(head_files() & disk))
+                os.remove(p)
+                disk.discard(p)
+            elif op == "sync":
+                new = sorted(disk - set(head_files()))
+                assert reg.sync() == new
+                if new:
+                    commit(head_files() | set(new))
+                assert reg.sync() == []  # idempotent immediately after
+            elif op == "retire":
+                missing = sorted(set(head_files()) - disk)
+                assert reg.retire_missing() == missing
+                if missing:
+                    commit(head_files() - set(missing))
+            elif op == "rollback" and snaps:
+                target = rng.choice(sorted(snaps))
+                files = snaps[target]
+                reg.rollback(target)
+                commit(files)
+            elif op == "rollback_expired" and expired:
+                with _pytest.raises(ValueError, match="unknown snapshot"):
+                    reg.rollback(rng.choice(sorted(expired)))
+            elif op == "expire" and snaps:
+                k = rng.randint(1, 3)
+                doomed = [s for s in sorted(snaps)[:-k] if s != head]
+                assert reg.expire_snapshots(keep_last=k) == doomed
+                for s in doomed:
+                    expired.add(s)
+                    del snaps[s]
+            elif op == "vacuum_dry":
+                referenced = set().union(*snaps.values()) if snaps else set()
+                assert reg.vacuum_orphans() == sorted(disk - referenced)
+            elif op == "vacuum_real":
+                referenced = set().union(*snaps.values()) if snaps else set()
+                orphans = sorted(disk - referenced)
+                assert reg.vacuum_orphans(dry_run=False) == orphans
+                disk -= set(orphans)
+            check()
