@@ -243,7 +243,7 @@ def incremental_m4(
     **Tail trim (r14, VERDICT r13 #1)** — the rollup tier's bound applied
     to the M4 state (without it the per-batch ``coalesce(1)`` snapshot
     rewrite is O(all history) forever — the class ``tools/bench_trim.py``
-    measured at 13.5 s/batch vs 0.58 s at 100 days on the rollup tier):
+    measured at 13.5 s/batch vs 0.71 s at 100 days on the rollup tier):
     pass the all-or-nothing trio ``trim_horizon_s`` (keep at least this
     many seconds of recent pixel buckets), ``trim_coarse_dir`` (the
     ``compact_m4_grain`` output that owns the tail) and
