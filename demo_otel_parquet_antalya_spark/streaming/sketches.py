@@ -44,7 +44,6 @@ from demo_otel_parquet_antalya_spark.streaming.rollup import (
 SKETCH_SCHEMA = "hour timestamp, hll binary, kll binary"
 
 
-
 def read_sketches(spark: SparkSession, target_dir: str) -> DataFrame:
     vs = _versions(spark, target_dir)
     if not vs:
