@@ -1150,16 +1150,18 @@ def test_grain_marker_records_coverage_and_fallbacks_hold(spark, tmp_path):
     compact_rollup_grain(spark, target, coarse, 60, 300, older_than="2024-01-01 00:10:00")
 
     cv = _versions(spark, coarse)[-1]
-    grain, coverage = _read_grain_meta(spark, coarse, cv)
-    # max coarse bucket is 00:05, so the tail owns up to 00:10 exactly
-    assert (grain, coverage) == (300, base + 600)
+    grain, coverage, hwm = _read_grain_meta(spark, coarse, cv)
+    # max coarse bucket is 00:05, so the tail owns up to 00:10 exactly;
+    # src_hwm (r14) is the SOURCE's max fine bucket start (19:45 -> 1185
+    # floored to the minute = 1140)
+    assert (grain, coverage, hwm) == (300, base + 600, base + 1140)
 
     # strip coverage_end (a pre-r13 marker): the spanned read derives the
     # same refusal/serve decisions with the fallback job
     marker = os.path.join(coarse, f"v={cv}", "_grain.json")
     with open(marker, "w") as f:
         f.write(_json.dumps({"interval_s": 300}))
-    assert _read_grain_meta(spark, coarse, cv) == (300, None)
+    assert _read_grain_meta(spark, coarse, cv) == (300, None, None)
     raw = spark.read.schema(SCHEMA).json(src)
     spanned = read_rollup_spanned(spark, target, coarse, "2024-01-01 00:10:00", 60, 300)
     assert spanned.agg(F.sum("n")).first()[0] == raw.count()

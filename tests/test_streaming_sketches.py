@@ -394,7 +394,11 @@ def test_m4_spanned_gap_check_and_coverage_marker(spark, tmp_path):
     cover_to = base_epoch + 43200
     compact_m4_grain(spark, m4_dir, coarse_dir, 14400, older_than_epoch=cover_to)
     cv = _versions(spark, coarse_dir)[-1]
-    assert _read_grain_meta(spark, coarse_dir, cv) == (14400, cover_to)
+    grain, coverage, hwm = _read_grain_meta(spark, coarse_dir, cv)
+    # coverage_end = the cutoff; src_hwm (r14) = the SOURCE's max fine
+    # bucket start, past the cutoff (the trim clamp's licensing bound)
+    assert (grain, coverage) == (14400, cover_to)
+    assert hwm is not None and hwm >= cover_to
 
     # boundary at exactly the coverage end: serves (no gap)
     assert read_m4_spanned(spark, m4_dir, coarse_dir, cover_to).count() > 0
