@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.operators.dedup import connected_components
-from demo_otel_parquet_antalya_spark.streaming.rollup import _read_state, _versions
+from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    _read_state,
+    _refuse_stale_writer,
+    _versions,
+)
 
 LABEL_SCHEMA = "id long, cluster_id long"
 
@@ -93,7 +97,9 @@ def incremental_components(
         new_e = batch_df.select(
             F.col(src).alias("id_a"), F.col(dst).alias("id_b")
         )
-        prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
+        vs_all = _versions(spark, target_dir)
+        _refuse_stale_writer(target_dir, batch_id, vs_all)
+        prior_vs = [v for v in vs_all if v < batch_id]
         prior = (
             _read_state(spark, target_dir, prior_vs[-1], LABEL_SCHEMA)
             if prior_vs

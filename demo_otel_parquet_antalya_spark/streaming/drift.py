@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_otel_parquet_antalya_spark.streaming.rollup import _read_state, _versions
+from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    _read_state,
+    _refuse_stale_writer,
+    _versions,
+)
 
 COUNTS_SCHEMA = "category string, n long"
 
@@ -42,7 +46,9 @@ def incremental_category_counts(
         inc = batch_df.groupBy(F.col(cat_col).alias("category")).agg(
             F.count("*").alias("n")
         )
-        prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
+        vs_all = _versions(spark, target_dir)
+        _refuse_stale_writer(target_dir, batch_id, vs_all)
+        prior_vs = [v for v in vs_all if v < batch_id]
         if prior_vs:
             prior = _read_state(
                 spark, target_dir, prior_vs[-1], COUNTS_SCHEMA

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from demo_otel_parquet_antalya_spark.streaming.rollup import _read_state, _versions
+from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    _read_state,
+    _refuse_stale_writer,
+    _versions,
+)
 
 
 def _sample_schema(key_col: str, payload_cols: list[str], weighted: bool = False) -> str:
@@ -101,7 +105,9 @@ def incremental_sample(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cand = batch_sample(batch_df, k, key_col, payload, weight_col)
-        prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
+        vs_all = _versions(spark, target_dir)
+        _refuse_stale_writer(target_dir, batch_id, vs_all)
+        prior_vs = [v for v in vs_all if v < batch_id]
         if prior_vs:
             prior = _read_state(spark, target_dir, prior_vs[-1], schema)
             order = F.col("__sk").desc() if weight_col is not None else F.col("__sk")

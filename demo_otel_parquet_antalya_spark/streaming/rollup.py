@@ -439,6 +439,35 @@ def _safe_trim_cand(
     return min(desired, coverage, safe)
 
 
+def _refuse_stale_writer(
+    target_dir: str, batch_id: int, versions: list[int]
+) -> None:
+    """Refuse a maintenance batch whose id is BELOW the newest committed
+    version (r14). With the stream's OWN checkpoint this cannot happen:
+    foreachBatch ids are monotone and a crash replays at most the latest
+    in-flight batch, which overwrites exactly the newest version. A
+    smaller id therefore means a FRESH or foreign checkpoint is writing
+    into an existing maintained state — its batch 0 would overwrite a
+    history version with an un-merged increment, every batch until its
+    ids catch up would do the same (increments silently missing from the
+    served head the whole time), and the first batch past the old head
+    would merge the old snapshot while DISCARDING everything the rogue
+    stream committed below it. The layout is single-writer by contract;
+    fail the batch before it rewrites history. To rebuild a state from
+    scratch, point the stream at an empty target (or delete the old
+    layout) instead of reusing the directory with a new checkpoint."""
+    if versions and batch_id < versions[-1]:
+        raise ValueError(
+            f"maintenance batch id {batch_id} is below the newest "
+            f"committed version v={versions[-1]} at {target_dir!r}: this "
+            "stream's checkpoint does not own the existing state (fresh "
+            "or foreign checkpoint over a maintained layout) — replaying "
+            "it would overwrite history versions with un-merged "
+            "increments; use the original checkpoint, or start from an "
+            "empty target directory"
+        )
+
+
 def _check_retain(retain_versions: int | None) -> None:
     """Up-front validation for the maintenance streams: an invalid
     retention must fail at stream CONSTRUCTION, not inside the first
@@ -669,7 +698,9 @@ def incremental_rollup(
         # _read_version validates the prior snapshot's columns, so a
         # maintenance stream restarted with DIFFERENT dims over an old
         # target_dir fails loudly instead of merging NULL dimensions
-        prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
+        vs_all = _versions(spark, target_dir)
+        _refuse_stale_writer(target_dir, batch_id, vs_all)
+        prior_vs = [v for v in vs_all if v < batch_id]
         if prior_vs:
             prior = _read_version(spark, target_dir, prior_vs[-1], dims)
             merged = (

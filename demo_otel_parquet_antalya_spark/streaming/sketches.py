@@ -32,6 +32,7 @@ from demo_otel_parquet_antalya_spark.streaming.rollup import (
     _commit_snapshot,
     _read_grain_meta,
     _read_state,
+    _refuse_stale_writer,
     _resolve_carry_base,
     _resolve_span,
     _safe_trim_cand,
@@ -116,7 +117,9 @@ def incremental_sketches(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         inc = _sketch_batch(batch_df, ts_col, user_col, value_col)
-        prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
+        vs_all = _versions(spark, target_dir)
+        _refuse_stale_writer(target_dir, batch_id, vs_all)
+        prior_vs = [v for v in vs_all if v < batch_id]
         if prior_vs:
             prior = _read_state(
                 spark, target_dir, prior_vs[-1], SKETCH_SCHEMA
@@ -321,7 +324,9 @@ def incremental_m4(
                 inc.unpersist()
 
     def _apply_inner(spark, inc: DataFrame, batch_id: int) -> None:
-        prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
+        vs_all = _versions(spark, target_dir)
+        _refuse_stale_writer(target_dir, batch_id, vs_all)
+        prior_vs = [v for v in vs_all if v < batch_id]
         if prior_vs:
             recorded_fine = read_grain(spark, target_dir, prior_vs[-1])
             if recorded_fine is not None and recorded_fine != interval_s:

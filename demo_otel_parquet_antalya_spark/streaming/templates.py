@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.functions.text import log_template
-from demo_otel_parquet_antalya_spark.streaming.rollup import _read_state, _versions
+from demo_otel_parquet_antalya_spark.streaming.rollup import (
+    _read_state,
+    _refuse_stale_writer,
+    _versions,
+)
 
 CATALOG_SCHEMA = (
     "template string, n_events long, first_seen timestamp, last_seen timestamp"
@@ -73,7 +77,9 @@ def incremental_template_catalog(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         inc = _mine(batch_df, message_col, ts_col)
-        prior_vs = [v for v in _versions(spark, target_dir) if v < batch_id]
+        vs_all = _versions(spark, target_dir)
+        _refuse_stale_writer(target_dir, batch_id, vs_all)
+        prior_vs = [v for v in vs_all if v < batch_id]
         if prior_vs:
             prior = _read_state(
                 spark, target_dir, prior_vs[-1], CATALOG_SCHEMA

@@ -1488,3 +1488,55 @@ def test_rollup_lifecycle_random_schedules(spark, tmp_path):
             else:
                 append_and_stream(trim=op == "trim")
             assert served() == direct(), f"seed={seed} step={step} op={op}"
+
+def test_fresh_checkpoint_over_existing_state_refused(spark, tmp_path):
+    """r14 single-writer guard: a stream with a FRESH checkpoint pointed
+    at an existing maintained state restarts batch ids at 0 — it would
+    overwrite history versions with un-merged increments and, once its
+    ids caught up past the old head, silently discard everything it
+    committed below it. The batch now refuses loudly BEFORE any write;
+    the original checkpoint keeps resuming fine."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.rollup import (
+        _versions,
+        read_rollup,
+    )
+
+    src = str(tmp_path / "events")
+    target, ckpt_a = str(tmp_path / "rollup"), str(tmp_path / "ckpt_a")
+    _write(src, "b0.json", [(1, 0, "click"), (2, 10, "view")])
+    _write(src, "b1.json", [(3, 70, "click")])
+
+    def run(ckpt):
+        incremental_rollup(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1).json(src),
+            target, ckpt, bucket="1 minute",
+        ).awaitTermination()
+
+    run(ckpt_a)
+    assert _versions(spark, target)[-1] == 1
+    before = {(str(r.bucket), r.event_type, r.n)
+              for r in read_rollup(spark, target).collect()}
+
+    # a FRESH checkpoint re-reads b0 as its batch 0 -> refused, state intact
+    _write(src, "b2.json", [(4, 130, "view")])
+    with _pytest.raises(Exception, match="does not own the existing state"):
+        run(str(tmp_path / "ckpt_fresh"))
+    assert _versions(spark, target)[-1] == 1
+    assert {(str(r.bucket), r.event_type, r.n)
+            for r in read_rollup(spark, target).collect()} == before
+
+    # the original checkpoint resumes past the incident and stays exact
+    run(ckpt_a)
+    want = {
+        (str(r.bucket), r.event_type, r.n)
+        for r in spark.read.schema(SCHEMA).json(src)
+        .groupBy(F.window("ts", "1 minute").getField("start").alias("bucket"),
+                 "event_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    got = {(str(r.bucket), r.event_type, r.n)
+           for r in read_rollup(spark, target).collect()}
+    assert got == want

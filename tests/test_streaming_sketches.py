@@ -1160,3 +1160,44 @@ def test_m4_lifecycle_random_schedules(spark, tmp_path):
             else:
                 append_and_stream(trim=op == "trim")
             assert served() == direct(), f"seed={seed} step={step} op={op}"
+
+def test_fresh_checkpoint_refused_on_every_versioned_tier(spark, tmp_path):
+    """r14 single-writer guard, swept across the other versioned-state
+    maintenance streams (M4, sketches, drift — the rollup tier has its
+    own test): a fresh checkpoint over an existing target refuses its
+    batch 0 before any write; the state stays intact."""
+    import pytest as _pytest
+
+    from demo_otel_parquet_antalya_spark.streaming.drift import (
+        incremental_category_counts,
+    )
+    from demo_otel_parquet_antalya_spark.streaming.rollup import _versions
+    from demo_otel_parquet_antalya_spark.streaming.sketches import (
+        incremental_m4,
+        incremental_sketches,
+    )
+
+    src = str(tmp_path / "events")
+    _write_m4_events(src, "b0.json", [(0, 1, 1.0), (700, 2, 2.0)])
+    _write_m4_events(src, "b1.json", [(1400, 3, 3.0)])
+    root = str(tmp_path / "states")
+
+    ev = lambda: _m4_stream(spark, src)
+    tiers = {
+        f"{root}/m4": lambda ck: incremental_m4(
+            ev(), f"{root}/m4", ck, interval_s=600),
+        f"{root}/sk": lambda ck: incremental_sketches(
+            ev(), f"{root}/sk", ck, ts_col="ts", user_col="event_id",
+            value_col="value"),
+        f"{root}/dr": lambda ck: incremental_category_counts(
+            ev().selectExpr("ts", "CAST(event_id AS STRING) AS category"),
+            f"{root}/dr", ck, "category"),
+    }
+    for i, (tdir, start) in enumerate(tiers.items()):
+        start(str(tmp_path / f"ck_{i}")).awaitTermination()
+        vs_before = _versions(spark, tdir)
+        assert vs_before  # committed state exists
+        q = start(str(tmp_path / f"ck_fresh_{i}"))
+        with _pytest.raises(Exception, match="does not own the existing state"):
+            q.awaitTermination()
+        assert _versions(spark, tdir) == vs_before, tdir  # intact
