@@ -1179,8 +1179,19 @@ def jaccard_pairs_ppjoin(
     silently dropping qualifying pairs. Subtracting a 1e-9 epsilon before
     the ceil errs toward a one-longer prefix (a pure perf cost, never a
     recall loss).
+
+    The shingle stream is materialized ONCE (eager localCheckpoint, the
+    graph operators' discipline — ContextCleaner frees the blocks on
+    GC): it feeds FOUR subtrees shuffling on different keys (per-doc
+    sizes, global frequencies, the ranked prefix, and the verification
+    prune), and without truncation each one re-scans and re-explodes
+    the full corpus — measured 2x end-to-end cold at sf0.1 (11.4 s ->
+    5.7 s; the warm gap shrinks only because the page cache hides the
+    re-scans, which nothing hides at warehouse scale). A LAZY checkpoint
+    does not help the first action: the four subtrees race within one
+    job before any block lands.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("s").agg(F.count("*").alias("cnt"))
     rank_w = W.partitionBy("id").orderBy("cnt", "s")
