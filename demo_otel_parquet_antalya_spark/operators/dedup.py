@@ -1173,46 +1173,97 @@ def jaccard_pairs_ppjoin(
     the exact intersection for candidate pairs only, via a semi-join
     prune of the full shingle stream.
 
-    The prefix bound is computed FP-safely: ``ceil(t * n)`` on doubles can
-    round UP past the exact integer (e.g. 0.54 * 450 -> 243.00000000000003,
-    ceil 244), shortening the prefix below the pigeonhole guarantee and
-    silently dropping qualifying pairs. Subtracting a 1e-9 epsilon before
-    the ceil errs toward a one-longer prefix (a pure perf cost, never a
+    Candidate generation applies all three exact PPJoin filters, so the
+    verification stage sees candidates, not the corpus (r14 optimization
+    round — the prefix-only form produced 118,826 candidates for a ~50-pair
+    answer at sf0.1/t=0.8, which made the verification self-join degenerate
+    to the brute posting-list join over nearly every doc):
+
+    - prefix filter (AllPairs): only the first ``|S| - ceil(t*|S|) + 1``
+      shingles under the global order enter the join;
+    - length filter: J >= t forces ``t * max(|A|,|B|) <= min(|A|,|B|)``;
+    - positional filter (PPJoin proper): for the FIRST common shingle of A
+      and B — at ranks (ra, rb) under the shared global order — every other
+      common shingle sits at rank > ra in A and > rb in B, so
+      ``|A ∩ B| <= 1 + min(|A|-ra, |B|-rb)``, which must reach the overlap
+      bound ``ceil(t/(1+t) * (|A|+|B|))`` (J >= t  ⇔  c >= t/(1+t)(|A|+|B|)).
+      A pair survives iff SOME collision passes the filter; the
+      first-common-shingle collision is the sound witness, so recall is
+      exactly preserved while later (redundant) collisions are free to fail.
+
+    The prefix/overlap bounds are computed FP-safely: ``ceil(t * n)`` on
+    doubles can round UP past the exact integer (e.g. 0.54 * 450 ->
+    243.00000000000003, ceil 244), shortening the prefix below the
+    pigeonhole guarantee and silently dropping qualifying pairs.
+    Subtracting a 1e-9 epsilon before every ceil errs toward a one-longer
+    prefix / one-smaller required overlap (a pure perf cost, never a
     recall loss).
 
     The shingle stream is materialized ONCE (eager localCheckpoint, the
     graph operators' discipline — ContextCleaner frees the blocks on
-    GC): it feeds FOUR subtrees shuffling on different keys (per-doc
-    sizes, global frequencies, the ranked prefix, and the verification
-    prune), and without truncation each one re-scans and re-explodes
-    the full corpus — measured 2x end-to-end cold at sf0.1 (11.4 s ->
-    5.7 s; the warm gap shrinks only because the page cache hides the
-    re-scans, which nothing hides at warehouse scale). A LAZY checkpoint
-    does not help the first action: the four subtrees race within one
-    job before any block lands.
+    GC): it feeds the frequency count, the ranked prefix and the
+    verification prune, and without truncation each one re-scans and
+    re-explodes the full corpus — measured 2x end-to-end cold at sf0.1
+    (11.4 s -> 5.7 s; the warm gap shrinks only because the page cache
+    hides the re-scans, which nothing hides at warehouse scale). A LAZY
+    checkpoint does not help the first action: the subtrees race within
+    one job before any block lands. The ranked prefix and the candidate
+    pair set are checkpointed for the same reason: each feeds multiple
+    downstream keys, and the candidate set (near-dup-sliver-sized) is the
+    hinge between generation and verification.
     """
     sh = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("s").agg(F.count("*").alias("cnt"))
-    rank_w = W.partitionBy("id").orderBy("cnt", "s")
+    # per-doc size and frequency rank in ONE id-keyed window pass (the
+    # separate groupBy(id)+join shape paid a second full-stream exchange)
+    w_id = W.partitionBy("id")
     prefix = (
         sh.join(freq, "s")
-        .join(sizes, "id")
-        .withColumn("rk", F.row_number().over(rank_w))
+        .withColumn("n_sh", F.count("*").over(w_id))
+        .withColumn("rk", F.row_number().over(w_id.orderBy("cnt", "s")))
         .filter(
             F.col("rk")
             <= F.col("n_sh")
             - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
             + 1
         )
-        .select("id", "s")
+        .select("id", "s", "rk", "n_sh")
+        .localCheckpoint(eager=True)
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # required overlap c >= t/(1+t) * (|A|+|B|), epsilon erring DOWN
+    min_ov = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
+        - F.lit(1e-9)
+    )
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.ceil(
+                    F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                    - F.lit(1e-9)
+                )
+            )
+            # positional filter: suffix lengths after this collision + the
+            # collision itself must reach the required overlap
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n_sh") - F.col("a.rk"), F.col("b.n_sh") - F.col("b.rk")
+                )
+                >= min_ov
+            ),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # verify candidates exactly: prune the shingle stream to candidate ids,
     # then count the true intersection per pair
@@ -1227,14 +1278,19 @@ def jaccard_pairs_ppjoin(
         .select(F.col("ca.id").alias("id_a"), F.col("cb.id").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("c"))
-        .join(cand, ["id_a", "id_b"], "left_semi")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    # every candidate id has >= 1 prefix row (it collided on one), so the
+    # checkpointed prefix stream doubles as the per-doc size table — the
+    # old groupBy(id) size pass over the full shingle stream is gone, and
+    # one inner join both semi-filters inter to candidate pairs and
+    # attaches (na, nb)
+    psz = prefix.select("id", "n_sh").distinct()
+    cand_sz = cand.join(
+        psz.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a"
+    ).join(psz.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(cand_sz, ["id_a", "id_b"])
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
