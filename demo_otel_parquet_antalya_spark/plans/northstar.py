@@ -2371,6 +2371,30 @@ def q_blocking_sorted_neighborhood(spark, sf_dir):
     )
 
 
+# The trade graph's node domain, encoded NUMERICALLY for the iterative
+# operators (r14 optimization round, guide §2.3 "narrower types"): customers
+# map to 2*custkey, suppliers to 2*suppkey + 1 — injective and reversible,
+# so every per-round shuffle/join/aggregate hashes and moves 8-byte longs
+# instead of ~16-char 'c:<id>'/'s:<id>' strings (UnsafeRow: 8 fixed bytes vs
+# 8 + length, plus string compare/hash per probe). The oracle-facing labels
+# decode back at the very end, on the node-sized result only — the graph
+# rounds never see a string. Output (and oracle SQL) byte-identical.
+def _trade_edges_encoded(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+    )
+
+
+def _decode_trade_node(col: str):
+    n = F.col(col)
+    return F.when(
+        n % 2 == 0, F.concat(F.lit("c:"), F.shiftright(n, 1).cast("string"))
+    ).otherwise(F.concat(F.lit("s:"), F.shiftright(n, 1).cast("string")))
+
+
 # unrolled fixed-K PageRank oracle: the operator runs EXACTLY k join+agg
 # rounds (no convergence test) precisely so this relational replay is the
 # same computation — each rK CTE is one round of
@@ -2429,16 +2453,10 @@ def _pagerank_oracle_sql(k: int = 6) -> str:
 def q_graph_pagerank_trade(spark, sf_dir):
     from demo_otel_parquet_antalya_spark.operators import graph
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
     # unit-weight parallel edges: pagerank's groupBy collapse makes w = count
-    pr = graph.pagerank(edges, k=6)
+    pr = graph.pagerank(_trade_edges_encoded(spark, sf_dir), k=6)
     return (
-        pr.select("node", F.round("rank", 8).alias("rank"))
+        pr.select(_decode_trade_node("node").alias("node"), F.round("rank", 8).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(100)
     )
@@ -2629,16 +2647,10 @@ def _hits_oracle_sql(k: int = 4) -> str:
 def q_graph_hits_trade(spark, sf_dir):
     from demo_otel_parquet_antalya_spark.operators import graph
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    out = graph.hits(edges, k=4)
+    out = graph.hits(_trade_edges_encoded(spark, sf_dir), k=4)
     return (
         out.select(
-            "node",
+            _decode_trade_node("node").alias("node"),
             F.round("hub", 8).alias("hub"),
             F.round("authority", 8).alias("authority"),
         )
@@ -2966,13 +2978,11 @@ def _k_core_oracle_sql(k: int = 8, rounds: int = 4) -> str:
 def q_graph_kcore_trade(spark, sf_dir):
     from demo_otel_parquet_antalya_spark.operators import graph
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    return (
+        graph.k_core(_trade_edges_encoded(spark, sf_dir), k=8, rounds=4)
+        .select(_decode_trade_node("node").alias("node"), "degree")
+        .orderBy("node")
     )
-    return graph.k_core(edges, k=8, rounds=4).orderBy("node")
 
 
 @register(
