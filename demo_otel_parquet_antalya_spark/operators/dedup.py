@@ -20,7 +20,7 @@ Python in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame, Observation, Window as W
 from pyspark.sql import functions as F
 
 from demo_otel_parquet_antalya_spark.functions.text import fingerprint, word_shingles
@@ -512,11 +512,18 @@ def connected_components(
 
     # the initial sum runs BEFORE the layout is built: a Spark job between
     # _iter_layout and the try would leak the CacheManager entry on failure
-    # — the finally below only releases a layout that exists (ADVICE r11)
+    # — the finally below only releases a layout that exists (ADVICE r11).
+    # It also guards the per-round Observation fusion below: an EMPTY pair
+    # set (sum None) returns here, so the observed frames are always
+    # non-empty and AQE's empty-relation propagation can never eliminate a
+    # CollectMetrics whose .get we then block on (the SURVEY §7.14
+    # src_hwm/Observation failure class).
     prev_sum = _label_sum(labels)
+    if prev_sum is None:
+        return labels.select("id", F.col("comp").alias("cluster_id"))
     edges = _iter_layout(edges, "dst", small)
     try:
-        for _ in range(max_iter):
+        for i in range(max_iter):
             nbr_min = (
                 edges.join(_state_side(labels, small), edges.dst == labels.id)
                 .groupBy("src")
@@ -532,16 +539,30 @@ def connected_components(
             lut = labels.select(
                 F.col("id").alias("comp"), F.col("comp").alias("comp2")
             )
+            # the convergence sum rides the checkpoint materialization as an
+            # observed metric (r14 optimization round): the separate
+            # _label_sum action per round was a second full pass over the
+            # label table — one extra job per round here, one extra
+            # node-table scan per round at warehouse scale. Observed
+            # metrics fire on eager localCheckpoint (probe-verified, value
+            # equal to the plain aggregate); labels is non-empty (guarded
+            # above) and the left joins preserve its rows, so the metric
+            # always arrives.
+            obs = Observation(f"cc_round_{i}")
             jumped = (
                 hop.join(_state_side(lut, small), "comp", "left")
                 .select(
                     "id",
                     F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"),
                 )
+                .observe(
+                    obs,
+                    F.sum(F.xxhash64("comp").cast("decimal(38,0)")).alias("s"),
+                )
                 .localCheckpoint(eager=True)
             )
             labels = jumped
-            new_sum = _label_sum(labels)
+            new_sum = obs.get["s"]
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum

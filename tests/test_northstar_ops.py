@@ -202,6 +202,37 @@ def test_connected_components_chain_and_triangle(spark):
     assert big == want
 
 
+def test_connected_components_observed_convergence(spark):
+    """The r14 observe-fused convergence sum (the per-round label-multiset
+    hash rides the checkpoint materialization instead of a second pass)
+    must leave results and early termination intact: a single-cluster
+    clique converges in round 1 + one observed no-change round, a
+    max_iter=1 run on a diameter-4 chain returns the (correct-by-
+    pointer-jumping) partial labels without blocking on the observation,
+    and the empty-graph guard returns before any round (no metric is ever
+    awaited on a frame AQE could empty-propagate away)."""
+    clique = spark.createDataFrame(
+        [(5, 6), (6, 7), (5, 7)], "id_a long, id_b long"
+    )
+    assert {
+        (r.id, r.cluster_id) for r in dedup.connected_components(clique).collect()
+    } == {(5, 5), (6, 5), (7, 5)}
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    one_round = {
+        (r.id, r.cluster_id)
+        for r in dedup.connected_components(chain, max_iter=1).collect()
+    }
+    # one least(own, min-neighbor) hop from identity labels (the pointer
+    # jump is a no-op in round 1: the lookup table is still the identity)
+    assert one_round == {(1, 1), (2, 1), (3, 2), (4, 3), (5, 4)}
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(empty).collect() == []
+
+
 def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, emb, tmp_path):
     """The materialized IVF index must (a) return the same results as the
     in-memory ivf_topk at the same parameters, and (b) plan the cell scan
