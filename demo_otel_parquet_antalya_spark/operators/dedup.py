@@ -800,43 +800,60 @@ def exact_substring_spans(
     as EXACTLY a maximal run of L-n+1 consecutive gram matches on one
     (A, B, pos_a - pos_b) diagonal, so
 
-    COVERAGE-EQUIVALENCE THEOREM (pinned by a property test): the merged
-    per-doc spans returned here coincide with ``repeated_ngram_spans``'s
-    span bounds. Both reduce to the union of [p, p+n) over the SAME hit
-    positions (a gram occurs in >= 2 distinct docs iff some cross-doc
-    match exists for each of its occurrences), and the island break
-    condition gap > n is exactly interval disjointness. The value of the
-    diagonal form is (a) ``exact_substring_matches`` — the individual
-    maximal common substrings with partner, offsets and true length,
-    which no per-doc island chain can produce — and (b) the proof chain:
-    brute-force-verified spans transfer their correctness guarantee to
-    the cheap island operator through the equivalence.
+    COVERAGE-EQUIVALENCE THEOREM (pinned by a brute-force reference in
+    tests/test_exact_substr.py, fixed corpus + hypothesis property): the
+    merged per-doc spans equal the union of [p, p+n) over exactly the
+    positional grams occurring in >= 2 distinct documents — a gram occurs
+    in >= 2 distinct docs iff some cross-doc diagonal match exists for
+    each of its occurrences, and the island break condition gap > n is
+    exactly interval disjointness (gap == n is a touching, hence merged,
+    interval under the end-exclusive bounds).
 
-    Pipeline: ``exact_substring_matches`` (diagonal runs) followed by a
-    per-document interval union (sort-by-start running-max merge) — the
-    scrub granularity: token regions covered by ANY cross-document
-    repeat.
+    Since the r14 optimization round the operator COMPUTES through the
+    theorem: one gram-keyed aggregate (posting length + distinct-doc
+    count in the same pass) -> left-semi prune of the positional grams ->
+    per-doc gaps-and-islands. That is linear in the gram stream — the
+    diagonal self-join it replaces was quadratic within every posting
+    list (the same O(sum |posting|^2) term the PPJoin filters bound
+    elsewhere), and at 100 TB the posting lists of boilerplate grams are
+    exactly the ones that explode. The per-partner diagonal tier remains
+    ``exact_substring_matches`` (offsets, partners, true lengths — which
+    no per-doc island chain can produce) with its own brute-force tests;
+    the spans' correctness is pinned directly against the independent
+    brute-force span reference, not against the diagonal form.
 
     Returns (doc_id, span_start, span_end, span_len): token offsets, end
     exclusive, integer-only. Use ``scrub_exact_substrings`` to remove the
     spans and reassemble the surviving tokens.
     """
-    runs = (
-        exact_substring_matches(docs, id_col, text_col, n, max_postings)
-        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + F.col("length")).alias("e"))
-        .distinct()
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
     )
-    wm = W.partitionBy("doc_id").orderBy("s", "e")
-    pmax = F.max("e").over(wm.rowsBetween(W.unboundedPreceding, -1))
-    merged = runs.withColumn(
-        "isl",
-        F.sum(
-            F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0)
-        ).over(wm.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    # posting length (the max_postings cap's unit, matching the diagonal
+    # tier's semantics: the cap drops the WHOLE gram) and distinct-doc
+    # count in ONE map-side-combined aggregate
+    gram_stats = sh.groupBy("gram").agg(
+        F.count("*").alias("pf"), F.count_distinct("doc_id").alias("nd")
+    )
+    keep = gram_stats.filter(F.col("nd") >= 2)
+    if max_postings is not None:
+        keep = keep.filter(F.col("pf") <= max_postings)
+    hits = sh.join(keep.select("gram"), "gram", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n), 1
+    ).otherwise(0)
+    islands = hits.withColumn(
+        "isl", F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     )
     return (
-        merged.groupBy("doc_id", "isl")
-        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        islands.groupBy("doc_id", "isl")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + n).alias("span_end"))
         .select(
             "doc_id",
             "span_start",
