@@ -1099,8 +1099,21 @@ def line_level_stats(
     'which documents are assembled from boilerplate lines seen elsewhere'.
     """
     lines = line_windows(df, id_col, text_col, line_tokens, delimiter)
-    hashed = lines.withColumn("line_hash", F.xxhash64("line"))
-    dup = duplicated_line_hashes(lines, id_col, min_docs)
+    # materialize the (id, line_hash) stream ONCE (16 bytes/line): the
+    # three consumers below (frequency pass, per-doc totals, dup hits)
+    # would otherwise each re-tokenize and re-explode the corpus — the
+    # same multi-consumer re-scan the PPJoin shingle checkpoint removes
+    # (r14 optimization round). Line TEXT never enters the checkpoint.
+    hashed = (
+        lines.select(F.col(id_col), F.xxhash64("line").alias("line_hash"))
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        hashed.groupBy("line_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_hash")
+    )
     tot = hashed.groupBy(id_col).agg(F.count("*").alias("n_lines"))
     hits = (
         hashed.join(dup, "line_hash")  # dup side is tiny vs corpus; AQE picks BHJ
