@@ -680,20 +680,40 @@ def repeated_ngram_spans(
     fraction of the cost and with no global ordered structure to build —
     the standard large-corpus trade.
 
+    The posting stream carries 8-byte xxhash64 gram fingerprints, never
+    the gram text, and is materialized ONCE (r14 optimization round) —
+    the same discipline as ``duplicated_line_hashes``: the corpus-wide
+    frequency shuffle moves ~20 bytes/gram instead of the ~50-byte n-gram
+    strings, and the two consumers (frequency pass, hit prune) read the
+    checkpoint instead of each re-tokenizing the corpus. A fingerprint
+    collision needs two distinct grams among the corpus's distinct grams
+    to share an xxhash64 — ~d^2/2^65, zero at every tested SF and
+    negligible at corpus scale (the line-dedup tier has shipped on the
+    same bound since r4).
+
     Returns (doc_id, span_start, span_end, n_grams): token offsets, end
     exclusive, integer-only (hash-stable).
     """
-    sh = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.xxhash64("gram").alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
     dup_grams = (
-        sh.groupBy("gram")
+        sh.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("gram")
+        .select("g")
     )
-    hits = sh.join(dup_grams, "gram", "left_semi")
+    hits = sh.join(dup_grams, "g", "left_semi")
     w = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n), 1
@@ -826,24 +846,34 @@ def exact_substring_spans(
     exclusive, integer-only. Use ``scrub_exact_substrings`` to remove the
     spans and reassemble the surviving tokens.
     """
+    # 8-byte gram fingerprints, materialized once — the
+    # duplicated_line_hashes / repeated_ngram_spans discipline (see that
+    # docstring for the collision bound): both consumers below read the
+    # checkpoint instead of re-tokenizing the corpus, and the frequency
+    # shuffle moves fingerprints, not n-gram strings
     sh = (
         ensure_parallelism(docs)
         .select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram"),
         )
-        .select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.xxhash64("gram").alias("g"),
+        )
+        .localCheckpoint(eager=True)
     )
     # posting length (the max_postings cap's unit, matching the diagonal
     # tier's semantics: the cap drops the WHOLE gram) and distinct-doc
     # count in ONE map-side-combined aggregate
-    gram_stats = sh.groupBy("gram").agg(
+    gram_stats = sh.groupBy("g").agg(
         F.count("*").alias("pf"), F.count_distinct("doc_id").alias("nd")
     )
     keep = gram_stats.filter(F.col("nd") >= 2)
     if max_postings is not None:
         keep = keep.filter(F.col("pf") <= max_postings)
-    hits = sh.join(keep.select("gram"), "gram", "left_semi")
+    hits = sh.join(keep.select("g"), "g", "left_semi")
     w = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n), 1
