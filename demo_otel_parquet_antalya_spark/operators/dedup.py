@@ -1293,7 +1293,27 @@ def jaccard_pairs_ppjoin(
     downstream keys, and the candidate set (near-dup-sliver-sized) is the
     hinge between generation and verification.
     """
-    sh = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # 8-byte shingle fingerprints through the whole tier (r14 optimization
+    # round, the duplicated_line_hashes discipline): the frequency pass,
+    # the ranked prefix, the candidate join and the verification
+    # intersection all shuffle/hash fixed-width longs instead of ~20-byte
+    # shingle strings. Correctness: the prefix/positional guarantees hold
+    # under ANY fixed total shingle order — (cnt, fingerprint) is as valid
+    # a tie-break as (cnt, text) — and the verified intersection counts
+    # are exact up to xxhash64 collisions (~d^2/2^65 across the corpus's
+    # distinct shingles; zero at every tested SF, the bound the line-dedup
+    # tier has shipped on since r4).
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+        )
+        .select("id", F.xxhash64("s").alias("s"))  # BEFORE the distinct:
+        # the set-dedup shuffle itself then moves fixed-width keys
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     freq = sh.groupBy("s").agg(F.count("*").alias("cnt"))
     # per-doc size and frequency rank in ONE id-keyed window pass (the
     # separate groupBy(id)+join shape paid a second full-stream exchange)
