@@ -108,6 +108,13 @@ def fingerprint_overlap_pairs(
     near-dup pairs share many fingerprints and survive the drop.
     """
     fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, window=window)
+    # the WINNOW SELECTION stays md5-hex (oracle-load-bearing: identical
+    # lexicographic mins on both engines); the detection join re-keys the
+    # selected fingerprints to 8-byte xxhash64 so the frequency pass and
+    # the self-join shuffle fixed-width longs instead of 32-char hex
+    # strings (r14 optimization round — the line/gram fingerprint
+    # discipline and its ~d^2/2^65 collision bound)
+    fps = fps.select("id", F.xxhash64("fp").alias("fp"))
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df_freq"))
