@@ -68,8 +68,17 @@ def edit_distance_join(
     )
     toks = base.select("id", F.posexplode(grams).alias("pos", "g"))
     occ_w = W.partitionBy("id", "g").orderBy("pos")
+    # 8-byte token keys (r14 optimization round): the frequency pass, the
+    # ranked prefix and the collision self-join shuffle xxhash64 of the
+    # occurrence-numbered gram instead of the string. EXACT, not
+    # probabilistic: equal tokens hash equal (no candidate lost), and a
+    # colliding unequal token only ADDS a candidate that the levenshtein
+    # verification below kills.
     toks = toks.withColumn(
-        "tok", F.concat_ws("", "g", F.row_number().over(occ_w).cast("string"))
+        "tok",
+        F.xxhash64(
+            F.concat_ws("", "g", F.row_number().over(occ_w).cast("string"))
+        ),
     ).select("id", "tok")
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     rank_w = W.partitionBy("id").orderBy("cnt", "tok")
@@ -155,8 +164,18 @@ def edit_distance_join_deletions(
     # fan the scan out first: a small-SF single-file input otherwise runs
     # the variant explode + candidate probe + levenshtein verify on ONE task
     base = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    # 8-byte variant keys: the collision self-join shuffles xxhash64 of
+    # each deletion variant instead of the near-full-length string. EXACT —
+    # equal variants hash equal, and a colliding unequal variant only ADDS
+    # a candidate that the levenshtein verification kills. (~L variants per
+    # string at d=1, so this roughly halves the blocking shuffle's bytes.)
     variants = base.select(
-        "id", F.explode(_deletion_variants(F.col("s"), d)).alias("v")
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(_deletion_variants(F.col("s"), d), lambda v: F.xxhash64(v))
+            )
+        ).alias("v"),
     )
     a = variants.alias("a")
     b = variants.alias("b")
