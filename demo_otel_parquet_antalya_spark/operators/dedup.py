@@ -278,10 +278,16 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     sig_fn = minhash_signatures_pandas if sig_impl == "pandas" else minhash_signatures
     sigs = sig_fn(df, id_col, text_col, n, num_hashes, seed)
-    # candidate pairs are the near-dup sliver (tiny); cache so the three
-    # consumers below (cand_ids prune, sizes, final semi-join) don't each
-    # re-run the signature+banding pipeline — measured 2x on the full op
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).cache()
+    # candidate pairs are the near-dup sliver (tiny); materialize ONCE so
+    # the three consumers below (cand_ids prune, sizes, final semi-join)
+    # don't each re-run the signature+banding pipeline — measured 2x on
+    # the full op. Eager localCheckpoint rather than cache() (r14
+    # optimization round, the PPJoin hinge discipline): the checkpoint
+    # TRUNCATES the Arrow mapInPandas signature lineage out of every
+    # consumer plan instead of carrying it under an InMemoryRelation, and
+    # a cache is only lazily populated — consumers racing within one job
+    # would re-evaluate the pipeline before blocks land.
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint(eager=True)
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionAll(cands.select(F.col("id_b").alias("id")))
@@ -294,7 +300,9 @@ def minhash_dedup_pairs(
     cand_docs = df.join(
         F.broadcast(cand_ids.select(F.col("id").alias(id_col))), id_col, "left_semi"
     )
-    sh = shingle_sets(cand_docs, id_col, text_col, n).cache()
+    # sliver-sized (candidate docs only); eager for the same race reason —
+    # its three consumers (sizes, both self-join sides) share one job
+    sh = shingle_sets(cand_docs, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1019,7 +1027,9 @@ def minhash_dedup_incremental(
         new_banded.join(idx, ["band", "bucket"])
         .select("id_new", "id_old")
         .distinct()
-        .cache()
+        # eager hinge materialization (r14, same rationale as
+        # minhash_dedup_pairs): three consumers, batch-sized
+        .localCheckpoint(eager=True)
     )
     new_cand = new_docs.join(
         F.broadcast(cands.select(F.col("id_new").alias(id_col)).distinct()),
