@@ -79,7 +79,12 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq_w = W.partitionBy("s")
         sh = sh.withColumn("__f", F.count("*").over(freq_w)).filter(F.col("__f") <= max_shingle_freq).drop("__f")
-    sh = sh.cache()
+    # eager hinge materialization (r14, same rationale as the PPJoin /
+    # MinHash hinges): the three consumers below (sizes, both self-join
+    # sides) share one job, where a lazily-populated cache races and
+    # re-evaluates the explode+distinct; the algorithm (string-exact
+    # brute posting-list join — the correctness baseline) is unchanged
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
