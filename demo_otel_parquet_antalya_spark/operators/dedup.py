@@ -239,8 +239,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become a candidate
     pair. One explode (bands per doc) + one shuffle on the bucket key —
-    linear scaling; bucket sizes stay tiny for uniform hashes."""
-    banded = banded_buckets(signatures, bands, rows_per_band)
+    linear scaling; bucket sizes stay tiny for uniform hashes.
+
+    The banded frame is materialized ONCE before the self-join (r14
+    optimization round): the join's two sides are the same subtree, but a
+    broadcast plan has no exchange to reuse between them, so the ENTIRE
+    corpus signature pass — the Arrow mapInPandas kernel — evaluated
+    twice per call (plan-verified: two MapInPandas nodes, zero
+    ReusedExchange). The checkpoint pins it to one evaluation at ~24
+    bytes x bands per doc."""
+    banded = banded_buckets(signatures, bands, rows_per_band).localCheckpoint(
+        eager=True
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -775,6 +785,10 @@ def exact_substring_matches(
             F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram"),
         )
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+        # eager hinge (r14): both self-join sides (and the optional cap's
+        # frequency pass) otherwise re-run the tokenize+explode — under a
+        # broadcast plan there is no exchange to reuse between them
+        .localCheckpoint(eager=True)
     )
     if max_postings is not None:
         keep = (
