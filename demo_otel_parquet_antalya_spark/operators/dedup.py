@@ -462,6 +462,10 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select("id", "simhash", "c.blk", "c.chunk")
+    # eager hinge (r14): the self-join's sides are the same subtree with
+    # no reusable exchange under a broadcast plan — the 64-aggregate
+    # SimHash computation would evaluate twice per call
+    chunked = chunked.localCheckpoint(eager=True)
     a, b = chunked.alias("a"), chunked.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

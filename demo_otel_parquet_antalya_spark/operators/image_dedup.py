@@ -197,10 +197,20 @@ def near_dup_image_pairs(
                 .alias("key"),
             )
         )
-    exploded = hashes.filter(F.col("dhash").isNotNull()).select(
-        F.col(id_col).alias("id"),
-        "dhash",
-        F.explode(F.array(*band_structs)).alias("b"),
+    exploded = (
+        hashes.filter(F.col("dhash").isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            "dhash",
+            F.explode(F.array(*band_structs)).alias("b"),
+        )
+        # eager hinge (r14): the self-join's two sides are the same
+        # subtree, and a broadcast plan has no exchange to reuse between
+        # them — without this, the upstream ``hashes`` frame (an Arrow
+        # mapInPandas image DECODE when fed from image_dhash) evaluates
+        # twice per call; the checkpoint is (id, hash, band) rows only,
+        # never pixels
+        .localCheckpoint(eager=True)
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
