@@ -694,11 +694,12 @@ def repeated_ngram_spans(
 
     Plan shape, linear end to end:
     1. posexplode positional word n-grams (scan-stage, ~tokens-per-doc rows);
-    2. one groupBy(gram) to find grams spanning >= min_docs distinct docs —
-       the same posting-list shuffle as MinHash banding;
-    3. LEFT SEMI the positional grams against that (small: only genuinely
-       duplicated content survives) set;
-    4. gaps-and-islands per document (window on (doc, pos): new island when
+    2. one g-keyed window pass flags grams spanning >= min_docs distinct
+       docs (r15: min != max over the gram partition for min_docs=2, the
+       dense_rank count for the general case) — ONE full-stream exchange,
+       where the previous groupBy(gram) + left-semi shape paid the
+       aggregate exchange plus the probe's own exchange at scale;
+    3. gaps-and-islands per document (window on (doc, pos): new island when
        the gap exceeds n) merges overlapping/adjacent hits into maximal
        spans — the window shuffle is doc-partitioned, embarrassing at scale.
 
@@ -708,15 +709,13 @@ def repeated_ngram_spans(
     the standard large-corpus trade.
 
     The posting stream carries 8-byte xxhash64 gram fingerprints, never
-    the gram text, and is materialized ONCE (r14 optimization round) —
-    the same discipline as ``duplicated_line_hashes``: the corpus-wide
-    frequency shuffle moves ~20 bytes/gram instead of the ~50-byte n-gram
-    strings, and the two consumers (frequency pass, hit prune) read the
-    checkpoint instead of each re-tokenizing the corpus. A fingerprint
-    collision needs two distinct grams among the corpus's distinct grams
-    to share an xxhash64 — ~d^2/2^65, zero at every tested SF and
-    negligible at corpus scale (the line-dedup tier has shipped on the
-    same bound since r4).
+    the gram text — the same discipline as ``duplicated_line_hashes``:
+    the corpus-wide frequency exchange moves ~24 bytes/gram instead of
+    the ~50-byte n-gram strings. A fingerprint collision needs two
+    distinct grams among the corpus's distinct grams to share an
+    xxhash64 — ~d^2/2^65, zero at every tested SF and negligible at
+    corpus scale (the line-dedup tier has shipped on the same bound
+    since r4).
 
     Returns (doc_id, span_start, span_end, n_grams): token offsets, end
     exclusive, integer-only (hash-stable).
@@ -732,15 +731,30 @@ def repeated_ngram_spans(
             F.col("pos").cast("long").alias("pos"),
             F.xxhash64("gram").alias("g"),
         )
-        .localCheckpoint(eager=True)
     )
-    dup_grams = (
-        sh.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("g")
-    )
-    hits = sh.join(dup_grams, "g", "left_semi")
+    # distinct-doc gate as ONE g-keyed window pass (r15, the
+    # exact_substring_spans shape — see that operator for why this beats
+    # the checkpoint + groupBy(g) + semi-join form at every scale):
+    # min != max covers the common min_docs=2 case in a single unordered
+    # window aggregate; the general case counts distinct docs as
+    # max(dense_rank ordered by doc_id) — same single exchange on g, one
+    # sort by (g, doc_id) that the unordered max reuses.
+    wg = W.partitionBy("g")
+    if min_docs <= 1:
+        hits = sh.select("doc_id", "pos")
+    elif min_docs == 2:
+        hits = (
+            sh.withColumn("_dup", F.min("doc_id").over(wg) != F.max("doc_id").over(wg))
+            .filter(F.col("_dup"))
+            .select("doc_id", "pos")
+        )
+    else:
+        hits = (
+            sh.withColumn("_dr", F.dense_rank().over(wg.orderBy("doc_id")))
+            .withColumn("_nd", F.max("_dr").over(wg))
+            .filter(F.col("_nd") >= min_docs)
+            .select("doc_id", "pos")
+        )
     w = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n), 1
@@ -861,13 +875,15 @@ def exact_substring_spans(
     interval under the end-exclusive bounds).
 
     Since the r14 optimization round the operator COMPUTES through the
-    theorem: one gram-keyed aggregate (posting length + distinct-doc
-    count in the same pass) -> left-semi prune of the positional grams ->
-    per-doc gaps-and-islands. That is linear in the gram stream — the
-    diagonal self-join it replaces was quadratic within every posting
-    list (the same O(sum |posting|^2) term the PPJoin filters bound
-    elsewhere), and at 100 TB the posting lists of boilerplate grams are
-    exactly the ones that explode. The per-partner diagonal tier remains
+    theorem (r15 tightened the physical shape): one g-keyed window pass
+    flags each positional gram with "occurs in >= 2 distinct docs"
+    (min(doc_id) != max(doc_id) over the gram partition) and the posting
+    length, then per-doc gaps-and-islands. That is linear in the gram
+    stream with exactly ONE full-stream exchange before the per-doc
+    window — the diagonal self-join it replaces was quadratic within
+    every posting list (the same O(sum |posting|^2) term the PPJoin
+    filters bound elsewhere), and at 100 TB the posting lists of
+    boilerplate grams are exactly the ones that explode. The per-partner diagonal tier remains
     ``exact_substring_matches`` (offsets, partners, true lengths — which
     no per-doc island chain can produce) with its own brute-force tests;
     the spans' correctness is pinned directly against the independent
@@ -877,11 +893,10 @@ def exact_substring_spans(
     exclusive, integer-only. Use ``scrub_exact_substrings`` to remove the
     spans and reassemble the surviving tokens.
     """
-    # 8-byte gram fingerprints, materialized once — the
-    # duplicated_line_hashes / repeated_ngram_spans discipline (see that
-    # docstring for the collision bound): both consumers below read the
-    # checkpoint instead of re-tokenizing the corpus, and the frequency
-    # shuffle moves fingerprints, not n-gram strings
+    # 8-byte gram fingerprints — the duplicated_line_hashes /
+    # repeated_ngram_spans discipline (see that docstring for the
+    # collision bound): the frequency pass moves fingerprints, never
+    # n-gram strings
     sh = (
         ensure_parallelism(docs)
         .select(
@@ -893,18 +908,28 @@ def exact_substring_spans(
             F.col("pos").cast("long").alias("pos"),
             F.xxhash64("gram").alias("g"),
         )
-        .localCheckpoint(eager=True)
     )
-    # posting length (the max_postings cap's unit, matching the diagonal
-    # tier's semantics: the cap drops the WHOLE gram) and distinct-doc
-    # count in ONE map-side-combined aggregate
-    gram_stats = sh.groupBy("g").agg(
-        F.count("*").alias("pf"), F.count_distinct("doc_id").alias("nd")
+    # nd >= 2 and the posting-length cap as ONE g-keyed window pass (r15
+    # optimization round, VERDICT r14 #2): min(doc_id) != max(doc_id) over
+    # the gram's partition IS "occurs in >= 2 distinct docs", and count(*)
+    # is the posting length (the cap's unit — drop the WHOLE gram,
+    # matching the diagonal tier). The r14 shape (checkpoint + groupBy(g)
+    # aggregate + left-semi probe) paid one eager barrier and touched the
+    # gram stream through TWO g-keyed operators (the aggregate exchange
+    # and, at scale where the duplicated-gram set outgrows a broadcast,
+    # the semi-join's own exchange); the window form pays exactly one
+    # full-stream exchange on g and nothing else — strictly fewer passes
+    # both locally and at 100 TB, and sh now has a single consumer so no
+    # materialization hinge is needed at all.
+    wg = W.partitionBy("g")
+    gated = sh.withColumn(
+        "_dup", F.min("doc_id").over(wg) != F.max("doc_id").over(wg)
     )
-    keep = gram_stats.filter(F.col("nd") >= 2)
     if max_postings is not None:
-        keep = keep.filter(F.col("pf") <= max_postings)
-    hits = sh.join(keep.select("g"), "g", "left_semi")
+        gated = gated.withColumn("_pf", F.count("*").over(wg)).filter(
+            F.col("_pf") <= max_postings
+        )
+    hits = gated.filter(F.col("_dup")).select("doc_id", "pos")
     w = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n), 1
@@ -1162,38 +1187,40 @@ def line_level_stats(
     'which documents are assembled from boilerplate lines seen elsewhere'.
     """
     lines = line_windows(df, id_col, text_col, line_tokens, delimiter)
-    # materialize the (id, line_hash) stream ONCE (16 bytes/line): the
-    # three consumers below (frequency pass, per-doc totals, dup hits)
-    # would otherwise each re-tokenize and re-explode the corpus — the
-    # same multi-consumer re-scan the PPJoin shingle checkpoint removes
-    # (r14 optimization round). Line TEXT never enters the checkpoint.
-    hashed = (
-        lines.select(F.col(id_col), F.xxhash64("line").alias("line_hash"))
-        .localCheckpoint(eager=True)
-    )
-    dup = (
-        hashed.groupBy("line_hash")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("line_hash")
-    )
-    tot = hashed.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    hits = (
-        hashed.join(dup, "line_hash")  # dup side is tiny vs corpus; AQE picks BHJ
+    # ONE corpus pass, 16 bytes/line, line TEXT never shuffled: each line
+    # occurrence is flagged "appears in >= min_docs distinct docs" by a
+    # line_hash-keyed window (r15, the exact_substring_spans shape —
+    # min != max over the hash partition for the min_docs=2 default, the
+    # dense_rank count otherwise), then one per-doc aggregate computes
+    # totals and dup counts together. The r14 form (checkpoint + three
+    # consumers: frequency groupBy, per-doc totals, dup-hit join+groupBy)
+    # paid an eager barrier, two id-keyed exchanges and a join; this pays
+    # one line_hash exchange + one id exchange, no barrier, no join.
+    hashed = lines.select(F.col(id_col), F.xxhash64("line").alias("line_hash"))
+    wl = W.partitionBy("line_hash")
+    if min_docs <= 1:
+        is_dup = F.lit(True)
+    elif min_docs == 2:
+        is_dup = F.min(id_col).over(wl) != F.max(id_col).over(wl)
+    else:
+        dr = F.dense_rank().over(wl.orderBy(id_col))
+        is_dup = F.max(dr).over(wl) >= min_docs
+    per_doc = (
+        hashed.withColumn("_dup", is_dup)
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_lines"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_dup").cast("long")).alias("n_dup_lines"),
+        )
+        .filter(F.col("n_dup_lines") >= 1)
     )
     frac = F.col("n_dup_lines") / F.col("n_lines")
-    return (
-        tot.join(hits, id_col)
-        .select(
-            id_col,
-            "n_lines",
-            "n_dup_lines",
-            F.round(frac, 4).alias("dup_line_frac"),
-        )
-        .orderBy(F.col("dup_line_frac").desc(), id_col)
-    )
+    return per_doc.select(
+        id_col,
+        "n_lines",
+        "n_dup_lines",
+        F.round(frac, 4).alias("dup_line_frac"),
+    ).orderBy(F.col("dup_line_frac").desc(), id_col)
 
 
 def line_level_scrub(

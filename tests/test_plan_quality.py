@@ -317,11 +317,14 @@ def test_semantic_dedup_pair_join_is_equi_on_cluster(spark):
 
 
 def test_repeated_span_gram_join_is_equi(spark):
-    """The positional-gram semi join must key on the gram; the island window
-    must be the only other exchange family (doc-partitioned)."""
+    """The distinct-doc gate is a g-keyed window pass (r15): NO join of any
+    kind in the plan — the r14 groupBy+left-semi shape paid a second
+    g-keyed pass — and exactly two exchange families (gram-partitioned
+    gate, doc-partitioned island window)."""
     plan = plan_of(spark, "dedup_repeated_ngram_spans")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert re.search(r"Join.*LeftSemi", plan)
+    assert "Join" not in plan  # window gate replaced the semi-join
+    assert plan.count("hashpartitioning(") == 2
 
 
 def test_bm25_topk_avoids_global_sort(spark):
