@@ -548,19 +548,30 @@ def connected_components(
     prev_sum = _label_sum(labels)
     if prev_sum is None:
         return labels.select("id", F.col("comp").alias("cluster_id"))
-    edges = _iter_layout(edges, "dst", small)
+    # self-loops (r15 optimization round): one (n, n) edge per node makes
+    # the neighbor-min aggregate include the node's own label, so the
+    # separate hop = labels LEFT JOIN nbr_min + least() pass — one
+    # node-sized join (and its broadcast materialization job) per round —
+    # disappears; the per-round min over {own comp} ∪ {neighbor comps} is
+    # IDENTICAL, hence so are every round's labels and the convergence
+    # round count. Measured at sf0.1: er_golden_records 43 -> 38 jobs.
+    # (An agg-key edge layout on the broadcast path was A/B'd too and
+    # REJECTED for CC: the near-dup edge frame is sliver-sized, so the
+    # partial-agg exchange it removes is tiny while the persisted layout
+    # added a repartition job and 32 near-empty tasks per round — wall
+    # 3.5 -> 4.4 s; see graph._iter_layout. label_propagation, whose
+    # per-round exchange is EDGE-sized votes, keeps that layout.)
+    edges_aug = edges.unionAll(
+        labels.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    )
+    edges = _iter_layout(edges_aug, "dst", small)
     try:
         for i in range(max_iter):
-            nbr_min = (
+            hop = (
                 edges.join(_state_side(labels, small), edges.dst == labels.id)
                 .groupBy("src")
-                .agg(F.min("comp").alias("nbr_comp"))
-            )
-            hop = labels.join(
-                _state_side(nbr_min, small), labels.id == nbr_min.src, "left"
-            ).select(
-                "id",
-                F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                .agg(F.min("comp").alias("comp"))
+                .select(F.col("src").alias("id"), "comp")
             )
             # pointer jumping: comp <- label(comp)
             lut = labels.select(
@@ -594,12 +605,11 @@ def connected_components(
                 break
             prev_sum = new_sum
     finally:
-        if not small:
-            # jumped labels are checkpointed every round, so the returned
-            # plan never references the persist()ed layout — release it
-            # even on a mid-round failure (CacheManager entries are not
-            # GC-freed, unlike checkpointed RDDs)
-            edges.unpersist()
+        # jumped labels are checkpointed every round, so the returned
+        # plan never references the persist()ed layout — release it
+        # even on a mid-round failure (CacheManager entries are not
+        # GC-freed, unlike checkpointed RDDs)
+        edges.unpersist()
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 

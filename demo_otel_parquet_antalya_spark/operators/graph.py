@@ -38,7 +38,11 @@ from pyspark.storagelevel import StorageLevel
 # per-round join key and persist()ed: an InMemoryTableScan REPORTS its
 # child's outputPartitioning, so every round's ShuffledHashJoin reuses the
 # layout with zero edge-side exchange or sort (10M-edge/4M-node synthetic:
-# iteration wall halves vs the checkpoint shape).
+# iteration wall halves vs the checkpoint shape). label_propagation is the
+# one exception on the broadcast path (r15): its per-round aggregate is
+# keyed on an EDGE-cardinality key (votes), so it lays the augmented edge
+# frame out by the aggregate key even when state broadcasts — see
+# _iter_layout.
 #
 # The limit itself is DERIVED from the session (r12, VERDICT r11 #4): node
 # count was only ever a proxy for state BYTES vs broadcast cost, and the
@@ -159,13 +163,22 @@ def _pick_small(nodes: DataFrame, key: str, broadcast_state_max) -> tuple[int, b
     return n_nodes, n_nodes <= limit
 
 
-def _iter_layout(e: DataFrame, key: str, small: bool) -> DataFrame:
+def _iter_layout(e: DataFrame, key: str, small: bool = False) -> DataFrame:
     """The static edge frame an iterative operator joins every round:
     the already-materialized canonical frame itself when the per-node
     state is broadcast-sized (the probe side's layout is irrelevant under
-    a broadcast join), else a persist()ed hash layout on the per-round
-    join key — persist preserves outputPartitioning where localCheckpoint
-    erases it (see ``BROADCAST_STATE_MAX``)."""
+    a broadcast join), else a persist()ed hash layout on ``key`` —
+    persist preserves outputPartitioning where localCheckpoint erases it
+    (see ``BROADCAST_STATE_MAX``). The key is the per-round JOIN key on
+    the partitioned-state path (the node-sized state shuffles into the
+    layout, zero edge-side exchange). Callers whose per-round aggregate
+    is keyed on an EDGE-cardinality key (label_propagation's vote stream)
+    pass small=False with the AGGREGATE key instead, which makes the
+    keyed count above the broadcast join exchange-free — measured A/B in
+    the r15 optimization round: a win exactly when the per-round exchange
+    it removes is edge-sized (LP votes), a loss when it is node-sized
+    partials (pagerank/HITS contribs: +1 layout shuffle, 32 near-empty
+    tasks per round, jobs +2 — rejected for those)."""
     if small:
         return e
     out = e.repartition(key).persist(StorageLevel.MEMORY_AND_DISK)
@@ -610,13 +623,23 @@ def label_propagation(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint(eager=True)
     _, small = _pick_small(labels, "node", broadcast_state_max)
-    e = _iter_layout(e, "v", small)
+    # self-vote as a SELF-LOOP edge (r15): one (n, n) row per node folds
+    # the per-round unionAll(labels) into the single label join — the
+    # union had UnknownPartitioning, which forced a full vote-stream
+    # exchange every round; the augmented frame is static, so it is laid
+    # out once (aggregate key u on the broadcast-state path -> every
+    # round's two keyed aggregates run exchange-free; join key v on the
+    # partitioned-state path, as before) and the per-round vote multiset
+    # is IDENTICAL: the self-loop joins the node's own label exactly once.
+    e_aug = e.unionAll(
+        labels.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    )
+    e = _iter_layout(e_aug, "u" if small else "v")
     try:
         for _ in range(rounds):
             votes = (
                 e.join(_state_side(labels, small), e.v == labels.node)
                 .select(F.col("u").alias("node"), "lbl")
-                .unionAll(labels.select("node", "lbl"))  # self-vote
                 .groupBy("node", "lbl")
                 .agg(F.count("*").alias("c"))
             )
@@ -633,9 +656,8 @@ def label_propagation(
                 .localCheckpoint(eager=True)
             )
     finally:
-        if not small:
-            # labels is checkpointed every round, so the returned plan never
-            # references the persist()ed layout — release it (CacheManager
-            # entries are not GC-freed)
-            e.unpersist()
+        # labels is checkpointed every round, so the returned plan never
+        # references the persist()ed layout — release it (CacheManager
+        # entries are not GC-freed)
+        e.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))

@@ -375,14 +375,38 @@ def test_round_join_shapes(spark):
             .agg(F.sum("s").alias("s"))
         )
 
-    small_plan = (
-        half_step(_iter_layout(e, "src", True), True)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "BroadcastHashJoin" in small_plan
-    assert "SortMergeJoin" not in small_plan
+    # label_propagation's broadcast-path shape (r15): the layout is keyed
+    # by the half-step's AGGREGATE key (dst here), the state broadcasts,
+    # and the keyed sum needs NO exchange at all — the whole round is
+    # InMemoryTableScan -> BHJ -> agg (pagerank/HITS keep the canonical
+    # frame on this path: their per-round exchange is node-sized partials
+    # and the layout A/B'd as a loss for them)
+    small_layout = _iter_layout(e, "dst")
+    try:
+        small_plan = (
+            half_step(small_layout, True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in small_plan
+        assert "SortMergeJoin" not in small_plan
+        assert "InMemoryTableScan" in small_plan
+        # nothing between the keyed aggregate (plan top) and the layout
+        # scan may exchange: the whole round is agg -> BHJ -> cached scan
+        # (Exchanges deeper down — inside the InMemoryRelation's stored
+        # build plan or under the state-side BroadcastExchange — are the
+        # one-time layout/broadcast costs, not per-round shuffles)
+        s_lines = small_plan.splitlines()
+        s_scan_at = next(
+            i for i, l in enumerate(s_lines) if "InMemoryTableScan" in l
+        )
+        spine = s_lines[:s_scan_at]
+        assert not any(
+            "Exchange hashpartitioning" in l for l in spine
+        ), spine
+    finally:
+        small_layout.unpersist()
 
-    layout = _iter_layout(e, "src", False)
+    layout = _iter_layout(e, "src")
     try:
         big_plan = (
             half_step(layout, False)
