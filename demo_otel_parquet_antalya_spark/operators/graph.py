@@ -209,7 +209,7 @@ def pagerank(
     weight: str | None = None,
     k: int = 6,
     damping: float = 0.85,
-    checkpoint_interval: int = 1,
+    checkpoint_interval: int = 3,
     broadcast_state_max: int | None = None,
 ) -> DataFrame:
     """(node, rank) after exactly ``k`` damped power-iteration rounds.
@@ -279,11 +279,17 @@ def pagerank(
                 .agg(F.sum("cc").alias("c"))
                 .select(F.col("dst").alias("node_c"), "c")
             )
-            # checkpoint_interval=1 measured FASTER than fusing rounds into
-            # one job (a 4-round fused plan of chained join+agg re-plans
-            # worse under AQE than 4 small materialized jobs); the knob
-            # stays for clusters where materialization is costlier than
-            # plan depth. On the big path the final round checkpoints too:
+            # checkpoint_interval=3 re-adjudicated in the r15 optimization
+            # round (the r11 "fuse" vs r13 "don't fuse" conflict): with
+            # numeric node keys and contrib-only rounds, fusing 3 rounds
+            # per truncation runs the SAME exchanges in one query — every
+            # shuffle/broadcast is still its own AQE stage, so no work is
+            # re-evaluated — while dropping the per-round materialization
+            # barriers: 26 -> 18 jobs, wall best-of-4 2.54 -> 1.72-1.87 s
+            # at sf0.1 (interval 6 saves 6 more jobs but the depth-6 plan
+            # re-plans measurably slower on first run — 5.9 s). The knob
+            # stays for clusters where plan depth is costlier than
+            # materialization. On the big path the final round checkpoints too:
             # the node-sized checkpoint cuts the returned plan off the
             # persist()ed layout so the finally can release it (CacheManager
             # entries outlive the frame, unlike checkpointed RDDs, which
