@@ -15,6 +15,38 @@ def test_ensure_parallelism_fans_out_and_noops(spark):
     assert ensure_parallelism(many).rdd.getNumPartitions() == 64
 
 
+def test_ensure_parallelism_is_metadata_only(spark):
+    """The under-parallelism test must never convert the frame to an RDD
+    (r15: the old df.rdd.getNumPartitions() cost ~100 ms of physical
+    planning + Python-RDD setup per distinct plan at the head of every
+    operator chain)."""
+    from pyspark.sql import DataFrame
+
+    few = spark.range(1000).coalesce(1)
+    calls = []
+    orig = DataFrame.rdd.fget
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    DataFrame.rdd = property(spy)
+    try:
+        out = ensure_parallelism(few)
+    finally:
+        DataFrame.rdd = property(orig)
+    assert not calls, "ensure_parallelism touched df.rdd"
+    assert out is not few  # tiny single-partition input still fans out
+
+
+def test_ensure_parallelism_respects_aqe_coalesced_aggregates(spark):
+    """A small-bytes aggregate output collapses to few partitions under
+    AQE's byte-based coalescing — the CPU-bound case the fan-out exists
+    to fix — so ensure_parallelism must still fire on it."""
+    grouped = spark.range(10_000).groupBy((F.col("id") % 97).alias("k")).count()
+    assert ensure_parallelism(grouped) is not grouped
+
+
 def test_salted_join_matches_plain_join(spark):
     # heavy skew: 90% of left rows share one key
     left = spark.range(10_000).select(
