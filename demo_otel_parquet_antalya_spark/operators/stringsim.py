@@ -46,11 +46,12 @@ def edit_distance_join(
     validate_lengths: bool = True,
 ) -> DataFrame:
     """All (id_a, id_b, dist) with id_a < id_b and levenshtein <= d. Exact."""
+    raw = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
     # fan the scan out first: a small-SF single-file input otherwise runs
     # the gram explode + candidate probe + levenshtein verify on ONE task
-    base = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    base = ensure_parallelism(raw)
     if validate_lengths:
-        row = base.agg(F.min(F.length("s")).alias("m")).first()
+        row = raw.agg(F.min(F.length("s")).alias("m")).first()
         if row.m is not None and row.m < q * (d + 1):
             raise ValueError(
                 f"prefix-filter guarantee needs len >= q*(d+1) = {q * (d + 1)}; "
@@ -99,7 +100,10 @@ def edit_distance_join(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    strs = base.select(F.col("id"), F.col("s"))
+    # raw, not the fanned-out base: these sides build broadcast hash
+    # relations, and a round-robin exchange under a BroadcastExchange is
+    # pure overhead (r15, same fix as the deletion tier)
+    strs = raw
     cand = (
         cand.join(strs.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a")
         .join(strs.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b")
@@ -161,14 +165,22 @@ def edit_distance_join_deletions(
     """
     if d not in (1, 2):
         raise ValueError("deletion-neighborhood join supports d in {1, 2}")
+    raw = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
     # fan the scan out first: a small-SF single-file input otherwise runs
     # the variant explode + candidate probe + levenshtein verify on ONE task
-    base = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    base = ensure_parallelism(raw)
     # 8-byte variant keys: the collision self-join shuffles xxhash64 of
     # each deletion variant instead of the near-full-length string. EXACT —
     # equal variants hash equal, and a colliding unequal variant only ADDS
     # a candidate that the levenshtein verification kills. (~L variants per
     # string at d=1, so this roughly halves the blocking shuffle's bytes.)
+    # NOT hinged (r15 A/B): under the local broadcast plan the explode
+    # runs once per side, but an eager checkpoint measured wall-neutral-
+    # to-worse (barrier ≈ the cheap JVM HOF explode it saves; jobs
+    # 9 -> 10), and at scale the self-join is an SMJ whose two identical
+    # sides share ONE exchange via ReusedExchange — the double-evaluation
+    # only exists in the broadcast regime, where it is cheap by
+    # definition (unlike the r14-hinged Arrow kernels).
     variants = base.select(
         "id",
         F.explode(
@@ -188,7 +200,11 @@ def edit_distance_join_deletions(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    strs = base.select(F.col("id"), F.col("s"))
+    # the string rejoin reads the RAW frame, not the fanned-out base: these
+    # sides build broadcast hash relations, and the round-robin exchange
+    # the explode needs is pure overhead under a BroadcastExchange (r15 —
+    # the before-plan carried Exchange -> BroadcastExchange on both sides)
+    strs = raw
     cand = (
         cand.join(strs.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a")
         .join(strs.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b")
