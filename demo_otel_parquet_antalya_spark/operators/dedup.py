@@ -1333,14 +1333,16 @@ def jaccard_pairs_ppjoin(
     - prefix filter (AllPairs): only the first ``|S| - ceil(t*|S|) + 1``
       shingles under the global order enter the join;
     - length filter: J >= t forces ``t * max(|A|,|B|) <= min(|A|,|B|)``;
-    - positional filter (PPJoin proper): for the FIRST common shingle of A
-      and B — at ranks (ra, rb) under the shared global order — every other
-      common shingle sits at rank > ra in A and > rb in B, so
-      ``|A ∩ B| <= 1 + min(|A|-ra, |B|-rb)``, which must reach the overlap
-      bound ``ceil(t/(1+t) * (|A|+|B|))`` (J >= t  ⇔  c >= t/(1+t)(|A|+|B|)).
-      A pair survives iff SOME collision passes the filter; the
-      first-common-shingle collision is the sound witness, so recall is
-      exactly preserved while later (redundant) collisions are free to fail.
+    - ACCUMULATED positional filter (PPJoin's overlap accumulation, r15):
+      the common shingles lying in both prefixes are exactly the first
+      ``pc`` commons of the pair under the shared global order, so every
+      other common shingle sits at rank > ra_max in A and > rb_max in B
+      (the maxima over those collisions), giving the exact bound
+      ``|A ∩ B| <= pc + min(|A|-ra_max, |B|-rb_max)``, which must reach
+      the overlap bound ``ceil(t/(1+t) * (|A|+|B|))`` (J >= t ⇔
+      c >= t/(1+t)(|A|+|B|)). For a single collision this is the r14
+      first-common-shingle witness bound; with more collisions it is
+      strictly tighter — recall exactly preserved, candidates only fewer.
 
     The prefix/overlap bounds are computed FP-safely: ``ceil(t * n)`` on
     doubles can round UP past the exact integer (e.g. 0.54 * 450 ->
@@ -1384,12 +1386,14 @@ def jaccard_pairs_ppjoin(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    freq = sh.groupBy("s").agg(F.count("*").alias("cnt"))
-    # per-doc size and frequency rank in ONE id-keyed window pass (the
-    # separate groupBy(id)+join shape paid a second full-stream exchange)
+    # corpus frequency as a count over the s-partition (r15): the separate
+    # groupBy(s) aggregate + join-back paid an aggregate exchange AND a
+    # second pass over the shingle stream; the window pays exactly one
+    # full-stream exchange on s, then the id-keyed pass proceeds as before
+    w_s = W.partitionBy("s")
     w_id = W.partitionBy("id")
     prefix = (
-        sh.join(freq, "s")
+        sh.withColumn("cnt", F.count("*").over(w_s))
         .withColumn("n_sh", F.count("*").over(w_id))
         .withColumn("rk", F.row_number().over(w_id.orderBy("cnt", "s")))
         .filter(
@@ -1403,37 +1407,60 @@ def jaccard_pairs_ppjoin(
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # ACCUMULATED positional filter (r15, PPJoin's own overlap
+    # accumulation): under the shared global order, the common shingles
+    # lying in BOTH prefixes are exactly the FIRST pc commons of the pair
+    # (ranks are monotone in the order, so a common shingle below another
+    # common shingle's ranks is in every prefix the other is in). Every
+    # remaining common shingle therefore sits at rank > ra_max in A and
+    # > rb_max in B, giving the exact bound
+    #   |A ∩ B| <= pc + min(|A| - ra_max, |B| - rb_max),
+    # which must reach ceil(t/(1+t) * (|A|+|B|)). For pc = 1 this equals
+    # the old per-collision witness bound; for pc >= 2 it is STRICTLY
+    # tighter (ra_max >= ra_first + pc - 1), so recall is preserved and
+    # the candidate set can only shrink. The collision groupBy replaces
+    # the old distinct — the same pair-keyed exchange, now carrying the
+    # rank maxima it needs for the bound.
+    coll = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.id") < F.col("b.id"))
+        # length filter
+        & (
+            F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            >= F.ceil(
+                F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                - F.lit(1e-9)
+            )
+        ),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.rk").alias("ra"),
+        F.col("b.rk").alias("rb"),
+        F.col("a.n_sh").alias("na"),
+        F.col("b.n_sh").alias("nb"),
+    )
     # required overlap c >= t/(1+t) * (|A|+|B|), epsilon erring DOWN
     min_ov = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
-        * (F.col("a.n_sh") + F.col("b.n_sh"))
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
         - F.lit(1e-9)
     )
     cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.id") < F.col("b.id"))
-            # length filter
-            & (
-                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-                >= F.ceil(
-                    F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
-                    - F.lit(1e-9)
-                )
-            )
-            # positional filter: suffix lengths after this collision + the
-            # collision itself must reach the required overlap
-            & (
-                F.lit(1)
-                + F.least(
-                    F.col("a.n_sh") - F.col("a.rk"), F.col("b.n_sh") - F.col("b.rk")
-                )
-                >= min_ov
-            ),
+        coll.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("pc"),
+            F.max("ra").alias("ra_max"),
+            F.max("rb").alias("rb_max"),
+            F.max("na").alias("na"),  # constant per id; max picks it
+            F.max("nb").alias("nb"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .filter(
+            F.col("pc")
+            + F.least(F.col("na") - F.col("ra_max"), F.col("nb") - F.col("rb_max"))
+            >= min_ov
+        )
+        .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
     # verify candidates exactly: prune the shingle stream to candidate ids,
