@@ -174,13 +174,16 @@ def edit_distance_join_deletions(
     # equal variants hash equal, and a colliding unequal variant only ADDS
     # a candidate that the levenshtein verification kills. (~L variants per
     # string at d=1, so this roughly halves the blocking shuffle's bytes.)
-    # NOT hinged (r15 A/B): under the local broadcast plan the explode
-    # runs once per side, but an eager checkpoint measured wall-neutral-
-    # to-worse (barrier ≈ the cheap JVM HOF explode it saves; jobs
-    # 9 -> 10), and at scale the self-join is an SMJ whose two identical
-    # sides share ONE exchange via ReusedExchange — the double-evaluation
-    # only exists in the broadcast regime, where it is cheap by
-    # definition (unlike the r14-hinged Arrow kernels).
+    # NOT hinged (r15 interleaved A/B, best-of-4 ×2): under the local
+    # broadcast plan the explode runs once per side, but an eager
+    # checkpoint measured WORSE (wall 1.82-1.88 s vs 1.67-1.74 s, tasks
+    # 78 -> 109 — the barrier plus checkpoint-scan costs more than the
+    # cheap JVM HOF explode it saves), and at scale the self-join is an
+    # SMJ whose two identical sides share ONE exchange via ReusedExchange
+    # — the double-evaluation only exists in the broadcast regime, where
+    # it is cheap by definition (unlike the r14-hinged Arrow kernels,
+    # re-confirmed this round: minhash hinge vs lazy-cache parent =
+    # 29 vs 52 stages, 143 vs 583 tasks, ~-25% wall).
     variants = base.select(
         "id",
         F.explode(
