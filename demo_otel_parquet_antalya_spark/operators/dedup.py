@@ -1374,7 +1374,13 @@ def jaccard_pairs_ppjoin(
     # a tie-break as (cnt, text) — and the verified intersection counts
     # are exact up to xxhash64 collisions (~d^2/2^65 across the corpus's
     # distinct shingles; zero at every tested SF, the bound the line-dedup
-    # tier has shipped on since r4).
+    # tier has shipped on since r4). NOTE the exactness ASYMMETRY (ADVICE
+    # r14): the brute baseline ngram_jaccard_pairs stays string-exact, so
+    # a corpus-wide fingerprint collision would surface as a baseline/
+    # oracle MISMATCH rather than a silent approximation — that is the
+    # designed failure mode; a corpus with d approaching 2^32 distinct
+    # shingles (collision odds ~1e-4) should re-evaluate the bound before
+    # trusting the hash tier against the exact one.
     sh = (
         ensure_parallelism(df)
         .select(

@@ -75,9 +75,15 @@ def measure(spark, name: str, sf_dir: str, runs: int) -> dict:
     stages = _rest(base, "/stages")
     by_id = {}
     for s in stages:
-        # keep the last attempt per stage id
-        if s["stageId"] in stage_ids:
-            by_id.setdefault(s["stageId"], s)
+        # keep the HIGHEST attempt per stage id (ADVICE r14: the REST
+        # /stages ordering is not guaranteed, and setdefault kept whichever
+        # attempt came first — after a stage retry that could be the failed
+        # attempt's metrics)
+        if s["stageId"] in stage_ids and (
+            s["stageId"] not in by_id
+            or s.get("attemptId", 0) > by_id[s["stageId"]].get("attemptId", 0)
+        ):
+            by_id[s["stageId"]] = s
     swrite = sum(s.get("shuffleWriteBytes", 0) for s in by_id.values())
     srec = sum(s.get("shuffleWriteRecords", 0) for s in by_id.values())
     inrec = sum(s.get("inputRecords", 0) for s in by_id.values())
