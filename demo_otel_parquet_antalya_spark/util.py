@@ -55,11 +55,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().optimizedPlan()
-    # an EXPLICIT repartition/coalesce to >= target partitions is a
-    # statement about layout that the byte estimate must not undo
-    # (user-pinned partition counts are exempt from AQE coalescing too)
-    if _explicit_partitions(plan) >= target:
+    # an EXPLICIT repartition/coalesce pin overrides the byte estimate in
+    # BOTH directions: >= target is a layout statement the estimate must
+    # not undo (user-pinned counts are exempt from AQE coalescing too),
+    # and a pin BELOW target caps the frame's parallelism no matter how
+    # many bytes it holds — a large coalesce(1) input must still fan out,
+    # exactly as the old physical check concluded
+    pinned = _explicit_partitions(plan)
+    if pinned >= target:
         return df
+    if 0 < pinned < target:
+        return df.repartition(target)
     jvm = spark.sparkContext._jvm
     as_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
     max_pb = int(as_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")))

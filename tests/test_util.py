@@ -39,6 +39,15 @@ def test_ensure_parallelism_is_metadata_only(spark):
     assert out is not few  # tiny single-partition input still fans out
 
 
+def test_ensure_parallelism_fans_out_large_explicit_coalesce(spark):
+    """An explicit coalesce BELOW the target caps parallelism regardless of
+    byte volume — the estimate must not let a big single-partition frame
+    through un-fanned (the old physical check repartitioned it)."""
+    big = spark.range(50_000_000).coalesce(2)  # ~400 MB of longs, 2 parts
+    out = ensure_parallelism(big)
+    assert out is not big
+
+
 def test_ensure_parallelism_respects_aqe_coalesced_aggregates(spark):
     """A small-bytes aggregate output collapses to few partitions under
     AQE's byte-based coalescing — the CPU-bound case the fan-out exists
